@@ -1,0 +1,381 @@
+"""Training-data-pipeline catalog entries: dedup families, similarity
+search, text analysis, multimodal plumbing, and iterative graph ops over the
+``documents`` / ``embeddings`` / ``part`` tables.
+
+Oracle SQL strings are generated programmatically where the operator is
+parametric (minhash signature width, simhash bits) so both engines compute
+the *same* md5-derived hashes — deterministic across engines and
+partitionings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from indra_db_spark.catalog import register
+from indra_db_spark.operators import dedup as D
+from indra_db_spark.operators import graph as G
+from indra_db_spark.operators import multimodal as M
+from indra_db_spark.operators import similarity as S
+from indra_db_spark.operators import text as X
+from indra_db_spark.sources.lake import load_table as T
+
+# ------------------------------------------------------------------- dedup
+
+
+@register(
+    "doc_exact_dedup",
+    """
+    SELECT md5(text) AS fp, min(doc_id) AS canonical_id, count(*) AS n_dups
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def doc_exact_dedup(spark, sf):
+    return D.exact_dedup(T(spark, sf, "documents"))
+
+
+# shared shingle CTE (word 3-grams, DuckDB side)
+_SHINGLES_CTE = """
+    w AS (SELECT doc_id AS id, string_split(text, ' ') AS ws FROM documents),
+    sh AS (
+      SELECT DISTINCT id, array_to_string(ws[i:i+2], ' ') AS shingle
+      FROM w, UNNEST(range(1, greatest(len(ws) - 1, 1))) AS t(i)
+    )
+"""
+
+
+@register(
+    "doc_ngram_jaccard",
+    f"""
+    WITH {_SHINGLES_CTE},
+    sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+    common AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY a.id, b.id
+    )
+    SELECT id_a, id_b, n_common / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.id = id_a
+    JOIN sizes sb ON sb.id = id_b
+    WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.2
+    """,
+)
+def doc_ngram_jaccard(spark, sf):
+    return D.ngram_jaccard_pairs(T(spark, sf, "documents"), threshold=0.2)
+
+
+_MH_HASHES = 8
+_MH_BANDS = 4
+_MH_ROWS = _MH_HASHES // _MH_BANDS
+_mh_sig_cols = ",\n      ".join(
+    f"min(md5('{i}|' || shingle)) AS h{i}" for i in range(_MH_HASHES)
+)
+_mh_band_selects = "\n      UNION ALL ".join(
+    "SELECT id, md5({expr}) AS bkey FROM sig".format(
+        expr=" || '|' || ".join(f"h{b * _MH_ROWS + r}" for r in range(_MH_ROWS))
+    )
+    for b in range(_MH_BANDS)
+)
+
+
+@register(
+    "doc_minhash_lsh",
+    f"""
+    WITH {_SHINGLES_CTE},
+    sig AS (SELECT id, {_mh_sig_cols} FROM sh GROUP BY id),
+    b AS ({_mh_band_selects})
+    SELECT DISTINCT a.id AS id_a, b2.id AS id_b
+    FROM b a JOIN b b2 ON a.bkey = b2.bkey AND a.id < b2.id
+    """,
+)
+def doc_minhash_lsh(spark, sf):
+    return D.minhash_lsh_pairs(
+        T(spark, sf, "documents"), num_hashes=_MH_HASHES, bands=_MH_BANDS
+    )
+
+
+_SH_BITS = 32
+_sh_votes = ",\n      ".join(
+    f"sum(((((strpos('0123456789abcdef', substr(m, {1 + j // 4}, 1)) - 1) >> {3 - j % 4}) & 1) * 2) - 1) AS s{j}"
+    for j in range(_SH_BITS)
+)
+_sh_value = " + ".join(
+    f"CASE WHEN s{j} > 0 THEN CAST({2**j} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+    for j in range(_SH_BITS)
+)
+
+
+@register(
+    "doc_simhash",
+    f"""
+    WITH wx AS (
+      SELECT doc_id AS id, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    h AS (SELECT id, md5(w) AS m FROM wx WHERE w <> ''),
+    v AS (SELECT id, {_sh_votes} FROM h GROUP BY id)
+    SELECT id, ({_sh_value}) AS simhash FROM v
+    """,
+)
+def doc_simhash(spark, sf):
+    return D.simhash(T(spark, sf, "documents"), bits=_SH_BITS)
+
+
+# ------------------------------------------------------------ text analysis
+
+_lang_counts = ",\n      ".join(
+    "len(list_filter(string_split(lower(text), ' '), x -> x IN ({}))) AS c_{}".format(
+        ", ".join(f"'{m}'" for m in markers), lang
+    )
+    for lang, markers in X.LANG_MARKERS.items()
+)
+
+
+@register(
+    "doc_langid",
+    f"""
+    WITH s AS (SELECT doc_id, lang, {_lang_counts} FROM documents)
+    SELECT doc_id, lang,
+      CASE WHEN c_en > 0 AND c_en >= c_de AND c_en >= c_fr AND c_en >= c_es THEN 'en'
+           WHEN c_de > 0 AND c_de >= c_fr AND c_de >= c_es THEN 'de'
+           WHEN c_fr > 0 AND c_fr >= c_es THEN 'fr'
+           WHEN c_es > 0 THEN 'es'
+           ELSE 'und' END AS pred_lang
+    FROM s
+    """,
+)
+def doc_langid(spark, sf):
+    d = T(spark, sf, "documents")
+    return d.select("doc_id", "lang", X.lang_id(F.col("text")).alias("pred_lang"))
+
+
+_STOP_IN = ", ".join(f"'{m}'" for m in X.STOPWORDS)
+
+
+@register(
+    "doc_quality",
+    f"""
+    WITH f AS (
+      SELECT doc_id,
+        len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tok,
+        length(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g')) AS alnum_chars,
+        length(text) AS n_chars,
+        len(list_filter(string_split(lower(text), ' '), x -> x IN ({_STOP_IN}))) AS stop_cnt
+      FROM documents
+    )
+    SELECT doc_id,
+      CAST(n_tok AS INTEGER) AS n_tokens,
+      round(alnum_chars / n_tok, 6) AS mean_tok_len,
+      round(stop_cnt / n_tok, 6) AS stopword_ratio,
+      round(alnum_chars / n_chars, 6) AS alnum_ratio,
+      round(least(n_tok / 50.0, 1.0) * 0.25 + least(stop_cnt / n_tok * 4, 1.0) * 0.25
+          + least(alnum_chars / n_tok / 8.0, 1.0) * 0.25
+          + alnum_chars / n_chars * 0.25, 6) AS quality_score
+    FROM f
+    """,
+)
+def doc_quality(spark, sf):
+    return X.quality_features(T(spark, sf, "documents"))
+
+
+@register(
+    "doc_token_count",
+    r"""
+    SELECT doc_id,
+      CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS INTEGER) AS n_ws_tokens,
+      CAST(len(list_filter(regexp_split_to_array(text, '[\s\.,;:!\?]+'), x -> x <> '')) AS INTEGER) AS n_re_tokens
+    FROM documents
+    """,
+)
+def doc_token_count(spark, sf):
+    d = T(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        X.token_count(F.col("text"), " ").alias("n_ws_tokens"),
+        X.token_count(F.col("text"), r"[\s\.,;:!\?]+").alias("n_re_tokens"),
+    )
+
+
+@register(
+    "doc_fingerprint",
+    """
+    WITH n AS (
+      SELECT doc_id,
+        md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS fp
+      FROM documents
+    )
+    SELECT doc_id, fp, substring(fp, 1, 16) AS fp16 FROM n
+    """,
+)
+def doc_fingerprint(spark, sf):
+    return X.fingerprint(T(spark, sf, "documents"))
+
+
+# ------------------------------------------------------- similarity search
+
+_COS = "round(list_cosine_similarity(CAST(q.qvec AS DOUBLE[]), CAST(c.cvec AS DOUBLE[])), 6)"
+
+
+@register(
+    "emb_topk",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cvec FROM embeddings),
+    s AS (
+      SELECT query_id, neighbor_id, {_COS} AS sim
+      FROM q, c WHERE query_id <> neighbor_id
+    ),
+    r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn FROM s)
+    SELECT query_id, neighbor_id, sim FROM r WHERE rn <= 5
+    """,
+)
+def emb_topk(spark, sf):
+    emb = T(spark, sf, "embeddings")
+    return S.brute_force_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+@register(
+    "emb_neardup",
+    """
+    WITH a AS (SELECT vec_id AS id_a, embedding AS va FROM embeddings),
+    b AS (SELECT vec_id AS id_b, embedding AS vb FROM embeddings)
+    SELECT id_a, id_b,
+           round(list_cosine_similarity(CAST(va AS DOUBLE[]), CAST(vb AS DOUBLE[])), 6) AS sim
+    FROM a, b
+    WHERE id_a < id_b
+      AND round(list_cosine_similarity(CAST(va AS DOUBLE[]), CAST(vb AS DOUBLE[])), 6) >= 0.35
+    """,
+)
+def emb_neardup(spark, sf):
+    return S.cosine_neardup_pairs(T(spark, sf, "embeddings"), threshold=0.35)
+
+
+_SRP_PLANES = 6
+_srp_bucket_sql = " + ".join(
+    f"(CASE WHEN embedding[{j + 1}] > 0 THEN {2**j} ELSE 0 END)"
+    for j in range(_SRP_PLANES)
+)
+
+
+@register(
+    "emb_srp_topk",
+    f"""
+    WITH e AS (SELECT vec_id, embedding, {_srp_bucket_sql} AS bucket FROM embeddings),
+    q AS (SELECT vec_id AS query_id, embedding AS qvec, bucket FROM e WHERE vec_id < 10),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cvec, bucket FROM e),
+    s AS (
+      SELECT query_id, neighbor_id, {_COS} AS sim
+      FROM q JOIN c USING (bucket) WHERE query_id <> neighbor_id
+    ),
+    r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn FROM s)
+    SELECT query_id, neighbor_id, sim FROM r WHERE rn <= 5
+    """,
+)
+def emb_srp_topk(spark, sf):
+    emb = T(spark, sf, "embeddings")
+    return S.srp_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, planes=_SRP_PLANES
+    )
+
+
+# ------------------------------------------------------------- multimodal
+
+
+@register(
+    "multimodal_meta",
+    """
+    WITH b AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents)
+    SELECT doc_id, CAST(n AS INTEGER) AS n_bytes,
+           CAST(32 + n % 608 AS INTEGER) AS width,
+           CAST(32 + (n * 7) % 608 AS INTEGER) AS height,
+           CASE n % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS format
+    FROM b
+    """,
+)
+def multimodal_meta(spark, sf):
+    """Binary payload + Arrow-batched decode stub (mapInPandas)."""
+    return M.decode_image_meta(M.attach_binary(T(spark, sf, "documents")))
+
+
+@register(
+    "multimodal_frames",
+    """
+    WITH b AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents)
+    SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
+           CAST(n // (n % 4 + 1) AS INTEGER) AS frame_bytes
+    FROM b, UNNEST(range(0, n % 4 + 1)) AS t(i)
+    """,
+)
+def multimodal_frames(spark, sf):
+    """Per-frame explosion inside pandas batches (UDTF shape)."""
+    return M.sample_frames(M.attach_binary(T(spark, sf, "documents")))
+
+
+# ----------------------------------------------------- iterative graph ops
+
+_EDGES_CTE = (
+    "e AS (SELECT p_partkey AS child, p_partkey // 2 AS parent "
+    "FROM part WHERE p_partkey >= 2)"
+)
+_ANC_CTE = (
+    "anc AS (SELECT child, parent AS anc FROM e "
+    "UNION SELECT a.child, e.parent FROM anc a JOIN e ON e.child = a.anc)"
+)
+
+
+def _part_edges(spark, sf):
+    return (
+        T(spark, sf, "part")
+        .filter(F.col("p_partkey") >= 2)
+        .select(
+            F.col("p_partkey").alias("child"),
+            F.expr("p_partkey div 2").alias("parent"),
+        )
+    )
+
+
+@register(
+    "closure_ancestors",
+    f"""
+    WITH RECURSIVE {_EDGES_CTE}, {_ANC_CTE}
+    SELECT child, anc FROM anc
+    """,
+)
+def closure_ancestors(spark, sf):
+    """Refinement-graph transitive closure (reference computes ancestors
+    driver-side with networkx, export_assembly.py:613-735) — here semi-naive
+    iterative joins; the DuckDB oracle is a recursive CTE."""
+    return G.transitive_closure(_part_edges(spark, sf))
+
+
+@register(
+    "belief_ancestor_agg",
+    f"""
+    WITH RECURSIVE {_EDGES_CTE}, {_ANC_CTE},
+    vals AS (SELECT p_partkey AS id, p_size AS v FROM part),
+    anc_sum AS (
+      SELECT a.child AS id, CAST(sum(v.v) AS BIGINT) AS s
+      FROM anc a JOIN vals v ON v.id = a.anc GROUP BY a.child
+    )
+    SELECT vals.id AS p_partkey,
+           (vals.v + COALESCE(anc_sum.s, 0)) AS total_ev,
+           (vals.v + COALESCE(anc_sum.s, 0)) / ((vals.v + COALESCE(anc_sum.s, 0)) + 5.0) AS belief
+    FROM vals LEFT JOIN anc_sum ON anc_sum.id = vals.id
+    """,
+)
+def belief_ancestor_agg(spark, sf):
+    """Belief-scoring input shape: own evidence + Σ ancestor evidence
+    (export_assembly.py:613-735), with a rational stub scorer
+    n/(n+5) — division is engine-deterministic (unlike pow)."""
+    nodes = (
+        T(spark, sf, "part")
+        .select(F.col("p_partkey").alias("id"), F.col("p_size").alias("v"))
+    )
+    out = G.ancestor_aggregate(
+        nodes, _part_edges(spark, sf), value_col="v", out_col="total_ev"
+    )
+    return out.select(
+        F.col("id").alias("p_partkey"),
+        F.col("total_ev"),
+        (F.col("total_ev") / (F.col("total_ev") + F.lit(5.0))).alias("belief"),
+    )

@@ -1,0 +1,253 @@
+"""Deduplication operator family for large-scale document/training-data
+pipelines: exact, word-n-gram Jaccard, MinHash+LSH, SimHash.
+
+The reference deduplicates statements by a 64-bit content hash
+(reference: indra_db/readonly_dumping/export_assembly.py:576-601 — first row
+per mk_hash); these operators generalize that to *near*-duplicate detection
+over a ``documents(doc_id, text, ...)`` table.
+
+Scale design notes (100 TB):
+- every stage is a groupBy/join on a derived key — no driver-side state;
+- exact dedup = one shuffle on the fingerprint (map-side partial agg);
+- n-gram Jaccard joins only docs sharing a shingle (inverted-index join),
+  never the full cross product; hot shingles should be frequency-capped
+  (``max_shingle_freq``) — the classic stopword-shingle skew fix;
+- MinHash/LSH replaces the quadratic candidate space with band-bucket
+  joins: ~O(docs × bands) shuffle rows;
+- hashes are md5-based so an external SQL oracle (DuckDB/Postgres) can
+  reproduce results bit-for-bit — deterministic across engines, seeds, and
+  partitionings (no Math.random / JVM hashCode anywhere).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def normalize_text(col):
+    """lower + collapse non-alphanumerics: the canonical form fed to every
+    fingerprint.  Mirrors the reference's text regularization idea
+    (indra_db/util/insert.py:159 regularize_agent_id) applied to documents."""
+    c = F.lower(col)
+    c = F.regexp_replace(c, "[^a-z0-9 ]", " ")
+    c = F.regexp_replace(c, " +", " ")
+    return F.trim(c)
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup by content fingerprint: one row per distinct text with the
+    smallest id as canonical representative + duplicate count.
+
+    Single shuffle on md5(text); partial aggregation halves shuffle volume.
+    """
+    return (
+        df.select(F.md5(F.col(text_col)).alias("fp"), F.col(id_col))
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+    )
+
+
+def word_shingles(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Distinct word n-gram shingles per document → (id, shingle).
+
+    Pure built-in expressions (split/sequence/transform/explode) — stays in
+    whole-stage codegen, no Python UDF.
+    """
+    words = F.split(F.col(text_col), " ")
+    # guard: sequence(1,0) in Spark is a *descending* sequence, so gate on size
+    idx = F.when(
+        F.size(words) >= n, F.sequence(F.lit(1), F.size(words) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    shingle = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, n)))
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(shingle).alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs by word-n-gram Jaccard similarity.
+
+    Inverted-index self-join: docs are compared only if they share a
+    shingle.  ``max_shingle_freq`` drops ubiquitous shingles (skew guard) —
+    at 100 TB a single stop-phrase shingle would otherwise create one
+    quadratic-sized join bucket.
+    Returns (id_a, id_b, jaccard) with id_a < id_b.
+    """
+    sh = word_shingles(df, id_col, text_col, n)
+    if max_shingle_freq is not None:
+        hot = sh.groupBy("shingle").count().filter(F.col("count") > max_shingle_freq)
+        sh = sh.join(hot.select("shingle"), "shingle", "left_anti")
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sz_a = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sz_b = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(sz_a, "id_a")
+        .join(sz_b, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 12,
+) -> DataFrame:
+    """MinHash signature per document: sig[i] = min over shingles of
+    md5(i || '|' || shingle).
+
+    md5 (not xxhash/murmur) so any SQL engine reproduces signatures exactly.
+    One groupBy with ``num_hashes`` partial min-aggregations — a single
+    shuffle regardless of signature width.
+    Returns (id, h0..h{num_hashes-1}).
+    """
+    sh = word_shingles(df, id_col, text_col, n)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy("id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 12,
+    bands: int = 4,
+) -> DataFrame:
+    """LSH candidate pairs: docs whose signatures agree on all rows of at
+    least one band.  Returns distinct (id_a, id_b), id_a < id_b.
+
+    Shuffle volume is O(docs × bands); the pair join happens inside
+    band-bucket groups only.
+    """
+    assert num_hashes % bands == 0
+    rows = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    band_keys = F.array(
+        *[
+            F.md5(F.concat_ws("|", *[F.col(f"h{b * rows + r}") for r in range(rows)]))
+            for b in range(bands)
+        ]
+    )
+    buckets = sigs.select(
+        "id", F.posexplode(band_keys).alias("band", "bkey")
+    )
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(b, ["band", "bkey"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def _hex_bit(md5_col, j: int):
+    """Bit j (LSB-first within each hex nibble group) of an md5 hex string,
+    as 0/1 int; expressible identically in any SQL engine."""
+    nibble = F.conv(F.substring(md5_col, 1 + j // 4, 1), 16, 10).cast("int")
+    return F.shiftright(nibble, 3 - j % 4).bitwiseAND(F.lit(1))
+
+
+def simhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+) -> DataFrame:
+    """SimHash per document: for each bit j, sum (+1/-1) votes of md5(word)
+    bit j over all word occurrences; bit set iff the vote is positive.
+
+    Returns (id, simhash bigint).  One groupBy with ``bits`` partial SUM
+    aggregations — single shuffle.  Near-dup search then compares
+    bit_count(simhash_a ^ simhash_b) ≤ k, with prefix-band bucketing as the
+    at-scale candidate generator (same banding as MinHash-LSH).
+    """
+    words = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("w"),
+    ).filter(F.col("w") != "")
+    h = words.withColumn("m", F.md5(F.col("w")))
+    votes = [
+        F.sum(_hex_bit(F.col("m"), j) * 2 - 1).alias(f"s{j}") for j in range(bits)
+    ]
+    agg = h.groupBy("id").agg(*votes)
+    val = None
+    for j in range(bits):
+        term = F.when(F.col(f"s{j}") > 0, F.lit(2**j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        val = term if val is None else val + term
+    return agg.select("id", val.alias("simhash"))
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs under SimHash Hamming distance.
+
+    Candidate generation buckets on byte-bands of the simhash (pigeonhole:
+    distance ≤ k ⇒ some band of ⌈bits/8⌉ agrees when k < bands), then
+    verifies with bit_count(xor).
+    """
+    s = simhash(df, id_col, text_col, bits)
+    n_bands = bits // 8
+    bandkeys = F.array(
+        *[
+            F.concat(
+                F.lit(f"{b}:"),
+                F.shiftright(F.col("simhash"), b * 8).bitwiseAND(F.lit(255)).cast("string"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    buckets = s.select("id", "simhash", F.explode(bandkeys).alias("bkey"))
+    a, b = buckets.alias("a"), buckets.alias("b")
+    return (
+        a.join(b, "bkey")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

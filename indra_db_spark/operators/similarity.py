@@ -1,0 +1,156 @@
+"""Similarity search over an embedding column (array<float>).
+
+Baseline: brute-force cosine top-k — exact, one broadcast join of the query
+set against the corpus (no shuffle of the big side), TakeOrderedAndProject
+per query via a window.
+
+Scale path: sign-random-projection (SRP) bucketing — a deterministic LSH for
+cosine distance.  Docs are hashed to 2^planes buckets; queries probe only
+their own bucket, turning the O(Q×N) scan into O(Q×N/2^planes) with a
+recall/latency trade controlled by ``planes`` (and multi-probe on nearby
+buckets if recall matters).  An IVF variant would replace the hash with
+k-means centroids; SRP keeps everything deterministic and oracle-checkable.
+
+All arithmetic is double-accumulated in document order so results are
+reproducible across engines and partitionings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a, b) -> Column:
+    """Σ a[i]·b[i], accumulated in double, element order."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm(a) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        )
+    )
+
+
+def cosine(a, b) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sim_decimals: int | None = 6,
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, neighbor_id, sim), k rows per query.
+
+    ``queries`` (small) is broadcast against ``emb`` (huge): the corpus never
+    shuffles; ranking is a per-query window with id tie-break.  Similarity is
+    rounded to ``sim_decimals`` *before* ranking so the top-k frontier is
+    stable under float noise (ties then break on neighbor id).
+    """
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    c = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
+    sim = cosine(F.col("qvec"), F.col("cvec"))
+    if sim_decimals is not None:
+        sim = F.round(sim, sim_decimals)
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("sim", sim)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "sim")
+    )
+
+
+def cosine_neardup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sim_decimals: int | None = 6,
+) -> DataFrame:
+    """Embedding near-duplicate pairs: cosine ≥ threshold, id_a < id_b.
+
+    Exact all-pairs — quadratic, for modest corpora / within-bucket use.
+    At scale, compose with ``srp_bucket`` to restrict pairs to one bucket.
+    """
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    sim = cosine(F.col("va"), F.col("vb"))
+    if sim_decimals is not None:
+        sim = F.round(sim, sim_decimals)
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("sim", sim)
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", "sim")
+    )
+
+
+def srp_bucket(vec_col, planes: int = 8) -> Column:
+    """Sign-random-projection bucket id ∈ [0, 2^planes) from the signs of the
+    first ``planes`` coordinates (axis-aligned hyperplanes — deterministic,
+    no RNG; swap in fixed random hyperplanes for better isotropy)."""
+    bucket = F.lit(0)
+    for j in range(planes):
+        bit = F.when(F.element_at(vec_col, j + 1) > 0, F.lit(2**j)).otherwise(F.lit(0))
+        bucket = bucket + bit
+    return bucket
+
+
+def srp_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    planes: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sim_decimals: int | None = 6,
+) -> DataFrame:
+    """Approximate top-k: brute force restricted to the query's SRP bucket.
+
+    The corpus is hashed once (narrow map); the join key is (bucket), so the
+    scan per query shrinks by ~2^planes.  Exactly the IVF pattern with SRP
+    cells instead of k-means cells.
+    """
+    from pyspark.sql import Window
+
+    c = emb.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        srp_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        srp_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    sim = cosine(F.col("qvec"), F.col("cvec"))
+    if sim_decimals is not None:
+        sim = F.round(sim, sim_decimals)
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("sim", sim)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "sim")
+    )

@@ -1,0 +1,103 @@
+"""Text-analysis operators for training-data pipelines: token counting,
+quality scoring, language ID, document fingerprinting.
+
+Everything is built-in-expression only (split/regexp/md5/size/filter) — the
+hot path stays inside whole-stage codegen, no Python round-trips — and
+deterministic, so an external SQL oracle reproduces results exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from indra_db_spark.operators.dedup import normalize_text
+
+# tiny per-language stopword marker sets (n-gram-heuristic language ID);
+# deliberately small + fixed so the operator is cheap and oracle-checkable
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "is", "to"),
+    "de": ("der", "die", "und", "ist", "das"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "es": ("el", "los", "las", "una", "que"),
+}
+
+STOPWORDS = LANG_MARKERS["en"] + ("a", "in", "on", "for", "with")
+
+# whitespace tokens further split on punctuation boundaries — a cheap
+# BPE-ish proxy: counts sub-word units rather than raw whitespace words
+BPE_ISH_SPLIT = r"[\s\.,;:!\?\(\)\[\]\{\}\"']+|(?<=[a-z])(?=[0-9])|(?<=[0-9])(?=[a-z])"
+
+
+def tokens(text_col, pattern: str = r"\s+") -> Column:
+    return F.filter(F.split(text_col, pattern), lambda w: w != "")
+
+
+def token_count(text_col, pattern: str = r"\s+") -> Column:
+    return F.size(tokens(text_col, pattern))
+
+
+def _marker_count(words: Column, markers: tuple[str, ...]) -> Column:
+    return F.size(F.filter(words, lambda w: w.isin(*markers)))
+
+
+def lang_scores(text_col) -> dict[str, Column]:
+    words = tokens(F.lower(text_col))
+    return {lang: _marker_count(words, m) for lang, m in LANG_MARKERS.items()}
+
+
+def lang_id(text_col) -> Column:
+    """argmax language by marker-word count; fixed priority order breaks
+    ties; 'und' when no marker hits at all."""
+    scores = lang_scores(text_col)
+    best = F.greatest(*scores.values())
+    expr = F.lit("und")
+    # reversed so earlier languages win ties (first match in priority order)
+    for lang in reversed(list(LANG_MARKERS)):
+        expr = F.when(
+            (best > 0) & (scores[lang] == best), F.lit(lang)
+        ).otherwise(expr)
+    return expr
+
+
+def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document quality features + composite score ∈ [0,1]:
+    - n_tokens, mean token length
+    - stopword ratio (fluency proxy)
+    - alnum ratio (1 - punctuation/symbol density)
+    """
+    t = F.col(text_col)
+    words = tokens(t)
+    n_tok = F.size(words)
+    n_chars = F.length(t)
+    alnum_chars = F.length(F.regexp_replace(t, "[^a-zA-Z0-9]", ""))
+    stop_ratio = _marker_count(F.transform(words, F.lower), STOPWORDS) / n_tok
+    mean_tok_len = alnum_chars / n_tok
+    alnum_ratio = alnum_chars / n_chars
+    # bounded linear blend; exact arithmetic order matters for oracle parity
+    score = (
+        F.least(n_tok / F.lit(50.0), F.lit(1.0)) * 0.25
+        + F.least(stop_ratio * 4, F.lit(1.0)) * 0.25
+        + F.least(mean_tok_len / F.lit(8.0), F.lit(1.0)) * 0.25
+        + alnum_ratio * 0.25
+    )
+    return df.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        F.round(mean_tok_len, 6).alias("mean_tok_len"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(alnum_ratio, 6).alias("alnum_ratio"),
+        F.round(score, 6).alias("quality_score"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Deterministic document fingerprint over *normalized* text (md5), plus
+    a shorter 16-hex prefix usable as a shard/bucket key."""
+    norm = normalize_text(F.col(text_col))
+    fp = F.md5(norm)
+    return df.select(
+        F.col(id_col),
+        fp.alias("fp"),
+        F.substring(fp, 1, 16).alias("fp16"),
+    )

@@ -1,0 +1,110 @@
+"""Unit tests for the reusable operator modules on tiny in-memory frames."""
+
+from pyspark.sql import functions as F
+
+from indra_db_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_neardup_pairs,
+    word_shingles,
+)
+from indra_db_spark.operators.graph import ancestor_aggregate, transitive_closure
+from indra_db_spark.operators.setops import (
+    keyed_except,
+    keyed_intersect,
+    keyed_union,
+)
+from indra_db_spark.operators.topk import argmax_per_group, global_topk, grouped_topn
+
+
+def _docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),
+        (3, "completely different text with no overlap here at all"),
+        (4, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (5, "xy"),  # shorter than one shingle
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup(spark):
+    out = exact_dedup(_docs(spark)).collect()
+    by_canon = {r.canonical_id: r.n_dups for r in out}
+    assert by_canon[1] == 2  # docs 1 and 4
+    assert by_canon[2] == 1
+    assert len(out) == 4  # 5 docs, one pair collapsed
+
+
+def test_word_shingles_short_doc_empty(spark):
+    sh = word_shingles(_docs(spark)).filter(F.col("id") == 5).count()
+    assert sh == 0
+
+
+def test_ngram_jaccard_finds_near_dups(spark):
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(_docs(spark), threshold=0.5).collect()
+    }
+    assert pairs[(1, 4)] == 1.0  # exact dup
+    assert (1, 2) in pairs  # near dup (one word differs)
+    assert all(a < b for a, b in pairs)
+    assert not any({a, b} == {1, 3} for a, b in pairs)
+
+
+def test_minhash_lsh_catches_exact_dup(spark):
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(_docs(spark), num_hashes=8, bands=4).collect()
+    }
+    assert (1, 4) in pairs
+    assert not any({a, b} == {1, 3} for a, b in pairs)
+
+
+def test_simhash_identical_docs_same_hash(spark):
+    vals = {r.id: r.simhash for r in simhash(_docs(spark)).collect()}
+    assert vals[1] == vals[4]
+    assert 0 <= vals[1] < 2**32
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_neardup_pairs(_docs(spark), max_hamming=0).collect()
+    }
+    assert pairs[(1, 4)] == 0
+
+
+def test_set_operators(spark):
+    a = spark.createDataFrame([(1,), (2,), (3,)], ["k"])
+    b = spark.createDataFrame([(2,), (3,), (4,)], ["k"])
+    assert {r.k for r in keyed_intersect([a, b], "k").collect()} == {2, 3}
+    assert {r.k for r in keyed_union([a, b], "k").collect()} == {1, 2, 3, 4}
+    assert {r.k for r in keyed_except(a, b, "k").collect()} == {1}
+
+
+def test_topk_operators(spark):
+    df = spark.createDataFrame(
+        [(g, i, float(i % 5)) for g in ("a", "b") for i in range(10)],
+        ["g", "i", "v"],
+    )
+    top = global_topk(df, [F.desc("v"), F.asc("g"), F.asc("i")], 3).collect()
+    assert [(r.g, r.i) for r in top] == [("a", 4), ("a", 9), ("b", 4)]
+    per_g = grouped_topn(df, "g", [F.desc("v"), F.asc("i")], 2)
+    assert per_g.count() == 4
+    best = argmax_per_group(df, "g", [F.desc("v"), F.asc("i")])
+    assert {(r.g, r.i) for r in best.collect()} == {("a", 4), ("b", 4)}
+
+
+def test_transitive_closure_chain(spark):
+    edges = spark.createDataFrame([(2, 1), (3, 2), (4, 3)], ["child", "parent"])
+    got = {
+        (r.child, r.anc) for r in transitive_closure(edges).collect()
+    }
+    assert got == {(2, 1), (3, 2), (3, 1), (4, 3), (4, 2), (4, 1)}
+
+
+def test_ancestor_aggregate_sums_lineage(spark):
+    edges = spark.createDataFrame([(2, 1), (3, 2)], ["child", "parent"])
+    nodes = spark.createDataFrame([(1, 10), (2, 100), (3, 1000)], ["id", "v"])
+    out = {r.id: r.agg_value for r in ancestor_aggregate(nodes, edges, "v").collect()}
+    assert out == {1: 10, 2: 110, 3: 1110}
