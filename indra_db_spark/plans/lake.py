@@ -1,0 +1,72 @@
+"""The readonly Parquet lake — the rebuild's counterpart of the reference's
+materialized ``readonly`` Postgres schema (SURVEY.md §1.4).
+
+Holds one DataFrame per readonly table and serves them to the query algebra.
+At scale: each table is a partitioned/bucketed Parquet dataset; the three
+agent-meta tables (name/text/other) are the reference's skew-busting
+partition of pa_meta by namespace (readonly_schema.py:991-1021) and keep
+that routing here.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from indra_db_spark.schemas import READONLY_SCHEMAS
+
+#: tables every lake must provide for the query algebra
+CORE_TABLES = (
+    "name_meta",
+    "text_meta",
+    "other_meta",
+    "source_meta",
+    "mesh_term_meta",
+    "mesh_concept_meta",
+)
+
+
+class ReadonlyLake:
+    def __init__(self, tables: dict[str, DataFrame]):
+        missing = [t for t in CORE_TABLES if t not in tables]
+        if missing:
+            raise ValueError(f"readonly lake missing core tables: {missing}")
+        self._tables = dict(tables)
+
+    def __getitem__(self, name: str) -> DataFrame:
+        return self._tables[name]
+
+    def __contains__(self, name: str) -> bool:
+        return name in self._tables
+
+    @property
+    def spark(self) -> SparkSession:
+        return self._tables["source_meta"].sparkSession
+
+    def universe(self) -> DataFrame:
+        """The hash universe: one row per statement with payload columns
+        (source_meta is the reference's EXCEPT base, query.py:1752-1765)."""
+        return self._tables["source_meta"].select("mk_hash", "ev_count", "belief")
+
+    @classmethod
+    def from_parquet(cls, spark: SparkSession, root: str) -> "ReadonlyLake":
+        tables = {}
+        for name in READONLY_SCHEMAS:
+            path = os.path.join(root, name)
+            if os.path.exists(path):
+                tables[name] = spark.read.parquet(path)
+        return cls(tables)
+
+    def write_parquet(self, root: str, mode: str = "overwrite") -> None:
+        for name, df in self._tables.items():
+            df.write.mode(mode).parquet(os.path.join(root, name))
+
+    @classmethod
+    def from_rows(cls, spark: SparkSession, rows_by_table: dict[str, list]) -> "ReadonlyLake":
+        """Build a lake from python row dicts (fixtures/tests)."""
+        tables = {}
+        for name, rows in rows_by_table.items():
+            schema = READONLY_SCHEMAS[name]
+            tables[name] = spark.createDataFrame(rows, schema)
+        return cls(tables)

@@ -1,0 +1,358 @@
+"""Result-shaping operators over a compiled hash plan — the rebuild of the
+reference's get_statements / get_hashes / get_interactions / get_relations /
+get_agents family and EvidenceFilter (indra_db/client/readonly/query.py:
+421-856, :3011-3103; SURVEY.md §2.9).
+
+Plan shapes:
+- ranking: ORDER BY ev_count|belief DESC + LIMIT/OFFSET compiles to
+  TakeOrderedAndProject (query.py:464-470 _apply_limits);
+- evidence top-N per statement: the reference's correlated LATERAL join
+  (query.py:489-506) becomes a row_number window, which Catalyst group-limits
+  before the shuffle;
+- metadata: left joins onto source_meta (src_json) and reading_ref_link
+  (text refs) (query.py:493-517);
+- JSON assembly happens driver-side on the collected page (the page is
+  bounded by limit/ev_limit, so this is O(page), never O(corpus)).
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+from typing import Optional
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from indra_db_spark.operators.topk import grouped_topn
+from indra_db_spark.plans.lake import ReadonlyLake
+from indra_db_spark.plans.queries import Query
+
+#: service-style caps (reference: indra_db_service/config.py:27-28)
+MAX_STMTS = 500
+DEFAULT_EV_LIMIT = 10
+
+
+def _ranked_hashes(
+    query: Query,
+    lake: ReadonlyLake,
+    limit: Optional[int],
+    offset: int,
+    sort_by: str,
+) -> DataFrame:
+    if sort_by not in ("ev_count", "belief"):
+        raise ValueError(f"unsupported sort_by: {sort_by}")
+    df = query.hashes(lake).orderBy(F.desc(sort_by), F.asc("mk_hash"))
+    if offset:
+        df = df.offset(offset)
+    if limit is not None:
+        df = df.limit(limit)
+    return df
+
+
+def get_hashes(
+    query: Query,
+    lake: ReadonlyLake,
+    limit: Optional[int] = None,
+    offset: int = 0,
+    sort_by: str = "ev_count",
+) -> DataFrame:
+    """The bare hash page: (mk_hash, ev_count, belief) (query.py:630-711)."""
+    return _ranked_hashes(query, lake, limit, offset, sort_by)
+
+
+def get_statements(
+    query: Query,
+    lake: ReadonlyLake,
+    limit: Optional[int] = None,
+    offset: int = 0,
+    sort_by: str = "ev_count",
+    ev_limit: Optional[int] = DEFAULT_EV_LIMIT,
+    evidence_filter: Optional["EvidenceFilter"] = None,
+) -> "StatementQueryResult":
+    """Full statement page with bounded evidence (query.py:421-628)."""
+    page = _ranked_hashes(query, lake, limit, offset, sort_by)
+
+    ev = lake["fast_raw_pa_link"].join(
+        F.broadcast(page.select("mk_hash")), "mk_hash", "left_semi"
+    )
+    if evidence_filter is not None:
+        ev = evidence_filter.apply(lake, ev)
+    if ev_limit is not None and ev_limit > 0:
+        ev = grouped_topn(
+            ev, "mk_hash", [F.asc("id")], ev_limit, keep_rank=False
+        )
+    elif ev_limit == 0:
+        ev = ev.filter(F.lit(False))
+
+    ev = ev.join(
+        lake["reading_ref_link"].withColumnRenamed("rid", "reading_id"),
+        "reading_id",
+        "left",
+    ).select(
+        "mk_hash", "id", "raw_json", "src",
+        "pmid", "pmcid", "doi", "trid", "source", "reader",
+    )
+
+    meta = page.join(
+        lake["source_meta"].select("mk_hash", "src_json", "type_num"),
+        "mk_hash",
+    ).join(
+        lake["fast_raw_pa_link"]
+        .groupBy("mk_hash")
+        .agg(F.any_value("pa_json").alias("pa_json")),
+        "mk_hash",
+        "left",
+    )
+
+    # ---- driver-side assembly (bounded by the page size)
+    meta_rows = meta.collect()
+    ev_rows = ev.collect()
+    ev_by_hash: dict[int, list] = {}
+    for r in ev_rows:
+        ev_by_hash.setdefault(r.mk_hash, []).append(r)
+
+    statements: dict[int, dict] = {}
+    source_counts: dict[int, dict] = {}
+    for r in meta_rows:
+        stmt = json.loads(bytes(r.pa_json).decode()) if r.pa_json else {}
+        stmt["matches_hash"] = r.mk_hash
+        stmt["evidence"] = []
+        for e in sorted(ev_by_hash.get(r.mk_hash, []), key=lambda x: x.id):
+            ev_json = json.loads(bytes(e.raw_json).decode()) if e.raw_json else {}
+            ev_json.setdefault("annotations", {})["source_api"] = e.src
+            ev_json["text_refs"] = {
+                k: v
+                for k, v in (
+                    ("PMID", e.pmid),
+                    ("PMCID", e.pmcid),
+                    ("DOI", e.doi),
+                    ("TRID", e.trid),
+                    ("SOURCE", e.source),
+                    ("READER", e.reader),
+                )
+                if v is not None
+            }
+            stmt["evidence"].append(ev_json)
+        statements[r.mk_hash] = stmt
+        source_counts[r.mk_hash] = dict(r.src_json) if r.src_json else {}
+
+    return StatementQueryResult(
+        statements=statements,
+        source_counts=source_counts,
+        limit=limit,
+        offset=offset,
+        ev_limit=ev_limit,
+        query_json=query.to_json(),
+    )
+
+
+@dataclass
+class StatementQueryResult:
+    """Page of assembled statement JSONs (reference StatementQueryResult,
+    query.py:551-624)."""
+
+    statements: dict[int, dict]
+    source_counts: dict[int, dict]
+    limit: Optional[int]
+    offset: int
+    ev_limit: Optional[int]
+    query_json: dict
+
+    def json(self) -> dict:
+        return {
+            "statements": {str(k): v for k, v in self.statements.items()},
+            "source_counts": {str(k): v for k, v in self.source_counts.items()},
+            "limit": self.limit,
+            "offset": self.offset,
+            "ev_limit": self.ev_limit,
+            "query_json": self.query_json,
+        }
+
+
+# ------------------------------------------------------- interaction grains
+
+
+def _interactions_base(
+    query: Query, lake: ReadonlyLake, with_complex_dups: bool
+) -> DataFrame:
+    rows = lake["agent_interactions"].join(
+        query.hashes(lake).select("mk_hash"), "mk_hash", "left_semi"
+    )
+    if not with_complex_dups:
+        rows = rows.filter(~F.col("is_complex_dup"))
+    return rows
+
+
+def get_interactions(
+    query: Query,
+    lake: ReadonlyLake,
+    limit: Optional[int] = None,
+    with_complex_dups: bool = False,
+) -> DataFrame:
+    """Per-hash grain (query.py:713-763): one row per statement with its
+    agent map, type, counts."""
+    out = _interactions_base(query, lake, with_complex_dups).select(
+        "mk_hash", "agent_json", "type_num", "agent_count",
+        "ev_count", "belief", "activity", "is_active", "src_json",
+    )
+    out = out.orderBy(F.desc("ev_count"), F.asc("mk_hash"))
+    return out.limit(limit) if limit else out
+
+
+def get_relations(
+    query: Query,
+    lake: ReadonlyLake,
+    limit: Optional[int] = None,
+    with_complex_dups: bool = False,
+) -> DataFrame:
+    """(agents, type) grain: sum ev_count, max belief, collect hashes
+    (reference RelationSQL.agg, query.py:130-163)."""
+    base = _interactions_base(query, lake, with_complex_dups)
+    out = (
+        base.withColumn("agent_key", F.to_json(F.col("agent_json")))
+        .groupBy("agent_key", "type_num", "agent_count", "activity", "is_active")
+        .agg(
+            F.any_value("agent_json").alias("agent_json"),
+            F.sum("ev_count").alias("ev_count"),
+            F.max("belief").alias("belief"),
+            F.collect_list("mk_hash").alias("hashes"),
+            F.collect_list("src_json").alias("src_jsons"),
+        )
+        .drop("agent_key")
+        .orderBy(F.desc("ev_count"), F.asc("type_num"))
+    )
+    return out.limit(limit) if limit else out
+
+
+def get_agents(
+    query: Query,
+    lake: ReadonlyLake,
+    limit: Optional[int] = None,
+    complexes_covered: Optional[set[int]] = None,
+) -> tuple[DataFrame, set[int]]:
+    """Agent-set grain: per agent_json, the map hash → type_num
+    (query.py:224-344).  ``complexes_covered`` reproduces the reference's
+    stateful paging dedup: complex hashes surfaced on earlier pages are
+    excluded, and this page's complex hashes are returned for the caller to
+    carry to the next page."""
+    base = _interactions_base(query, lake, with_complex_dups=True)
+    if complexes_covered:
+        base = base.filter(
+            ~(
+                F.col("is_complex_dup")
+                & F.col("mk_hash").isin(list(complexes_covered))
+            )
+        )
+    out = (
+        base.withColumn("agent_key", F.to_json(F.col("agent_json")))
+        .groupBy("agent_key", "agent_count")
+        .agg(
+            F.any_value("agent_json").alias("agent_json"),
+            F.sum("ev_count").alias("ev_count"),
+            F.max("belief").alias("belief"),
+            F.collect_list("mk_hash").alias("hashes"),
+            F.collect_list("type_num").alias("type_nums"),
+        )
+        .drop("agent_key")
+        .orderBy(F.desc("ev_count"), F.asc("agent_count"))
+    )
+    if limit:
+        out = out.limit(limit)
+    covered = set(complexes_covered or ())
+    from indra_db_spark.schemas import TYPE_NUMS
+
+    complex_num = TYPE_NUMS["Complex"]
+    for row in out.select("hashes", "type_nums").collect():
+        for h, tn in zip(row.hashes, row.type_nums):
+            if tn == complex_num:
+                covered.add(h)
+    return out, covered
+
+
+# ------------------------------------------------------------ evidence side
+
+
+class EvidenceFilter:
+    """AND/OR tree of evidence-level clauses, applied to the evidence
+    (content) relation independently of the hash plan
+    (reference: query.py:3011-3103, join registry :2979-3008)."""
+
+    def __init__(self, kind: str, children=None, clause=None):
+        self.kind = kind  # 'and' | 'or' | 'leaf'
+        self.children = children or []
+        self.clause = clause  # (method, args)
+
+    # -- constructors
+    @classmethod
+    def from_filters(cls, *filters: "EvidenceFilter") -> "EvidenceFilter":
+        return cls("and", children=list(filters))
+
+    @classmethod
+    def has_source(cls, sources) -> "EvidenceFilter":
+        return cls("leaf", clause=("source", sorted(set(sources))))
+
+    @classmethod
+    def from_papers(cls, paper_list) -> "EvidenceFilter":
+        return cls("leaf", clause=("papers", sorted(paper_list)))
+
+    @classmethod
+    def from_mesh_ids(cls, mesh_ids) -> "EvidenceFilter":
+        return cls("leaf", clause=("mesh", sorted(mesh_ids)))
+
+    def __and__(self, other) -> "EvidenceFilter":
+        return EvidenceFilter("and", children=[self, other])
+
+    def __or__(self, other) -> "EvidenceFilter":
+        return EvidenceFilter("or", children=[self, other])
+
+    # -- application
+    def _keep_ids(self, lake: ReadonlyLake, ev: DataFrame) -> DataFrame:
+        """Evidence-row id sets satisfying the clause."""
+        if self.kind == "and":
+            out = None
+            for c in self.children:
+                ids = c._keep_ids(lake, ev)
+                out = ids if out is None else out.join(ids, "id", "left_semi")
+            return out
+        if self.kind == "or":
+            out = None
+            for c in self.children:
+                ids = c._keep_ids(lake, ev)
+                out = ids if out is None else out.unionByName(ids)
+            return out.distinct()
+        method, args = self.clause
+        if method == "source":
+            return ev.filter(F.col("src").isin(args)).select("id")
+        if method == "papers":
+            from indra_db_spark.plans.queries import FromPapers
+
+            pred = FromPapers(args)._ref_predicate()
+            rids = (
+                lake["reading_ref_link"]
+                .filter(pred)
+                .select(F.col("rid").alias("reading_id"))
+            )
+            return ev.join(F.broadcast(rids), "reading_id", "left_semi").select("id")
+        if method == "mesh":
+            terms = [int(m[1:]) for m in args if m.startswith("D")]
+            concepts = [int(m[1:]) for m in args if m.startswith("C")]
+            out = None
+            for nums, table in (
+                (terms, "raw_stmt_mesh_terms"),
+                (concepts, "raw_stmt_mesh_concepts"),
+            ):
+                if not nums:
+                    continue
+                sids = (
+                    lake[table]
+                    .filter(F.col("mesh_num").isin(nums))
+                    .select(F.col("sid").alias("id"))
+                )
+                ids = ev.join(sids, "id", "left_semi").select("id")
+                out = ids if out is None else out.unionByName(ids).distinct()
+            return out if out is not None else ev.filter(F.lit(False)).select("id")
+        raise ValueError(f"unknown evidence clause {method}")
+
+    def apply(self, lake: ReadonlyLake, ev: DataFrame) -> DataFrame:
+        return ev.join(self._keep_ids(lake, ev), "id", "left_semi")

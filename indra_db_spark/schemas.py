@@ -1,0 +1,246 @@
+"""Spark StructTypes for the readonly (query-side) tables, plus the
+dictionary-encoded enum maps.
+
+Shapes follow the reference's loader schemas
+(indra_db/readonly_dumping/readonly_dumping.py:1431-1444 name/text_meta,
+:1509-1523 other_meta, :1074-1088 source_meta, :2017-2026 mesh_*_meta,
+:932-941 fast_raw_pa_link, :520-537 reading_ref_link, :414-417 raw_stmt_src,
+:255-260 mesh_*_ref_counts, :337-340 belief, :625-628 evidence_counts,
+:454-457 pa_agent_counts) with one deliberate redesign: the reference's
+*dynamic* per-source integer columns (pa_stmt_src crosstab,
+readonly_schema.py:430-476) become a single ``src_json map<string,int>``
+column — absent source ⇒ absent key ⇒ NULL lookup, preserving the
+NULL-not-zero semantics HasSources inversion depends on (query.py:1444-1453).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.types import (
+    BinaryType,
+    BooleanType,
+    FloatType,
+    IntegerType,
+    LongType,
+    MapType,
+    ShortType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# ----------------------------------------------------------------- enums
+
+# role dictionary (readonly_schema.py:61-66)
+ROLE_NUMS = {"SUBJECT": -1, "OTHER": 0, "OBJECT": 1}
+
+# statement-type dictionary: type_num = index into the sorted registry
+# (readonly_schema.py:69-95 builds the same from sorted class names).
+# Self-contained registry — a superset of the types the fixtures use.
+TYPE_REGISTRY = sorted(
+    [
+        "Acetylation",
+        "Activation",
+        "ActiveForm",
+        "Autophosphorylation",
+        "Complex",
+        "Conversion",
+        "DecreaseAmount",
+        "Dephosphorylation",
+        "Deubiquitination",
+        "Gap",
+        "Gef",
+        "IncreaseAmount",
+        "Inhibition",
+        "Methylation",
+        "Phosphorylation",
+        "Translocation",
+        "Ubiquitination",
+    ]
+)
+TYPE_NUMS = {t: i for i, t in enumerate(TYPE_REGISTRY)}
+
+# minimal statement-class hierarchy for HasType(include_subclasses=True)
+# (the reference expands via the INDRA class tree, query.py:2330-2338)
+TYPE_SUBCLASSES: dict[str, list[str]] = {
+    "Modification": [
+        "Acetylation",
+        "Dephosphorylation",
+        "Deubiquitination",
+        "Methylation",
+        "Phosphorylation",
+        "Ubiquitination",
+    ],
+    "SelfModification": ["Autophosphorylation"],
+    "RegulateActivity": ["Activation", "Inhibition"],
+    "RegulateAmount": ["DecreaseAmount", "IncreaseAmount"],
+}
+
+# reader vs database source groups (readonly_schema.py:902-954 has_rd/has_db)
+READER_SOURCES = ("reach", "medscan", "sparser", "eidos", "trips", "isi", "rlimsp")
+DB_SOURCES = ("pc", "signor", "tas", "biogrid", "ctd", "drugbank", "hprd")
+
+
+def expand_types(types: list[str], include_subclasses: bool = False) -> list[str]:
+    out: list[str] = []
+    for t in types:
+        if include_subclasses and t in TYPE_SUBCLASSES:
+            out.extend(TYPE_SUBCLASSES[t])
+        elif t in TYPE_SUBCLASSES:
+            out.extend(TYPE_SUBCLASSES[t])  # abstract names always expand
+        else:
+            out.append(t)
+    return sorted(set(out))
+
+
+# --------------------------------------------------- readonly StructTypes
+
+_sort_group_cols = [
+    StructField("ev_count", IntegerType()),
+    StructField("belief", FloatType()),
+    StructField("type_num", ShortType()),
+    StructField("activity", StringType()),
+    StructField("is_active", BooleanType()),
+    StructField("agent_count", IntegerType()),
+]
+
+# name_meta / text_meta (readonly_dumping.py:1431-1444)
+AGENT_META_SCHEMA = StructType(
+    [
+        StructField("ag_id", IntegerType()),
+        StructField("ag_num", IntegerType()),
+        StructField("db_id", StringType()),
+        StructField("role_num", ShortType()),
+        StructField("mk_hash", LongType()),
+        StructField("is_complex_dup", BooleanType()),
+        StructField("type_num", ShortType()),
+        StructField("ev_count", IntegerType()),
+        StructField("belief", FloatType()),
+        StructField("activity", StringType()),
+        StructField("is_active", BooleanType()),
+        StructField("agent_count", IntegerType()),
+    ]
+)
+
+# other_meta adds the namespace column (readonly_dumping.py:1509-1523)
+OTHER_META_SCHEMA = StructType(
+    list(AGENT_META_SCHEMA.fields) + [StructField("db_name", StringType())]
+)
+
+# source_meta (readonly_dumping.py:1074-1088; src_json map replaces the
+# dynamic per-source columns)
+SOURCE_META_SCHEMA = StructType(
+    [
+        StructField("mk_hash", LongType()),
+        StructField("src_json", MapType(StringType(), IntegerType())),
+        StructField("only_src", StringType()),
+        StructField("num_srcs", IntegerType()),
+        StructField("has_rd", BooleanType()),
+        StructField("has_db", BooleanType()),
+    ]
+    + _sort_group_cols
+)
+
+# mesh_term_meta / mesh_concept_meta (readonly_dumping.py:2017-2026)
+MESH_META_SCHEMA = StructType(
+    [
+        StructField("mk_hash", LongType()),
+        StructField("mesh_num", IntegerType()),
+    ]
+    + _sort_group_cols
+)
+
+# agent_interactions (readonly_schema.py:1379-1388)
+AGENT_INTERACTIONS_SCHEMA = StructType(
+    [
+        StructField("mk_hash", LongType()),
+        StructField("agent_json", MapType(StringType(), StringType())),
+        StructField("src_json", MapType(StringType(), IntegerType())),
+        StructField("is_complex_dup", BooleanType()),
+    ]
+    + _sort_group_cols
+)
+
+# fast_raw_pa_link (readonly_dumping.py:932-941) — one row per evidence
+FAST_RAW_PA_LINK_SCHEMA = StructType(
+    [
+        StructField("id", LongType()),
+        StructField("raw_json", BinaryType()),
+        StructField("reading_id", LongType()),
+        StructField("db_info_id", IntegerType()),
+        StructField("mk_hash", LongType()),
+        StructField("pa_json", BinaryType()),
+        StructField("type_num", ShortType()),
+        StructField("src", StringType()),
+    ]
+)
+
+# reading_ref_link (readonly_dumping.py:520-537)
+READING_REF_LINK_SCHEMA = StructType(
+    [
+        StructField("trid", IntegerType()),
+        StructField("pmid", StringType()),
+        StructField("pmid_num", IntegerType()),
+        StructField("pmcid", StringType()),
+        StructField("pmcid_num", IntegerType()),
+        StructField("pmcid_version", IntegerType()),
+        StructField("doi", StringType()),
+        StructField("doi_ns", IntegerType()),
+        StructField("doi_id", StringType()),
+        StructField("pii", StringType()),
+        StructField("url", StringType()),
+        StructField("manuscript_id", StringType()),
+        StructField("tcid", IntegerType()),
+        StructField("source", StringType()),
+        StructField("rid", LongType()),
+        StructField("reader", StringType()),
+    ]
+)
+
+RAW_STMT_SRC_SCHEMA = StructType(
+    [StructField("sid", LongType()), StructField("src", StringType())]
+)
+
+RAW_STMT_MESH_SCHEMA = StructType(
+    [StructField("sid", LongType()), StructField("mesh_num", IntegerType())]
+)
+
+MESH_REF_COUNTS_SCHEMA = StructType(
+    [
+        StructField("mk_hash", LongType()),
+        StructField("mesh_num", IntegerType()),
+        StructField("ref_count", IntegerType()),
+        StructField("pmid_count", IntegerType()),
+    ]
+)
+
+BELIEF_SCHEMA = StructType(
+    [StructField("mk_hash", LongType()), StructField("belief", FloatType())]
+)
+
+EVIDENCE_COUNTS_SCHEMA = StructType(
+    [StructField("mk_hash", LongType()), StructField("ev_count", IntegerType())]
+)
+
+PA_AGENT_COUNTS_SCHEMA = StructType(
+    [StructField("mk_hash", LongType()), StructField("agent_count", IntegerType())]
+)
+
+READONLY_SCHEMAS = {
+    "name_meta": AGENT_META_SCHEMA,
+    "text_meta": AGENT_META_SCHEMA,
+    "other_meta": OTHER_META_SCHEMA,
+    "source_meta": SOURCE_META_SCHEMA,
+    "mesh_term_meta": MESH_META_SCHEMA,
+    "mesh_concept_meta": MESH_META_SCHEMA,
+    "agent_interactions": AGENT_INTERACTIONS_SCHEMA,
+    "fast_raw_pa_link": FAST_RAW_PA_LINK_SCHEMA,
+    "reading_ref_link": READING_REF_LINK_SCHEMA,
+    "raw_stmt_src": RAW_STMT_SRC_SCHEMA,
+    "raw_stmt_mesh_terms": RAW_STMT_MESH_SCHEMA,
+    "raw_stmt_mesh_concepts": RAW_STMT_MESH_SCHEMA,
+    "mesh_term_ref_counts": MESH_REF_COUNTS_SCHEMA,
+    "mesh_concept_ref_counts": MESH_REF_COUNTS_SCHEMA,
+    "belief": BELIEF_SCHEMA,
+    "evidence_counts": EVIDENCE_COUNTS_SCHEMA,
+    "pa_agent_counts": PA_AGENT_COUNTS_SCHEMA,
+}
