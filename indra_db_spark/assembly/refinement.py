@@ -1,0 +1,103 @@
+"""Refinement detection: find (specific, general) statement pairs.
+
+The reference fans out all file-pairs of 1M-statement blocks to a
+ProcessPoolExecutor and calls INDRA's ``_generate_relation_tuples`` with an
+in-memory bio-ontology (export_assembly.py:738-877).  Spark-first this is a
+*type-blocked equi-self-join*: a statement A refines B iff they share the
+statement type and agent arity, and every agent of A is, per position,
+either the same entity as B's agent or an ontology descendant of it.
+
+Rather than a theta-join with an "is-descendant" predicate (non-equi =
+cartesian within block), each agent is pre-expanded to its ancestor set via
+the ontology's transitive closure, turning the match into a pure equi-join
+on (type_num, ag_num, generalized_name) — shuffle-partitionable, AQE-skew
+splittable, and broadcast-friendly when the ontology is small.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from indra_db_spark.operators.graph import transitive_closure
+
+
+def refinement_pairs(
+    pa_statements: DataFrame,
+    pa_agents: DataFrame,
+    ontology_edges: DataFrame,
+    namespace: str = "NAME",
+) -> DataFrame:
+    """(supporting_mk_hash=specific, supported_mk_hash=general) pairs.
+
+    ``ontology_edges`` is (child, parent) entity-name is-a edges; agents
+    match positionally in ``namespace`` grounding (the reference compares
+    full groundings through the INDRA ontology graph — same shape, richer
+    edge set).
+    """
+    types = pa_statements.select(
+        F.col("mk_hash"), F.col("type").alias("_type")
+    )
+    agents = (
+        pa_agents.filter(F.col("db_name") == namespace)
+        .select("stmt_mk_hash", "ag_num", "db_id")
+        .join(types, F.col("stmt_mk_hash") == F.col("mk_hash"))
+        .select("stmt_mk_hash", "_type", "ag_num", "db_id")
+    )
+    arity = agents.groupBy("stmt_mk_hash").agg(
+        F.countDistinct("ag_num").alias("_arity")
+    )
+
+    # expand each (statement, agent) to {self} ∪ ancestors(entity)
+    closure = transitive_closure(ontology_edges, "child", "parent")
+    gen = agents.join(
+        F.broadcast(closure), agents["db_id"] == closure["child"], "left"
+    ).select(
+        "stmt_mk_hash",
+        "_type",
+        "ag_num",
+        F.coalesce(F.col("anc"), F.col("db_id")).alias("gname"),
+        F.col("anc").isNotNull().alias("_proper"),
+    ).unionByName(
+        # the self row survives even when ancestors exist
+        agents.select(
+            "stmt_mk_hash",
+            "_type",
+            "ag_num",
+            F.col("db_id").alias("gname"),
+            F.lit(False).alias("_proper"),
+        )
+    ).dropDuplicates(["stmt_mk_hash", "_type", "ag_num", "gname", "_proper"])
+
+    spec = gen.select(
+        F.col("stmt_mk_hash").alias("spec_hash"),
+        F.col("_type").alias("t"),
+        "ag_num",
+        "gname",
+        "_proper",
+    )
+    genl = agents.select(
+        F.col("stmt_mk_hash").alias("gen_hash"),
+        F.col("_type").alias("t"),
+        "ag_num",
+        F.col("db_id").alias("gname"),
+    )
+    matched = (
+        spec.join(genl, ["t", "ag_num", "gname"])
+        .filter(F.col("spec_hash") != F.col("gen_hash"))
+        .groupBy("spec_hash", "gen_hash")
+        .agg(
+            F.countDistinct("ag_num").alias("_n"),
+            F.max(F.col("_proper").cast("int")).alias("_any_proper"),
+        )
+    )
+    return (
+        matched.join(
+            arity.withColumnRenamed("stmt_mk_hash", "spec_hash"), "spec_hash"
+        )
+        .filter((F.col("_n") == F.col("_arity")) & (F.col("_any_proper") == 1))
+        .select(
+            F.col("spec_hash").alias("supporting_mk_hash"),
+            F.col("gen_hash").alias("supported_mk_hash"),
+        )
+    )

@@ -346,6 +346,218 @@ def build_tables(stmts: list[StatementFx], papers: list[PaperFx]) -> dict[str, l
     return t
 
 
+def build_principal_tables(
+    stmts: list[StatementFx], papers: list[PaperFx], seed: int = 42
+) -> dict[str, list]:
+    """Materialize principal-side (input) row dicts from the same model —
+    the assembly DAG run on these must reproduce :func:`build_tables`.
+
+    Adds *distractor* stale readings (older reader_version) carrying
+    duplicate raw statements; the distill stage (reader de-duplication,
+    export_assembly.py:174-306) must drop them for the round trip to match.
+    """
+    rng = random.Random(seed + 1)
+    t: dict[str, list] = {k: [] for k in (
+        "text_ref", "text_content", "reading", "db_info", "raw_statements",
+        "raw_unique_links", "pa_statements", "pa_agents", "pa_activity",
+        "pa_support_links", "mesh_ref_annotations",
+    )}
+
+    for p in papers:
+        t["text_ref"].append(
+            {
+                "trid": p.trid,
+                "pmid": p.pmid,
+                "pmid_num": int(p.pmid),
+                "pmcid": p.pmcid,
+                "pmcid_num": int(p.pmcid[3:]),
+                "pmcid_version": None,
+                "doi": p.doi,
+                "doi_ns": 1000,
+                "doi_id": p.doi.split("/", 1)[1].lower(),
+                "pii": None,
+                "url": None,
+                "manuscript_id": None,
+            }
+        )
+        t["text_content"].append(
+            {
+                "tcid": p.trid * 10,
+                "text_ref_id": p.trid,
+                "source": "pubmed",
+                "format": "text",
+                "text_type": "abstract",
+                "preprint": False,
+            }
+        )
+
+    for i, src in enumerate(DB_SOURCES):
+        t["db_info"].append(
+            {
+                "id": 1 + i,
+                "db_name": src,
+                "db_full_name": src.upper(),
+                "source_api": src,
+            }
+        )
+
+    # current readings: one per (paper, reader-source) used by the model
+    seen_rids: set[int] = set()
+    for s in stmts:
+        for ev in s.evidences:
+            if ev.reading_id is None or ev.reading_id in seen_rids:
+                continue
+            seen_rids.add(ev.reading_id)
+            t["reading"].append(
+                {
+                    "rid": ev.reading_id,
+                    "text_content_id": ev.trid * 10,
+                    "reader": READERS[ev.src],
+                    "reader_version": "2.0",
+                    "batch_id": 1,
+                }
+            )
+
+    # raw statements: one per model evidence (these must survive distill)
+    for s in stmts:
+        raw_json = json.dumps(
+            {"type": s.stmt_type, "agents": [ag["NAME"] for ag in s.agents]}
+        ).encode()
+        for ev in s.evidences:
+            t["raw_statements"].append(
+                {
+                    "sid": ev.sid,
+                    "uuid": f"u{ev.sid}",
+                    "batch_id": 1,
+                    "mk_hash": s.mk_hash,
+                    "source_hash": stable_hash(f"srch:{ev.sid}"),
+                    "reading_id": ev.reading_id,
+                    "db_info_id": ev.db_info_id,
+                    "type": s.stmt_type,
+                    "json": raw_json,
+                }
+            )
+            t["raw_unique_links"].append(
+                {"raw_stmt_id": ev.sid, "pa_stmt_mk_hash": s.mk_hash}
+            )
+
+    # distractors: stale readings (version 1.0) re-reading the same papers;
+    # their raw statements duplicate model statements and MUST be distilled
+    # away (drop_readings, export_assembly.py:236-306)
+    distractor_sid = 10_000_000
+    for trid_src in sorted({(ev.trid, ev.src) for s in stmts for ev in s.evidences
+                            if ev.reading_id is not None}):
+        if rng.random() >= 0.4:
+            continue
+        trid, src = trid_src
+        old_rid = stable_hash(f"ridold:{trid}:{src}") % (1 << 40)
+        t["reading"].append(
+            {
+                "rid": old_rid,
+                "text_content_id": trid * 10,
+                "reader": READERS[src],
+                "reader_version": "1.0",
+                "batch_id": 0,
+            }
+        )
+        victim = rng.choice(stmts)
+        t["raw_statements"].append(
+            {
+                "sid": distractor_sid,
+                "uuid": f"u{distractor_sid}",
+                "batch_id": 0,
+                "mk_hash": victim.mk_hash,
+                "source_hash": stable_hash(f"srch:{distractor_sid}"),
+                "reading_id": old_rid,
+                "db_info_id": None,
+                "type": victim.stmt_type,
+                "json": b"{}",
+            }
+        )
+        # linked like a real duplicate extraction — only distillation
+        # (not the link join) removes it from the readonly build
+        t["raw_unique_links"].append(
+            {"raw_stmt_id": distractor_sid, "pa_stmt_mk_hash": victim.mk_hash}
+        )
+        distractor_sid += 1
+
+    # PA side
+    for s in stmts:
+        pa_json = json.dumps(
+            {"type": s.stmt_type, "agents": [ag["NAME"] for ag in s.agents]}
+        ).encode()
+        t["pa_statements"].append(
+            {
+                "mk_hash": s.mk_hash,
+                "matches_key": f"{s.stmt_type}:{s.mk_hash}",
+                "type": s.stmt_type,
+                "json": pa_json,
+            }
+        )
+        for i, ag in enumerate(s.agents):
+            if s.stmt_type == "Complex":
+                role_num = 0
+            elif s.stmt_type == "ActiveForm":
+                role_num = ROLE_NUMS["OTHER"]
+            else:
+                role_num = -1 if i == 0 else 1
+            for ns, db_id in ag.items():
+                t["pa_agents"].append(
+                    {
+                        "stmt_mk_hash": s.mk_hash,
+                        "ag_num": i,
+                        "db_name": ns,
+                        "db_id": db_id,
+                        "role_num": role_num,
+                    }
+                )
+        if s.stmt_type == "ActiveForm":
+            t["pa_activity"].append(
+                {
+                    "stmt_mk_hash": s.mk_hash,
+                    "activity": s.activity,
+                    "is_active": s.is_active,
+                }
+            )
+
+    # paper-attached mesh: union of the mesh of statements read from the
+    # paper (principal mesh is a property of papers, not statements)
+    mesh_by_pmid: dict[int, set[tuple[int, bool]]] = {}
+    for s in stmts:
+        trids = {ev.trid for ev in s.evidences if ev.trid is not None}
+        for trid in trids:
+            pmid_num = int(next(p.pmid for p in papers if p.trid == trid))
+            bucket = mesh_by_pmid.setdefault(pmid_num, set())
+            for m in s.mesh_terms:
+                bucket.add((int(m[1:]), False))
+            for m in s.mesh_concepts:
+                bucket.add((int(m[1:]), True))
+    for pmid_num, pairs in sorted(mesh_by_pmid.items()):
+        for mesh_num, is_concept in sorted(pairs):
+            t["mesh_ref_annotations"].append(
+                {
+                    "pmid_num": pmid_num,
+                    "mesh_num": mesh_num,
+                    "major_topic": False,
+                    "is_concept": is_concept,
+                }
+            )
+    return t
+
+
+def fixture_principal(spark, seed: int = 42):
+    """Principal-side input DataFrames + the model they derive from."""
+    from indra_db_spark.schemas import PRINCIPAL_SCHEMAS
+
+    stmts, papers = generate_model(seed)
+    tables = build_principal_tables(stmts, papers, seed)
+    dfs = {
+        name: spark.createDataFrame(rows, PRINCIPAL_SCHEMAS[name])
+        for name, rows in tables.items()
+    }
+    return dfs, stmts, papers
+
+
 def fixture_lake(spark, seed: int = 42):
     """Build the full in-memory readonly lake + the model it came from."""
     from indra_db_spark.plans.lake import ReadonlyLake

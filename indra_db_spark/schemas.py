@@ -225,6 +225,148 @@ PA_AGENT_COUNTS_SCHEMA = StructType(
     [StructField("mk_hash", LongType()), StructField("agent_count", IntegerType())]
 )
 
+# --------------------------------------------------- principal StructTypes
+#
+# Input-side (normalized) tables feeding the assembly DAG; shapes follow
+# indra_db/schemas/principal_schema.py (SURVEY.md §1.4).  Only the columns
+# the materialization pipeline reads are declared.
+
+TEXT_REF_SCHEMA = StructType(
+    [
+        StructField("trid", IntegerType()),  # principal_schema.py:198 id
+        StructField("pmid", StringType()),
+        StructField("pmid_num", IntegerType()),
+        StructField("pmcid", StringType()),
+        StructField("pmcid_num", IntegerType()),
+        StructField("pmcid_version", IntegerType()),
+        StructField("doi", StringType()),
+        StructField("doi_ns", IntegerType()),
+        StructField("doi_id", StringType()),
+        StructField("pii", StringType()),
+        StructField("url", StringType()),
+        StructField("manuscript_id", StringType()),
+    ]
+)
+
+# text_content (principal_schema.py:368-437)
+TEXT_CONTENT_SCHEMA = StructType(
+    [
+        StructField("tcid", IntegerType()),
+        StructField("text_ref_id", IntegerType()),
+        StructField("source", StringType()),
+        StructField("format", StringType()),
+        StructField("text_type", StringType()),  # abstract|fulltext|title
+        StructField("preprint", BooleanType()),
+    ]
+)
+
+# reading (principal_schema.py:439-514); id is hash-structured
+READING_SCHEMA = StructType(
+    [
+        StructField("rid", LongType()),
+        StructField("text_content_id", IntegerType()),
+        StructField("reader", StringType()),
+        StructField("reader_version", StringType()),
+        StructField("batch_id", IntegerType()),
+    ]
+)
+
+# db_info (principal_schema.py:516-559)
+DB_INFO_SCHEMA = StructType(
+    [
+        StructField("id", IntegerType()),
+        StructField("db_name", StringType()),
+        StructField("db_full_name", StringType()),
+        StructField("source_api", StringType()),
+    ]
+)
+
+# raw_statements (principal_schema.py:561-656)
+RAW_STATEMENTS_SCHEMA = StructType(
+    [
+        StructField("sid", LongType()),
+        StructField("uuid", StringType()),
+        StructField("batch_id", IntegerType()),
+        StructField("mk_hash", LongType()),
+        StructField("source_hash", LongType()),
+        StructField("reading_id", LongType()),
+        StructField("db_info_id", IntegerType()),
+        StructField("type", StringType()),
+        StructField("json", BinaryType()),
+    ]
+)
+
+# raw_unique_links (principal_schema.py:721-779)
+RAW_UNIQUE_LINKS_SCHEMA = StructType(
+    [
+        StructField("raw_stmt_id", LongType()),
+        StructField("pa_stmt_mk_hash", LongType()),
+    ]
+)
+
+# pa_statements (principal_schema.py:781-837)
+PA_STATEMENTS_SCHEMA = StructType(
+    [
+        StructField("mk_hash", LongType()),
+        StructField("matches_key", StringType()),
+        StructField("type", StringType()),
+        StructField("json", BinaryType()),
+    ]
+)
+
+# pa_agents (principal_schema.py:883-947)
+PA_AGENTS_SCHEMA = StructType(
+    [
+        StructField("stmt_mk_hash", LongType()),
+        StructField("ag_num", IntegerType()),
+        StructField("db_name", StringType()),
+        StructField("db_id", StringType()),
+        StructField("role_num", ShortType()),
+    ]
+)
+
+# pa_activity (principal_schema.py:883-947)
+PA_ACTIVITY_SCHEMA = StructType(
+    [
+        StructField("stmt_mk_hash", LongType()),
+        StructField("activity", StringType()),
+        StructField("is_active", BooleanType()),
+    ]
+)
+
+# pa_support_links (principal_schema.py:839-881): refinement edges
+PA_SUPPORT_LINKS_SCHEMA = StructType(
+    [
+        StructField("supporting_mk_hash", LongType()),  # specific
+        StructField("supported_mk_hash", LongType()),  # general
+    ]
+)
+
+# mesh_ref_annotations (principal_schema.py:259-366): paper-topic labels
+MESH_REF_ANNOTATIONS_SCHEMA = StructType(
+    [
+        StructField("pmid_num", IntegerType()),
+        StructField("mesh_num", IntegerType()),
+        StructField("major_topic", BooleanType()),
+        StructField("is_concept", BooleanType()),
+    ]
+)
+
+PRINCIPAL_SCHEMAS = {
+    "text_ref": TEXT_REF_SCHEMA,
+    "text_content": TEXT_CONTENT_SCHEMA,
+    "reading": READING_SCHEMA,
+    "db_info": DB_INFO_SCHEMA,
+    "raw_statements": RAW_STATEMENTS_SCHEMA,
+    "raw_unique_links": RAW_UNIQUE_LINKS_SCHEMA,
+    "pa_statements": PA_STATEMENTS_SCHEMA,
+    "pa_agents": PA_AGENTS_SCHEMA,
+    "pa_activity": PA_ACTIVITY_SCHEMA,
+    "pa_support_links": PA_SUPPORT_LINKS_SCHEMA,
+    "mesh_ref_annotations": MESH_REF_ANNOTATIONS_SCHEMA,
+}
+
+
 READONLY_SCHEMAS = {
     "name_meta": AGENT_META_SCHEMA,
     "text_meta": AGENT_META_SCHEMA,
