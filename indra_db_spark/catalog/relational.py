@@ -643,3 +643,36 @@ def md5_surrogate(spark, sf):
             ).alias("surrogate"),
         )
     )
+
+
+@register(
+    "sessionize",
+    """
+    WITH lagged AS (
+      SELECT user_id, ts,
+             CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                       OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                          >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+    ), numbered AS (
+      SELECT user_id, ts,
+             SUM(new_sess) OVER (
+               PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING
+             ) AS sess
+      FROM lagged
+    )
+    SELECT MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           user_id, count(*) AS n_events
+    FROM numbered GROUP BY user_id, sess
+    """,
+)
+def sessionize_catalog(spark, sf):
+    """Gap-based session windows via built-in session_window (streaming twin
+    in indra_db_spark.streaming.ingest.sessionize; the reference has no
+    streaming operators, SURVEY.md §2.11 — this is the training-pipeline
+    extension).  The oracle is the classic gaps-and-islands rewrite."""
+    from indra_db_spark.streaming.ingest import sessionize
+
+    return sessionize(T(spark, sf, "events"), watermark="0 seconds")

@@ -1,0 +1,115 @@
+"""Streaming ingestion operators.
+
+Each transformation is written against the unified DataFrame API so the SAME
+function serves batch backfill and continuous ingestion — batch parity is
+the test oracle (run the transformation on a static read of the identical
+files and compare).  Watermarks bound state for late data; dedup and
+session windows are the two stateful shapes a statement-ingestion stream
+needs (duplicate extraction drops = the streaming analog of the batch dedup
+stage, export_assembly.py:576-601).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+
+def read_stream(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    fmt: str = "parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream over a directory of immutable files (the streaming
+    analog of the reference's daily dump drops)."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.format(fmt).load(path)
+
+
+def windowed_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "1 hour",
+    group_cols: tuple[str, ...] = ("event_type",),
+    value_col: str | None = "value",
+) -> DataFrame:
+    """Event-time tumbling-window aggregation with a late-data watermark.
+
+    Works identically in batch mode (watermark is a no-op there), which is
+    how the test compares stream output to a static run.
+    """
+    df = events.withWatermark(ts_col, watermark)
+    agg = [F.count("*").alias("n")]
+    if value_col is not None:
+        agg.append(F.sum(value_col).alias("total"))
+    return (
+        df.groupBy(F.window(ts_col, window).alias("w"), *group_cols)
+        .agg(*agg)
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            *group_cols,
+            *[c for c in ("n", "total") if value_col is not None or c == "n"],
+        )
+    )
+
+
+def stream_dedup(
+    events: DataFrame,
+    key_cols: tuple[str, ...],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Exactly-once rows per key within the watermark horizon —
+    ``dropDuplicates`` keeps per-key state until the watermark passes, so
+    state is bounded; the batch dedup stage with a memory ceiling."""
+    return events.withWatermark(ts_col, watermark).dropDuplicates(
+        [*key_cols, ts_col]
+    )
+
+
+def sessionize(
+    events: DataFrame,
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    group_cols: tuple[str, ...] = ("user_id",),
+) -> DataFrame:
+    """Session windows (gap-based) per key — built-in ``session_window``
+    handles the stateful merge; no applyInPandasWithState needed for this
+    shape (custom state is reserved for non-mergeable aggregates)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap).alias("s"), *group_cols)
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            *group_cols,
+            "n_events",
+        )
+    )
+
+
+def run_to_memory_sink(
+    stream_df: DataFrame,
+    query_name: str,
+    output_mode: str = "append",
+) -> DataFrame:
+    """Drain a stream with the available-now trigger into an in-memory
+    table; returns the static result (test/backfill harness)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(query_name)

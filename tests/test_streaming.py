@@ -1,0 +1,74 @@
+"""Streaming parity tests: each streaming transformation drained with the
+available-now trigger must equal the same function applied to a static read
+of the identical files (unified-API oracle)."""
+
+from __future__ import annotations
+
+import os
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from indra_db_spark.sources.lake import load_table
+from indra_db_spark.streaming.ingest import (
+    read_stream,
+    run_to_memory_sink,
+    sessionize,
+    stream_dedup,
+    windowed_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def event_dir(spark, sf_dir, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("events_stream"))
+    (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 30)
+        .coalesce(4)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    return path
+
+
+@pytest.fixture(scope="module")
+def batch_events(spark, event_dir):
+    return spark.read.parquet(event_dir)
+
+
+def _counter(df):
+    return Counter(tuple(r) for r in df.collect())
+
+
+def test_windowed_counts_stream_matches_batch(spark, event_dir, batch_events):
+    stream = read_stream(
+        spark, event_dir, batch_events.schema, max_files_per_trigger=2
+    )
+    got = run_to_memory_sink(
+        windowed_counts(stream), "wc_sink", output_mode="complete"
+    )
+    want = windowed_counts(batch_events)
+    assert _counter(got) == _counter(want)
+    assert got.schema == want.schema
+
+
+def test_sessionize_stream_matches_batch(spark, event_dir, batch_events):
+    stream = read_stream(spark, event_dir, batch_events.schema)
+    got = run_to_memory_sink(
+        sessionize(stream), "sess_sink", output_mode="complete"
+    )
+    want = sessionize(batch_events)
+    assert _counter(got) == _counter(want)
+
+
+def test_stream_dedup(spark, event_dir, batch_events):
+    # duplicate every file's rows by reading the dir twice via union source
+    stream = read_stream(spark, event_dir, batch_events.schema)
+    doubled = stream.unionByName(stream)
+    got = run_to_memory_sink(
+        stream_dedup(doubled, ("event_id",)), "dedup_sink", output_mode="append"
+    )
+    want = batch_events.dropDuplicates(["event_id", "ts"])
+    assert got.count() == want.count()
