@@ -359,8 +359,9 @@ def build_principal_tables(
     rng = random.Random(seed + 1)
     t: dict[str, list] = {k: [] for k in (
         "text_ref", "text_content", "reading", "db_info", "raw_statements",
-        "raw_unique_links", "pa_statements", "pa_agents", "pa_activity",
-        "pa_support_links", "mesh_ref_annotations",
+        "raw_unique_links", "raw_agents", "curation", "pa_statements",
+        "pa_agents", "pa_activity", "pa_support_links",
+        "mesh_ref_annotations",
     )}
 
     for p in papers:
@@ -440,6 +441,21 @@ def build_principal_tables(
             t["raw_unique_links"].append(
                 {"raw_stmt_id": ev.sid, "pa_stmt_mk_hash": s.mk_hash}
             )
+            for i, ag in enumerate(s.agents):
+                if s.stmt_type in ("Complex", "ActiveForm"):
+                    role_num = 0
+                else:
+                    role_num = -1 if i == 0 else 1
+                for ns, db_id in ag.items():
+                    t["raw_agents"].append(
+                        {
+                            "stmt_id": ev.sid,
+                            "ag_num": i,
+                            "db_name": ns,
+                            "db_id": db_id,
+                            "role_num": role_num,
+                        }
+                    )
 
     # distractors: stale readings (version 1.0) re-reading the same papers;
     # their raw statements duplicate model statements and MUST be distilled
@@ -519,6 +535,22 @@ def build_principal_tables(
                     "is_active": s.is_active,
                 }
             )
+
+    # curations: one per 7th statement, tagged on its first evidence
+    for ci, s in enumerate(stmts):
+        if ci % 7 or not s.evidences:
+            continue
+        t["curation"].append(
+            {
+                "id": ci,
+                "pa_hash": s.mk_hash,
+                "source_hash": stable_hash(f"srch:{s.evidences[0].sid}"),
+                "tag": "correct" if ci % 2 == 0 else "grounding",
+                "curator": f"user{ci % 3}@example.org",
+                "text": None,
+                "ip": "127.0.0.1",
+            }
+        )
 
     # paper-attached mesh: union of the mesh of statements read from the
     # paper (principal mesh is a property of papers, not statements)

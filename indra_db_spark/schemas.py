@@ -352,7 +352,33 @@ MESH_REF_ANNOTATIONS_SCHEMA = StructType(
     ]
 )
 
+# raw_agents (principal_schema.py:658-719): exploded raw-statement agents
+RAW_AGENTS_SCHEMA = StructType(
+    [
+        StructField("stmt_id", LongType()),
+        StructField("ag_num", IntegerType()),
+        StructField("db_name", StringType()),
+        StructField("db_id", StringType()),
+        StructField("role_num", ShortType()),
+    ]
+)
+
+# curation (principal_schema.py:949-1006): user feedback on statements
+CURATION_SCHEMA = StructType(
+    [
+        StructField("id", IntegerType()),
+        StructField("pa_hash", LongType()),
+        StructField("source_hash", LongType()),
+        StructField("tag", StringType()),
+        StructField("curator", StringType()),
+        StructField("text", StringType()),
+        StructField("ip", StringType()),
+    ]
+)
+
 PRINCIPAL_SCHEMAS = {
+    "raw_agents": RAW_AGENTS_SCHEMA,
+    "curation": CURATION_SCHEMA,
     "text_ref": TEXT_REF_SCHEMA,
     "text_content": TEXT_CONTENT_SCHEMA,
     "reading": READING_SCHEMA,

@@ -1,0 +1,176 @@
+"""Service-layer tests: web-param folding, simple-JSON compilation,
+/compile conformance, censoring, raw search and curation operators."""
+
+from __future__ import annotations
+
+import pytest
+
+from indra_db_spark.plans.fixtures import (
+    build_principal_tables,
+    fixture_lake,
+    generate_model,
+)
+from indra_db_spark.plans.principal import (
+    curation_counts,
+    curations_for,
+    raw_statement_search,
+)
+from indra_db_spark.plans.queries import (
+    HasAgent,
+    HasHash,
+    HasOnlySource,
+    HasType,
+    Intersection,
+    Query,
+    Union,
+)
+from indra_db_spark.schemas import PRINCIPAL_SCHEMAS
+from indra_db_spark.service import (
+    apply_medscan_censor,
+    compile_query,
+    query_from_simple_json,
+    query_from_web_params,
+)
+from indra_db_spark.service.params import WebQueryError
+
+
+def test_web_params_fold_to_intersection():
+    q, ev = query_from_web_params(
+        {"agent": ["MEK@FPLX"], "type": ["Phosphorylation"]}
+    )
+    assert isinstance(q, Intersection)
+    kinds = {type(c).__name__ for c in q.queries}
+    assert kinds == {"HasAgent", "HasType"}
+    assert ev is None
+
+
+def test_web_params_roles_and_papers():
+    q, ev = query_from_web_params(
+        {
+            "subject": "MEK",
+            "object": "ERK",
+            "paper_ids": ["pmid:70001", "pmcid:PMC9002"],
+        }
+    )
+    agents = [c for c in q.queries if isinstance(c, HasAgent)]
+    assert {a.role for a in agents} == {"SUBJECT", "OBJECT"}
+    assert ev is not None
+
+
+def test_web_params_guardrails():
+    with pytest.raises(WebQueryError):
+        query_from_web_params({})
+    with pytest.raises(WebQueryError):
+        query_from_web_params({"agent": [f"A{i}" for i in range(2001)]})
+
+
+def test_medscan_censor():
+    q = HasType(["Activation"])
+    censored = apply_medscan_censor(q, has_medscan=False)
+    assert isinstance(censored, Intersection)
+    assert any(
+        isinstance(c, HasOnlySource) and c.inverted for c in censored.queries
+    )
+    assert apply_medscan_censor(q, has_medscan=True) is q
+
+
+def test_simple_json_round_trip():
+    q = query_from_simple_json(
+        {
+            "or": [
+                {"class": "HasType", "stmt_types": ["Activation"]},
+                {
+                    "and": [
+                        {"class": "HasAgent", "agent_id": "ERK"},
+                        {"not": {"class": "HasHash", "stmt_hashes": [5]}},
+                    ]
+                },
+            ]
+        }
+    )
+    assert isinstance(q, Union)
+    assert Query.from_json(q.to_json()) == q
+
+
+def test_compile_endpoint_normalizes():
+    # A & A collapses; compile returns the normalized form
+    out = compile_query(
+        {
+            "and": [
+                {"class": "HasType", "stmt_types": ["Activation"]},
+                {"class": "HasType", "stmt_types": ["Activation"]},
+            ]
+        }
+    )
+    assert out["class"] == "HasType"
+    assert compile_query(out) == out  # fixpoint
+
+
+# ------------------------------------------------------- principal clients
+
+
+@pytest.fixture(scope="module")
+def principal(spark):
+    stmts, papers = generate_model(seed=42)
+    rows = build_principal_tables(stmts, papers, seed=42)
+    dfs = {
+        name: spark.createDataFrame(r, PRINCIPAL_SCHEMAS[name])
+        for name, r in rows.items()
+    }
+    return dfs, stmts
+
+
+def test_raw_statement_search(principal):
+    dfs, stmts = principal
+    got = raw_statement_search(
+        dfs["raw_statements"],
+        dfs["raw_agents"],
+        agents=[("SUBJECT", "MEK", "NAME"), ("OBJECT", "ERK", "NAME")],
+        stmt_type="Phosphorylation",
+    )
+    want_sids = {
+        ev.sid
+        for s in stmts
+        if s.stmt_type == "Phosphorylation"
+        and [a["NAME"] for a in s.agents] == ["MEK", "ERK"]
+        for ev in s.evidences
+    }
+    assert {r.sid for r in got.collect()} == want_sids
+    assert want_sids  # non-vacuous
+
+
+def test_raw_search_escapes_like(principal):
+    dfs, _ = principal
+    # '%' must not act as a wildcard unless opted in
+    got = raw_statement_search(
+        dfs["raw_statements"], dfs["raw_agents"], agents=[(None, "%", None)]
+    )
+    assert got.count() == 0
+    wild = raw_statement_search(
+        dfs["raw_statements"],
+        dfs["raw_agents"],
+        agents=[(None, "ME%", "NAME")],
+        allow_wildcards=True,
+    )
+    assert wild.count() > 0
+
+
+def test_curation_ops(principal):
+    dfs, stmts = principal
+    counts = {
+        r.pa_hash: r.curation_count
+        for r in curation_counts(dfs["curation"]).collect()
+    }
+    want: dict = {}
+    for r in dfs["curation"].collect():
+        want[r.pa_hash] = want.get(r.pa_hash, 0) + 1
+    assert counts == want and counts
+
+    anon = curations_for(dfs["curation"], tag="correct").collect()
+    assert anon
+    assert all(len(r.curator) == 32 for r in anon)  # md5-anonymized
+
+
+def test_fixture_lake_still_builds(spark):
+    lake, stmts, _ = fixture_lake(spark)
+    assert lake["source_meta"].count() == len(stmts)
