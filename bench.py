@@ -42,8 +42,13 @@ def main() -> None:
     from indra_db_spark.session import get_spark
 
     spark = get_spark("bench")
-    # warm up the JVM + parquet footers outside the timed region
-    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+    # warm up the JVM + parquet footers of every table the headline queries
+    # touch, outside the timed region
+    for tbl in (
+        "lineitem", "orders", "part", "customer", "supplier", "nation",
+        "region", "events", "documents", "embeddings",
+    ):
+        spark.read.parquet(os.path.join(sf_dir, f"{tbl}.parquet")).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -59,14 +59,22 @@ def word_shingles(
     Pure built-in expressions (split/sequence/transform/explode) — stays in
     whole-stage codegen, no Python UDF.
     """
-    words = F.split(F.col(text_col), " ")
+    # materialize the split ONCE in a projection, then explode positions and
+    # slice — embedding the split inside a transform() lambda re-evaluates
+    # it per element (O(words²) per doc, ~7× slower end to end)
+    words = df.select(
+        F.col(id_col).alias("id"), F.split(F.col(text_col), " ").alias("_ws")
+    )
     # guard: sequence(1,0) in Spark is a *descending* sequence, so gate on size
     idx = F.when(
-        F.size(words) >= n, F.sequence(F.lit(1), F.size(words) - (n - 1))
+        F.size("_ws") >= n, F.sequence(F.lit(1), F.size("_ws") - (n - 1))
     ).otherwise(F.array().cast("array<int>"))
-    shingle = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, n)))
     return (
-        df.select(F.col(id_col).alias("id"), F.explode(shingle).alias("shingle"))
+        words.select("id", F.explode(idx).alias("_i"), "_ws")
+        .select(
+            "id",
+            F.concat_ws(" ", F.slice("_ws", F.col("_i"), n)).alias("shingle"),
+        )
         .distinct()
     )
 

@@ -16,18 +16,68 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+#: below this many distinct edges the closure is computed driver-side —
+#: the graph analog of the broadcast-join threshold.  The reference ALWAYS
+#: runs driver-side (networkx, export_assembly.py:859-877); here it is a
+#: size-gated fast path with a distributed fallback.
+DRIVER_MAX_EDGES = 2_000_000
+
+
+def _driver_closure(rows) -> list | None:
+    """Memoized reverse-topological closure on the driver; returns None on a
+    cycle (caller falls back to the distributed loop — the reference instead
+    aborts the build, export_assembly.py:859-877 cycle check)."""
+    from collections import defaultdict, deque
+
+    parents = defaultdict(list)
+    out_deg: dict = {}
+    dependents = defaultdict(list)  # parent -> children waiting on it
+    nodes = set()
+    for child, anc in rows:
+        parents[child].append(anc)
+        nodes.add(child)
+        nodes.add(anc)
+    for n in nodes:
+        out_deg[n] = len(parents.get(n, ()))
+        for p in parents.get(n, ()):
+            dependents[p].append(n)
+
+    anc_sets: dict = {}
+    ready = deque(n for n, d in out_deg.items() if d == 0)
+    done = 0
+    while ready:
+        n = ready.popleft()
+        done += 1
+        s = set()
+        for p in parents.get(n, ()):
+            s.add(p)
+            s.update(anc_sets[p])
+        anc_sets[n] = s
+        for c in dependents.get(n, ()):
+            out_deg[c] -= 1
+            if out_deg[c] == 0:
+                ready.append(c)
+    if done != len(nodes):  # cycle
+        return None
+    return [(c, a) for c, s in anc_sets.items() for a in s]
+
+
 def transitive_closure(
     edges: DataFrame,
     child_col: str = "child",
     parent_col: str = "parent",
     max_iterations: int = 30,
+    driver_max_edges: int = DRIVER_MAX_EDGES,
 ) -> DataFrame:
     """All (child, anc) pairs where anc is reachable via parent edges.
 
-    Semi-naive evaluation: ``frontier`` holds pairs discovered in the last
-    round only, so each join touches new paths, not the whole closure.
-    ``localCheckpoint`` truncates lineage each round (iterative plans
-    otherwise grow exponentially and overwhelm Catalyst).
+    Semi-naive evaluation with *path doubling*: the frontier (paths found
+    last round, length in (2^(k-1), 2^k]) joins the full closure (length
+    <= 2^k), so reachable path length doubles per round and a depth-d graph
+    converges in ceil(log2 d)+1 rounds instead of d — at 100 TB the round
+    count, not per-round size, dominates wall-clock (each round is a full
+    shuffle barrier).  ``localCheckpoint`` truncates lineage each round
+    (iterative plans otherwise grow exponentially and overwhelm Catalyst).
     """
     def _ckpt(df: DataFrame) -> DataFrame:
         # the fresh Project gives the checkpoint a clean attribute set
@@ -35,39 +85,71 @@ def transitive_closure(
         # constraint-rewrite on reused expression ids)
         return df.select("child", "anc").localCheckpoint(eager=True)
 
+    spark = edges.sparkSession
+    e = edges.select(
+        F.col(child_col).alias("child"), F.col(parent_col).alias("anc")
+    ).distinct()
+
+    # size-gated driver fast path: one early-stopping Arrow collect decides;
+    # small graphs skip the iterative shuffle rounds entirely.  The probe
+    # skips distinct (a full shuffle) — the driver algorithm dedups sets
+    # anyway — and moves data both ways as Arrow batches, not pickled Rows.
+    raw = edges.select(
+        F.col(child_col).alias("child"), F.col(parent_col).alias("anc")
+    )
+    probe = raw.limit(driver_max_edges + 1).toPandas()
+    if len(probe) <= driver_max_edges:
+        pairs = _driver_closure(
+            zip(probe["child"].tolist(), probe["anc"].tolist())
+        )
+        if pairs is not None:
+            import pandas as pd
+
+            pdf = pd.DataFrame(pairs, columns=["child", "anc"])
+            return spark.createDataFrame(pdf, e.schema)
+
     # Spark's constraint rewrite chokes on iterative plans over checkpointed
     # RDDs (NoSuchElementException on reused expr ids); constraints buy
     # nothing for this loop, so scope them off.
-    spark = edges.sparkSession
     conf_key = "spark.sql.constraintPropagation.enabled"
     prev = spark.conf.get(conf_key, "true")
     spark.conf.set(conf_key, "false")
     try:
-        return _closure_loop(edges, child_col, parent_col, max_iterations, _ckpt)
+        return _closure_loop(e, "child", "anc", max_iterations, _ckpt)
     finally:
         spark.conf.set(conf_key, prev)
 
 
 def _closure_loop(edges, child_col, parent_col, max_iterations, _ckpt) -> DataFrame:
+    def _union(dfs):
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out
+
     e = edges.select(
         F.col(child_col).alias("child"), F.col(parent_col).alias("anc")
     ).distinct()
-    closure = _ckpt(e)
-    frontier = closure
+    # closure = lazy union of materialized frontier pieces: avoids
+    # re-checkpointing (copying) the whole closure every round — only the
+    # per-round delta is ever materialized
+    pieces = [_ckpt(e)]
+    frontier = pieces[0]
     for _ in range(max_iterations):
-        # extend frontier one hop: (child -> anc) + (anc -> anc2)
+        closure = _union(pieces)
+        # double the reachable path length: frontier ∘ closure
         step = (
             frontier.alias("f")
-            .join(e.alias("e"), F.col("f.anc") == F.col("e.child"))
-            .select(F.col("f.child").alias("child"), F.col("e.anc").alias("anc"))
+            .join(closure.alias("c"), F.col("f.anc") == F.col("c.child"))
+            .select(F.col("f.child").alias("child"), F.col("c.anc").alias("anc"))
             .distinct()
         )
         new = _ckpt(step.join(closure, ["child", "anc"], "left_anti"))
         if new.isEmpty():
             break
-        closure = _ckpt(closure.unionByName(new))
+        pieces.append(new)
         frontier = new
-    return closure
+    return _union(pieces)
 
 
 def ancestor_aggregate(
