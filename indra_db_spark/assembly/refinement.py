@@ -27,6 +27,8 @@ def refinement_pairs(
     pa_agents: DataFrame,
     ontology_edges: DataFrame,
     namespace: str = "NAME",
+    spec_hashes: DataFrame | None = None,
+    gen_hashes: DataFrame | None = None,
 ) -> DataFrame:
     """(supporting_mk_hash=specific, supported_mk_hash=general) pairs.
 
@@ -34,16 +36,32 @@ def refinement_pairs(
     match positionally in ``namespace`` grounding (the reference compares
     full groundings through the INDRA ontology graph — same shape, richer
     edge set).
+
+    ``spec_hashes`` / ``gen_hashes`` (1-column ``mk_hash`` DataFrames)
+    restrict either side BEFORE the join — the incremental-supplement path
+    shuffles only the restricted slice, never the whole corpus.
     """
     types = pa_statements.select(
         F.col("mk_hash"), F.col("type").alias("_type")
     )
-    agents = (
+    all_agents = (
         pa_agents.filter(F.col("db_name") == namespace)
         .select("stmt_mk_hash", "ag_num", "db_id")
         .join(types, F.col("stmt_mk_hash") == F.col("mk_hash"))
         .select("stmt_mk_hash", "_type", "ag_num", "db_id")
     )
+
+    def _restrict(rows: DataFrame, hashes: DataFrame | None) -> DataFrame:
+        if hashes is None:
+            return rows
+        return rows.join(
+            hashes.select(F.col("mk_hash").alias("stmt_mk_hash")),
+            "stmt_mk_hash",
+            "left_semi",
+        )
+
+    agents = _restrict(all_agents, spec_hashes)
+    gen_agents = _restrict(all_agents, gen_hashes)
     arity = agents.groupBy("stmt_mk_hash").agg(
         F.countDistinct("ag_num").alias("_arity")
     )
@@ -76,7 +94,7 @@ def refinement_pairs(
         "gname",
         "_proper",
     )
-    genl = agents.select(
+    genl = gen_agents.select(
         F.col("stmt_mk_hash").alias("gen_hash"),
         F.col("_type").alias("t"),
         "ag_num",

@@ -270,6 +270,23 @@ def get_agents(
     return out, covered
 
 
+def expand_agent_json(
+    lake: ReadonlyLake,
+    agent_json: dict,
+    stmt_type: Optional[str] = None,
+    limit: Optional[int] = None,
+) -> DataFrame:
+    """AgentJsonExpander.expand (query.py:1123-1152): drill one agents-grain
+    row down a level — no type given re-aggregates per (type); a type given
+    drops to the per-hash interaction grain."""
+    from indra_db_spark.plans.queries import FromAgentJson
+
+    q = FromAgentJson(agent_json, stmt_type=stmt_type)
+    if stmt_type is None:
+        return get_relations(q, lake, limit=limit)
+    return get_interactions(q, lake, limit=limit)
+
+
 # ------------------------------------------------------------ evidence side
 
 
