@@ -44,6 +44,21 @@ def stable_hash(key: str) -> int:
     return int.from_bytes(hashlib.md5(key.encode()).digest()[:8], "big") >> 1
 
 
+def stmt_json_bytes(s: "StatementFx") -> bytes:
+    """THE statement JSON serialization — used identically for raw and PA
+    json in both fixture builders so byte-equality (and the rehash done by
+    assembly.preprocess) holds end to end."""
+    d: dict = {
+        "type": s.stmt_type,
+        "agents": [ag["NAME"] for ag in s.agents],
+        "agent_groundings": [dict(ag) for ag in s.agents],
+    }
+    if s.activity is not None:
+        d["activity"] = s.activity
+        d["is_active"] = s.is_active
+    return json.dumps(d).encode()
+
+
 @dataclass
 class EvidenceFx:
     sid: int
@@ -265,9 +280,7 @@ def build_tables(stmts: list[StatementFx], papers: list[PaperFx]) -> dict[str, l
                 )
 
         # evidence-grain tables
-        raw_json = json.dumps(
-            {"type": s.stmt_type, "agents": list(base_json.values())}
-        ).encode()
+        raw_json = stmt_json_bytes(s)
         for ev in s.evidences:
             t["fast_raw_pa_link"].append(
                 {
@@ -421,9 +434,7 @@ def build_principal_tables(
 
     # raw statements: one per model evidence (these must survive distill)
     for s in stmts:
-        raw_json = json.dumps(
-            {"type": s.stmt_type, "agents": [ag["NAME"] for ag in s.agents]}
-        ).encode()
+        raw_json = stmt_json_bytes(s)
         for ev in s.evidences:
             t["raw_statements"].append(
                 {
@@ -499,9 +510,7 @@ def build_principal_tables(
 
     # PA side
     for s in stmts:
-        pa_json = json.dumps(
-            {"type": s.stmt_type, "agents": [ag["NAME"] for ag in s.agents]}
-        ).encode()
+        pa_json = stmt_json_bytes(s)
         t["pa_statements"].append(
             {
                 "mk_hash": s.mk_hash,
