@@ -1,0 +1,74 @@
+"""Physical-plan hygiene: the properties that make these plans survive a
+100x scale-up, asserted on explain() output so regressions fail loudly.
+
+- filters/projections reach the parquet scan (PushedFilters / ReadSchema);
+- small dimensions broadcast instead of shuffling the fact side;
+- aggregations are partial (map-side combine) before the shuffle;
+- per-group top-N uses the window-group-limit pushdown;
+- the hot paths stay inside whole-stage codegen (no Python in the plan).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from indra_db_spark import catalog
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    fn, _ = catalog.REGISTRY[name]
+    return fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_and_projection_pushdown(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "scan_filter_project")
+    assert "PushedFilters: [" in plan
+    assert "l_quantity" in plan.split("PushedFilters:")[1][:400]
+    # column pruning: the scan schema must not include unused wide columns
+    read_schema = plan.split("ReadSchema:")[1].split("\n")[0]
+    assert "l_comment" not in read_schema
+
+
+def test_small_dimension_broadcasts(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "broadcast_dim_join")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_partial_aggregation(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "agg_rollup")
+    # map-side combine: HashAggregate appears both below and above the
+    # exchange
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange" in plan
+
+
+def test_grouped_topn_uses_window_group_limit(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "grouped_topn")
+    assert "WindowGroupLimit" in plan  # rank pushdown before full sort
+
+
+def test_hot_paths_have_no_python_udf(spark, sf_dir):
+    for name in (
+        "agg_rollup", "join3_topk", "source_pivot", "set_intersection",
+        "grouped_topn", "doc_minhash_lsh", "doc_simhash", "emb_topk",
+    ):
+        plan = _plan(spark, sf_dir, name)
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+
+
+def test_whole_stage_codegen_spans(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "scan_filter_project")
+    # '*(n)' prefixes mark whole-stage-codegen spans in the plan string
+    assert "*(1)" in plan
+
+
+def test_semi_join_for_hash_sets(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "papers_semijoin")
+    assert "LeftSemi" in plan
+
+
+def test_anti_join_for_inversion(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "invert_anti")
+    assert "LeftAnti" in plan
