@@ -676,3 +676,35 @@ def sessionize_catalog(spark, sf):
     from indra_db_spark.streaming.ingest import sessionize
 
     return sessionize(T(spark, sf, "events"), watermark="0 seconds")
+
+
+@register(
+    "priority_argmin",
+    """
+    WITH m AS (
+      SELECT l_partkey, min(l_extendedprice) AS best_price
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT m.l_partkey, min(l.l_suppkey) AS best_supp,
+           CAST(m.best_price AS DOUBLE) AS best_price
+    FROM lineitem l
+    JOIN m ON l.l_partkey = m.l_partkey AND l.l_extendedprice = m.best_price
+    GROUP BY m.l_partkey, m.best_price
+    """,
+)
+def priority_argmin(spark, sf):
+    """Priority argmin per group — the SIF export's grounding-namespace
+    selection shape (util/dump_sif.py:363-403: per agent, keep the id from
+    the best-ranked namespace).  A lexicographic struct-min gives the
+    deterministic (best priority, smallest id) row in ONE map-side partial
+    aggregation; the oracle spells it as min + self-join."""
+    best = (
+        T(spark, sf, "lineitem")
+        .groupBy("l_partkey")
+        .agg(F.min(F.struct("l_extendedprice", "l_suppkey")).alias("b"))
+    )
+    return best.select(
+        "l_partkey",
+        F.col("b.l_suppkey").alias("best_supp"),
+        F.col("b.l_extendedprice").cast("double").alias("best_price"),
+    )

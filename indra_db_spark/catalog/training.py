@@ -68,8 +68,12 @@ def doc_ngram_jaccard(spark, sf):
 _MH_HASHES = 8
 _MH_BANDS = 4
 _MH_ROWS = _MH_HASHES // _MH_BANDS
+# signature values are 8-hex-char (32-bit) slices of concatenated md5s —
+# 2 md5 calls per shingle instead of one per hash function
+_MH_MD5S = (_MH_HASHES * 8 + 31) // 32
+_mh_hex = " || ".join(f"md5('{k}|' || shingle)" for k in range(_MH_MD5S))
 _mh_sig_cols = ",\n      ".join(
-    f"min(md5('{i}|' || shingle)) AS h{i}" for i in range(_MH_HASHES)
+    f"min(substr({_mh_hex}, {1 + 8 * i}, 8)) AS h{i}" for i in range(_MH_HASHES)
 )
 _mh_band_selects = "\n      UNION ALL ".join(
     "SELECT id, md5({expr}) AS bkey FROM sig".format(

@@ -129,8 +129,11 @@ def minhash_signatures(
     n: int = 3,
     num_hashes: int = 12,
 ) -> DataFrame:
-    """MinHash signature per document: sig[i] = min over shingles of
-    md5(i || '|' || shingle).
+    """MinHash signature per document: sig[i] = min over shingles of the
+    i-th 8-hex-char (32-bit) slice of concatenated md5 digests of the
+    shingle — ⌈num_hashes/4⌉ md5 calls per shingle instead of one per hash
+    function (md5 bits are independent, so disjoint slices act as
+    independent hash families).
 
     md5 (not xxhash/murmur) so any SQL engine reproduces signatures exactly.
     One groupBy with ``num_hashes`` partial min-aggregations — a single
@@ -138,8 +141,16 @@ def minhash_signatures(
     Returns (id, h0..h{num_hashes-1}).
     """
     sh = word_shingles(df, id_col, text_col, n)
+    n_md5 = (num_hashes * 8 + 31) // 32
+    hexcat = F.concat(
+        *[
+            F.md5(F.concat(F.lit(f"{k}|"), F.col("shingle")))
+            for k in range(n_md5)
+        ]
+    )
+    sh = sh.withColumn("_hx", hexcat)
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"h{i}")
+        F.min(F.substring("_hx", 1 + 8 * i, 8)).alias(f"h{i}")
         for i in range(num_hashes)
     ]
     return sh.groupBy("id").agg(*aggs)
@@ -207,10 +218,27 @@ def simhash(
         F.explode(F.split(F.col(text_col), " ")).alias("w"),
     ).filter(F.col("w") != "")
     h = words.withColumn("m", F.md5(F.col("w")))
+    # one conv per NIBBLE, shared by its 4 bits (4× fewer conv/substring
+    # evaluations than extracting per bit); identical arithmetic to the
+    # per-bit oracle form
+    nibbles = h.select(
+        "id",
+        *[
+            F.conv(F.substring("m", 1 + k, 1), 16, 10)
+            .cast("int")
+            .alias(f"_n{k}")
+            for k in range((bits + 3) // 4)
+        ],
+    )
     votes = [
-        F.sum(_hex_bit(F.col("m"), j) * 2 - 1).alias(f"s{j}") for j in range(bits)
+        F.sum(
+            F.shiftright(F.col(f"_n{j // 4}"), 3 - j % 4).bitwiseAND(F.lit(1))
+            * 2
+            - 1
+        ).alias(f"s{j}")
+        for j in range(bits)
     ]
-    agg = h.groupBy("id").agg(*votes)
+    agg = nibbles.groupBy("id").agg(*votes)
     val = None
     for j in range(bits):
         term = F.when(F.col(f"s{j}") > 0, F.lit(2**j).cast("long")).otherwise(
