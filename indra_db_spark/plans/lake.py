@@ -62,6 +62,37 @@ class ReadonlyLake:
         for name, df in self._tables.items():
             df.write.mode(mode).parquet(os.path.join(root, name))
 
+    #: tables served sorted by ev_count (the algebra's default sort key) —
+    #: range-partitioned + sorted files let parquet row-group min/max stats
+    #: prune top-k scans, replacing the reference's btree indexes + CLUSTER
+    #: (schemas/mixins.py:70-97, readonly_schema.py:635-637)
+    RANKED_TABLES = (
+        "name_meta", "text_meta", "other_meta", "source_meta",
+        "mesh_term_meta", "mesh_concept_meta", "agent_interactions",
+    )
+
+    def write_optimized(
+        self, root: str, mode: str = "overwrite", partitions: int = 32
+    ) -> None:
+        """At-scale physical layout: ranked tables range-partitioned on
+        descending ev_count and sorted within files; everything else
+        hash-partitioned on its join key so co-keyed joins between lake
+        tables shuffle one side at most."""
+        from pyspark.sql import functions as F
+
+        for name, df in self._tables.items():
+            if name in self.RANKED_TABLES:
+                out = df.repartitionByRange(
+                    partitions, F.desc("ev_count"), F.asc("mk_hash")
+                ).sortWithinPartitions(F.desc("ev_count"), F.asc("mk_hash"))
+            elif "mk_hash" in df.columns:
+                out = df.repartition(partitions, "mk_hash")
+            elif "sid" in df.columns:
+                out = df.repartition(partitions, "sid")
+            else:
+                out = df
+            out.write.mode(mode).parquet(os.path.join(root, name))
+
     @classmethod
     def from_rows(cls, spark: SparkSession, rows_by_table: dict[str, list]) -> "ReadonlyLake":
         """Build a lake from python row dicts (fixtures/tests)."""

@@ -270,6 +270,51 @@ def get_agents(
     return out, covered
 
 
+def get_mesh_ref_counts(
+    query: Query,
+    lake: ReadonlyLake,
+    mesh_ids: list[str],
+    require_all: bool = False,
+) -> DataFrame:
+    """Per matching hash: the mesh ids (of the requested set) annotating its
+    papers with their distinct-pmid ref counts (reference:
+    client/readonly/mesh_ref_counts.py:38-70 — array_agg pairs with a
+    HAVING cardinality(...) = n gate for require_all)."""
+    terms = [int(m[1:]) for m in mesh_ids if m.startswith("D")]
+    concepts = [int(m[1:]) for m in mesh_ids if m.startswith("C")]
+    parts = []
+    for nums, table in (
+        (terms, "mesh_term_ref_counts"),
+        (concepts, "mesh_concept_ref_counts"),
+    ):
+        if nums:
+            parts.append(
+                lake[table]
+                .filter(F.col("mesh_num").isin(nums))
+                .select("mk_hash", "mesh_num", "ref_count", "pmid_count")
+            )
+    if not parts:
+        raise ValueError("no valid mesh ids given")
+    rows = parts[0]
+    for p in parts[1:]:
+        rows = rows.unionByName(p)
+    rows = rows.join(query.hashes(lake).select("mk_hash"), "mk_hash", "left_semi")
+    out = rows.groupBy("mk_hash").agg(
+        F.sort_array(F.collect_list(F.struct("mesh_num", "ref_count"))).alias(
+            "_pairs"
+        ),
+        F.max("pmid_count").alias("pmid_count"),
+    ).select(
+        "mk_hash",
+        F.col("_pairs.mesh_num").alias("mesh_nums"),
+        F.col("_pairs.ref_count").alias("ref_counts"),
+        "pmid_count",
+    )
+    if require_all:
+        out = out.filter(F.size("mesh_nums") == len(set(terms + concepts)))
+    return out
+
+
 def expand_agent_json(
     lake: ReadonlyLake,
     agent_json: dict,
