@@ -72,3 +72,39 @@ def test_stream_dedup(spark, event_dir, batch_events):
     )
     want = batch_events.dropDuplicates(["event_id", "ts"])
     assert got.count() == want.count()
+
+
+def test_stateful_running_totals(spark, event_dir, batch_events):
+    from pyspark.sql import functions as F
+
+    from indra_db_spark.streaming.stateful import running_totals
+
+    stream = read_stream(
+        spark, event_dir, batch_events.schema, max_files_per_trigger=1
+    )
+    q = (
+        running_totals(stream)
+        .writeStream.format("memory")
+        .queryName("running_sink")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # the row with the highest cumulative count per key is the final state
+    # (collect order across micro-batches is not contractual)
+    final = {}
+    for r in spark.table("running_sink").collect():
+        if r.key not in final or r.n_events > final[r.key][0]:
+            final[r.key] = (r.n_events, r.total_value)
+    want = {
+        r.event_type: (r.n, float(r.total))
+        for r in batch_events.groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    got_counts = {k: v[0] for k, v in final.items()}
+    want_counts = {k: v[0] for k, v in want.items()}
+    assert got_counts == want_counts
+    for k in want:
+        assert abs(final[k][1] - want[k][1]) < 1e-6 * max(1.0, abs(want[k][1]))
