@@ -81,3 +81,14 @@ def fix_id(db_name: str, db_id: str) -> tuple[str, str]:
     if db_name == "UP" and "-" in db_id:
         return db_name, db_id.split("-")[0]
     return db_name, db_id
+
+
+def synth_ag_id(col):
+    """Deterministic negative 31-bit surrogate agent id from a string key —
+    Spark column expression matching the reference's zlib.crc32 trick
+    (readonly_dumping.py:1192-1202: synthetic ids are negative so they can
+    never collide with real serial ids)."""
+    from pyspark.sql import functions as F
+
+    c = col if not isinstance(col, str) else F.col(col)
+    return (-(F.crc32(c.cast("string")).bitwiseAND(F.lit(0x7FFFFFFF)))).cast("int")

@@ -108,3 +108,52 @@ def test_ancestor_aggregate_sums_lineage(spark):
     nodes = spark.createDataFrame([(1, 10), (2, 100), (3, 1000)], ["id", "v"])
     out = {r.id: r.agg_value for r in ancestor_aggregate(nodes, edges, "v").collect()}
     assert out == {1: 10, 2: 110, 3: 1110}
+
+
+def test_connected_components_driver_and_distributed(spark):
+    import random
+
+    from indra_db_spark.operators.graph import connected_components
+
+    rng = random.Random(7)
+    nodes = list(range(60))
+    edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(50)]
+    df = spark.createDataFrame(edges, "a long, b long")
+
+    def py_components(pairs):
+        parent = {}
+
+        def find(x):
+            while parent.setdefault(x, x) != x:
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {n: find(n) for n in parent}
+
+    want = py_components(edges)
+    got_fast = {
+        r.node: r.component for r in connected_components(df).collect()
+    }
+    assert got_fast == want
+    got_dist = {
+        r.node: r.component
+        for r in connected_components(df, driver_max_edges=0).collect()
+    }
+    assert got_dist == want
+
+
+def test_synth_ag_id_negative_and_deterministic(spark):
+    from indra_db_spark.functions.ids import synth_ag_id
+
+    df = spark.createDataFrame(
+        [("CHEBI:1234",), ("ERK",), ("CHEBI:1234",)], "key string"
+    ).select("key", synth_ag_id("key").alias("ag_id"))
+    rows = df.collect()
+    assert all(r.ag_id < 0 for r in rows)
+    by_key = {}
+    for r in rows:
+        assert by_key.setdefault(r.key, r.ag_id) == r.ag_id
