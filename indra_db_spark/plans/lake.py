@@ -49,6 +49,13 @@ class ReadonlyLake:
         (source_meta is the reference's EXCEPT base, query.py:1752-1765)."""
         return self._tables["source_meta"].select("mk_hash", "ev_count", "belief")
 
+    def register_views(self, prefix: str = "") -> None:
+        """Expose every lake table as a temp view so the whole readonly
+        layer is queryable in plain Spark SQL (the free SQL surface the
+        reference lacks — its only query language is the algebra)."""
+        for name, df in self._tables.items():
+            df.createOrReplaceTempView(f"{prefix}{name}")
+
     @classmethod
     def from_parquet(cls, spark: SparkSession, root: str) -> "ReadonlyLake":
         tables = {}

@@ -58,3 +58,27 @@ def test_mesh_ref_counts_client(lakes):
 
     both = get_mesh_ref_counts(q, mem_lake, mesh_ids, require_all=True)
     assert all(len(r.mesh_nums) == 2 for r in both.collect())
+
+
+def test_sql_surface_matches_algebra(lakes):
+    """The registered views answer the flagship algebra query in plain
+    Spark SQL with identical results."""
+    from indra_db_spark.schemas import ROLE_NUMS, TYPE_NUMS
+
+    mem_lake, _, _ = lakes
+    mem_lake.register_views(prefix="ro_")
+    spark = mem_lake.spark
+    sql = f"""
+        SELECT DISTINCT m.mk_hash
+        FROM ro_name_meta m
+        JOIN ro_source_meta s USING (mk_hash)
+        WHERE m.db_id = 'MEK'
+          AND m.role_num = {ROLE_NUMS['SUBJECT']}
+          AND m.type_num = {TYPE_NUMS['Phosphorylation']}
+    """
+    got = {r.mk_hash for r in spark.sql(sql).collect()}
+    from indra_db_spark.plans.queries import HasAgent, HasType
+
+    q = HasAgent("MEK", role="SUBJECT") & HasType(["Phosphorylation"])
+    want = {r.mk_hash for r in q.hashes(mem_lake).collect()}
+    assert got == want and got
