@@ -74,6 +74,7 @@ def run_assembly(
     principal: dict[str, DataFrame],
     ontology_edges: DataFrame | None = None,
     grounding_map: dict[str, str] | None = None,
+    persist: bool = True,
 ) -> dict[str, DataFrame]:
     """Principal inputs -> every readonly table, deriving the PA side from
     the raw statement JSON itself (no precomputed pa_* needed).
@@ -98,7 +99,16 @@ def run_assembly(
             "left_semi",
         )
     )
-    pre = preprocess_statements(raw0, grounding_map=grounding_map)
+    def _p(df):
+        if persist:
+            from pyspark.storagelevel import StorageLevel
+
+            return df.persist(StorageLevel.MEMORY_AND_DISK)
+        return df
+
+    # the preprocess output fans out to dedup, links, and counts — persist
+    # so the Python repair/rehash pass runs ONCE, not per consumer
+    pre = _p(preprocess_statements(raw0, grounding_map=grounding_map))
     unique = dedup_statements(pre)
     pa_statements = unique.select(
         "mk_hash",
@@ -108,13 +118,14 @@ def run_assembly(
         "type",
         "json",
     )
-    pa_agents = extract_agent_rows(pa_statements)
+    pa_statements = _p(pa_statements)
+    pa_agents = _p(extract_agent_rows(pa_statements))
 
     if ontology_edges is None:
         ontology_edges = spark.createDataFrame(
             [], "child string, parent string"
         )
-    links = refinement_pairs(pa_statements, pa_agents, ontology_edges)
+    links = _p(refinement_pairs(pa_statements, pa_agents, ontology_edges))
 
     # rehashed raw statements + links derived from the preprocess output
     raw = raw0.drop("mk_hash", "type").join(
@@ -164,7 +175,7 @@ def run_assembly(
         pa_support_links=links,
     )
     derived.pop("raw_unique_links", None)  # regenerated from rehashed raws
-    out = build_readonly(derived, belief=belief)
+    out = build_readonly(derived, belief=belief, persist=persist)
     out["pa_statements"] = pa_statements
     out["pa_agents"] = pa_agents
     out["pa_support_links"] = links

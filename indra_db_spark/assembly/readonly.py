@@ -382,6 +382,7 @@ def build_mesh_ref_counts(
 def build_readonly(
     principal: dict[str, DataFrame],
     belief: DataFrame | None = None,
+    persist: bool = False,
 ) -> dict[str, DataFrame]:
     """Run the full RUN_ORDER DAG (readonly_dumping.py:64-82): principal
     tables -> every readonly table, as lazily-composed DataFrames.
@@ -389,7 +390,20 @@ def build_readonly(
     ``belief`` (mk_hash, belief) may be precomputed by
     :func:`indra_db_spark.assembly.belief.belief_scores`; defaults to 0.0
     when absent (the reference loads it from the belief-stage output).
+
+    ``persist=True`` caches the fan-out intermediates (the evidence-grain
+    link, the sort/group block, source_meta) with MEMORY_AND_DISK — without
+    it, materializing each of the ~17 outputs re-executes the whole shared
+    prefix.  At production scale, write stage outputs to Parquet instead
+    (the reference's per-table staging, readonly_dumping.py:858-886).
     """
+
+    def _p(df: DataFrame) -> DataFrame:
+        if persist:
+            from pyspark.storagelevel import StorageLevel
+
+            return df.persist(StorageLevel.MEMORY_AND_DISK)
+        return df
     kept = distill_readings(principal["text_content"], principal["reading"])
     reading = principal["reading"].join(kept, "rid", "left_semi")
     raw = principal["raw_statements"].filter(
@@ -412,10 +426,10 @@ def build_readonly(
         )
 
     out: dict[str, DataFrame] = {}
-    out["raw_stmt_src"] = build_raw_stmt_src(raw, reading, principal["db_info"])
-    out["fast_raw_pa_link"] = build_fast_raw_pa_link(
+    out["raw_stmt_src"] = _p(build_raw_stmt_src(raw, reading, principal["db_info"]))
+    out["fast_raw_pa_link"] = _p(build_fast_raw_pa_link(
         raw, links, principal["pa_statements"], out["raw_stmt_src"]
-    )
+    ))
     out["reading_ref_link"] = build_reading_ref_link(
         principal["text_ref"], principal["text_content"], reading
     )
@@ -435,14 +449,14 @@ def build_readonly(
         )
     out["belief"] = belief
 
-    sort_group = build_sort_group(
+    sort_group = _p(build_sort_group(
         principal["pa_statements"],
         out["belief"],
         out["evidence_counts"],
         out["pa_agent_counts"],
         principal["pa_activity"],
-    )
-    out["source_meta"] = build_source_meta(out["fast_raw_pa_link"], sort_group)
+    ))
+    out["source_meta"] = _p(build_source_meta(out["fast_raw_pa_link"], sort_group))
     out.update(build_agent_metas(principal["pa_agents"], sort_group))
     out["agent_interactions"] = build_agent_interactions(
         principal["pa_agents"], out["source_meta"]
