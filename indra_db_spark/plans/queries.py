@@ -464,20 +464,27 @@ class HasAgent(Query):
             "agent_num": self.agent_num,
         }
 
+    #: injectable AUTO-namespace grounder: text -> (namespace, id) | None
+    #: (the reference calls gilda here, query.py:1586-1612; install a real
+    #: service with ``HasAgent.grounding_service = fn``)
+    grounding_service = None
+
     def _agent_rows(self, lake: ReadonlyLake) -> DataFrame:
         from indra_db_spark.functions.ids import regularize_agent_id
 
-        ns = self.namespace
+        ns, agent_id = self.namespace, self.agent_id
+        if ns == "AUTO" and HasAgent.grounding_service is not None:
+            grounded = HasAgent.grounding_service(agent_id)
+            if grounded is not None:
+                ns, agent_id = grounded[0], grounded[1]
         if ns == "NAME" or ns == "AUTO":
-            # AUTO in the reference gilda-grounds free text first
-            # (query.py:1586-1612); without a grounding service we match
-            # against NAME directly.
+            # ungrounded AUTO falls back to a NAME match
             df = lake["name_meta"]
         elif ns == "TEXT":
             df = lake["text_meta"]
         else:
             df = lake["other_meta"].filter(F.col("db_name") == ns)
-        rid = regularize_agent_id(self.agent_id, ns)
+        rid = regularize_agent_id(agent_id, ns)
         if "%" in rid or "_" in rid:
             df = df.filter(F.col("db_id").like(rid))
         else:

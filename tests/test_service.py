@@ -174,3 +174,58 @@ def test_curation_ops(principal):
 def test_fixture_lake_still_builds(spark):
     lake, stmts, _ = fixture_lake(spark)
     assert lake["source_meta"].count() == len(stmts)
+
+
+def test_auto_grounding_service(spark):
+    from indra_db_spark.plans.queries import HasAgent
+
+    lake, stmts, _ = fixture_lake(spark)
+    try:
+        HasAgent.grounding_service = staticmethod(
+            lambda text: ("FPLX", "ERK") if text.lower() == "erk protein" else None
+        )
+        grounded = HasAgent("erk protein", namespace="AUTO")
+        want = {
+            s.mk_hash
+            for s in stmts
+            if any(a.get("FPLX") == "ERK" for a in s.agents)
+        }
+        got = {r.mk_hash for r in grounded.hashes(lake).collect()}
+        assert got == want and got
+        # ungrounded AUTO text falls back to NAME matching
+        fallback = HasAgent("MEK", namespace="AUTO")
+        got2 = {r.mk_hash for r in fallback.hashes(lake).collect()}
+        want2 = {s.mk_hash for s in stmts if any(a["NAME"] == "MEK" for a in s.agents)}
+        assert got2 == want2
+    finally:
+        HasAgent.grounding_service = None
+
+
+def test_redaction():
+    from indra_db_spark.service.redaction import (
+        REDACT_CHARS,
+        REDACT_MARKER,
+        redact_evidence_text,
+    )
+
+    long_text = "x" * 500
+    stmts = {
+        1: {
+            "evidence": [
+                {"text": long_text, "text_refs": {"SOURCE": "elsevier"}},
+                {"text": long_text, "text_refs": {"SOURCE": "pubmed"}},
+                {"text": "secret", "annotations": {"source_api": "medscan"}},
+            ]
+        }
+    }
+    out = redact_evidence_text(stmts, has_elsevier=False, has_medscan=False)
+    evs = out[1]["evidence"]
+    assert evs[0]["text"] == "x" * REDACT_CHARS + REDACT_MARKER
+    assert evs[1]["text"] == long_text  # open-access untouched
+    assert evs[2]["text"] is None
+
+    stmts[1]["evidence"][0]["text"] = long_text
+    stmts[1]["evidence"][2]["text"] = "secret"
+    out = redact_evidence_text(stmts, has_elsevier=True, has_medscan=True)
+    assert out[1]["evidence"][0]["text"] == long_text
+    assert out[1]["evidence"][2]["text"] == "secret"
