@@ -228,7 +228,7 @@ def build_agent_metas(
             "ev_count", "belief", "type_num", "activity", "is_active",
             "agent_count",
         )
-        .withColumn("ag_id", F.monotonically_increasing_id().cast("int"))
+        .withColumn("ag_id", F.monotonically_increasing_id())
     )
     cols = [
         "ag_id", "ag_num", "db_id", "role_num", "mk_hash", "is_complex_dup",

@@ -109,11 +109,23 @@ def refinement_pairs(
             F.max(F.col("_proper").cast("int")).alias("_any_proper"),
         )
     )
+    gen_arity = gen_agents.groupBy("stmt_mk_hash").agg(
+        F.countDistinct("ag_num").alias("_gen_arity")
+    )
     return (
         matched.join(
             arity.withColumnRenamed("stmt_mk_hash", "spec_hash"), "spec_hash"
         )
-        .filter((F.col("_n") == F.col("_arity")) & (F.col("_any_proper") == 1))
+        .join(
+            gen_arity.withColumnRenamed("stmt_mk_hash", "gen_hash"), "gen_hash"
+        )
+        # every position of BOTH statements must match — without the gen
+        # side check a 2-ary statement could "refine" a 3-ary one
+        .filter(
+            (F.col("_n") == F.col("_arity"))
+            & (F.col("_n") == F.col("_gen_arity"))
+            & (F.col("_any_proper") == 1)
+        )
         .select(
             F.col("spec_hash").alias("supporting_mk_hash"),
             F.col("gen_hash").alias("supported_mk_hash"),

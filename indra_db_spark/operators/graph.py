@@ -256,6 +256,7 @@ def connected_components(
             .distinct()
             .withColumn("component", F.col("node"))
         )
+        converged = False
         for _ in range(max_iterations):
             neighbor_min = (
                 sym.join(
@@ -264,23 +265,42 @@ def connected_components(
                 .groupBy(F.col("a").alias("node"))
                 .agg(F.min("component").alias("_nbr"))
             )
+            stepped = labels.join(neighbor_min, "node", "left").select(
+                "node",
+                F.least(
+                    "component", F.coalesce("_nbr", "component")
+                ).alias("component"),
+            )
+            # pointer jumping: also adopt the label OF the current label, so
+            # label distance doubles per round (log-diameter convergence,
+            # not one hop per round)
+            jump = labels.select(
+                F.col("node").alias("component"),
+                F.col("component").alias("_jmp"),
+            )
             new = _ckpt(
-                labels.join(neighbor_min, "node", "left").select(
+                stepped.join(jump, "component", "left").select(
                     "node",
                     F.least(
-                        "component", F.coalesce("_nbr", "component")
+                        "component", F.coalesce("_jmp", "component")
                     ).alias("component"),
                 )
             )
-            changed = (
+            unchanged = (
                 new.alias("n")
                 .join(labels.alias("o"), "node")
                 .filter(F.col("n.component") != F.col("o.component"))
                 .isEmpty()
             )
             labels = new
-            if changed:
+            if unchanged:
+                converged = True
                 break
+        if not converged:
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iterations} "
+                "rounds; raise max_iterations"
+            )
         return labels
     finally:
         spark.conf.set(conf_key, prev)

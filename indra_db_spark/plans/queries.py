@@ -382,9 +382,6 @@ _BOUND_OPS = {
     "==": lambda c, v: c == v,
     "!=": lambda c, v: c != v,
 }
-_BOUND_INVERSES = {"<": ">=", "<=": ">", ">": "<=", ">=": "<", "==": "!=", "!=": "=="}
-
-
 def _parse_bound(spec) -> tuple[str, int]:
     """Parse '< 10' / ('<=', 5) into (op, value) (reference Bound parser,
     query.py:2207-2260)."""
@@ -404,7 +401,8 @@ def _parse_bound(spec) -> tuple[str, int]:
 
 class HasEvidenceBound(_IntrusiveQuery):
     """AND of relational bounds on ev_count (reference: query.py:2207-2304).
-    Inversion is the OR of the flipped bounds."""
+    Inversion is plain predicate negation — ~(AND of bounds) — which equals
+    the reference's OR-of-flipped-bounds since ev_count is never null."""
 
     def __init__(self, evidence_bounds: Sequence, inverted: bool = False):
         super().__init__(inverted)
@@ -598,8 +596,15 @@ class FromPapers(Query):
             nums = [process_pmcid(i)[0] for i in by_type["pmcid"]]
             clauses.append(F.col("pmcid_num").isin([n for n in nums if n is not None]))
         if "doi" in by_type:
-            ids = [process_doi(i)[1] for i in by_type["doi"]]
-            clauses.append(F.col("doi_id").isin([x for x in ids if x is not None]))
+            # match the (doi_ns, doi_id) PAIR — doi_id alone collides across
+            # publisher namespaces (reference: mixins.py:431-446)
+            pairs = [process_doi(i) for i in by_type["doi"]]
+            keys = [f"{ns}/{gid}" for ns, gid in pairs if ns is not None]
+            clauses.append(
+                F.concat_ws(
+                    "/", F.col("doi_ns").cast("string"), F.col("doi_id")
+                ).isin(keys)
+            )
         if "trid" in by_type:
             clauses.append(F.col("trid").isin([int(i) for i in by_type["trid"]]))
         out = None

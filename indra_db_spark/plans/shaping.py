@@ -283,15 +283,16 @@ def get_mesh_ref_counts(
     terms = [int(m[1:]) for m in mesh_ids if m.startswith("D")]
     concepts = [int(m[1:]) for m in mesh_ids if m.startswith("C")]
     parts = []
-    for nums, table in (
-        (terms, "mesh_term_ref_counts"),
-        (concepts, "mesh_concept_ref_counts"),
+    for nums, table, kind in (
+        (terms, "mesh_term_ref_counts", "D"),
+        (concepts, "mesh_concept_ref_counts", "C"),
     ):
         if nums:
             parts.append(
                 lake[table]
                 .filter(F.col("mesh_num").isin(nums))
                 .select("mk_hash", "mesh_num", "ref_count", "pmid_count")
+                .withColumn("_kind", F.lit(kind))
             )
     if not parts:
         raise ValueError("no valid mesh ids given")
@@ -311,7 +312,10 @@ def get_mesh_ref_counts(
         "pmid_count",
     )
     if require_all:
-        out = out.filter(F.size("mesh_nums") == len(set(terms + concepts)))
+        # count requested (kind, num) identities — a D-term and C-concept
+        # sharing the same numeric id are distinct annotations
+        n_requested = len({("D", n) for n in terms} | {("C", n) for n in concepts})
+        out = out.filter(F.size("mesh_nums") == n_requested)
     return out
 
 

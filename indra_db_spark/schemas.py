@@ -81,14 +81,28 @@ DB_SOURCES = ("pc", "signor", "tas", "biogrid", "ctd", "drugbank", "hprd")
 
 
 def expand_types(types: list[str], include_subclasses: bool = False) -> list[str]:
+    """Expand statement-type names to concrete registry types.
+
+    Abstract class names (keys of TYPE_SUBCLASSES) ALWAYS expand — they have
+    no type_num of their own, so "don't expand" would mean "match nothing".
+    ``include_subclasses`` additionally pulls in registered subclasses of
+    concrete names (the reference's INDRA class-tree walk,
+    query.py:2330-2338).  Unknown names raise — a typo'd type must not
+    silently empty the whole query.
+    """
     out: list[str] = []
     for t in types:
-        if include_subclasses and t in TYPE_SUBCLASSES:
+        if t in TYPE_SUBCLASSES:
             out.extend(TYPE_SUBCLASSES[t])
-        elif t in TYPE_SUBCLASSES:
-            out.extend(TYPE_SUBCLASSES[t])  # abstract names always expand
-        else:
+        elif t in TYPE_NUMS:
             out.append(t)
+            if include_subclasses:
+                out.extend(TYPE_SUBCLASSES.get(t, []))
+        else:
+            raise ValueError(
+                f"unknown statement type {t!r}; known: "
+                f"{TYPE_REGISTRY + sorted(TYPE_SUBCLASSES)}"
+            )
     return sorted(set(out))
 
 
@@ -106,7 +120,10 @@ _sort_group_cols = [
 # name_meta / text_meta (readonly_dumping.py:1431-1444)
 AGENT_META_SCHEMA = StructType(
     [
-        StructField("ag_id", IntegerType()),
+        # surrogate row id; long (not int) — it is generated distributively
+        # via monotonically_increasing_id, which exceeds 32 bits beyond
+        # partition 0
+        StructField("ag_id", LongType()),
         StructField("ag_num", IntegerType()),
         StructField("db_id", StringType()),
         StructField("role_num", ShortType()),

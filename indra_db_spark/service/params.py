@@ -95,10 +95,16 @@ def query_from_web_params(params: dict) -> tuple[Query, Optional[EvidenceFilter]
             hashes = hashes.split(",")
         fold(HasHash([int(h) for h in _check_list("hashes", hashes)]))
 
+    def _int_list(key: str) -> list[int]:
+        vals = params[key]
+        if isinstance(vals, (str, int)):
+            vals = str(vals).split(",")
+        return [int(n) for n in _check_list(key, vals)]
+
     if params.get("num_agents"):
-        fold(HasNumAgents([int(n) for n in params["num_agents"]]))
+        fold(HasNumAgents(_int_list("num_agents")))
     if params.get("num_evidence"):
-        fold(HasNumEvidence([int(n) for n in params["num_evidence"]]))
+        fold(HasNumEvidence(_int_list("num_evidence")))
 
     if params.get("paper_ids"):
         papers = []

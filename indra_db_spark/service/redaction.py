@@ -3,6 +3,11 @@ call_handlers.py:274-302 — Elsevier fulltext evidence is truncated to 200
 characters plus a marker for callers without the elsevier permission;
 medscan evidence text is removed entirely without the medscan permission).
 
+Medscan is a READER and elsevier a CONTENT SOURCE — two different
+dimensions of an evidence row, so they are checked independently:
+the reader comes from ``annotations.source_api`` / ``text_refs.READER``,
+the content source from ``text_refs.SOURCE``.
+
 Driver-side: redaction applies to the assembled statement page (bounded by
 limit × ev_limit), never to the distributed plan.
 """
@@ -22,18 +27,20 @@ def redact_evidence_text(
     """Redact in place and return the statement-page dict."""
     for stmt in statements.values():
         for ev in stmt.get("evidence", ()):
-            src = (
-                (ev.get("text_refs") or {}).get("SOURCE")
-                or ev.get("annotations", {}).get("source_api")
+            refs = ev.get("text_refs") or {}
+            reader = (
+                ev.get("annotations", {}).get("source_api")
+                or refs.get("READER")
                 or ""
             ).lower()
+            content_source = (refs.get("SOURCE") or "").lower()
             text = ev.get("text")
             if not text:
                 continue
-            if src == "medscan" and not has_medscan:
+            if reader == "medscan" and not has_medscan:
                 ev["text"] = None
             elif (
-                src in RESTRICTED_SOURCES
+                content_source in RESTRICTED_SOURCES
                 and not has_elsevier
                 and len(text) > REDACT_CHARS
             ):

@@ -147,3 +147,21 @@ def test_expand_agent_json(spark):
         lake, {"0": "MEK", "1": "ERK"}, stmt_type="Phosphorylation"
     ).collect()
     assert len(inter) == 1
+
+
+def test_refinement_requires_matching_arity(spark):
+    """A 2-ary statement must not 'refine' a 3-ary one even when its
+    positions all match (review finding: gen-side arity check)."""
+    pa_statements = spark.createDataFrame(
+        [(1, "k1", "Complex", b""), (2, "k2", "Complex", b"")],
+        PRINCIPAL_SCHEMAS["pa_statements"],
+    )
+    pa_agents = spark.createDataFrame(
+        [
+            (1, 0, "NAME", "Y", 0), (1, 1, "NAME", "B", 0),
+            (2, 0, "NAME", "X", 0), (2, 1, "NAME", "B", 0), (2, 2, "NAME", "C", 0),
+        ],
+        PRINCIPAL_SCHEMAS["pa_agents"],
+    )
+    ontology = spark.createDataFrame([("Y", "X")], "child string, parent string")
+    assert refinement_pairs(pa_statements, pa_agents, ontology).count() == 0

@@ -236,3 +236,15 @@ def test_fixture_invariants(fx):
     assert dup_rows and all(
         len(r["agent_json"]) == 2 for r in dup_rows
     )
+
+
+def test_from_papers_doi_namespace_pair(fx):
+    """DOI matching uses the (namespace, group-id) pair — a colliding
+    group id in another namespace must not match (mixins.py:431-446)."""
+    lake, stmts, tables = fx
+    ref = tables["reading_ref_link"][0]
+    doi = f"10.{ref['doi_ns']}/{ref['doi_id']}"
+    hit = run(FromPapers([("doi", doi)]), lake)
+    assert hit
+    wrong_ns = f"10.{ref['doi_ns'] + 1}/{ref['doi_id']}"
+    assert run(FromPapers([("doi", wrong_ns)]), lake) == set()

@@ -214,7 +214,13 @@ def test_redaction():
             "evidence": [
                 {"text": long_text, "text_refs": {"SOURCE": "elsevier"}},
                 {"text": long_text, "text_refs": {"SOURCE": "pubmed"}},
-                {"text": "secret", "annotations": {"source_api": "medscan"}},
+                {
+                    "text": "secret",
+                    "annotations": {"source_api": "medscan"},
+                    # realistic page row: content source is pubmed, the
+                    # READER is medscan — redaction keys on the reader
+                    "text_refs": {"SOURCE": "pubmed", "READER": "medscan"},
+                },
             ]
         }
     }
@@ -229,3 +235,16 @@ def test_redaction():
     out = redact_evidence_text(stmts, has_elsevier=True, has_medscan=True)
     assert out[1]["evidence"][0]["text"] == long_text
     assert out[1]["evidence"][2]["text"] == "secret"
+
+
+def test_num_agents_string_param():
+    q, _ = query_from_web_params({"agent": "MEK", "num_agents": "12"})
+    from indra_db_spark.plans.queries import HasNumAgents
+
+    nums = [c for c in q.queries if isinstance(c, HasNumAgents)]
+    assert nums and nums[0].agent_nums == [12]
+
+
+def test_unknown_type_raises():
+    with pytest.raises(ValueError):
+        HasType(["Phosphorilation"])  # typo must not silently match nothing
