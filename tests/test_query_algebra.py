@@ -248,3 +248,34 @@ def test_from_papers_doi_namespace_pair(fx):
     assert hit
     wrong_ns = f"10.{ref['doi_ns'] + 1}/{ref['doi_id']}"
     assert run(FromPapers([("doi", wrong_ns)]), lake) == set()
+
+
+def test_fuzz_random_trees(fx):
+    """Seeded random query trees (depth <= 3, mixed &/|/~) against Python
+    set algebra — the randomized generalization of the pair/triple cases
+    (reference runs the same style of oracle loop, test_query.py:394-568)."""
+    import random
+
+    lake, stmts, tables = fx
+    universe = {s.mk_hash for s in stmts}
+    cases = _cases(stmts, tables)
+    rng = random.Random(20260813)
+
+    def build(depth: int):
+        if depth == 0 or rng.random() < 0.3:
+            q, e = cases[rng.randrange(len(cases))]
+            return q, e
+        op = rng.choice(["and", "or", "not"])
+        if op == "not":
+            q, e = build(depth - 1)
+            return ~q, universe - e
+        q1, e1 = build(depth - 1)
+        q2, e2 = build(depth - 1)
+        if op == "and":
+            return q1 & q2, e1 & e2
+        return q1 | q2, e1 | e2
+
+    for trial in range(20):
+        q, expected = build(3)
+        got = run(q, lake)
+        assert got == expected, f"trial {trial}: {q}"
