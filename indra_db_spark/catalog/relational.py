@@ -708,3 +708,25 @@ def priority_argmin(spark, sf):
         F.col("b.l_suppkey").alias("best_supp"),
         F.col("b.l_extendedprice").cast("double").alias("best_price"),
     )
+
+
+@register(
+    "ranked_page",
+    """
+    SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 50 OFFSET 100
+    """,
+)
+def ranked_page(spark, sf):
+    """Global sort + LIMIT/OFFSET paging (the reference's _apply_limits,
+    query.py:464-470) with a unique total order so pages are deterministic;
+    compiles to TakeOrderedAndProject."""
+    return (
+        T(spark, sf, "orders")
+        .select("o_orderkey", F.col("o_totalprice").cast("double"))
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .offset(100)
+        .limit(50)
+    )

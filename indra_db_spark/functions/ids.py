@@ -92,3 +92,17 @@ def synth_ag_id(col):
 
     c = col if not isinstance(col, str) else F.col(col)
     return (-(F.crc32(c.cast("string")).bitwiseAND(F.lit(0x7FFFFFFF)))).cast("int")
+
+
+_CAMEL_RE = re.compile(r"_([a-z])")
+
+
+def make_statement_camel(snake: str) -> str:
+    """'increase_amount' -> 'IncreaseAmount' (the reference's web-param
+    type normalization, query.py:2330-2338)."""
+    s = _CAMEL_RE.sub(lambda m: m.group(1).upper(), snake.strip().lower())
+    return s[:1].upper() + s[1:]
+
+
+def camel_to_snake(camel: str) -> str:
+    return re.sub(r"(?<!^)(?=[A-Z])", "_", camel).lower()

@@ -45,7 +45,14 @@ def test_two_phase_agg_equals_plain(spark, skewed):
 
 
 def test_bucketed_join_has_no_exchange(spark, sf_dir):
-    # tables land in the default warehouse dir (gitignored spark-warehouse/)
+    # tables land in the default warehouse dir (gitignored spark-warehouse/);
+    # a fresh session's in-memory catalog doesn't know about directories a
+    # previous run left behind, so clear both catalog entries and locations
+    import shutil
+
+    for t in ("b_orders", "b_lineitem"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_totalprice"
     )

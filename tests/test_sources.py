@@ -93,3 +93,70 @@ def test_knowledgebase_pipeline_feeds_preprocess(spark):
         "Inhibition",
     }
     assert all(r.mk_hash != 0 for r in got)
+
+
+def test_tsv_gz_round_trip(spark, tmp_path):
+    """read_tsv_gz matches the reference's assembly-stage TSV format
+    (tab-separated, no header, \\N nulls)."""
+    import gzip
+
+    from pyspark.sql.types import (
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from indra_db_spark.sources.lake import read_tsv_gz
+
+    path = str(tmp_path / "stage.tsv.gz")
+    with gzip.open(path, "wt") as f:
+        f.write("1\thello\n2\t\\N\n3\tworld\n")
+    schema = StructType(
+        [StructField("id", IntegerType()), StructField("val", StringType())]
+    )
+    rows = {(r.id, r.val) for r in read_tsv_gz(spark, path, schema).collect()}
+    assert rows == {(1, "hello"), (2, None), (3, "world")}
+
+
+def test_fk_join_pathing(spark):
+    from indra_db_spark.plans.fixtures import (
+        build_principal_tables,
+        generate_model,
+    )
+    from indra_db_spark.plans.links import join_path, link
+    from indra_db_spark.schemas import PRINCIPAL_SCHEMAS
+
+    stmts, papers = generate_model(seed=42)
+    rows = build_principal_tables(stmts, papers, seed=42)
+    dfs = {
+        name: spark.createDataFrame(r, PRINCIPAL_SCHEMAS[name])
+        for name, r in rows.items()
+    }
+    path = join_path("text_ref", "pa_statements")
+    assert [h[2] for h in path] == [
+        "text_content", "reading", "raw_statements", "raw_unique_links",
+        "pa_statements",
+    ]
+    joined = link(dfs, "text_ref", "pa_statements")
+    # every reading-backed raw statement (incl. stale-reading distractors —
+    # the FK walk is pre-distill) reaches its PA statement
+    want = {
+        r["mk_hash"]
+        for r in rows["raw_statements"]
+        if r["reading_id"] is not None
+    }
+    # raw_statements carries its own mk_hash; disambiguate by source frame
+    got = {
+        r.mk_hash
+        for r in joined.select(dfs["pa_statements"]["mk_hash"]).collect()
+    }
+    assert got == want
+
+
+def test_camel_helpers():
+    from indra_db_spark.functions.ids import camel_to_snake, make_statement_camel
+
+    assert make_statement_camel("increase_amount") == "IncreaseAmount"
+    assert make_statement_camel("phosphorylation") == "Phosphorylation"
+    assert camel_to_snake("IncreaseAmount") == "increase_amount"
