@@ -383,3 +383,14 @@ def belief_ancestor_agg(spark, sf):
         F.col("total_ev"),
         (F.col("total_ev") / (F.col("total_ev") + F.lit(5.0))).alias("belief"),
     )
+
+
+@register("emb_ivf_topk")  # no SQL oracle: k-means cells aren't portable —
+# the driver records the weaker rows-only check for this entry
+def emb_ivf_topk(spark, sf):
+    """IVF ANN (k-means coarse quantizer, nprobe cells per query) — the
+    scale path beside SRP bucketing; recall checked in tests against the
+    exact brute-force baseline."""
+    emb = T(spark, sf, "embeddings")
+    queries = emb.orderBy("vec_id").limit(10)
+    return S.ivf_topk(emb, queries, k=5, nlist=8, nprobe=3)

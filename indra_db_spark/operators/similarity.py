@@ -154,3 +154,83 @@ def srp_topk(
         .filter(F.col("rn") <= k)
         .select("query_id", "neighbor_id", "sim")
     )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nlist: int = 16,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    sim_decimals: int | None = 6,
+) -> DataFrame:
+    """IVF approximate top-k: MLlib k-means as the coarse quantizer.
+
+    Train ``nlist`` centroids (seeded, on a sample), assign every corpus
+    vector to its nearest cell ONCE, then score each query only against its
+    ``nprobe`` nearest cells — the classic inverted-file trade: recall grows
+    with nprobe, scan cost is ~nprobe/nlist of the corpus.  The centroid
+    model is small and broadcasts; the corpus shuffles once at index-build
+    time (by cell) and never again per query.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql import Window
+
+    ml = emb.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
+    )
+    model = KMeans(k=nlist, seed=seed, maxIter=20).fit(ml.select("features"))
+    corpus = model.transform(ml).select(
+        "neighbor_id", "cvec", F.col("prediction").alias("cell")
+    )
+
+    centers = [[float(x) for x in c] for c in model.clusterCenters()]
+
+    def _nearest_cells(vec, n):
+        # tiny driver-free expression: distance to each centroid, pick n —
+        # computed per QUERY row only (queries are small by contract)
+        dists = F.array(
+            *[
+                F.aggregate(
+                    F.zip_with(
+                        vec,
+                        F.array(*[F.lit(x) for x in c]),
+                        lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                for c in centers
+            ]
+        )
+        idx = F.sequence(F.lit(0), F.lit(len(centers) - 1))
+        ranked = F.array_sort(
+            F.zip_with(dists, idx, lambda d, i: F.struct(d.alias("d"), i.alias("i")))
+        )
+        return F.slice(F.transform(ranked, lambda s: s["i"]), 1, n)
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        F.explode(_nearest_cells(F.col(vec_col), nprobe)).alias("cell"),
+    )
+    sim = cosine(F.col("qvec"), F.col("cvec"))
+    if sim_decimals is not None:
+        sim = F.round(sim, sim_decimals)
+    scored = (
+        corpus.join(F.broadcast(q), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("sim", sim)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "sim")
+    )

@@ -157,3 +157,23 @@ def test_synth_ag_id_negative_and_deterministic(spark):
     by_key = {}
     for r in rows:
         assert by_key.setdefault(r.key, r.ag_id) == r.ag_id
+
+
+def test_ivf_topk_recall(spark, sf_dir):
+    from indra_db_spark.operators.similarity import brute_force_topk, ivf_topk
+    from indra_db_spark.sources.lake import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.orderBy("vec_id").limit(5)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk(emb, queries, k=5, nlist=8, nprobe=4).collect()
+    }
+    # every query answered with k results, and decent recall vs exact
+    assert len(approx) == len(exact) == 25
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.5, recall
