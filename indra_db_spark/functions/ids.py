@@ -97,10 +97,13 @@ def synth_ag_id(col):
 _CAMEL_RE = re.compile(r"_([a-z])")
 
 
-def make_statement_camel(snake: str) -> str:
-    """'increase_amount' -> 'IncreaseAmount' (the reference's web-param
-    type normalization, query.py:2330-2338)."""
-    s = _CAMEL_RE.sub(lambda m: m.group(1).upper(), snake.strip().lower())
+def make_statement_camel(name: str) -> str:
+    """'increase_amount' -> 'IncreaseAmount'; already-camel input passes
+    through unchanged (idempotent — web params arrive in either form; the
+    reference's web-param type normalization, query.py:2330-2338)."""
+    s = name.strip()
+    if "_" in s or s.islower():
+        s = _CAMEL_RE.sub(lambda m: m.group(1).upper(), s.lower())
     return s[:1].upper() + s[1:]
 
 

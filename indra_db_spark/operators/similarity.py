@@ -39,6 +39,19 @@ def cosine(a, b) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def _rank_topk(scored, k: int):
+    """Shared ranking tail: per-query row_number over (sim desc, neighbor id)
+    and keep the first k — ONE place for the tie-break/rounding contract."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "sim")
+    )
+
+
 def brute_force_topk(
     emb: DataFrame,
     queries: DataFrame,
@@ -67,14 +80,7 @@ def brute_force_topk(
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .withColumn("sim", sim)
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("sim"), F.asc("neighbor_id")
-    )
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-        .select("query_id", "neighbor_id", "sim")
-    )
+    return _rank_topk(scored, k)
 
 
 def cosine_neardup_pairs(
@@ -148,12 +154,7 @@ def srp_topk(
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("sim", sim)
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-        .select("query_id", "neighbor_id", "sim")
-    )
+    return _rank_topk(scored, k)
 
 
 def ivf_topk(
@@ -166,10 +167,12 @@ def ivf_topk(
     vec_col: str = "embedding",
     seed: int = 42,
     sim_decimals: int | None = 6,
+    max_train_rows: int = 100_000,
 ) -> DataFrame:
     """IVF approximate top-k: MLlib k-means as the coarse quantizer.
 
-    Train ``nlist`` centroids (seeded, on a sample), assign every corpus
+    Train ``nlist`` centroids (seeded, on the first ``max_train_rows``
+    vectors), assign every corpus
     vector to its nearest cell ONCE, then score each query only against its
     ``nprobe`` nearest cells — the classic inverted-file trade: recall grows
     with nprobe, scan cost is ~nprobe/nlist of the corpus.  The centroid
@@ -178,14 +181,16 @@ def ivf_topk(
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
-    from pyspark.sql import Window
 
     ml = emb.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
     )
-    model = KMeans(k=nlist, seed=seed, maxIter=20).fit(ml.select("features"))
+    # train on a bounded slice — k-means over the FULL corpus per call would
+    # dwarf the nprobe/nlist scan savings this index exists to provide
+    train = ml.select("features").limit(max_train_rows)
+    model = KMeans(k=nlist, seed=seed, maxIter=20).fit(train)
     corpus = model.transform(ml).select(
         "neighbor_id", "cvec", F.col("prediction").alias("cell")
     )
@@ -228,9 +233,4 @@ def ivf_topk(
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("sim", sim)
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-        .select("query_id", "neighbor_id", "sim")
-    )
+    return _rank_topk(scored, k)

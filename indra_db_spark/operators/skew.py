@@ -31,7 +31,17 @@ def salted_join(
 ) -> DataFrame:
     """Equi-join with the hot-key pressure spread over ``salt_factor``
     buckets.  ``small`` is replicated salt_factor×; use only when it is too
-    big to broadcast yet far smaller than ``big``."""
+    big to broadcast yet far smaller than ``big``.
+
+    Only inner/left-family joins are salt-safe: with a replicated small
+    side, right/full joins would surface one null-extended row per
+    unmatched salt replica."""
+    if how not in ("inner", "left", "left_outer", "leftouter", "left_semi",
+                   "leftsemi", "left_anti", "leftanti", "cross"):
+        raise ValueError(f"salted_join does not support how={how!r}")
+    for df, name in ((big, "big"), (small, "small")):
+        if "_salt" in df.columns:
+            raise ValueError(f"{name} side already has a _salt column")
     salted_big = big.withColumn(
         "_salt", (F.rand(seed=0) * salt_factor).cast("int")
     )
@@ -51,6 +61,9 @@ def two_phase_agg(
     partials — a single hot key becomes ``salt_factor`` partial groups.
     (Spark's hash aggregation already does map-side partials; this guards
     the reduce side when one key floods a single reducer.)"""
+    clash = {"_salt", "_n", "_s"} & set(df.columns)
+    if clash:
+        raise ValueError(f"input already has working columns {sorted(clash)}")
     partial = (
         df.withColumn("_salt", (F.rand(seed=0) * salt_factor).cast("int"))
         .groupBy(key, "_salt")

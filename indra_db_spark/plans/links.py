@@ -57,7 +57,9 @@ def link(
     path = join_path(start, end)
     out = tables[start]
     for tbl_a, col_a, tbl_b, col_b in path:
+        # resolve the left key against the ORIGINATING frame, not the
+        # accumulated join — column names (e.g. mk_hash) repeat across hops
         out = out.join(
-            tables[tbl_b], out[col_a] == tables[tbl_b][col_b], how
+            tables[tbl_b], tables[tbl_a][col_a] == tables[tbl_b][col_b], how
         )
     return out

@@ -20,7 +20,9 @@ def test_catalog_query_matches_oracle(name, spark, sf_dir, oracle):
     fn, sql = catalog.REGISTRY[name]
     sdf = fn(spark, sf_dir).toPandas()
     if sql is None:
-        assert len(sdf) >= 0  # rows-only check for non-SQL-expressible ops
+        # rows-only check for non-SQL-expressible ops — non-vacuous: every
+        # oracle-less entry must produce rows with a stable schema
+        assert len(sdf) > 0 and list(sdf.columns)
         return
     odf = oracle.execute(sql).df()
     problems = [p for p in compare_frames(sdf, odf) if not p.startswith("WARN")]

@@ -73,3 +73,11 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir):
     # co-bucketed join: neither side shuffles
     assert "Exchange hashpartitioning" not in plan
     assert joined.count() == lineitem.count()
+
+
+def test_salted_join_rejects_outer(spark, skewed):
+    dim = spark.range(5).select(F.col("id").alias("k"))
+    with pytest.raises(ValueError):
+        salted_join(skewed, dim, "k", how="right")
+    with pytest.raises(ValueError):
+        salted_join(skewed.withColumn("_salt", F.lit(1)), dim, "k")

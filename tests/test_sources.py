@@ -160,3 +160,33 @@ def test_camel_helpers():
     assert make_statement_camel("increase_amount") == "IncreaseAmount"
     assert make_statement_camel("phosphorylation") == "Phosphorylation"
     assert camel_to_snake("IncreaseAmount") == "increase_amount"
+
+
+def test_fk_link_through_repeated_column_names(spark):
+    """link() must survive paths where a column name (mk_hash) appears in
+    multiple hops (review finding: resolve keys against originating
+    frames)."""
+    from indra_db_spark.plans.fixtures import (
+        build_principal_tables,
+        generate_model,
+    )
+    from indra_db_spark.plans.links import link
+    from indra_db_spark.schemas import PRINCIPAL_SCHEMAS
+
+    stmts, papers = generate_model(seed=42)
+    rows = build_principal_tables(stmts, papers, seed=42)
+    dfs = {
+        name: spark.createDataFrame(r, PRINCIPAL_SCHEMAS[name])
+        for name, r in rows.items()
+    }
+    joined = link(dfs, "text_ref", "pa_agents")  # crashed before the fix
+    assert joined.count() > 0
+
+
+def test_camel_idempotent():
+    from indra_db_spark.functions.ids import make_statement_camel
+
+    assert make_statement_camel("IncreaseAmount") == "IncreaseAmount"
+    assert make_statement_camel(make_statement_camel("increase_amount")) == (
+        "IncreaseAmount"
+    )
