@@ -282,6 +282,28 @@ def emb_srp_topk(spark, sf):
     )
 
 
+@register(
+    "emb_srp_neardup",
+    f"""
+    WITH e AS (SELECT vec_id, embedding, {_srp_bucket_sql} AS bucket FROM embeddings),
+    a AS (SELECT vec_id AS id_a, embedding AS va, bucket FROM e),
+    b AS (SELECT vec_id AS id_b, embedding AS vb, bucket FROM e),
+    s AS (
+      SELECT id_a, id_b,
+             round(list_cosine_similarity(CAST(va AS DOUBLE[]), CAST(vb AS DOUBLE[])), 6) AS sim
+      FROM a JOIN b USING (bucket) WHERE id_a < id_b
+    )
+    SELECT id_a, id_b, sim FROM s WHERE sim >= 0.35
+    """,
+)
+def emb_srp_neardup(spark, sf):
+    """Bucket-restricted near-dup: the scale path for emb_neardup — the
+    quadratic join runs within SRP buckets only."""
+    return S.srp_neardup_pairs(
+        T(spark, sf, "embeddings"), threshold=0.35, planes=_SRP_PLANES
+    )
+
+
 # ------------------------------------------------------------- multimodal
 
 

@@ -119,6 +119,39 @@ def srp_bucket(vec_col, planes: int = 8) -> Column:
     return bucket
 
 
+def srp_neardup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    planes: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sim_decimals: int | None = 6,
+) -> DataFrame:
+    """Near-dup pairs restricted to one SRP bucket — the at-scale candidate
+    generator for :func:`cosine_neardup_pairs`: the quadratic self-join runs
+    only inside each of the 2^planes buckets, cutting pair volume ~2^planes
+    for roughly isotropic data.  Misses pairs whose signs differ on any
+    projection plane (recall < 1) — the standard LSH trade, tuned via
+    ``planes``; every pair it does emit carries the exact cosine."""
+    hashed = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        srp_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    a = hashed.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "bucket")
+    b = hashed.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "bucket")
+    sim = cosine(F.col("va"), F.col("vb"))
+    if sim_decimals is not None:
+        sim = F.round(sim, sim_decimals)
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("sim", sim)
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", "sim")
+    )
+
+
 def srp_topk(
     emb: DataFrame,
     queries: DataFrame,

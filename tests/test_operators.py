@@ -177,3 +177,27 @@ def test_ivf_topk_recall(spark, sf_dir):
     assert len(approx) == len(exact) == 25
     recall = len(approx & exact) / len(exact)
     assert recall >= 0.5, recall
+
+
+def test_srp_neardup_subset_of_exact(spark, sf_dir):
+    from indra_db_spark.operators.similarity import (
+        cosine_neardup_pairs,
+        srp_neardup_pairs,
+    )
+    from indra_db_spark.sources.lake import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = {
+        (r.id_a, r.id_b): r.sim
+        for r in cosine_neardup_pairs(emb, threshold=0.35).collect()
+    }
+    bucketed = {
+        (r.id_a, r.id_b): r.sim
+        for r in srp_neardup_pairs(emb, threshold=0.35, planes=6).collect()
+    }
+    # candidate restriction may lose pairs (recall < 1) but must never
+    # invent one, and every surfaced pair carries the exact cosine
+    assert set(bucketed) <= set(exact)
+    assert bucketed, "bucketed variant found no pairs at all"
+    for pair, sim in bucketed.items():
+        assert sim == exact[pair]
