@@ -72,3 +72,15 @@ def test_semi_join_for_hash_sets(spark, sf_dir):
 def test_anti_join_for_inversion(spark, sf_dir):
     plan = _plan(spark, sf_dir, "invert_anti")
     assert "LeftAnti" in plan
+
+
+def test_srp_neardup_is_an_equijoin(spark, sf_dir):
+    """The bucketed near-dup exists to replace the exact variant's
+    nested-loop all-pairs join with a hash-partitioned equi-join on the
+    bucket key — pin that, or the "scale path" silently degenerates."""
+    plan = _plan(spark, sf_dir, "emb_srp_neardup")
+    assert "NestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan) or (
+        "ShuffledHashJoin" in plan
+    )
