@@ -2,16 +2,29 @@
 
 The reference groups text_content rows by text_ref × reader, keeps only the
 newest reader version per (source, text_type), prefers fulltext by a
-source-priority list and otherwise falls back to abstract/title, and emits
-the set of reading ids to drop (reference:
+source-priority list and otherwise keeps the abstract/title fallbacks, and
+emits the set of reading ids to drop (reference:
 readonly_dumping/export_assembly.py:174-233 reader_prioritize, :236-306
 distill_statements; legacy in-DB variant util/distill_statements.py:254-318).
 
+Per (text_ref, reader) group the reference keeps:
+
+* exactly ONE reading when any fulltext exists — the best fulltext by
+  source priority (export_assembly.py:218-232); every non-fulltext row is
+  dropped.  A fulltext from a source missing from the priority list still
+  beats every non-fulltext row (we rank it worst *among fulltexts*; the
+  reference would raise on ``priority.index``, so this is the benign
+  extension).
+* ALL surviving non-fulltext readings when no fulltext exists — both the
+  abstract and the title (export_assembly.py:204-214).  The one exception:
+  a ``cord19_abstract`` abstract includes the title, so its presence drops
+  the ``pubmed`` abstract and title.
+
 Spark-first: the reference's single-process pandas loop (~1.5 h at
-production scale, export_assembly.py:257) is a window argmax — rank
-candidate readings per (text_ref, reader) by (content priority, version
-desc) and keep row_number()==1.  No Python in the hot path; at 100 TB this
-is one shuffle on (text_ref_id, reader).
+production scale, export_assembly.py:257) becomes two window passes — a
+version argmax per (text_ref, reader, source, text_type) and a keep
+predicate over (text_ref, reader).  No Python in the hot path; at 100 TB
+this is two narrow-key shuffles, both partial-aggregation friendly.
 """
 
 from __future__ import annotations
@@ -19,45 +32,78 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-#: fulltext source preference, best first (export_assembly.py:174-196);
-#: non-fulltext (abstract > title) ranks after every fulltext source.
-FULLTEXT_PRIORITY = ("pmc_oa", "manuscripts", "elsevier", "cord19_pdf", "pmc")
-TEXT_TYPE_FALLBACK = {"abstract": 100, "title": 101}
+#: fulltext source preference, best first (export_assembly.py:218-227 lists
+#: worst-first and sorts reverse; this is the same order inverted).
+FULLTEXT_PRIORITY = (
+    "pmc_oa",
+    "manuscripts",
+    "cord19_pmc_xml",
+    "elsevier",
+    "cord19_pdf",
+    "xdd-biorxiv",
+    "xdd",
+    "xdd-pubmed",
+)
 
 
-def _content_priority() -> "F.Column":
-    expr = F.lit(len(FULLTEXT_PRIORITY) + 200)  # unknown: worst
-    for tt, p in TEXT_TYPE_FALLBACK.items():
-        expr = F.when(F.col("text_type") == tt, F.lit(p)).otherwise(expr)
+def _fulltext_rank() -> "F.Column":
+    # Unknown fulltext sources rank after every listed one but still beat
+    # non-fulltext (the window below orders fulltext rows first).
+    expr = F.lit(len(FULLTEXT_PRIORITY))
     for i, src in enumerate(FULLTEXT_PRIORITY):
-        expr = F.when(
-            (F.col("text_type") == "fulltext") & (F.col("source") == src),
-            F.lit(i),
-        ).otherwise(expr)
+        expr = F.when(F.col("source") == src, F.lit(i)).otherwise(expr)
     return expr
 
 
 def distill_readings(text_content: DataFrame, reading: DataFrame) -> DataFrame:
-    """Reading ids that survive distillation, one per (text_ref, reader).
+    """Reading ids that survive distillation.
 
     Returns a 1-column DataFrame ``rid`` — semi-join raw_statements against
     it to drop statements extracted from superseded readings (the
-    reference's ``drop_readings`` set, export_assembly.py:236-306).
+    reference's ``drop_readings`` set, export_assembly.py:236-306).  May
+    contain several rids per (text_ref, reader): abstract + title both
+    survive when no fulltext exists.
     """
     cand = reading.join(
         text_content.select("tcid", "text_ref_id", "source", "text_type"),
         reading["text_content_id"] == text_content["tcid"],
     )
-    w = (
-        Window.partitionBy("text_ref_id", "reader")
-        .orderBy(
-            _content_priority().asc(),
-            F.col("reader_version").desc(),
-            F.col("rid").asc(),
+
+    # Newest reader version per (text_ref, reader, source, text_type)
+    # (export_assembly.py:180-193).
+    w_ver = Window.partitionBy(
+        "text_ref_id", "reader", "source", "text_type"
+    ).orderBy(F.col("reader_version").desc(), F.col("rid").asc())
+    cand = (
+        cand.withColumn("_vn", F.row_number().over(w_ver))
+        .filter(F.col("_vn") == 1)
+        .drop("_vn")
+    )
+
+    is_ft = F.col("text_type") == "fulltext"
+    grp = Window.partitionBy("text_ref_id", "reader")
+    w_best = grp.orderBy(
+        is_ft.cast("int").desc(), _fulltext_rank().asc(), F.col("rid").asc()
+    )
+    cand = (
+        cand.withColumn("_has_ft", F.max(is_ft.cast("int")).over(grp))
+        .withColumn(
+            "_has_c19",
+            F.max(
+                (
+                    (F.col("source") == "cord19_abstract")
+                    & (F.col("text_type") == "abstract")
+                ).cast("int")
+            ).over(grp),
+        )
+        .withColumn("_rn", F.row_number().over(w_best))
+    )
+
+    keep = F.when(F.col("_has_ft") == 1, F.col("_rn") == 1).otherwise(
+        ~(
+            (F.col("_has_c19") == 1)
+            & (F.col("source") == "pubmed")
+            & F.col("text_type").isin("abstract", "title")
         )
     )
-    return (
-        cand.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select("rid")
-    )
+    return cand.filter(keep).select("rid")

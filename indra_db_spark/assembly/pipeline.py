@@ -88,11 +88,12 @@ def run_assembly(
     # distill FIRST so superseded readings feed neither statements nor
     # belief counts (export_assembly.py:984-999 stage order)
     kept = distill_readings(principal["text_content"], principal["reading"])
+    # disjoint branches: a row with BOTH ids set counts once, not twice
     raw0 = principal["raw_statements"].filter(
         F.col("db_info_id").isNotNull()
     ).unionByName(
         principal["raw_statements"]
-        .filter(F.col("reading_id").isNotNull())
+        .filter(F.col("reading_id").isNotNull() & F.col("db_info_id").isNull())
         .join(
             kept.withColumnRenamed("rid", "reading_id"),
             "reading_id",

@@ -71,6 +71,13 @@ def validate_statement_semantics(stmt: dict) -> bool:
     agents = [a for a in stmt["agents"] if a]
     if not agents:
         return False
+    # agent_groundings, when present, must align 1:1 with agents — a
+    # mismatched list would silently misassign ag_num/role downstream
+    groundings = stmt.get("agent_groundings")
+    if groundings is not None and (
+        not isinstance(groundings, list) or len(groundings) != len(stmt["agents"])
+    ):
+        return False
     if stmt["type"] == "Complex" and len(agents) < 2:
         return False
     return True

@@ -406,11 +406,13 @@ def build_readonly(
         return df
     kept = distill_readings(principal["text_content"], principal["reading"])
     reading = principal["reading"].join(kept, "rid", "left_semi")
+    # branches kept disjoint: a malformed row with BOTH ids set counts once
+    # (as database-sourced), never twice
     raw = principal["raw_statements"].filter(
         F.col("db_info_id").isNotNull()
     ).unionByName(
         principal["raw_statements"]
-        .filter(F.col("reading_id").isNotNull())
+        .filter(F.col("reading_id").isNotNull() & F.col("db_info_id").isNull())
         .join(kept.withColumnRenamed("rid", "reading_id"), "reading_id", "left_semi")
     )
     links = principal.get("raw_unique_links")

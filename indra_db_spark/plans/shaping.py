@@ -71,6 +71,8 @@ def get_statements(
     evidence_filter: Optional["EvidenceFilter"] = None,
 ) -> "StatementQueryResult":
     """Full statement page with bounded evidence (query.py:421-628)."""
+    if ev_limit is not None and ev_limit < 0:
+        raise ValueError(f"ev_limit must be >= 0 or None, got {ev_limit}")
     page = _ranked_hashes(query, lake, limit, offset, sort_by)
 
     ev = lake["fast_raw_pa_link"].join(

@@ -107,8 +107,11 @@ def query_from_web_params(params: dict) -> tuple[Query, Optional[EvidenceFilter]
         fold(HasNumEvidence(_int_list("num_evidence")))
 
     if params.get("paper_ids"):
+        paper_ids = params["paper_ids"]
+        if isinstance(paper_ids, str):
+            paper_ids = paper_ids.split(",")
         papers = []
-        for p in _check_list("paper_ids", params["paper_ids"]):
+        for p in _check_list("paper_ids", paper_ids):
             id_type, _, id_val = p.partition(":")
             if not id_val:
                 raise WebQueryError(f"paper id needs 'type:id' form: {p!r}")
@@ -117,7 +120,10 @@ def query_from_web_params(params: dict) -> tuple[Query, Optional[EvidenceFilter]
         ev_filters.append(EvidenceFilter.from_papers(papers))
 
     if params.get("mesh_ids"):
-        mesh = _check_list("mesh_ids", params["mesh_ids"])
+        mesh_ids = params["mesh_ids"]
+        if isinstance(mesh_ids, str):
+            mesh_ids = mesh_ids.split(",")
+        mesh = _check_list("mesh_ids", mesh_ids)
         fold(FromMeshIds(mesh))
         ev_filters.append(EvidenceFilter.from_mesh_ids(mesh))
 

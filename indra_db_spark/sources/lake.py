@@ -36,8 +36,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ``events.ts`` is stored as TIMESTAMP(NANOS); with
     ``spark.sql.legacy.parquet.nanosAsLong`` it arrives as epoch-nanos long
     and is rebuilt here as a micro-precision timestamp (sub-microsecond
-    detail is immaterial for event-time semantics).
+    detail is immaterial for event-time semantics).  The conf is set here at
+    runtime (it is a dynamic SQLConf) so callers with a vanilla
+    ``SparkSession`` — e.g. an external harness — read the lake without
+    needing session-builder cooperation.
     """
+    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

@@ -230,6 +230,88 @@ def test_distill_prefers_fulltext_and_newest_version(spark):
     assert kept == {103, 104}
 
 
+def test_distill_keeps_abstract_and_title_without_fulltext(spark):
+    # export_assembly.py:204-214 — no fulltext: the abstract does not include
+    # the title, so BOTH survive
+    content = spark.createDataFrame(
+        [
+            (10, 1, "pubmed", "text", "abstract", False),
+            (11, 1, "pubmed", "text", "title", False),
+        ],
+        PRINCIPAL_SCHEMAS["text_content"],
+    )
+    reading = spark.createDataFrame(
+        [(100, 10, "reach", "1.0", 1), (101, 11, "reach", "1.0", 1)],
+        PRINCIPAL_SCHEMAS["reading"],
+    )
+    kept = {r.rid for r in distill_readings(content, reading).collect()}
+    assert kept == {100, 101}
+
+
+def test_distill_cord19_abstract_supersedes_pubmed(spark):
+    # export_assembly.py:209-214 — a cord19 abstract includes the title, so
+    # it drops the pubmed abstract AND title
+    content = spark.createDataFrame(
+        [
+            (10, 1, "pubmed", "text", "abstract", False),
+            (11, 1, "pubmed", "text", "title", False),
+            (12, 1, "cord19_abstract", "text", "abstract", False),
+        ],
+        PRINCIPAL_SCHEMAS["text_content"],
+    )
+    reading = spark.createDataFrame(
+        [
+            (100, 10, "reach", "1.0", 1),
+            (101, 11, "reach", "1.0", 1),
+            (102, 12, "reach", "1.0", 1),
+        ],
+        PRINCIPAL_SCHEMAS["reading"],
+    )
+    kept = {r.rid for r in distill_readings(content, reading).collect()}
+    assert kept == {102}
+
+
+def test_distill_unknown_fulltext_source_beats_abstract(spark):
+    # any text_type='fulltext' outranks non-fulltext even when the source is
+    # absent from FULLTEXT_PRIORITY
+    content = spark.createDataFrame(
+        [
+            (10, 1, "pubmed", "text", "abstract", False),
+            (11, 1, "mystery_archive", "xml", "fulltext", False),
+        ],
+        PRINCIPAL_SCHEMAS["text_content"],
+    )
+    reading = spark.createDataFrame(
+        [(100, 10, "reach", "1.0", 1), (101, 11, "reach", "1.0", 1)],
+        PRINCIPAL_SCHEMAS["reading"],
+    )
+    kept = {r.rid for r in distill_readings(content, reading).collect()}
+    assert kept == {101}
+
+
+def test_distill_fulltext_priority_order(spark):
+    # export_assembly.py:218-227 order (reversed sort): pmc_oa > manuscripts
+    # > cord19_pmc_xml > elsevier > cord19_pdf > xdd-biorxiv > xdd > xdd-pubmed
+    content = spark.createDataFrame(
+        [
+            (10, 1, "elsevier", "xml", "fulltext", False),
+            (11, 1, "cord19_pmc_xml", "xml", "fulltext", False),
+            (12, 1, "xdd", "xml", "fulltext", False),
+        ],
+        PRINCIPAL_SCHEMAS["text_content"],
+    )
+    reading = spark.createDataFrame(
+        [
+            (100, 10, "reach", "1.0", 1),
+            (101, 11, "reach", "1.0", 1),
+            (102, 12, "reach", "1.0", 1),
+        ],
+        PRINCIPAL_SCHEMAS["reading"],
+    )
+    kept = {r.rid for r in distill_readings(content, reading).collect()}
+    assert kept == {101}
+
+
 # ---------------------------------------------------------------- refinement
 
 

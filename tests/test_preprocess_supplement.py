@@ -34,6 +34,15 @@ def test_clean_json_and_validation():
     assert validate_statement_semantics({"type": "Complex", "agents": ["A"]}) is False
     assert validate_statement_semantics({"type": "Complex", "agents": ["A", "B"]})
     assert validate_statement_semantics({"type": "", "agents": ["A"]}) is False
+    # agent_groundings must align 1:1 with agents when present
+    assert validate_statement_semantics(
+        {"type": "Activation", "agents": ["A", "B"],
+         "agent_groundings": [{"HGNC": "1"}]}
+    ) is False
+    assert validate_statement_semantics(
+        {"type": "Activation", "agents": ["A", "B"],
+         "agent_groundings": [{"HGNC": "1"}, {"HGNC": "2"}]}
+    )
 
 
 def test_preprocess_repairs_grounds_and_rehashes(spark):

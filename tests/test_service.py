@@ -57,6 +57,19 @@ def test_web_params_roles_and_papers():
     assert ev is not None
 
 
+def test_web_params_bare_string_ids():
+    # a bare string for paper_ids/mesh_ids is one id (or comma-joined ids),
+    # never iterated character-by-character
+    q, ev = query_from_web_params({"paper_ids": "pmid:70001"})
+    assert type(q).__name__ == "FromPapers"
+    assert q.paper_list == [("pmid", "70001")]
+    assert ev is not None
+
+    q2, _ = query_from_web_params({"mesh_ids": "D000225,D012345"})
+    assert type(q2).__name__ == "FromMeshIds"
+    assert q2.mesh_ids == ["D000225", "D012345"]
+
+
 def test_web_params_guardrails():
     with pytest.raises(WebQueryError):
         query_from_web_params({})

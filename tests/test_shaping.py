@@ -69,6 +69,12 @@ def test_get_statements_ev_limit_zero(fx):
     )
 
 
+def test_get_statements_ev_limit_negative_rejected(fx):
+    lake, _ = fx
+    with pytest.raises(ValueError, match="ev_limit"):
+        get_statements(HasAgent("ERK"), lake, limit=2, ev_limit=-1)
+
+
 def test_evidence_filter_source(fx):
     lake, stmts = fx
     f = EvidenceFilter.has_source(["reach"])
