@@ -182,6 +182,71 @@ def doc_quality(spark, sf):
     return X.quality_features(T(spark, sf, "documents"))
 
 
+_GOPHER_STOP_IN = ", ".join(f"'{m}'" for m in X.STOPWORDS)
+
+
+@register(
+    "doc_gopher_quality",
+    f"""
+    WITH f AS (
+      SELECT doc_id,
+        len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_words,
+        length(replace(text, ' ', '')) AS n_nonspace,
+        len(list_filter(string_split(lower(text), ' '), x -> x IN ({_GOPHER_STOP_IN}))) AS n_stop,
+        len(list_filter(string_split(lower(text), ' '), x -> regexp_matches(x, '[a-z]'))) AS n_alpha
+      FROM documents
+    )
+    SELECT doc_id,
+      CAST(n_words AS INTEGER) AS n_words,
+      round(n_nonspace / n_words, 6) AS mean_word_len,
+      CAST(n_stop AS INTEGER) AS n_stopwords,
+      round(n_alpha / n_words, 6) AS alpha_word_ratio,
+      CAST(n_words BETWEEN {X.GOPHER_MIN_WORDS} AND {X.GOPHER_MAX_WORDS}
+       AND n_nonspace / n_words BETWEEN {X.GOPHER_MIN_MEAN_WORD_LEN} AND {X.GOPHER_MAX_MEAN_WORD_LEN}
+       AND n_stop >= {X.GOPHER_MIN_STOPWORDS}
+       AND n_alpha / n_words >= {X.GOPHER_MIN_ALPHA_RATIO} AS INTEGER) AS passed
+    FROM f
+    """,
+)
+def doc_gopher_quality(spark, sf):
+    """Gopher-rule document gate (Rae et al. 2021 §A1.1 heuristics) — one
+    scan, no shuffle; the 100 TB path is a plain filter pushed at the source."""
+    return X.gopher_rules(T(spark, sf, "documents"))
+
+
+@register(
+    "doc_dup_clusters",
+    f"""
+    WITH RECURSIVE {_SHINGLES_CTE},
+    sig AS (SELECT id, {_mh_sig_cols} FROM sh GROUP BY id),
+    b AS ({_mh_band_selects}),
+    pairs AS (
+      SELECT DISTINCT a.id AS id_a, b2.id AS id_b
+      FROM b a JOIN b b2 ON a.bkey = b2.bkey AND a.id < b2.id
+    ),
+    edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach AS (
+      SELECT s, d FROM edges
+      UNION
+      SELECT r.s, e.d FROM reach r JOIN edges e ON e.s = r.d
+    )
+    SELECT s AS node, least(s, min(d)) AS component
+    FROM reach GROUP BY s
+    """,
+)
+def doc_dup_clusters(spark, sf):
+    """Near-duplicate CLUSTERS: MinHash-LSH candidate pairs → connected
+    components (min-node label).  The corpus-dedup end game: pick one
+    canonical doc per component.  Oracle = recursive-CTE reachability;
+    Spark side = union-find below the edge threshold, distributed
+    pointer-jumping label propagation above it (operators/graph.py)."""
+    pairs = D.minhash_lsh_pairs(
+        T(spark, sf, "documents"), num_hashes=_MH_HASHES, bands=_MH_BANDS
+    )
+    return G.connected_components(pairs, "id_a", "id_b")
+
+
 @register(
     "doc_token_count",
     r"""

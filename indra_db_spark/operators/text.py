@@ -91,6 +91,51 @@ def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     )
 
 
+#: Gopher-style repetition/quality gate bounds (Rae et al. 2021, "Scaling
+#: Language Models: ... Gopher", §A1.1 quality heuristics — public paper)
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MIN_STOPWORDS = 2
+GOPHER_MIN_ALPHA_RATIO = 0.8
+
+
+def gopher_rules(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style document filter: per-doc features + pass/fail flag.
+
+    Rules (each a pure built-in expression, single scan, no shuffle):
+    - word count in [50, 100000]
+    - mean word length (non-space chars / words) in [3, 10]
+    - at least 2 stopword occurrences (fluency proxy)
+    - >= 80% of words contain an alphabetic character
+    ``passed`` is int (1/0) so external oracles hash identically.
+    """
+    t = F.col(text_col)
+    words = tokens(t)
+    n_words = F.size(words)
+    mean_wl = F.length(F.regexp_replace(t, " ", "")) / n_words
+    n_stop = _marker_count(F.transform(words, F.lower), STOPWORDS)
+    alpha_ratio = (
+        F.size(F.filter(F.transform(words, F.lower), lambda w: w.rlike("[a-z]")))
+        / n_words
+    )
+    passed = (
+        n_words.between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+        & mean_wl.between(GOPHER_MIN_MEAN_WORD_LEN, GOPHER_MAX_MEAN_WORD_LEN)
+        & (n_stop >= GOPHER_MIN_STOPWORDS)
+        & (alpha_ratio >= GOPHER_MIN_ALPHA_RATIO)
+    )
+    return df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        n_stop.alias("n_stopwords"),
+        F.round(alpha_ratio, 6).alias("alpha_word_ratio"),
+        passed.cast("int").alias("passed"),
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Deterministic document fingerprint over *normalized* text (md5), plus
     a shorter 16-hex prefix usable as a shard/bucket key."""

@@ -63,6 +63,38 @@ def test_minhash_lsh_catches_exact_dup(spark):
     assert not any({a, b} == {1, 3} for a, b in pairs)
 
 
+def test_gopher_rules(spark):
+    from indra_db_spark.operators.text import gopher_rules
+
+    long_ok = "the quick brown foxes jumped over the lazy dogs " * 8  # 72 words
+    short = "tiny doc"
+    symbols = " ".join(["§†¶=+%" for _ in range(80)]) + " the of a in on"
+    rows = [(1, long_ok.strip()), (2, short), (3, symbols)]
+    out = {
+        r.doc_id: r
+        for r in gopher_rules(
+            spark.createDataFrame(rows, ["doc_id", "text"])
+        ).collect()
+    }
+    assert out[1].passed == 1
+    assert out[2].passed == 0  # too few words
+    assert out[3].passed == 0  # alpha ratio too low
+    assert out[1].n_words == 72
+    assert out[1].n_stopwords >= 2
+
+
+def test_dup_clusters_from_lsh_pairs(spark):
+    from indra_db_spark.operators.graph import connected_components
+
+    pairs = minhash_lsh_pairs(_docs(spark), num_hashes=8, bands=4)
+    comp = {
+        r.node: r.component
+        for r in connected_components(pairs, "id_a", "id_b").collect()
+    }
+    # docs 1 and 4 are exact dups -> same component, labeled by min id
+    assert comp[1] == 1 and comp[4] == 1
+
+
 def test_simhash_identical_docs_same_hash(spark):
     vals = {r.id: r.simhash for r in simhash(_docs(spark)).collect()}
     assert vals[1] == vals[4]
