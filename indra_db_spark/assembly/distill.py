@@ -55,7 +55,28 @@ def _fulltext_rank() -> "F.Column":
     return expr
 
 
-def distill_readings(text_content: DataFrame, reading: DataFrame) -> DataFrame:
+def _version_rank(version_priority: dict[str, "list[str]"] | None) -> "F.Column":
+    """Explicit reader-version ordering (export_assembly.py:185-189 sorts by
+    ``reader_versions[reader].index(version)``, newest = highest index).
+    Falls back to lexicographic ``reader_version`` for unlisted pairs, which
+    is correct for same-width version strings."""
+    if not version_priority:
+        return F.col("reader_version")
+    expr = F.lit(-1)
+    for reader, versions in version_priority.items():
+        for i, v in enumerate(versions):
+            expr = F.when(
+                (F.col("reader") == reader) & (F.col("reader_version") == v),
+                F.lit(i),
+            ).otherwise(expr)
+    return expr
+
+
+def distill_readings(
+    text_content: DataFrame,
+    reading: DataFrame,
+    version_priority: dict[str, "list[str]"] | None = None,
+) -> DataFrame:
     """Reading ids that survive distillation.
 
     Returns a 1-column DataFrame ``rid`` — semi-join raw_statements against
@@ -63,6 +84,10 @@ def distill_readings(text_content: DataFrame, reading: DataFrame) -> DataFrame:
     reference's ``drop_readings`` set, export_assembly.py:236-306).  May
     contain several rids per (text_ref, reader): abstract + title both
     survive when no fulltext exists.
+
+    ``version_priority`` maps reader → version list oldest-first (the
+    reference's ``reader_versions`` registry); without it, versions order
+    lexicographically.
     """
     cand = reading.join(
         text_content.select("tcid", "text_ref_id", "source", "text_type"),
@@ -73,7 +98,7 @@ def distill_readings(text_content: DataFrame, reading: DataFrame) -> DataFrame:
     # (export_assembly.py:180-193).
     w_ver = Window.partitionBy(
         "text_ref_id", "reader", "source", "text_type"
-    ).orderBy(F.col("reader_version").desc(), F.col("rid").asc())
+    ).orderBy(_version_rank(version_priority).desc(), F.col("rid").asc())
     cand = (
         cand.withColumn("_vn", F.row_number().over(w_ver))
         .filter(F.col("_vn") == 1)

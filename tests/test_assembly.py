@@ -230,6 +230,29 @@ def test_distill_prefers_fulltext_and_newest_version(spark):
     assert kept == {103, 104}
 
 
+def test_distill_version_priority_map_beats_lexicographic(spark):
+    # export_assembly.py:185-189 ranks by the reader_versions registry index;
+    # '10.0' is newer than '2.0' though lexicographically smaller
+    content = spark.createDataFrame(
+        [(10, 1, "pubmed", "text", "abstract", False)],
+        PRINCIPAL_SCHEMAS["text_content"],
+    )
+    reading = spark.createDataFrame(
+        [(100, 10, "reach", "2.0", 1), (101, 10, "reach", "10.0", 1)],
+        PRINCIPAL_SCHEMAS["reading"],
+    )
+    kept = {
+        r.rid
+        for r in distill_readings(
+            content, reading, version_priority={"reach": ["2.0", "10.0"]}
+        ).collect()
+    }
+    assert kept == {101}
+    # without the map, lexicographic ordering picks '2.0'
+    kept_lex = {r.rid for r in distill_readings(content, reading).collect()}
+    assert kept_lex == {100}
+
+
 def test_distill_keeps_abstract_and_title_without_fulltext(spark):
     # export_assembly.py:204-214 — no fulltext: the abstract does not include
     # the title, so BOTH survive
