@@ -10,6 +10,7 @@ count() is a partial-aggregated scan).
 from __future__ import annotations
 
 import json
+import os
 
 from pyspark.sql import DataFrame
 
@@ -52,3 +53,50 @@ def diff_snapshots(golden: dict, current: dict, row_tolerance: float = 0.0) -> l
         if not (lo <= c["rows"] <= hi):
             problems.append(f"{name}: rows {g['rows']} -> {c['rows']}")
     return problems
+
+
+MANIFEST_NAME = "manifest.json"
+
+
+def write_release(lake, root: str, meta: dict | None = None, optimized: bool = True) -> dict:
+    """Write the readonly lake as a release artifact: Parquet tables + a
+    ``manifest.json`` recording per-table schema/row counts and caller
+    metadata — the reference's Start→…→End dump chain with its S3 manifest
+    role (databases.py:1121-1228, cli/dump.py:284-614) re-expressed as a
+    self-describing Parquet directory.  The manifest is driver-written; on a
+    cluster ``root`` is an object-store path and the manifest goes next to
+    the tables.
+    """
+    if optimized:
+        lake.write_optimized(root)
+    else:
+        lake.write_parquet(root)
+    manifest = {"tables": snapshot(lake.tables()), "meta": meta or {}}
+    with open(os.path.join(root, MANIFEST_NAME), "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    return manifest
+
+
+def load_release(spark, root: str, strict: bool = True, row_tolerance: float = 0.0):
+    """Load a release directory back into a ReadonlyLake, validating the
+    stored manifest against what was actually read (the reference's golden
+    snapshot check at restore time, readonly_dumping.py:2295-2302).
+
+    Returns (lake, problems); ``strict`` raises on any drift.
+    """
+    from indra_db_spark.plans.lake import ReadonlyLake
+
+    with open(os.path.join(root, MANIFEST_NAME)) as f:
+        manifest = json.load(f)
+    lake = ReadonlyLake(
+        {
+            name: spark.read.parquet(os.path.join(root, name))
+            for name in manifest["tables"]
+        }
+    )
+    problems = diff_snapshots(
+        manifest["tables"], snapshot(lake.tables()), row_tolerance
+    )
+    if strict and problems:
+        raise ValueError(f"release drift: {problems}")
+    return lake, problems

@@ -40,6 +40,9 @@ class ReadonlyLake:
     def __contains__(self, name: str) -> bool:
         return name in self._tables
 
+    def tables(self) -> dict[str, DataFrame]:
+        return dict(self._tables)
+
     @property
     def spark(self) -> SparkSession:
         return self._tables["source_meta"].sparkSession

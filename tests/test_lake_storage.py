@@ -82,3 +82,32 @@ def test_sql_surface_matches_algebra(lakes):
     q = HasAgent("MEK", role="SUBJECT") & HasType(["Phosphorylation"])
     want = {r.mk_hash for r in q.hashes(mem_lake).collect()}
     assert got == want and got
+
+
+def test_release_manifest_round_trip(lakes, tmp_path):
+    from indra_db_spark.assembly.snapshot import load_release, write_release
+
+    mem_lake, _, _ = lakes
+    root = str(tmp_path / "release")
+    manifest = write_release(mem_lake, root, meta={"build": "test"})
+    assert manifest["meta"] == {"build": "test"}
+    assert manifest["tables"]["source_meta"]["rows"] > 0
+
+    lake2, problems = load_release(mem_lake.spark, root)
+    assert problems == []
+    q = HasAgent("MEK", role="SUBJECT") & HasType(["Phosphorylation"])
+    want = {r.mk_hash for r in get_hashes(q, mem_lake).collect()}
+    got = {r.mk_hash for r in get_hashes(q, lake2).collect()}
+    assert got == want and got
+
+    # tamper with the manifest -> strict load refuses
+    import json, os
+
+    mpath = os.path.join(root, "manifest.json")
+    with open(mpath) as f:
+        m = json.load(f)
+    m["tables"]["source_meta"]["rows"] += 1
+    with open(mpath, "w") as f:
+        json.dump(m, f)
+    with pytest.raises(ValueError, match="drift"):
+        load_release(mem_lake.spark, root)
