@@ -182,6 +182,42 @@ def doc_quality(spark, sf):
     return X.quality_features(T(spark, sf, "documents"))
 
 
+@register(
+    "doc_repetition",
+    f"""
+    WITH w AS (
+      SELECT doc_id AS id,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+      FROM documents
+    ),
+    g1 AS (SELECT id, unnest(ws) AS g FROM w),
+    u AS (SELECT id, max(c) AS max_uni, sum(c) AS n_words
+          FROM (SELECT id, g, count(*) AS c FROM g1 GROUP BY id, g) GROUP BY id),
+    g2 AS (SELECT id, array_to_string(ws[i:i+1], ' ') AS g
+           FROM w, UNNEST(range(1, greatest(len(ws), 1))) AS t(i)),
+    b AS (SELECT id, max(c) AS max_big, sum(c) AS n_big
+          FROM (SELECT id, g, count(*) AS c FROM g2 GROUP BY id, g) GROUP BY id),
+    g3 AS (SELECT id, array_to_string(ws[i:i+2], ' ') AS g
+           FROM w, UNNEST(range(1, greatest(len(ws) - 1, 1))) AS t(i)),
+    t3 AS (SELECT id, count(*) AS n_tri, count(DISTINCT g) AS d_tri
+           FROM g3 GROUP BY id)
+    SELECT u.id AS doc_id,
+      round(max_uni / n_words, 6) AS top_unigram_frac,
+      round(coalesce(max_big / n_big, 0), 6) AS top_bigram_frac,
+      round(coalesce(1 - CAST(d_tri AS DOUBLE) / n_tri, 0), 6) AS dup_3gram_frac,
+      CAST((max_uni / n_words > {X.REP_MAX_TOP_UNIGRAM})
+        OR (coalesce(max_big / n_big, 0) > {X.REP_MAX_TOP_BIGRAM})
+        OR (coalesce(1 - CAST(d_tri AS DOUBLE) / n_tri, 0) > {X.REP_MAX_DUP_3GRAM})
+        AS INTEGER) AS repetitive
+    FROM u LEFT JOIN b ON b.id = u.id LEFT JOIN t3 ON t3.id = u.id
+    """,
+)
+def doc_repetition(spark, sf):
+    """Gopher repetition gate (top-unigram/bigram fraction, duplicate
+    3-gram fraction) — three partial-aggregated shuffles joined on doc id."""
+    return X.repetition_features(T(spark, sf, "documents"))
+
+
 _GOPHER_STOP_IN = ", ".join(f"'{m}'" for m in X.STOPWORDS)
 
 

@@ -136,6 +136,88 @@ def gopher_rules(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     )
 
 
+#: repetition-gate thresholds (Rae et al. 2021 §A1.1: top-2-gram ≤ .18 etc.;
+#: unigram/3-gram bounds adapted to single-line documents)
+REP_MAX_TOP_UNIGRAM = 0.30
+REP_MAX_TOP_BIGRAM = 0.18
+REP_MAX_DUP_3GRAM = 0.60
+
+
+def repetition_features(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition features per document:
+
+    - ``top_unigram_frac``: occurrences of the most frequent word / words
+    - ``top_bigram_frac``: occurrences of the most frequent word bigram /
+      total bigrams
+    - ``dup_3gram_frac``: 1 − distinct/total word 3-grams
+    - ``repetitive``: 1 when any threshold is exceeded
+
+    Three explode→two-level-groupBy chains joined on doc id — each is one
+    shuffle with map-side partial aggregation; the n-gram arrays are
+    materialized in a projection first (transform() lambdas re-evaluate
+    captured expressions per element).
+    """
+    base = df.select(
+        F.col(id_col).alias("id"),
+        tokens(F.lower(F.col(text_col)), " ").alias("ws"),
+    )
+
+    def grams(n: int):
+        idx = F.when(
+            F.size("ws") >= n, F.sequence(F.lit(1), F.size("ws") - (n - 1))
+        ).otherwise(F.array().cast("array<int>"))
+        return base.select(
+            "id", F.explode(idx).alias("_i"), "ws"
+        ).select("id", F.concat_ws(" ", F.slice("ws", F.col("_i"), n)).alias("g"))
+
+    uni = (
+        grams(1)
+        .groupBy("id", "g").agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("id")
+        .agg(F.max("c").alias("max_uni"), F.sum("c").alias("n_words"))
+    )
+    big = (
+        grams(2)
+        .groupBy("id", "g").agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("id")
+        .agg(F.max("c").alias("max_big"), F.sum("c").alias("n_big"))
+    )
+    tri = (
+        grams(3)
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tri"),
+            F.count_distinct("g").alias("d_tri"),
+        )
+    )
+
+    top_uni = F.col("max_uni") / F.col("n_words")
+    top_big = F.coalesce(F.col("max_big") / F.col("n_big"), F.lit(0.0))
+    dup_tri = F.coalesce(
+        F.lit(1.0) - F.col("d_tri") / F.col("n_tri"), F.lit(0.0)
+    )
+    repetitive = (
+        (top_uni > REP_MAX_TOP_UNIGRAM)
+        | (top_big > REP_MAX_TOP_BIGRAM)
+        | (dup_tri > REP_MAX_DUP_3GRAM)
+    )
+    return (
+        base.select("id").distinct()
+        .join(uni, "id")
+        .join(big, "id", "left")
+        .join(tri, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.round(top_uni, 6).alias("top_unigram_frac"),
+            F.round(top_big, 6).alias("top_bigram_frac"),
+            F.round(dup_tri, 6).alias("dup_3gram_frac"),
+            repetitive.cast("int").alias("repetitive"),
+        )
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Deterministic document fingerprint over *normalized* text (md5), plus
     a shorter 16-hex prefix usable as a shard/bucket key."""

@@ -83,6 +83,25 @@ def test_gopher_rules(spark):
     assert out[1].n_stopwords >= 2
 
 
+def test_repetition_features(spark):
+    from indra_db_spark.operators.text import repetition_features
+
+    rows = [
+        (1, "spam spam spam spam spam spam"),  # one token repeated
+        (2, "every word here appears exactly once in this document"),
+    ]
+    out = {
+        r.doc_id: r
+        for r in repetition_features(
+            spark.createDataFrame(rows, ["doc_id", "text"])
+        ).collect()
+    }
+    assert out[1].repetitive == 1 and out[1].top_unigram_frac == 1.0
+    assert out[1].dup_3gram_frac > 0.6  # 4 trigrams, 1 distinct
+    assert out[2].repetitive == 0
+    assert out[2].top_bigram_frac < 0.18
+
+
 def test_dup_clusters_from_lsh_pairs(spark):
     from indra_db_spark.operators.graph import connected_components
 
