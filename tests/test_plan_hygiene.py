@@ -49,6 +49,20 @@ def test_grouped_topn_uses_window_group_limit(spark, sf_dir):
     assert "WindowGroupLimit" in plan  # rank pushdown before full sort
 
 
+def test_gopher_gate_is_shuffle_free(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "doc_gopher_quality")
+    assert "Exchange" not in plan  # pure per-row expressions, single scan
+    read_schema = plan.split("ReadSchema:")[1].split("\n")[0]
+    assert "lang" not in read_schema  # column pruning: only doc_id + text
+
+
+def test_repetition_gate_partial_aggregates(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "doc_repetition")
+    # each gram chain must combine map-side before its shuffle
+    assert plan.count("HashAggregate") >= 6
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_hot_paths_have_no_python_udf(spark, sf_dir):
     for name in (
         "agg_rollup", "join3_topk", "source_pivot", "set_intersection",
