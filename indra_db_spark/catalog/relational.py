@@ -295,11 +295,18 @@ def join3_topk(spark, sf):
         F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
     )
     l = T(spark, sf, "lineitem")
-    joined = c.join(o, c.c_custkey == o.o_custkey).join(
-        l, l.l_orderkey == o.o_orderkey
+    # pre-aggregate the fact side to one row per order BEFORE joining —
+    # the join then moves |orders| rows instead of |lineitem| rows, and the
+    # partial sum happens map-side on the scan (Catalyst does not push
+    # aggregates below joins itself)
+    lrev = l.groupBy("l_orderkey").agg(
+        F.sum(drevenue()).alias("_rev")
     )
-    agg = joined.groupBy("o_orderkey", "o_orderdate").agg(
-        F.sum(drevenue()).cast("double").alias("revenue")
+    joined = c.join(o, c.c_custkey == o.o_custkey).join(
+        lrev, lrev.l_orderkey == o.o_orderkey
+    )
+    agg = joined.select(
+        "o_orderkey", "o_orderdate", F.col("_rev").cast("double").alias("revenue")
     )
     return global_topk(agg, [F.desc("revenue"), F.asc("o_orderkey")], 10)
 

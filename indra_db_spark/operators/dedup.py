@@ -52,9 +52,15 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def word_shingles(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    distinct: bool = True,
 ) -> DataFrame:
-    """Distinct word n-gram shingles per document → (id, shingle).
+    """Word n-gram shingles per document → (id, shingle); ``distinct``
+    dedups within-document (set semantics — required for Jaccard, skippable
+    for min-aggregations).
 
     Pure built-in expressions (split/sequence/transform/explode) — stays in
     whole-stage codegen, no Python UDF.
@@ -69,14 +75,11 @@ def word_shingles(
     idx = F.when(
         F.size("_ws") >= n, F.sequence(F.lit(1), F.size("_ws") - (n - 1))
     ).otherwise(F.array().cast("array<int>"))
-    return (
-        words.select("id", F.explode(idx).alias("_i"), "_ws")
-        .select(
-            "id",
-            F.concat_ws(" ", F.slice("_ws", F.col("_i"), n)).alias("shingle"),
-        )
-        .distinct()
+    out = words.select("id", F.explode(idx).alias("_i"), "_ws").select(
+        "id",
+        F.concat_ws(" ", F.slice("_ws", F.col("_i"), n)).alias("shingle"),
     )
+    return out.distinct() if distinct else out
 
 
 def ngram_jaccard_pairs(
@@ -137,10 +140,13 @@ def minhash_signatures(
 
     md5 (not xxhash/murmur) so any SQL engine reproduces signatures exactly.
     One groupBy with ``num_hashes`` partial min-aggregations — a single
-    shuffle regardless of signature width.
+    shuffle regardless of signature width.  Shingles are NOT deduped first:
+    min() is duplicate-insensitive, so skipping the distinct removes an
+    entire (id, shingle)-width shuffle and lets the partial agg collapse
+    each map task's rows to ``num_hashes`` values per doc before exchange.
     Returns (id, h0..h{num_hashes-1}).
     """
-    sh = word_shingles(df, id_col, text_col, n)
+    sh = word_shingles(df, id_col, text_col, n, distinct=False)
     n_md5 = (num_hashes * 8 + 31) // 32
     hexcat = F.concat(
         *[
