@@ -45,7 +45,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # Pin UTC so event-time queries (date_trunc/window) agree with the
     # naive-timestamp oracle regardless of the host machine's zone.
-    if spark.conf.get("spark.sql.session.timeZone", "") != "UTC":
+    # NB: conf.get must not pass a fallback here — Spark validates the
+    # fallback string against the conf's validator and rejects e.g. "".
+    if spark.conf.get("spark.sql.session.timeZone") != "UTC":
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and isinstance(df.schema["ts"].dataType, LongType):

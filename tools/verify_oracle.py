@@ -15,11 +15,20 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
+    from pyspark.sql import SparkSession
+
     from indra_db_spark import catalog
-    from indra_db_spark.session import get_spark
     from indra_db_spark.testing import compare_frames, duckdb_con
 
-    spark = get_spark("verify-oracle")
+    # deliberately a VANILLA session (not session.get_spark): the external
+    # harness builds its own, so every query must be self-sufficient —
+    # load_table sets the dynamic confs it needs at read time
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .appName("verify-oracle")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
     con = duckdb_con(sf_dir)
 
     failures = 0
