@@ -302,6 +302,25 @@ def doc_token_count(spark, sf):
 
 
 @register(
+    "doc_split",
+    f"""
+    WITH m AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+    b AS (SELECT doc_id,
+      (strpos('0123456789abcdef', substr(h, 31, 1)) - 1) * 16 +
+      (strpos('0123456789abcdef', substr(h, 32, 1)) - 1) AS bucket FROM m)
+    SELECT doc_id, CAST(bucket AS INTEGER) AS bucket,
+      CASE WHEN bucket < {X.SPLIT_TRAIN_LT} THEN 'train'
+           WHEN bucket < {X.SPLIT_VAL_LT} THEN 'val'
+           ELSE 'test' END AS split
+    FROM b
+    """,
+)
+def doc_split(spark, sf):
+    """Leakage-safe deterministic train/val/test split by id hash."""
+    return X.split_assign(T(spark, sf, "documents"))
+
+
+@register(
     "doc_fingerprint",
     """
     WITH n AS (

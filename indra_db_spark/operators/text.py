@@ -228,3 +228,55 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         fp.alias("fp"),
         F.substring(fp, 1, 16).alias("fp16"),
     )
+
+
+#: 256-bucket split thresholds: [0,204) train / [204,230) val / [230,256) test
+SPLIT_TRAIN_LT = 204
+SPLIT_VAL_LT = 230
+
+
+def split_assign(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic train/val/test assignment by id hash — the standard
+    leakage-safe dataset split: membership is a pure function of the id, so
+    it is stable across runs, engines, partitionings, and corpus growth
+    (documents never migrate between splits as data is added).
+
+    Bucket = last byte of md5(id) → ~80/10/10.  No shuffle; at 100 TB this
+    is a scan-fused projection, and writing with ``partitionBy("split")``
+    lands each split in its own directory.
+    """
+    m = F.md5(F.col(id_col).cast("string"))
+    bucket = F.conv(F.substring(m, 31, 2), 16, 10).cast("int")
+    split = (
+        F.when(bucket < SPLIT_TRAIN_LT, F.lit("train"))
+        .when(bucket < SPLIT_VAL_LT, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return df.select(
+        F.col(id_col), bucket.alias("bucket"), split.alias("split")
+    )
+
+
+#: deliberately simple, engine-portable PII patterns (no lookarounds)
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\+?[0-9][0-9()\- ]{6,}[0-9]"
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Redact emails/phone-shaped substrings and count what was removed —
+    the corpus-level analog of the reference's license-based evidence text
+    redaction (call_handlers.py:274-302, service/redaction.py here).
+    Pure regexp expressions: scan-fused, no shuffle, no Python.
+    """
+    t = F.col(text_col)
+    n_email = F.size(F.regexp_extract_all(t, F.lit(PII_EMAIL), F.lit(0)))
+    scrubbed_email = F.regexp_replace(t, PII_EMAIL, "[EMAIL]")
+    n_phone = F.size(
+        F.regexp_extract_all(scrubbed_email, F.lit(PII_PHONE), F.lit(0))
+    )
+    return df.select(
+        F.col(id_col),
+        F.regexp_replace(scrubbed_email, PII_PHONE, "[PHONE]").alias("text"),
+        n_email.alias("n_emails"),
+        n_phone.alias("n_phones"),
+    )

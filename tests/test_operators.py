@@ -102,6 +102,38 @@ def test_repetition_features(spark):
     assert out[2].top_bigram_frac < 0.18
 
 
+def test_split_assign_deterministic_and_partitioned(spark):
+    from indra_db_spark.operators.text import split_assign
+
+    docs = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+    a = {r.doc_id: (r.bucket, r.split) for r in split_assign(docs).collect()}
+    b = {r.doc_id: (r.bucket, r.split) for r in split_assign(docs).collect()}
+    assert a == b  # pure function of the id
+    frac_train = sum(1 for _, s in a.values() if s == "train") / len(a)
+    assert 0.7 < frac_train < 0.9
+    assert {s for _, s in a.values()} == {"train", "val", "test"}
+
+
+def test_pii_scrub(spark):
+    from indra_db_spark.operators.text import pii_scrub
+
+    rows = [
+        (1, "contact alice@example.com or +1 (555) 123-4567 today"),
+        (2, "no pii here at all"),
+    ]
+    out = {
+        r.doc_id: r
+        for r in pii_scrub(
+            spark.createDataFrame(rows, ["doc_id", "text"])
+        ).collect()
+    }
+    assert out[1].n_emails == 1 and out[1].n_phones == 1
+    assert "[EMAIL]" in out[1].text and "[PHONE]" in out[1].text
+    assert "alice" not in out[1].text and "555" not in out[1].text
+    assert out[2].text == "no pii here at all"
+    assert out[2].n_emails == 0 and out[2].n_phones == 0
+
+
 def test_dup_clusters_from_lsh_pairs(spark):
     from indra_db_spark.operators.graph import connected_components
 
