@@ -261,3 +261,63 @@ def test_num_agents_string_param():
 def test_unknown_type_raises():
     with pytest.raises(ValueError):
         HasType(["Phosphorilation"])  # typo must not silently match nothing
+
+
+# ----------------------------------------------------------------- REST shim
+
+
+def test_rest_shim_round_trip(spark):
+    import json
+    from urllib.request import Request, urlopen
+
+    from indra_db_spark.plans.fixtures import fixture_lake
+    from indra_db_spark.service.rest import serve
+
+    lake, _, _ = fixture_lake(spark)
+    server = serve(lake)
+    host, port = server.server_address
+    base = f"http://{host}:{port}"
+    try:
+        assert json.load(urlopen(f"{base}/health")) == {"status": "ok"}
+
+        got = json.load(
+            urlopen(f"{base}/statements/from_agents?agent=MEK&limit=2&ev_limit=3")
+        )
+        assert got["statements"] and got["limit"] == 2
+        for stmt in got["statements"].values():
+            assert len(stmt["evidence"]) <= 3
+
+        hashes = json.load(urlopen(f"{base}/hashes/from_agents?agent=MEK&limit=5"))
+        assert hashes["results"]
+        evs = [r["ev_count"] for r in hashes["results"]]
+        assert evs == sorted(evs, reverse=True)
+
+        # POST simple-JSON query
+        body = json.dumps(
+            {"query": {"class": "HasAgent", "agent_id": "MEK"}, "limit": 3}
+        ).encode()
+        req = Request(f"{base}/query/hashes", data=body,
+                      headers={"Content-Type": "application/json"})
+        got2 = json.load(urlopen(req))
+        assert {r["mk_hash"] for r in got2["results"]} <= {
+            r["mk_hash"] for r in hashes["results"]
+        }
+
+        # /compile conformance
+        req = Request(f"{base}/compile",
+                      data=json.dumps({"class": "HasType",
+                                       "constraint": {"stmt_types": ["Activation"]}}).encode(),
+                      headers={"Content-Type": "application/json"})
+        comp = json.load(urlopen(req))
+        assert comp["compiled"]["class"] == "HasType"
+
+        # bad request -> 400 with an error payload
+        from urllib.error import HTTPError
+
+        try:
+            urlopen(f"{base}/statements/from_agents")
+            raise AssertionError("expected 400")
+        except HTTPError as e:
+            assert e.code == 400 and "error" in json.load(e)
+    finally:
+        server.shutdown()
