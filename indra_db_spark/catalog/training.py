@@ -161,10 +161,10 @@ _STOP_IN = ", ".join(f"'{m}'" for m in X.STOPWORDS)
     f"""
     WITH f AS (
       SELECT doc_id,
-        len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tok,
-        length(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g')) AS alnum_chars,
-        length(text) AS n_chars,
-        len(list_filter(string_split(lower(text), ' '), x -> x IN ({_STOP_IN}))) AS stop_cnt
+        CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tok,
+        CAST(length(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g')) AS BIGINT) AS alnum_chars,
+        CAST(length(text) AS BIGINT) AS n_chars,
+        CAST(len(list_filter(string_split(lower(text), ' '), x -> x IN ({_STOP_IN}))) AS BIGINT) AS stop_cnt
       FROM documents
     )
     SELECT doc_id,
@@ -172,9 +172,13 @@ _STOP_IN = ", ".join(f"'{m}'" for m in X.STOPWORDS)
       round(alnum_chars / n_tok, 6) AS mean_tok_len,
       round(stop_cnt / n_tok, 6) AS stopword_ratio,
       round(alnum_chars / n_chars, 6) AS alnum_ratio,
-      round(least(n_tok / 50.0, 1.0) * 0.25 + least(stop_cnt / n_tok * 4, 1.0) * 0.25
-          + least(alnum_chars / n_tok / 8.0, 1.0) * 0.25
-          + alnum_chars / n_chars * 0.25, 6) AS quality_score
+      -- integer-exact blend numerator over denominator 1600·n_tok·n_chars:
+      -- one double division, bit-identical across engines (no ulp drift)
+      round((least(n_tok, 50) * 8 * n_tok * n_chars
+           + least(stop_cnt * 4, n_tok) * 400 * n_chars
+           + least(alnum_chars, n_tok * 8) * 50 * n_chars
+           + alnum_chars * 400 * n_tok)
+          / (1600 * n_tok * n_chars), 6) AS quality_score
     FROM f
     """,
 )

@@ -68,22 +68,32 @@ def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     """
     t = F.col(text_col)
     words = tokens(t)
-    n_tok = F.size(words)
-    n_chars = F.length(t)
-    alnum_chars = F.length(F.regexp_replace(t, "[^a-zA-Z0-9]", ""))
-    stop_ratio = _marker_count(F.transform(words, F.lower), STOPWORDS) / n_tok
+    n_tok = F.size(words).cast("long")
+    n_chars = F.length(t).cast("long")
+    alnum_chars = F.length(F.regexp_replace(t, "[^a-zA-Z0-9]", "")).cast("long")
+    stop_cnt = _marker_count(F.transform(words, F.lower), STOPWORDS).cast("long")
+    stop_ratio = stop_cnt / n_tok
     mean_tok_len = alnum_chars / n_tok
     alnum_ratio = alnum_chars / n_chars
-    # bounded linear blend; exact arithmetic order matters for oracle parity
-    score = (
-        F.least(n_tok / F.lit(50.0), F.lit(1.0)) * 0.25
-        + F.least(stop_ratio * 4, F.lit(1.0)) * 0.25
-        + F.least(mean_tok_len / F.lit(8.0), F.lit(1.0)) * 0.25
-        + alnum_ratio * 0.25
+    # Bounded linear blend  (min(n/50,1) + min(4·stop/n,1) + min(alnum/8n,1)
+    # + alnum/chars) / 4, evaluated as ONE integer-exact rational N/D with a
+    # single double division: a sum of doubles differs between engines in
+    # the last ulp, which flips round(x, 6) on half boundaries (seen at
+    # sf0.1); integer arithmetic + one division is bit-identical everywhere.
+    n1 = F.least(n_tok, F.lit(50).cast("long"))
+    n2 = F.least(stop_cnt * 4, n_tok)
+    n3 = F.least(alnum_chars, n_tok * 8)
+    num = (
+        n1 * 8 * n_tok * n_chars
+        + n2 * 400 * n_chars
+        + n3 * 50 * n_chars
+        + alnum_chars * 400 * n_tok
     )
+    den = F.lit(1600).cast("long") * n_tok * n_chars
+    score = num / den
     return df.select(
         F.col(id_col),
-        n_tok.alias("n_tokens"),
+        n_tok.cast("int").alias("n_tokens"),
         F.round(mean_tok_len, 6).alias("mean_tok_len"),
         F.round(stop_ratio, 6).alias("stopword_ratio"),
         F.round(alnum_ratio, 6).alias("alnum_ratio"),
