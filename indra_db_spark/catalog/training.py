@@ -339,6 +339,98 @@ def doc_fingerprint(spark, sf):
     return X.fingerprint(T(spark, sf, "documents"))
 
 
+@register(
+    "doc_corpus_pipeline",
+    f"""
+    WITH RECURSIVE {_SHINGLES_CTE},
+    sig AS (SELECT id, {_mh_sig_cols} FROM sh GROUP BY id),
+    bnd AS ({_mh_band_selects}),
+    pairs AS (
+      SELECT DISTINCT a.id AS id_a, b2.id AS id_b
+      FROM bnd a JOIN bnd b2 ON a.bkey = b2.bkey AND a.id < b2.id
+    ),
+    edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach AS (
+      SELECT s, d FROM edges
+      UNION
+      SELECT r.s, e.d FROM reach r JOIN edges e ON e.s = r.d
+    ),
+    comp AS (SELECT s AS node, least(s, min(d)) AS component
+             FROM reach GROUP BY s),
+    gop AS (
+      SELECT doc_id,
+        len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_words,
+        length(replace(text, ' ', '')) AS n_nonspace,
+        len(list_filter(string_split(lower(text), ' '), x -> x IN ({_GOPHER_STOP_IN}))) AS n_stop,
+        len(list_filter(string_split(lower(text), ' '), x -> regexp_matches(x, '[a-z]'))) AS n_alpha
+      FROM documents
+    ),
+    wr AS (SELECT doc_id AS id,
+                  list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+           FROM documents),
+    rg1 AS (SELECT id, unnest(ws) AS g FROM wr),
+    ru AS (SELECT id, max(c) AS max_uni, sum(c) AS n_w
+           FROM (SELECT id, g, count(*) AS c FROM rg1 GROUP BY id, g) GROUP BY id),
+    rg2 AS (SELECT id, array_to_string(ws[i:i+1], ' ') AS g
+            FROM wr, UNNEST(range(1, greatest(len(ws), 1))) AS t(i)),
+    rb AS (SELECT id, max(c) AS max_big, sum(c) AS n_big
+           FROM (SELECT id, g, count(*) AS c FROM rg2 GROUP BY id, g) GROUP BY id),
+    rg3 AS (SELECT id, array_to_string(ws[i:i+2], ' ') AS g
+            FROM wr, UNNEST(range(1, greatest(len(ws) - 1, 1))) AS t(i)),
+    rt AS (SELECT id, count(*) AS n_tri, count(DISTINCT g) AS d_tri
+           FROM rg3 GROUP BY id),
+    m AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents)
+    SELECT g.doc_id,
+      CAST(g.n_words AS INTEGER) AS n_words,
+      CASE WHEN (strpos('0123456789abcdef', substr(m.h, 31, 1)) - 1) * 16 +
+                (strpos('0123456789abcdef', substr(m.h, 32, 1)) - 1) < {X.SPLIT_TRAIN_LT} THEN 'train'
+           WHEN (strpos('0123456789abcdef', substr(m.h, 31, 1)) - 1) * 16 +
+                (strpos('0123456789abcdef', substr(m.h, 32, 1)) - 1) < {X.SPLIT_VAL_LT} THEN 'val'
+           ELSE 'test' END AS split
+    FROM gop g
+    JOIN m ON m.doc_id = g.doc_id
+    JOIN ru ON ru.id = g.doc_id
+    LEFT JOIN rb ON rb.id = g.doc_id
+    LEFT JOIN rt ON rt.id = g.doc_id
+    LEFT JOIN comp ON comp.node = g.doc_id
+    WHERE g.n_words BETWEEN {X.GOPHER_MIN_WORDS} AND {X.GOPHER_MAX_WORDS}
+      AND g.n_nonspace / g.n_words BETWEEN {X.GOPHER_MIN_MEAN_WORD_LEN} AND {X.GOPHER_MAX_MEAN_WORD_LEN}
+      AND g.n_stop >= {X.GOPHER_MIN_STOPWORDS}
+      AND g.n_alpha / g.n_words >= {X.GOPHER_MIN_ALPHA_RATIO}
+      AND NOT (ru.max_uni / ru.n_w > {X.REP_MAX_TOP_UNIGRAM})
+      AND NOT (coalesce(rb.max_big / rb.n_big, 0) > {X.REP_MAX_TOP_BIGRAM})
+      AND NOT (coalesce(1 - CAST(rt.d_tri AS DOUBLE) / rt.n_tri, 0) > {X.REP_MAX_DUP_3GRAM})
+      AND (comp.node IS NULL OR comp.node = comp.component)
+    """,
+)
+def doc_corpus_pipeline(spark, sf):
+    """The composed training-corpus pipeline — quality gate ∧ repetition
+    gate ∧ near-dup canonicalization → deterministic split.  One DataFrame
+    job: each stage is a join on doc_id against an independently-derived
+    frame, so Catalyst schedules the gates as parallel subtrees and the
+    only wide rows (shingle/gram explosions) stay inside their own
+    aggregations.  This is the end-to-end shape a 100 TB pre-training run
+    executes nightly."""
+    docs = T(spark, sf, "documents")
+    g = X.gopher_rules(docs).filter(F.col("passed") == 1)
+    r = X.repetition_features(docs).filter(F.col("repetitive") == 0)
+    comp = G.connected_components(
+        D.minhash_lsh_pairs(docs, num_hashes=_MH_HASHES, bands=_MH_BANDS),
+        "id_a",
+        "id_b",
+    )
+    dups = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id")
+    )
+    return (
+        g.select("doc_id", "n_words")
+        .join(r.select("doc_id"), "doc_id")
+        .join(dups, "doc_id", "left_anti")
+        .join(X.split_assign(docs).select("doc_id", "split"), "doc_id")
+    )
+
+
 # ------------------------------------------------------- similarity search
 
 _COS = "round(list_cosine_similarity(CAST(q.qvec AS DOUBLE[]), CAST(c.cvec AS DOUBLE[])), 6)"

@@ -108,3 +108,26 @@ def test_stateful_running_totals(spark, event_dir, batch_events):
     assert got_counts == want_counts
     for k in want:
         assert abs(final[k][1] - want[k][1]) < 1e-6 * max(1.0, abs(want[k][1]))
+
+
+def test_text_gates_stream_matches_batch(spark, tmp_path_factory):
+    """The stateless document gates (Gopher rules, split assignment) applied
+    to a readStream equal the batch computation — the unified-API proof that
+    the corpus-filter stage runs incrementally over daily document drops."""
+    from indra_db_spark.operators.text import gopher_rules, split_assign
+
+    path = str(tmp_path_factory.mktemp("docs_stream"))
+    # write a small doc corpus as the "daily drop"
+    batch = load_table(spark, "/root/testdata/sf0.001", "documents")
+    batch.coalesce(2).write.mode("overwrite").parquet(path)
+    static = spark.read.parquet(path)
+
+    stream = read_stream(spark, path, static.schema)
+    got_gopher = _counter(
+        run_to_memory_sink(gopher_rules(stream), "gates_gopher")
+    )
+    want_gopher = _counter(gopher_rules(static))
+    assert got_gopher == want_gopher and got_gopher
+
+    got_split = _counter(run_to_memory_sink(split_assign(stream), "gates_split"))
+    assert got_split == _counter(split_assign(static))
