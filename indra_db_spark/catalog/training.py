@@ -99,6 +99,43 @@ def doc_minhash_lsh(spark, sf):
     )
 
 
+@register(
+    "doc_minhash_verified",
+    f"""
+    WITH {_SHINGLES_CTE},
+    sig AS (SELECT id, {_mh_sig_cols} FROM sh GROUP BY id),
+    b AS ({_mh_band_selects}),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b2.id AS id_b
+      FROM b a JOIN b b2 ON a.bkey = b2.bkey AND a.id < b2.id
+    ),
+    sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+    common AS (
+      SELECT c.id_a, c.id_b, count(*) AS n_common
+      FROM cand c
+      JOIN sh sa ON sa.id = c.id_a
+      JOIN sh sb ON sb.id = c.id_b AND sb.shingle = sa.shingle
+      GROUP BY c.id_a, c.id_b
+    )
+    SELECT id_a, id_b,
+           n_common / (x.n_sh + y.n_sh - n_common) AS jaccard
+    FROM common
+    JOIN sizes x ON x.id = id_a
+    JOIN sizes y ON y.id = id_b
+    WHERE n_common / (x.n_sh + y.n_sh - n_common) >= 0.2
+    """,
+)
+def doc_minhash_verified(spark, sf):
+    """LSH candidates + exact-Jaccard verification — the production near-dup
+    shape: generation O(docs×bands), verification only on candidates."""
+    return D.minhash_verified_pairs(
+        T(spark, sf, "documents"),
+        num_hashes=_MH_HASHES,
+        bands=_MH_BANDS,
+        threshold=0.2,
+    )
+
+
 _SH_BITS = 32
 _sh_votes = ",\n      ".join(
     f"sum(((((strpos('0123456789abcdef', substr(m, {1 + j // 4}, 1)) - 1) >> {3 - j % 4}) & 1) * 2) - 1) AS s{j}"

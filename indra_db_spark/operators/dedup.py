@@ -198,6 +198,49 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_verified_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 12,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """LSH candidates verified by EXACT Jaccard — the production dedup
+    shape: candidate generation is O(docs × bands), and the exact
+    set-overlap join runs only over candidate pairs (semi-joined shingle
+    lists), never the quadratic pair space.  Returns
+    (id_a, id_b, jaccard >= threshold).
+    """
+    cand = minhash_lsh_pairs(df, id_col, text_col, n, num_hashes, bands)
+    sh = word_shingles(df, id_col, text_col, n)
+    # only shingles of docs that appear in some candidate pair
+    ids = cand.select(F.col("id_a").alias("id")).unionByName(
+        cand.select(F.col("id_b").alias("id"))
+    ).distinct()
+    sh = sh.join(ids, "id", "left_semi")
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("id").alias("id_a"), "shingle")
+    b = sh.select(F.col("id").alias("id_b"), "shingle")
+    common = (
+        cand.join(a, "id_a")
+        .join(b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        common.join(sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def _hex_bit(md5_col, j: int):
     """Bit j (LSB-first within each hex nibble group) of an md5 hex string,
     as 0/1 int; expressible identically in any SQL engine."""

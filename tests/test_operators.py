@@ -146,6 +146,24 @@ def test_dup_clusters_from_lsh_pairs(spark):
     assert comp[1] == 1 and comp[4] == 1
 
 
+def test_minhash_verified_pairs(spark):
+    from indra_db_spark.operators.dedup import minhash_verified_pairs
+
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in minhash_verified_pairs(
+            _docs(spark), num_hashes=8, bands=4, threshold=0.5
+        ).collect()
+    }
+    assert got[(1, 4)] == 1.0  # exact dup survives verification
+    assert not any({a, b} == {1, 3} for a, b in got)
+    # verification prunes candidates below the threshold
+    loose = minhash_verified_pairs(
+        _docs(spark), num_hashes=8, bands=4, threshold=0.0
+    ).count()
+    assert loose >= len(got)
+
+
 def test_simhash_identical_docs_same_hash(spark):
     vals = {r.id: r.simhash for r in simhash(_docs(spark)).collect()}
     assert vals[1] == vals[4]
