@@ -27,3 +27,35 @@ def test_catalog_query_matches_oracle(name, spark, sf_dir, oracle):
     odf = oracle.execute(sql).df()
     problems = [p for p in compare_frames(sdf, odf) if not p.startswith("WARN")]
     assert not problems, f"{name}: {problems}"
+
+
+DRIVER_WINDOW = 50
+
+# The driver gate checks only the first DRIVER_WINDOW registrations; these
+# families must never be displaced past it (round-2 regression: six entries
+# silently fell out of the checked window when new entries were inserted
+# mid-order).
+CRITICAL_IN_WINDOW = [
+    "closure_ancestors",
+    "belief_ancestor_agg",
+    "multimodal_meta",
+    "multimodal_frames",
+    "emb_srp_neardup",  # bucketed scale path is the checked near-dup entry
+    "json_extract",
+    "doc_corpus_pipeline",
+    "doc_dup_clusters",
+]
+
+
+def test_critical_entries_inside_driver_window():
+    names = list(catalog.REGISTRY)[:DRIVER_WINDOW]
+    missing = [n for n in CRITICAL_IN_WINDOW if n not in names]
+    assert not missing, f"critical entries outside driver window: {missing}"
+
+
+def test_window_entries_all_have_oracles():
+    # every checked slot should carry the strong (hash) check; rows-only
+    # entries belong past the window
+    window = list(catalog.REGISTRY.items())[:DRIVER_WINDOW]
+    weak = [name for name, (_, sql) in window if sql is None]
+    assert not weak, f"oracle-less entries consuming checked slots: {weak}"
