@@ -44,14 +44,22 @@ _SHINGLES_CTE = """
 """
 
 
+# hot-shingle doc-frequency cap: the skew guard runs ON in the checked
+# configuration — at 100 TB one stop-phrase shingle otherwise creates a
+# single quadratic join bucket
+_JACCARD_MAX_DF = 100
+
+
 @register(
     "doc_ngram_jaccard",
     f"""
     WITH {_SHINGLES_CTE},
-    sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+    hot AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > {_JACCARD_MAX_DF}),
+    shc AS (SELECT * FROM sh WHERE shingle NOT IN (SELECT shingle FROM hot)),
+    sizes AS (SELECT id, count(*) AS n_sh FROM shc GROUP BY id),
     common AS (
       SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+      FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.id < b.id
       GROUP BY a.id, b.id
     )
     SELECT id_a, id_b, n_common / (sa.n_sh + sb.n_sh - n_common) AS jaccard
@@ -62,7 +70,11 @@ _SHINGLES_CTE = """
     """,
 )
 def doc_ngram_jaccard(spark, sf):
-    return D.ngram_jaccard_pairs(T(spark, sf, "documents"), threshold=0.2)
+    return D.ngram_jaccard_pairs(
+        T(spark, sf, "documents"),
+        threshold=0.2,
+        max_shingle_freq=_JACCARD_MAX_DF,
+    )
 
 
 _MH_HASHES = 8

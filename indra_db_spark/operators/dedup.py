@@ -25,6 +25,20 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _materialize(df: DataFrame) -> DataFrame:
+    """Compute-once barrier for a frame that feeds both sides of a
+    self-join (or is reused N times downstream).
+
+    Without it, Catalyst re-derives the full lineage (scan → shingle →
+    signature) independently for each use — the LSH band self-join would
+    scan and re-aggregate ``documents`` twice, doubling the dominant cost
+    at scale.  ``localCheckpoint(eager=False)`` persists the partitions on
+    first computation and truncates lineage, so every subsequent use reads
+    the materialized rows instead of recomputing the plan.
+    """
+    return df.localCheckpoint(eager=False)
+
+
 def normalize_text(col):
     """lower + collapse non-alphanumerics: the canonical form fed to every
     fingerprint.  Mirrors the reference's text regularization idea
@@ -102,6 +116,9 @@ def ngram_jaccard_pairs(
     if max_shingle_freq is not None:
         hot = sh.groupBy("shingle").count().filter(F.col("count") > max_shingle_freq)
         sh = sh.join(hot.select("shingle"), "shingle", "left_anti")
+    # the shingle frame feeds sizes AND both sides of the self-join —
+    # compute it once
+    sh = _materialize(sh)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -185,8 +202,8 @@ def minhash_lsh_pairs(
             for b in range(bands)
         ]
     )
-    buckets = sigs.select(
-        "id", F.posexplode(band_keys).alias("band", "bkey")
+    buckets = _materialize(
+        sigs.select("id", F.posexplode(band_keys).alias("band", "bkey"))
     )
     a = buckets.alias("a")
     b = buckets.alias("b")
@@ -213,13 +230,15 @@ def minhash_verified_pairs(
     lists), never the quadratic pair space.  Returns
     (id_a, id_b, jaccard >= threshold).
     """
-    cand = minhash_lsh_pairs(df, id_col, text_col, n, num_hashes, bands)
+    cand = _materialize(
+        minhash_lsh_pairs(df, id_col, text_col, n, num_hashes, bands)
+    )
     sh = word_shingles(df, id_col, text_col, n)
     # only shingles of docs that appear in some candidate pair
     ids = cand.select(F.col("id_a").alias("id")).unionByName(
         cand.select(F.col("id_b").alias("id"))
     ).distinct()
-    sh = sh.join(ids, "id", "left_semi")
+    sh = _materialize(sh.join(ids, "id", "left_semi"))
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("id").alias("id_a"), "shingle")
     b = sh.select(F.col("id").alias("id_b"), "shingle")
@@ -321,7 +340,9 @@ def simhash_neardup_pairs(
             for b in range(n_bands)
         ]
     )
-    buckets = s.select("id", "simhash", F.explode(bandkeys).alias("bkey"))
+    buckets = _materialize(
+        s.select("id", "simhash", F.explode(bandkeys).alias("bkey"))
+    )
     a, b = buckets.alias("a"), buckets.alias("b")
     return (
         a.join(b, "bkey")

@@ -98,3 +98,18 @@ def test_srp_neardup_is_an_equijoin(spark, sf_dir):
     assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan) or (
         "ShuffledHashJoin" in plan
     )
+
+
+def test_lsh_self_join_reads_materialized_buckets(spark, sf_dir):
+    # dual-lineage guard: the band-bucket self-join must consume the
+    # checkpointed bucket frame, not re-derive scan->shingle->signature on
+    # both sides (VERDICT r2: 4 scans of documents, no ReusedExchange)
+    from indra_db_spark.catalog import REGISTRY
+
+    for name in ("doc_minhash_lsh", "doc_minhash_verified", "doc_ngram_jaccard"):
+        fn, _ = REGISTRY[name]
+        plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        assert "FileScan parquet" not in plan, (
+            f"{name}: self-join recomputes source lineage instead of "
+            f"reading the materialized frame"
+        )
