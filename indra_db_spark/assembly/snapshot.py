@@ -10,7 +10,6 @@ count() is a partial-aggregated scan).
 from __future__ import annotations
 
 import json
-import os
 
 from pyspark.sql import DataFrame
 
@@ -58,22 +57,67 @@ def diff_snapshots(golden: dict, current: dict, row_tolerance: float = 0.0) -> l
 MANIFEST_NAME = "manifest.json"
 
 
+def _fs_write_text(spark, path: str, text: str) -> None:
+    """Write a small text file through the Hadoop FileSystem API so release
+    roots can be any scheme Spark itself can write (file://, hdfs://,
+    s3a://, …) — builtin open() only handles local paths."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(jpath, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def _fs_read_text(spark, path: str) -> str:
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    stream = fs.open(jpath)
+    try:
+        # commons-io ships with Hadoop; a py4j-side read loop would not see
+        # Java's writes into a passed bytearray (py4j copies by value)
+        return jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8"
+        )
+    finally:
+        stream.close()
+
+
+def _join(root: str, *parts: str) -> str:
+    # '/'-join, not os.path.join: object-store URIs are always
+    # slash-separated regardless of the driver's platform
+    return "/".join([root.rstrip("/"), *parts])
+
+
 def write_release(lake, root: str, meta: dict | None = None, optimized: bool = True) -> dict:
     """Write the readonly lake as a release artifact: Parquet tables + a
     ``manifest.json`` recording per-table schema/row counts and caller
     metadata — the reference's Start→…→End dump chain with its S3 manifest
     role (databases.py:1121-1228, cli/dump.py:284-614) re-expressed as a
-    self-describing Parquet directory.  The manifest is driver-written; on a
-    cluster ``root`` is an object-store path and the manifest goes next to
-    the tables.
+    self-describing Parquet directory.
+
+    ``root`` may be any Hadoop-FS scheme (local path, hdfs://, s3a://): the
+    manifest goes through the FileSystem API next to the tables.  The
+    manifest is computed by RE-READING the written Parquet — a partial or
+    failed table write cannot produce a manifest that validates.
     """
     if optimized:
         lake.write_optimized(root)
     else:
         lake.write_parquet(root)
-    manifest = {"tables": snapshot(lake.tables()), "meta": meta or {}}
-    with open(os.path.join(root, MANIFEST_NAME), "w") as f:
-        json.dump(manifest, f, indent=1, sort_keys=True)
+    spark = next(iter(lake.tables().values())).sparkSession
+    written = {
+        name: spark.read.parquet(_join(root, name)) for name in lake.tables()
+    }
+    manifest = {"tables": snapshot(written), "meta": meta or {}}
+    _fs_write_text(
+        spark,
+        _join(root, MANIFEST_NAME),
+        json.dumps(manifest, indent=1, sort_keys=True),
+    )
     return manifest
 
 
@@ -86,11 +130,10 @@ def load_release(spark, root: str, strict: bool = True, row_tolerance: float = 0
     """
     from indra_db_spark.plans.lake import ReadonlyLake
 
-    with open(os.path.join(root, MANIFEST_NAME)) as f:
-        manifest = json.load(f)
+    manifest = json.loads(_fs_read_text(spark, _join(root, MANIFEST_NAME)))
     lake = ReadonlyLake(
         {
-            name: spark.read.parquet(os.path.join(root, name))
+            name: spark.read.parquet(_join(root, name))
             for name in manifest["tables"]
         }
     )

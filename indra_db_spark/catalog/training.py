@@ -176,9 +176,14 @@ def doc_simhash(spark, sf):
 
 # ------------------------------------------------------------ text analysis
 
+# oracle tokenization mirrors tokens()'s \s+ split (not single-space) so
+# both engines agree on tab/newline-bearing documents
+_WS_SPLIT = "regexp_split_to_array(text, '\\s+')"
+_WS_SPLIT_LC = "regexp_split_to_array(lower(text), '\\s+')"
+
 _lang_counts = ",\n      ".join(
-    "len(list_filter(string_split(lower(text), ' '), x -> x IN ({}))) AS c_{}".format(
-        ", ".join(f"'{m}'" for m in markers), lang
+    "len(list_filter({}, x -> x IN ({}))) AS c_{}".format(
+        _WS_SPLIT_LC, ", ".join(f"'{m}'" for m in markers), lang
     )
     for lang, markers in X.LANG_MARKERS.items()
 )
@@ -210,10 +215,10 @@ _STOP_IN = ", ".join(f"'{m}'" for m in X.STOPWORDS)
     f"""
     WITH f AS (
       SELECT doc_id,
-        CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tok,
+        CAST(len(list_filter({_WS_SPLIT}, x -> x <> '')) AS BIGINT) AS n_tok,
         CAST(length(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g')) AS BIGINT) AS alnum_chars,
         CAST(length(text) AS BIGINT) AS n_chars,
-        CAST(len(list_filter(string_split(lower(text), ' '), x -> x IN ({_STOP_IN}))) AS BIGINT) AS stop_cnt
+        CAST(len(list_filter({_WS_SPLIT_LC}, x -> x IN ({_STOP_IN}))) AS BIGINT) AS stop_cnt
       FROM documents
     )
     SELECT doc_id,
@@ -222,12 +227,14 @@ _STOP_IN = ", ".join(f"'{m}'" for m in X.STOPWORDS)
       round(stop_cnt / n_tok, 6) AS stopword_ratio,
       round(alnum_chars / n_chars, 6) AS alnum_ratio,
       -- integer-exact blend numerator over denominator 1600·n_tok·n_chars:
-      -- one double division, bit-identical across engines (no ulp drift)
-      round((least(n_tok, 50) * 8 * n_tok * n_chars
-           + least(stop_cnt * 4, n_tok) * 400 * n_chars
-           + least(alnum_chars, n_tok * 8) * 50 * n_chars
-           + alnum_chars * 400 * n_tok)
-          / (1600 * n_tok * n_chars), 6) AS quality_score
+      -- one double division, bit-identical across engines (no ulp drift);
+      -- inputs clamped at 2^24 (same least() as the Spark side) so the
+      -- int64 numerator cannot overflow for any document size
+      round((least(least(n_tok, 16777216), 50) * 8 * least(n_tok, 16777216) * least(n_chars, 16777216)
+           + least(least(stop_cnt, 16777216) * 4, least(n_tok, 16777216)) * 400 * least(n_chars, 16777216)
+           + least(least(alnum_chars, 16777216), least(n_tok, 16777216) * 8) * 50 * least(n_chars, 16777216)
+           + least(alnum_chars, 16777216) * 400 * least(n_tok, 16777216))
+          / (1600 * least(n_tok, 16777216) * least(n_chars, 16777216)), 6) AS quality_score
     FROM f
     """,
 )
@@ -279,10 +286,10 @@ _GOPHER_STOP_IN = ", ".join(f"'{m}'" for m in X.STOPWORDS)
     f"""
     WITH f AS (
       SELECT doc_id,
-        len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_words,
-        length(replace(text, ' ', '')) AS n_nonspace,
-        len(list_filter(string_split(lower(text), ' '), x -> x IN ({_GOPHER_STOP_IN}))) AS n_stop,
-        len(list_filter(string_split(lower(text), ' '), x -> regexp_matches(x, '[a-z]'))) AS n_alpha
+        len(list_filter({_WS_SPLIT}, x -> x <> '')) AS n_words,
+        length(regexp_replace(text, '\\s', '', 'g')) AS n_nonspace,
+        len(list_filter({_WS_SPLIT_LC}, x -> x IN ({_GOPHER_STOP_IN}))) AS n_stop,
+        len(list_filter({_WS_SPLIT_LC}, x -> regexp_matches(x, '[a-z]'))) AS n_alpha
       FROM documents
     )
     SELECT doc_id,
@@ -409,10 +416,10 @@ def doc_fingerprint(spark, sf):
              FROM reach GROUP BY s),
     gop AS (
       SELECT doc_id,
-        len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_words,
-        length(replace(text, ' ', '')) AS n_nonspace,
-        len(list_filter(string_split(lower(text), ' '), x -> x IN ({_GOPHER_STOP_IN}))) AS n_stop,
-        len(list_filter(string_split(lower(text), ' '), x -> regexp_matches(x, '[a-z]'))) AS n_alpha
+        len(list_filter({_WS_SPLIT}, x -> x <> '')) AS n_words,
+        length(regexp_replace(text, '\\s', '', 'g')) AS n_nonspace,
+        len(list_filter({_WS_SPLIT_LC}, x -> x IN ({_GOPHER_STOP_IN}))) AS n_stop,
+        len(list_filter({_WS_SPLIT_LC}, x -> regexp_matches(x, '[a-z]'))) AS n_alpha
       FROM documents
     ),
     wr AS (SELECT doc_id AS id,

@@ -80,16 +80,26 @@ def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     # single double division: a sum of doubles differs between engines in
     # the last ulp, which flips round(x, 6) on half boundaries (seen at
     # sf0.1); integer arithmetic + one division is bit-identical everywhere.
-    n1 = F.least(n_tok, F.lit(50).cast("long"))
-    n2 = F.least(stop_cnt * 4, n_tok)
-    n3 = F.least(alnum_chars, n_tok * 8)
+    #
+    # Blend inputs are clamped at 2^24 so the numerator stays < 2^62 for ANY
+    # document (unclamped, a ~16M-token × ~2.3GB doc would silently wrap in
+    # Spark while DuckDB raises — divergent engines).  Both engines apply
+    # the same least(), so cross-engine parity holds at every size; the
+    # clamp only distorts scores for absurd >16M-token documents, which the
+    # Gopher gate (max 100k words) rejects long before this stage.
+    _CAP = F.lit(1 << 24).cast("long")
+    ct, cc = F.least(n_tok, _CAP), F.least(n_chars, _CAP)
+    ca, cs = F.least(alnum_chars, _CAP), F.least(stop_cnt, _CAP)
+    n1 = F.least(ct, F.lit(50).cast("long"))
+    n2 = F.least(cs * 4, ct)
+    n3 = F.least(ca, ct * 8)
     num = (
-        n1 * 8 * n_tok * n_chars
-        + n2 * 400 * n_chars
-        + n3 * 50 * n_chars
-        + alnum_chars * 400 * n_tok
+        n1 * 8 * ct * cc
+        + n2 * 400 * cc
+        + n3 * 50 * cc
+        + ca * 400 * ct
     )
-    den = F.lit(1600).cast("long") * n_tok * n_chars
+    den = F.lit(1600).cast("long") * ct * cc
     score = num / den
     return df.select(
         F.col(id_col),
@@ -124,7 +134,9 @@ def gopher_rules(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     t = F.col(text_col)
     words = tokens(t)
     n_words = F.size(words)
-    mean_wl = F.length(F.regexp_replace(t, " ", "")) / n_words
+    # strip ALL whitespace (not just spaces) so the numerator agrees with
+    # the \s+ tokenization above on tab/newline-bearing documents
+    mean_wl = F.length(F.regexp_replace(t, r"\s", "")) / n_words
     n_stop = _marker_count(F.transform(words, F.lower), STOPWORDS)
     alpha_ratio = (
         F.size(F.filter(F.transform(words, F.lower), lambda w: w.rlike("[a-z]")))

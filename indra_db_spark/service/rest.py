@@ -105,7 +105,9 @@ def make_handler(lake):
                     self._send(200, self._run(parts[0], query, ev_filter, qs))
                     return
                 self._send(404, {"error": f"no route {url.path}"})
-            except WebQueryError as e:
+            except (WebQueryError, KeyError, ValueError) as e:
+                # ValueError/KeyError cover malformed query params (e.g. a
+                # non-integer limit) — same contract as do_POST
                 self._send(400, {"error": str(e)})
 
         def do_POST(self) -> None:

@@ -100,7 +100,10 @@ def test_release_manifest_round_trip(lakes, tmp_path):
     got = {r.mk_hash for r in get_hashes(q, lake2).collect()}
     assert got == want and got
 
-    # tamper with the manifest -> strict load refuses
+    # tamper with the manifest -> strict load refuses.  The crc sidecar is
+    # removed so the edit is checksum-consistent: a raw edit alone trips
+    # Hadoop's ChecksumException before the drift check even runs (also a
+    # guarantee, but not the one under test here).
     import json, os
 
     mpath = os.path.join(root, "manifest.json")
@@ -109,5 +112,8 @@ def test_release_manifest_round_trip(lakes, tmp_path):
     m["tables"]["source_meta"]["rows"] += 1
     with open(mpath, "w") as f:
         json.dump(m, f)
+    crc = os.path.join(root, ".manifest.json.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
     with pytest.raises(ValueError, match="drift"):
         load_release(mem_lake.spark, root)

@@ -55,7 +55,7 @@ def _mk_docs(n=40, seed=7):
 def _py_gopher(text):
     toks = [w for w in re.split(r"\s+", text) if w]
     n = len(toks)
-    mean_wl = len(text.replace(" ", "")) / n
+    mean_wl = len(re.sub(r"\s", "", text)) / n
     low = [w.lower() for w in toks]
     n_stop = sum(1 for w in low if w in STOPWORDS)
     alpha = sum(1 for w in low if re.search("[a-z]", w)) / n
@@ -126,3 +126,54 @@ def test_split_differential(spark):
             "train" if b < SPLIT_TRAIN_LT else "val" if b < SPLIT_VAL_LT else "test"
         )
         assert got[i].bucket == b and got[i].split == want, i
+
+
+def test_whitespace_docs_match_duckdb_oracle(spark):
+    """Tab/newline-bearing documents through BOTH engines: the gopher /
+    quality / langid oracle SQL must tokenize identically to tokens()'s
+    \\s+ split (ADVICE r2: latent divergence hidden by the space-separated
+    fixture corpus)."""
+    import duckdb
+    import pandas as pd
+
+    from indra_db_spark.catalog import REGISTRY
+    from indra_db_spark.testing import compare_frames
+
+    docs = _mk_docs(seed=23)
+    # force the divergence cases: hard tabs, newlines, CRLF, mixed runs
+    docs += [
+        (100, "the\tquick\nbrown fox\r\nand the\t\tlazy dog of data"),
+        (101, "word\n\n\nof\tthe   pipeline\tand\nthe graph"),
+        (102, "a\tb\nc d\te the of and to"),
+    ]
+    pdf = pd.DataFrame(docs, columns=["doc_id", "text"])
+    pdf["lang"] = "en"  # doc_langid selects it through
+    sdf = spark.createDataFrame(pdf)
+    sdf.createOrReplaceTempView("documents")
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    try:
+        for name in ("doc_gopher_quality", "doc_quality", "doc_langid"):
+            _, sql = REGISTRY[name]
+            import indra_db_spark.operators.text as X
+
+            fn = {
+                "doc_gopher_quality": X.gopher_rules,
+                "doc_quality": X.quality_features,
+            }.get(name)
+            if fn is not None:
+                got = fn(sdf).toPandas()
+            else:
+                from pyspark.sql import functions as F
+
+                got = sdf.select(
+                    "doc_id", "lang", X.lang_id(F.col("text")).alias("pred_lang")
+                ).toPandas()
+            want = con.execute(sql).df()
+            problems = [
+                p for p in compare_frames(got, want) if not p.startswith("WARN")
+            ]
+            assert not problems, f"{name}: {problems}"
+    finally:
+        con.close()
+        spark.catalog.dropTempView("documents")
