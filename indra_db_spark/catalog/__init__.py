@@ -78,6 +78,8 @@ WINDOW_ORDER = [
     "priority_argmin",
     "closure_ancestors",
     "belief_ancestor_agg",
+    "kb_union_merge",
+    "curation_anonymize",
     # §2.7 scalar functions
     "scalar_strings",
     "nullsafe_compare",

@@ -737,3 +737,93 @@ def ranked_page(spark, sf):
         .offset(100)
         .limit(50)
     )
+
+
+@register(
+    "kb_union_merge",
+    """
+    WITH u AS (
+      SELECT l_partkey AS key, 'kb_r' AS src
+      FROM lineitem WHERE l_returnflag = 'R'
+      UNION ALL
+      SELECT l_partkey AS key, 'kb_f' AS src
+      FROM lineitem WHERE l_linestatus = 'F'
+    ),
+    per AS (SELECT key, src, count(*) AS cnt FROM u GROUP BY key, src)
+    SELECT key,
+      string_agg(src || ':' || CAST(cnt AS VARCHAR), ','
+                 ORDER BY src || ':' || CAST(cnt AS VARCHAR)) AS src_counts,
+      CAST(SUM(cnt) AS BIGINT) AS ev_count,
+      CAST(count(*) AS INTEGER) AS num_srcs
+    FROM per GROUP BY key
+    """,
+)
+def kb_union_merge(spark, sf):
+    """The knowledge-base merge shape (sources/knowledgebase.py +
+    assembly/pipeline.py counts): N per-source extracts unioned, then ONE
+    shuffle merges per-key source-count maps — the reference's kb pipeline
+    union + src_counts map-merge (export_assembly.py:309-347).  Map-side
+    partial aggregation collapses each extract before the exchange; at
+    100 TB the union is scan-parallel and nothing materializes per-source.
+    """
+    li = T(spark, sf, "lineitem")
+    a = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_partkey").alias("key"), F.lit("kb_r").alias("src")
+    )
+    b = li.filter(F.col("l_linestatus") == "F").select(
+        F.col("l_partkey").alias("key"), F.lit("kb_f").alias("src")
+    )
+    per = (
+        a.unionByName(b)
+        .groupBy("key", "src")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return per.groupBy("key").agg(
+        F.concat_ws(
+            ",",
+            F.sort_array(
+                F.collect_list(
+                    F.concat_ws(":", "src", F.col("cnt").cast("string"))
+                )
+            ),
+        ).alias("src_counts"),
+        F.sum("cnt").alias("ev_count"),
+        F.count(F.lit(1)).cast("int").alias("num_srcs"),
+    )
+
+
+@register(
+    "curation_anonymize",
+    """
+    WITH c AS (
+      SELECT o_custkey AS pa_hash,
+             substr(md5(o_orderpriority || 'pepper'), 1, 16) AS curator
+      FROM orders WHERE o_orderkey < 5000
+    )
+    SELECT pa_hash, CAST(count(*) AS INTEGER) AS curation_count,
+           min(curator) AS a_curator
+    FROM c GROUP BY pa_hash
+    """,
+)
+def curation_anonymize(spark, sf):
+    """Curation read path: salted md5[:16] curator masking + per-statement
+    counts (reference: api.py:631-639 anonymization, call_handlers.py:336-354
+    counts) — the same plans/principal.py functions the service uses."""
+    from indra_db_spark.plans.principal import (
+        anonymize_curators,
+        curation_counts,
+    )
+
+    cur = (
+        T(spark, sf, "orders")
+        .filter(F.col("o_orderkey") < 5000)
+        .select(
+            F.col("o_custkey").alias("pa_hash"),
+            F.col("o_orderpriority").alias("curator"),
+        )
+    )
+    anon = anonymize_curators(cur, salt="pepper")
+    return curation_counts(anon).join(
+        anon.groupBy("pa_hash").agg(F.min("curator").alias("a_curator")),
+        "pa_hash",
+    )

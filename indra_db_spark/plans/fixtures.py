@@ -558,6 +558,10 @@ def build_principal_tables(
                 "curator": f"user{ci % 3}@example.org",
                 "text": None,
                 "ip": "127.0.0.1",
+                "source": "fixture",
+                "date": "2024-01-01T00:00:00",
+                "pa_json": None,
+                "ev_json": None,
             }
         )
 

@@ -380,7 +380,9 @@ RAW_AGENTS_SCHEMA = StructType(
     ]
 )
 
-# curation (principal_schema.py:949-1006): user feedback on statements
+# curation (principal_schema.py:949-1006): user feedback on statements;
+# ``source`` is the access point (e.g. "DB REST API"), ``date`` an ISO-8601
+# submission time, ``pa_json``/``ev_json`` the curated JSON payloads
 CURATION_SCHEMA = StructType(
     [
         StructField("id", IntegerType()),
@@ -390,6 +392,10 @@ CURATION_SCHEMA = StructType(
         StructField("curator", StringType()),
         StructField("text", StringType()),
         StructField("ip", StringType()),
+        StructField("source", StringType()),
+        StructField("date", StringType()),
+        StructField("pa_json", BinaryType()),
+        StructField("ev_json", BinaryType()),
     ]
 )
 

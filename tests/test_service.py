@@ -181,7 +181,55 @@ def test_curation_ops(principal):
 
     anon = curations_for(dfs["curation"], tag="correct").collect()
     assert anon
-    assert all(len(r.curator) == 32 for r in anon)  # md5-anonymized
+    # md5[:16] anonymization, the reference's exact masking (api.py:636-639)
+    assert all(len(r.curator) == 16 for r in anon)
+    assert all("@" not in r.curator for r in anon)
+    clear = curations_for(dfs["curation"], tag="correct", anonymize=False).collect()
+    assert {r.curator for r in clear} <= {f"user{i}@example.org" for i in range(3)}
+
+
+def test_curation_store_round_trip(spark, principal, tmp_path):
+    """POST-curation -> counts visible through the read clients, invalid
+    hash refused, parquet log survives a reopen (submit_curation contract,
+    client/principal/curation.py:17-82)."""
+    import pytest as _pytest
+
+    from indra_db_spark.plans.principal import BadHashError, CurationStore
+
+    dfs, stmts = principal
+    pa = dfs.get("pa_statements")
+    if pa is None:
+        from indra_db_spark.schemas import PRINCIPAL_SCHEMAS
+        _rows = []
+    store = CurationStore(spark, str(tmp_path / "curation_log"))
+    target = stmts[0].mk_hash
+    cid = store.submit(target, "correct", "alice@example.org", "10.0.0.1",
+                       text="looks right", source="DB REST API")
+    cid2 = store.submit(target, "grounding", "bob@example.org", "10.0.0.2")
+    assert (cid, cid2) == (1, 2)
+
+    counts = {r.pa_hash: r.curation_count
+              for r in curation_counts(store.df()).collect()}
+    assert counts == {target: 2}
+
+    # invalid hash refused when validated against pa_statements
+    pa_df = spark.createDataFrame(
+        [{"mk_hash": target, "json": b'{"type": "T", "agents": []}'}],
+        "mk_hash long, json binary",
+    )
+    with _pytest.raises(BadHashError):
+        store.submit(999, "correct", "eve@example.org", "::1",
+                     pa_statements=pa_df)
+    # valid hash pulls pa_json from the statement table
+    store.submit(target, "polarity", "carol@example.org", "::1",
+                 pa_statements=pa_df)
+    got = store.df().filter("tag = 'polarity'").collect()
+    assert got and bytes(got[0].pa_json) == b'{"type": "T", "agents": []}'
+
+    # a fresh store over the same log sees the persisted rows and continues ids
+    store2 = CurationStore(spark, str(tmp_path / "curation_log"))
+    assert store2.df().count() == 3
+    assert store2.submit(target, "correct", "dan@example.org", "::1") == 4
 
 
 def test_fixture_lake_still_builds(spark):
