@@ -1,18 +1,35 @@
 """Minimal REST front end over the service layer — the reference's
-indra_db_service Flask app (api.py:339-560, call_handlers.py:472-602)
+indra_db_service Flask app (api.py:339-560, call_handlers.py:43-712)
 re-expressed with only the standard library so the engine stays
 dependency-free.  The HTTP layer is deliberately thin: every route is one
-call into ``service.params`` + ``plans.shaping``; a production deployment
-would mount the same functions under Flask/FastAPI unchanged.
+call into ``service.params`` + ``plans.shaping`` / ``plans.principal``; a
+production deployment would mount the same functions under Flask/FastAPI
+unchanged.
 
-Routes (result_type grains as in api.py):
+Routes (result_type ∈ statements|hashes|interactions|relations|agents, as
+api.py:359-418; method dispatch mirrors the ApiCall subclasses):
 
 - ``GET  /health``
-- ``GET  /statements/from_agents?agent=MEK@FPLX&type=...&limit=&ev_limit=``
-- ``GET  /hashes/from_agents?...``
-- ``POST /query/statements``  body ``{"query": <simple-json>, "limit": ...}``
+- ``GET  /<result_type>/from_agents?agent=MEK@FPLX&type=...&limit=&ev_limit=``
+- ``GET  /<result_type>/from_hash/<hash>`` — ev_limit defaults to 1000
+  (FromHashApiCall.default_ev_lim, call_handlers.py:635)
+- ``GET  /<result_type>/from_paper/<id_type>/<id_val>``
+- ``POST /<result_type>/from_hashes``  body ``{"hashes": [...]}``
+- ``POST /<result_type>/from_papers`` body ``{"ids": [{"type":..,"id":..}],
+  "mesh_ids": [...]}`` (call_handlers.py:642-660)
+- ``POST /<result_type>/from_agent_json``  body ``{"agent_json": ...,
+  "stmt_type": ..., "hashes": [...]}`` (call_handlers.py:662-672)
+- ``POST /<result_type>/from_simple_json`` body ``{"query": <simple-json>,
+  "complexes_covered": [...]}`` (call_handlers.py:674-689)
+- ``POST /query/<result_type>``  (alias of from_simple_json, kept for the
+  DirectQuery shape)
 - ``POST /compile[?format=json|string]``  (conformance endpoint,
   api.py:527-539)
+- ``POST /curation/submit/<hash>`` body ``{"tag":..., "curator":...,
+  "text":..., "ev_hash":..., "source":...}`` (api.py:570-600)
+- ``GET  /curation/list/<stmt_hash>[/<src_hash>]`` — curators in the clear
+  (api.py:603-614)
+- ``GET  /curation/list`` — curators anonymized md5[:16] (api.py:620-639)
 
 The ``medscan`` query param simulates the reference's API-key permission
 (call_handlers.py:168-174): without it, medscan-only statements are
@@ -26,7 +43,22 @@ import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
 
-from indra_db_spark.plans.shaping import get_hashes, get_statements
+from indra_db_spark.plans.principal import (
+    BadHashError,
+    CurationStore,
+    anonymize_curators,
+    curation_counts,
+    curations_for,
+)
+from indra_db_spark.plans.queries import FromAgentJson, FromMeshIds, FromPapers, HasHash
+from indra_db_spark.plans.shaping import (
+    EvidenceFilter,
+    get_agents,
+    get_hashes,
+    get_interactions,
+    get_relations,
+    get_statements,
+)
 from indra_db_spark.service.params import (
     MAX_STMTS,
     WebQueryError,
@@ -35,6 +67,13 @@ from indra_db_spark.service.params import (
     query_from_simple_json,
     query_from_web_params,
 )
+
+RESULT_TYPES = ("statements", "hashes", "interactions", "relations", "agents")
+
+#: FromHashApiCall.default_ev_lim (call_handlers.py:635): the single-hash
+#: page shows effectively all evidence
+FROM_HASH_EV_LIMIT = 1000
+DEFAULT_EV_LIMIT = 10  # ApiCall.default_ev_lim (call_handlers.py:44)
 
 
 def _web_params(qs: dict[str, list[str]]) -> dict:
@@ -48,7 +87,16 @@ def _web_params(qs: dict[str, list[str]]) -> dict:
     return out
 
 
-def make_handler(lake):
+def _rows_json(df, limit):
+    if limit is not None:
+        df = df.limit(limit)
+    return [json.loads(s) for s in df.toJSON().collect()]
+
+
+def make_handler(lake, curation: CurationStore | None = None, pa_statements=None):
+    """``curation`` enables the write endpoints; ``pa_statements`` (a
+    (mk_hash, json) frame) makes submissions hash-validated."""
+
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):  # quiet test runs
             pass
@@ -69,7 +117,17 @@ def make_handler(lake):
                 "sort_by": qs.get("sort_by", ["ev_count"])[0],
             }
 
-        def _run(self, result_type: str, query, ev_filter, qs) -> dict:
+        def _run(
+            self,
+            result_type: str,
+            query,
+            ev_filter,
+            qs,
+            ev_default: int = DEFAULT_EV_LIMIT,
+            complexes_covered=None,
+        ) -> dict:
+            if result_type not in RESULT_TYPES:
+                raise WebQueryError(f"unknown result type {result_type!r}")
             query = apply_medscan_censor(
                 query, has_medscan=qs.get("medscan", ["false"])[0] == "true"
             )
@@ -84,13 +142,48 @@ def make_handler(lake):
                     ]
                 }
             if result_type == "statements":
-                ev_limit = int(qs.get("ev_limit", ["10"])[0])
+                ev_limit = int(qs.get("ev_limit", [str(ev_default)])[0])
                 res = get_statements(
                     query, lake, ev_limit=ev_limit,
                     evidence_filter=ev_filter, **page,
                 )
-                return res.json()
-            raise WebQueryError(f"unknown result type {result_type!r}")
+                out = res.json()
+                # with_cur_counts: per-statement curation tallies ride the
+                # response (produce_response, call_handlers.py:356-362)
+                if (
+                    qs.get("with_cur_counts", ["false"])[0] == "true"
+                    and curation is not None
+                ):
+                    from pyspark.sql import functions as F
+
+                    page_hashes = [int(h) for h in out["statements"]]
+                    counts = curation_counts(
+                        curation.df().filter(
+                            F.col("pa_hash").isin(page_hashes)
+                        )
+                    ).collect()
+                    out["num_curations"] = {
+                        str(r.pa_hash): r.curation_count for r in counts
+                    }
+                return out
+            if result_type == "interactions":
+                df = get_interactions(query, lake, limit=page["limit"])
+                return {"results": _rows_json(df, None)}
+            if result_type == "relations":
+                df = get_relations(query, lake, limit=page["limit"])
+                return {"results": _rows_json(df, None)}
+            # agents: stateful complex paging — covered hashes ride the
+            # response so the client can carry them to the next page
+            df, covered = get_agents(
+                query, lake, limit=page["limit"],
+                complexes_covered=complexes_covered,
+            )
+            return {
+                "results": _rows_json(df, None),
+                "complexes_covered": sorted(covered),
+            }
+
+        # ------------------------------------------------------------ GET
 
         def do_GET(self) -> None:
             url = urlparse(self.path)
@@ -100,8 +193,26 @@ def make_handler(lake):
                     self._send(200, {"status": "ok"})
                     return
                 parts = url.path.strip("/").split("/")
+                if parts[0] == "curation" and len(parts) >= 2 and parts[1] == "list":
+                    self._curation_list(parts[2:])
+                    return
                 if len(parts) == 2 and parts[1] == "from_agents":
                     query, ev_filter = query_from_web_params(_web_params(qs))
+                    self._send(200, self._run(parts[0], query, ev_filter, qs))
+                    return
+                if len(parts) == 3 and parts[1] == "from_hash":
+                    query = HasHash([int(parts[2])])
+                    self._send(
+                        200,
+                        self._run(
+                            parts[0], query, None, qs,
+                            ev_default=FROM_HASH_EV_LIMIT,
+                        ),
+                    )
+                    return
+                if len(parts) == 4 and parts[1] == "from_paper":
+                    query = FromPapers([(parts[2], parts[3])])
+                    ev_filter = EvidenceFilter.from_papers([(parts[2], parts[3])])
                     self._send(200, self._run(parts[0], query, ev_filter, qs))
                     return
                 self._send(404, {"error": f"no route {url.path}"})
@@ -109,6 +220,24 @@ def make_handler(lake):
                 # ValueError/KeyError cover malformed query params (e.g. a
                 # non-integer limit) — same contract as do_POST
                 self._send(400, {"error": str(e)})
+
+        def _curation_list(self, rest: list[str]) -> None:
+            if curation is None:
+                self._send(503, {"error": "no curation store mounted"})
+                return
+            df = curation.df()
+            if rest:  # /curation/list/<hash>[/<src>] — clear curators
+                out = curations_for(
+                    df,
+                    pa_hash=int(rest[0]),
+                    source_hash=int(rest[1]) if len(rest) > 1 else None,
+                    anonymize=False,
+                )
+            else:  # /curation/list — anonymized (api.py:631-639)
+                out = anonymize_curators(df)
+            self._send(200, {"results": _rows_json(out.drop("pa_json", "ev_json"), None)})
+
+        # ----------------------------------------------------------- POST
 
         def do_POST(self) -> None:
             url = urlparse(self.path)
@@ -121,24 +250,104 @@ def make_handler(lake):
                     self._send(200, {"compiled": compile_query(body, fmt)})
                     return
                 parts = url.path.strip("/").split("/")
+                if parts[0] == "curation" and len(parts) == 3 and parts[1] == "submit":
+                    self._curation_submit(int(parts[2]), body)
+                    return
+                for k in ("limit", "offset", "ev_limit"):
+                    if k in body:
+                        qs[k] = [str(body[k])]
                 if len(parts) == 2 and parts[0] == "query":
                     query = query_from_simple_json(body["query"])
-                    for k in ("limit", "offset", "ev_limit"):
-                        if k in body:
-                            qs[k] = [str(body[k])]
                     self._send(200, self._run(parts[1], query, None, qs))
+                    return
+                if len(parts) == 2 and parts[1] == "from_hashes":
+                    hashes = body.get("hashes")
+                    if not hashes:
+                        raise WebQueryError("no hashes given")
+                    query = HasHash([int(h) for h in hashes])
+                    self._send(200, self._run(parts[0], query, None, qs))
+                    return
+                if len(parts) == 2 and parts[1] == "from_papers":
+                    ids = body.get("ids")
+                    if not ids:
+                        raise WebQueryError("no paper IDs given")
+                    papers = [(d["type"], d["id"]) for d in ids]
+                    query = FromPapers(papers)
+                    ev_filter = EvidenceFilter.from_papers(papers)
+                    mesh = body.get("mesh_ids") or []
+                    if mesh:
+                        query = query & FromMeshIds(mesh)
+                        ev_filter = EvidenceFilter.from_filters(
+                            ev_filter, EvidenceFilter.from_mesh_ids(mesh)
+                        )
+                    self._send(200, self._run(parts[0], query, ev_filter, qs))
+                    return
+                if len(parts) == 2 and parts[1] == "from_agent_json":
+                    agent_json = body.get("agent_json")
+                    if not agent_json:
+                        raise WebQueryError("no agent_json given")
+                    query = FromAgentJson(
+                        agent_json, body.get("stmt_type"), body.get("hashes")
+                    )
+                    self._send(200, self._run(parts[0], query, None, qs))
+                    return
+                if len(parts) == 2 and parts[1] == "from_simple_json":
+                    query = query_from_simple_json(body["query"])
+                    covered = body.get("complexes_covered")
+                    self._send(
+                        200,
+                        self._run(
+                            parts[0], query, None, qs,
+                            complexes_covered=set(covered) if covered else None,
+                        ),
+                    )
                     return
                 self._send(404, {"error": f"no route {url.path}"})
             except (WebQueryError, KeyError, ValueError) as e:
                 self._send(400, {"error": str(e)})
 
+        def _curation_submit(self, hash_val: int, body: dict) -> None:
+            if curation is None:
+                self._send(503, {"error": "no curation store mounted"})
+                return
+            curator = body.get("curator") or body.get("email")
+            if not curator:
+                # api.py:575-577: a submission must identify its curator
+                self._send(400, {"error": "curation requires a curator email"})
+                return
+            try:
+                cid = curation.submit(
+                    hash_val,
+                    tag=body.get("tag"),
+                    curator=curator,
+                    ip=self.client_address[0],
+                    text=body.get("text"),
+                    ev_hash=body.get("ev_hash"),
+                    source=body.get("source", "DB REST API"),
+                    pa_json=body.get("pa_json"),
+                    ev_json=body.get("ev_json"),
+                    pa_statements=pa_statements,
+                )
+            except BadHashError as e:
+                self._send(400, {"error": f"Invalid hash: {e.mk_hash}"})
+                return
+            self._send(200, {"result": "success", "ref": {"id": cid}})
+
     return Handler
 
 
-def serve(lake, host: str = "127.0.0.1", port: int = 0) -> ThreadingHTTPServer:
+def serve(
+    lake,
+    host: str = "127.0.0.1",
+    port: int = 0,
+    curation: CurationStore | None = None,
+    pa_statements=None,
+) -> ThreadingHTTPServer:
     """Start the shim on a daemon thread; returns the server (use
     ``server.server_address`` for the bound port, ``.shutdown()`` to stop)."""
-    server = ThreadingHTTPServer((host, port), make_handler(lake))
+    server = ThreadingHTTPServer(
+        (host, port), make_handler(lake, curation, pa_statements)
+    )
     t = threading.Thread(target=server.serve_forever, daemon=True)
     t.start()
     return server

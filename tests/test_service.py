@@ -369,3 +369,132 @@ def test_rest_shim_round_trip(spark):
             assert e.code == 400 and "error" in json.load(e)
     finally:
         server.shutdown()
+
+
+def test_rest_route_parity(spark):
+    """The reference's full route surface (api.py:359-418 dispatch +
+    curation endpoints api.py:570-639): every result type and method the
+    Flask app serves answers here with the same semantics."""
+    import json
+    from urllib.error import HTTPError
+    from urllib.request import Request, urlopen
+
+    from pyspark.sql import functions as F
+
+    from indra_db_spark.plans.fixtures import fixture_lake
+    from indra_db_spark.plans.principal import CurationStore
+    from indra_db_spark.service.rest import serve
+
+    lake, stmts, papers = fixture_lake(spark)
+    pa = (
+        lake["fast_raw_pa_link"]
+        .groupBy("mk_hash")
+        .agg(F.any_value("pa_json").alias("json"))
+    )
+    store = CurationStore(spark)
+    server = serve(lake, curation=store, pa_statements=pa)
+    host, port = server.server_address
+    base = f"http://{host}:{port}"
+
+    def get(path):
+        return json.load(urlopen(f"{base}{path}"))
+
+    def post(path, payload):
+        req = Request(
+            f"{base}{path}",
+            data=json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        return json.load(urlopen(req))
+
+    try:
+        hashes = [
+            r["mk_hash"]
+            for r in get("/hashes/from_agents?agent=MEK&limit=5")["results"]
+        ]
+        assert hashes
+
+        # GET from_hash/<h>: the 1000-default ev_limit special case
+        one = get(f"/statements/from_hash/{hashes[0]}")
+        assert set(one["statements"]) == {str(hashes[0])}
+        n_ev_default = len(one["statements"][str(hashes[0])]["evidence"])
+        capped = get(f"/statements/from_hash/{hashes[0]}?ev_limit=1")
+        assert len(capped["statements"][str(hashes[0])]["evidence"]) == 1
+        assert n_ev_default >= 1  # default pulled >= the capped page
+
+        # POST from_hashes
+        many = post("/statements/from_hashes", {"hashes": hashes[:2]})
+        assert set(many["statements"]) == {str(h) for h in hashes[:2]}
+
+        # metadata grains over the same constraint
+        inter = get("/interactions/from_agents?agent=MEK&limit=10")["results"]
+        assert inter and all("agent_json" in r and "type_num" in r for r in inter)
+        rel = get("/relations/from_agents?agent=MEK&limit=10")["results"]
+        assert rel and all(isinstance(r["hashes"], list) for r in rel)
+        ag = get("/agents/from_agents?agent=MEK&limit=10")
+        assert ag["results"] and isinstance(ag["complexes_covered"], list)
+
+        # from_paper / from_papers
+        pmid = papers[0].pmid
+        via_get = get(f"/hashes/from_paper/pmid/{pmid}")["results"]
+        via_post = post(
+            "/hashes/from_papers", {"ids": [{"type": "pmid", "id": pmid}]}
+        )["results"]
+        assert {r["mk_hash"] for r in via_get} == {r["mk_hash"] for r in via_post}
+        assert via_get
+
+        # from_agent_json drill-down: take an interactions row's agent map
+        ajson = inter[0]["agent_json"]
+        drill = post(
+            "/interactions/from_agent_json", {"agent_json": ajson}
+        )["results"]
+        assert drill and all(r["agent_json"] == ajson for r in drill)
+
+        # from_simple_json with complex paging state
+        page1 = post(
+            "/agents/from_simple_json",
+            {"query": {"class": "HasAgent", "agent_id": "MEK"}, "limit": 2},
+        )
+        page2 = post(
+            "/agents/from_simple_json",
+            {
+                "query": {"class": "HasAgent", "agent_id": "MEK"},
+                "limit": 2,
+                "complexes_covered": page1["complexes_covered"],
+            },
+        )
+        assert isinstance(page2["results"], list)
+
+        # curation round trip: submit -> visible in lists, anonymized only
+        # on the all-curations endpoint
+        sub = post(
+            f"/curation/submit/{hashes[0]}",
+            {"tag": "correct", "curator": "alice@example.org", "text": "ok"},
+        )
+        assert sub == {"result": "success", "ref": {"id": 1}}
+        # ...and the counts surface in statement results on request
+        with_counts = get(
+            f"/statements/from_hash/{hashes[0]}?with_cur_counts=true"
+        )
+        assert with_counts["num_curations"] == {str(hashes[0]): 1}
+        listed = get(f"/curation/list/{hashes[0]}")["results"]
+        assert [r["curator"] for r in listed] == ["alice@example.org"]
+        all_cur = get("/curation/list")["results"]
+        assert len(all_cur) == 1 and len(all_cur[0]["curator"]) == 16
+        assert "@" not in all_cur[0]["curator"]
+
+        # invalid curation hash -> 400 with the reference's message shape
+        try:
+            post("/curation/submit/123", {"tag": "x", "curator": "a@b.c"})
+            raise AssertionError("expected 400")
+        except HTTPError as e:
+            assert e.code == 400 and "Invalid hash" in json.load(e)["error"]
+
+        # malformed GET param -> 400 JSON, not a dropped connection
+        try:
+            get("/hashes/from_agents?agent=MEK&limit=abc")
+            raise AssertionError("expected 400")
+        except HTTPError as e:
+            assert e.code == 400
+    finally:
+        server.shutdown()
