@@ -36,6 +36,9 @@ HEADLINE = [
     "doc_simhash",
     "emb_topk",
     "closure_ancestors",
+    # forced-distributed doubling-join loop: the closure path that runs at
+    # scale (the plain entry times the size-gated driver fast path)
+    "closure_ancestors_dist",
 ]
 
 

@@ -647,6 +647,22 @@ def closure_ancestors(spark, sf):
 
 
 @register(
+    "closure_ancestors_dist",
+    f"""
+    WITH RECURSIVE {_EDGES_CTE}, {_ANC_CTE}
+    SELECT child, anc FROM anc
+    """,
+)
+def closure_ancestors_dist(spark, sf):
+    """Forced-distributed twin of closure_ancestors: ``driver_max_edges=0``
+    disables the size-gated driver fast path, so the semi-naive
+    doubling-join loop — the path that actually runs on a 100 TB refinement
+    graph — gets its own correctness row and bench timing (VERDICT r2: the
+    driver-path timing said nothing about the distributed plan)."""
+    return G.transitive_closure(_part_edges(spark, sf), driver_max_edges=0)
+
+
+@register(
     "belief_ancestor_agg",
     f"""
     WITH RECURSIVE {_EDGES_CTE}, {_ANC_CTE},
