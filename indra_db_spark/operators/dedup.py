@@ -286,27 +286,26 @@ def simhash(
         F.explode(F.split(F.col(text_col), " ")).alias("w"),
     ).filter(F.col("w") != "")
     h = words.withColumn("m", F.md5(F.col("w")))
-    # one conv per NIBBLE, shared by its 4 bits (4× fewer conv/substring
-    # evaluations than extracting per bit); identical arithmetic to the
-    # per-bit oracle form
-    nibbles = h.select(
+    # one conv for the whole ``bits``-wide md5 prefix, shared by every bit
+    # (vs one conv+substring per nibble): with hex digit k holding value
+    # n_k, v = Σ n_k·16^(chars-1-k), so the oracle's per-nibble bit
+    # (n_{j//4} >> (3 - j%4)) & 1 equals (v >> (width-1-j)) & 1 — identical
+    # arithmetic, ~8× fewer string ops per word occurrence
+    assert bits <= 60, "single-conv bit extraction needs the prefix in a long"
+    n_chars = (bits + 3) // 4
+    width = 4 * n_chars
+    vals = h.select(
         "id",
-        *[
-            F.conv(F.substring("m", 1 + k, 1), 16, 10)
-            .cast("int")
-            .alias(f"_n{k}")
-            for k in range((bits + 3) // 4)
-        ],
+        F.conv(F.substring("m", 1, n_chars), 16, 10).cast("long").alias("_v"),
     )
     votes = [
         F.sum(
-            F.shiftright(F.col(f"_n{j // 4}"), 3 - j % 4).bitwiseAND(F.lit(1))
-            * 2
+            F.shiftright(F.col("_v"), width - 1 - j).bitwiseAND(F.lit(1)) * 2
             - 1
         ).alias(f"s{j}")
         for j in range(bits)
     ]
-    agg = nibbles.groupBy("id").agg(*votes)
+    agg = vals.groupBy("id").agg(*votes)
     val = None
     for j in range(bits):
         term = F.when(F.col(f"s{j}") > 0, F.lit(2**j).cast("long")).otherwise(

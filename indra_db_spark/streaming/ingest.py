@@ -31,6 +31,19 @@ def read_stream(
     return reader.format(fmt).load(path)
 
 
+def _with_event_time(events: DataFrame, ts_col: str) -> DataFrame:
+    """Coerce the event-time column to TIMESTAMP (with local timezone).
+
+    Parquet written with ``TIMESTAMP_NTZ`` cannot carry a watermark
+    (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE); the cast interprets the naive
+    value in the session timezone, identically in batch and streaming, so
+    batch-parity oracles are unaffected.
+    """
+    if dict(events.dtypes).get(ts_col) == "timestamp_ntz":
+        events = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return events
+
+
 def windowed_counts(
     events: DataFrame,
     ts_col: str = "ts",
@@ -44,7 +57,7 @@ def windowed_counts(
     Works identically in batch mode (watermark is a no-op there), which is
     how the test compares stream output to a static run.
     """
-    df = events.withWatermark(ts_col, watermark)
+    df = _with_event_time(events, ts_col).withWatermark(ts_col, watermark)
     agg = [F.count("*").alias("n")]
     if value_col is not None:
         agg.append(F.sum(value_col).alias("total"))
@@ -69,8 +82,10 @@ def stream_dedup(
     """Exactly-once rows per key within the watermark horizon —
     ``dropDuplicates`` keeps per-key state until the watermark passes, so
     state is bounded; the batch dedup stage with a memory ceiling."""
-    return events.withWatermark(ts_col, watermark).dropDuplicates(
-        [*key_cols, ts_col]
+    return (
+        _with_event_time(events, ts_col)
+        .withWatermark(ts_col, watermark)
+        .dropDuplicates([*key_cols, ts_col])
     )
 
 
@@ -85,7 +100,8 @@ def sessionize(
     handles the stateful merge; no applyInPandasWithState needed for this
     shape (custom state is reserved for non-mergeable aggregates)."""
     return (
-        events.withWatermark(ts_col, watermark)
+        _with_event_time(events, ts_col)
+        .withWatermark(ts_col, watermark)
         .groupBy(F.session_window(ts_col, gap).alias("s"), *group_cols)
         .agg(F.count("*").alias("n_events"))
         .select(
