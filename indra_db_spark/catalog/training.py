@@ -704,3 +704,130 @@ def emb_ivf_topk(spark, sf):
     emb = T(spark, sf, "embeddings")
     queries = emb.orderBy("vec_id").limit(10)
     return S.ivf_topk(emb, queries, k=5, nlist=8, nprobe=3)
+
+
+# --------------------------------------------- sampling / sharding / vocab
+
+from indra_db_spark.operators import sampling as SM  # noqa: E402
+
+# DuckDB-side 32-bit value of the first 8 hex chars of an md5 string
+_hex8 = " + ".join(
+    f"(strpos('0123456789abcdef', substr(h, {1 + k}, 1)) - 1) * {16 ** (7 - k)}"
+    for k in range(8)
+)
+
+
+@register(
+    "doc_stratified_sample",
+    """
+    WITH r AS (
+      SELECT doc_id, lang, source, n_chars,
+        row_number() OVER (
+          PARTITION BY lang
+          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        ) AS rn
+      FROM documents
+    )
+    SELECT doc_id, lang, source, n_chars FROM r WHERE rn <= 30
+    """,
+)
+def doc_stratified_sample(spark, sf):
+    """Per-language corpus balancing: deterministic cap of 30 docs per lang
+    ranked by (md5(id), id).  One shuffle; WindowGroupLimit bounds shuffle
+    volume at strata × N."""
+    return SM.stratified_sample(
+        T(spark, sf, "documents").select("doc_id", "lang", "source", "n_chars"),
+        strata_cols=("lang",),
+        n_per_stratum=30,
+    )
+
+
+@register(
+    "doc_shard",
+    f"""
+    WITH m AS (
+      SELECT doc_id, n_chars, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents
+    ),
+    s AS (SELECT doc_id, n_chars, CAST(({_hex8}) % 16 AS INTEGER) AS shard FROM m)
+    SELECT shard, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM s GROUP BY shard
+    """,
+)
+def doc_shard(spark, sf):
+    """Shuffle-and-shard writer assignment: 16 deterministic md5-bucket
+    shards with per-shard balance stats (uniform by construction)."""
+    assigned = SM.shard_assign(
+        T(spark, sf, "documents").select("doc_id", "n_chars"), n_shards=16
+    )
+    return assigned.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+@register(
+    "doc_decontaminate",
+    f"""
+    WITH {_SHINGLES_CTE},
+    te AS (SELECT DISTINCT shingle FROM sh WHERE id % 41 = 0),
+    tr AS (SELECT id, shingle FROM sh WHERE id % 41 <> 0)
+    SELECT tr.id AS doc_id, count(*) AS n_hits
+    FROM tr JOIN te USING (shingle)
+    GROUP BY tr.id
+    HAVING count(*) >= 2
+    """,
+)
+def doc_decontaminate(spark, sf):
+    """Benchmark decontamination: training docs sharing ≥2 distinct word
+    3-grams with the held-out pseudo-benchmark slice (doc_id % 41 = 0).
+    The benchmark shingle set broadcasts — the corpus never shuffles."""
+    docs = T(spark, sf, "documents")
+    is_test = F.col("doc_id") % 41 == 0
+    out = SM.decontaminate(
+        docs.filter(~is_test), docs.filter(is_test), min_overlap=2
+    )
+    return out.select(F.col("id").alias("doc_id"), F.col("n_hits"))
+
+
+_pii_email = X.PII_EMAIL.replace("'", "''")
+_pii_phone = X.PII_PHONE.replace("'", "''")
+
+
+@register(
+    "doc_pii_scrub",
+    f"""
+    WITH e AS (
+      SELECT doc_id,
+        regexp_replace(text, '{_pii_email}', '[EMAIL]', 'g') AS t1,
+        len(regexp_extract_all(text, '{_pii_email}')) AS n_emails
+      FROM documents
+    )
+    SELECT doc_id,
+      regexp_replace(t1, '{_pii_phone}', '[PHONE]', 'g') AS text,
+      CAST(n_emails AS INTEGER) AS n_emails,
+      CAST(len(regexp_extract_all(t1, '{_pii_phone}')) AS INTEGER) AS n_phones
+    FROM e
+    """,
+)
+def doc_pii_scrub(spark, sf):
+    """Email/phone redaction with removal counts — scan-fused regexp only
+    (operators/text.py pii_scrub; differential-tested vs pure-Python re)."""
+    return X.pii_scrub(T(spark, sf, "documents"))
+
+
+@register(
+    "doc_vocab",
+    """
+    WITH t AS (
+      SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS token
+      FROM documents
+    )
+    SELECT token, count(*) AS n FROM t WHERE token <> ''
+    GROUP BY token ORDER BY n DESC, token ASC LIMIT 100
+    """,
+)
+def doc_vocab(spark, sf):
+    """Top-100 corpus vocabulary (heavy hitters): partial-agg shuffle +
+    TakeOrderedAndProject; the Zipf head arrives at reducers as per-task
+    partial counts, never raw occurrences."""
+    return X.vocab_topk(T(spark, sf, "documents"), k=100)

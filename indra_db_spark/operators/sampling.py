@@ -1,0 +1,106 @@
+"""Corpus sampling and sharding operators for training-data pipelines.
+
+Curated pretraining corpora need (a) per-stratum balancing (cap each
+language/domain at a target size instead of letting one domain dominate),
+and (b) a deterministic shuffle-and-shard step that turns a filtered corpus
+into N equal-sized output shards whose membership is a pure function of the
+document id.  Both are expressed as built-in DataFrame ops: one shuffle for
+the stratified cap (window rank), zero shuffles for shard assignment (a
+scan-fused projection; the writer's ``partitionBy("shard")`` or
+``repartition("shard")`` does the only data movement).
+
+The hash used everywhere is md5 of the decimal-rendered id — deliberately
+engine-portable (any SQL engine reproduces the assignment bit-for-bit), the
+same convention as ``operators.text.split_assign``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _id_hash(id_col: str):
+    return F.md5(F.col(id_col).cast("string"))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_cols: tuple[str, ...],
+    n_per_stratum: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """At most ``n_per_stratum`` rows per stratum, chosen deterministically:
+    rows are ranked inside each stratum by (md5(id), id) — a stable
+    pseudo-random order that is reproducible across runs, engines, and
+    partitionings — and the top-N ranks are kept.
+
+    Physical shape: ONE shuffle on the strata columns; Spark's
+    WindowGroupLimit pushes the rank bound below the exchange, so each map
+    task forwards at most N rows per stratum instead of the whole group.
+    Skewed strata therefore cost shuffle volume O(strata × N), not O(rows).
+    For sampling a *fraction* rather than a cap, filter on the hash bucket
+    instead (see ``operators.text.split_assign``) — that form needs no
+    shuffle at all.
+    """
+    w = Window.partitionBy(*strata_cols).orderBy(
+        _id_hash(id_col), F.col(id_col)
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n_per_stratum)
+        .drop("_rn")
+    )
+
+
+def shard_assign(
+    df: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic shard id in [0, n_shards) from the top 32 bits of
+    md5(id): the shuffle-and-shard step of a training-data writer.
+
+    Because md5 is uniform, shards are balanced to within sampling error
+    regardless of id distribution (sequential ids, gaps, skew).  Adds a
+    column only — no shuffle; downstream
+    ``df.repartition(n_shards, "shard").write.partitionBy("shard")`` makes
+    each shard one output directory with a single data movement.
+    """
+    h = F.conv(F.substring(_id_hash(id_col), 1, 8), 16, 10).cast("long")
+    return df.withColumn("shard", (h % n_shards).cast("int"))
+
+
+def decontaminate(
+    train: DataFrame,
+    test: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_overlap: int = 2,
+) -> DataFrame:
+    """Benchmark decontamination: training documents that share at least
+    ``min_overlap`` distinct word n-grams with ANY test/benchmark document,
+    with their overlap counts — the standard n-gram contamination check run
+    before training on web-scale corpora.
+
+    Shape: the test side collapses to a DISTINCT shingle set, which is tiny
+    relative to the corpus (benchmarks are MBs, corpora are TBs) — it is
+    broadcast, so the training side's shingles are matched map-side with NO
+    shuffle of the corpus; the only exchange is the per-doc overlap count
+    (partial-aggregated).  Never quadratic: documents are compared to the
+    contaminated-shingle set, not to each other.
+
+    Returns (id, n_hits) for contaminated training docs; anti-join the
+    result against the corpus to drop them.
+    """
+    from indra_db_spark.operators.dedup import word_shingles
+
+    tr = word_shingles(train, id_col, text_col, n)
+    te = word_shingles(test, id_col, text_col, n).select("shingle").distinct()
+    return (
+        tr.join(F.broadcast(te), "shingle")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .filter(F.col("n_hits") >= min_overlap)
+    )

@@ -302,3 +302,30 @@ def pii_scrub(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
         n_email.alias("n_emails"),
         n_phone.alias("n_phones"),
     )
+
+
+def vocab_topk(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 100,
+    lowercase: bool = True,
+) -> DataFrame:
+    """Top-k corpus vocabulary: (token, n) for the k most frequent
+    whitespace tokens, ties broken by token ascending — the heavy-hitter
+    pass behind tokenizer training and frequency-based filtering.
+
+    Shape: explode → ONE shuffle with partial aggregation (each map task
+    emits its local token counts, so shuffle volume is bounded by the
+    per-task vocabulary, not the token count) → TakeOrderedAndProject for
+    the global top-k (no full sort).  Token frequency is Zipfian — the
+    partial agg is also what absorbs the skew: the 'the' bucket arrives at
+    the reducer as one partial count per task, never as raw occurrences.
+    """
+    t = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+    return (
+        df.select(F.explode(tokens(t)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(k)
+    )

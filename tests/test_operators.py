@@ -302,3 +302,69 @@ def test_srp_neardup_subset_of_exact(spark, sf_dir):
     assert bucketed, "bucketed variant found no pairs at all"
     for pair, sim in bucketed.items():
         assert sim == exact[pair]
+
+
+# ------------------------------------------------- sampling / shard / vocab
+
+from indra_db_spark.operators.sampling import (  # noqa: E402
+    decontaminate,
+    shard_assign,
+    stratified_sample,
+)
+from indra_db_spark.operators.text import vocab_topk  # noqa: E402
+
+
+def test_stratified_sample_caps_each_stratum(spark):
+    rows = [(i, "en" if i % 3 else "de") for i in range(60)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    out = stratified_sample(df, ("lang",), 5)
+    counts = {r.lang: r.n for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"en": 5, "de": 5}
+    # deterministic: same ids every run
+    again = stratified_sample(df, ("lang",), 5)
+    assert sorted(r.doc_id for r in out.collect()) == sorted(
+        r.doc_id for r in again.collect()
+    )
+
+
+def test_stratified_sample_keeps_small_strata_whole(spark):
+    df = spark.createDataFrame([(1, "fr"), (2, "fr")], ["doc_id", "lang"])
+    assert stratified_sample(df, ("lang",), 10).count() == 2
+
+
+def test_shard_assign_range_and_determinism(spark):
+    df = spark.createDataFrame([(i,) for i in range(500)], ["doc_id"])
+    out = shard_assign(df, n_shards=8).collect()
+    shards = {r.doc_id: r.shard for r in out}
+    assert set(shards.values()) <= set(range(8))
+    # uniform-ish: every shard hit with 500 docs over 8 shards
+    assert len(set(shards.values())) == 8
+    again = {r.doc_id: r.shard for r in shard_assign(df, n_shards=8).collect()}
+    assert shards == again
+
+
+def test_decontaminate_counts_distinct_shared_shingles(spark):
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely different text with no overlap here at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    test = spark.createDataFrame(
+        [(100, "the quick brown fox ran away")], ["doc_id", "text"]
+    )
+    out = {r.id: r.n_hits for r in decontaminate(train, test, min_overlap=1).collect()}
+    # shared 3-grams: "the quick brown", "quick brown fox"
+    assert out == {1: 2}
+    # threshold above the overlap -> clean
+    assert decontaminate(train, test, min_overlap=3).count() == 0
+
+
+def test_vocab_topk_orders_by_count_then_token(spark):
+    df = spark.createDataFrame(
+        [(1, "b b a a c"), (2, "a b X")], ["doc_id", "text"]
+    )
+    out = [(r.token, r.n) for r in vocab_topk(df, k=3).collect()]
+    # lowercased: a=3, b=3, c=1, x=1 -> ties broken by token asc
+    assert out == [("a", 3), ("b", 3), ("c", 1)]
