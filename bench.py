@@ -9,9 +9,13 @@ not driver-side collection.
 
 Timing is STEADY-STATE: each query executes once untimed (absorbing
 whole-stage-codegen compilation and JIT for that plan shape — a per-process
-constant of 1-7 s that amortizes to zero over a 100 TB run) and the second
-execution is timed.  Shuffles are not reused across executions (noop sink),
-so the timed run still pays the full data path: scan, exchange, aggregate.
+constant of 1-7 s that amortizes to zero over a 100 TB run) and the MINIMUM
+of two timed executions is reported — min-of-N is the standard noise
+estimator for a deterministic workload on a shared machine (any excess over
+the true cost is contention, so the minimum is the least-contended
+observation; round-3's driver numbers doubled purely from machine load).
+Shuffles are not reused across executions (noop sink), so every timed run
+pays the full data path: scan, exchange, aggregate.
 """
 
 from __future__ import annotations
@@ -74,9 +78,12 @@ def main() -> None:
         fn, _ = catalog.REGISTRY[name]
         # warm execution: codegen + JIT for this plan shape (untimed)
         fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-        t0 = time.monotonic()
-        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.monotonic() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.monotonic()
+            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            best = min(best, time.monotonic() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -86,21 +86,25 @@ def decontaminate(
 
     Shape: the test side collapses to a DISTINCT shingle set, which is tiny
     relative to the corpus (benchmarks are MBs, corpora are TBs) — it is
-    broadcast, so the training side's shingles are matched map-side with NO
-    shuffle of the corpus; the only exchange is the per-doc overlap count
-    (partial-aggregated).  Never quadratic: documents are compared to the
-    contaminated-shingle set, not to each other.
+    broadcast, so the corpus shingles are matched MAP-SIDE and filtered to
+    hits before anything shuffles; the only exchange carries the matching
+    (doc, shingle) pairs (the contamination surface, ≪ corpus) into a
+    distinct-shingle count per doc.  Never quadratic: documents are
+    compared to the benchmark shingle set, not to each other.
 
     Returns (id, n_hits) for contaminated training docs; anti-join the
     result against the corpus to drop them.
     """
     from indra_db_spark.operators.dedup import word_shingles
 
-    tr = word_shingles(train, id_col, text_col, n)
+    # distinct=False: within-doc duplicate shingles are cheaper to carry to
+    # the countDistinct than a full-corpus (id, shingle) dedup shuffle —
+    # the broadcast join discards non-hits before the only exchange
+    tr = word_shingles(train, id_col, text_col, n, distinct=False)
     te = word_shingles(test, id_col, text_col, n).select("shingle").distinct()
     return (
         tr.join(F.broadcast(te), "shingle")
         .groupBy("id")
-        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .agg(F.count_distinct(F.col("shingle")).alias("n_hits"))
         .filter(F.col("n_hits") >= min_overlap)
     )
