@@ -827,3 +827,56 @@ def curation_anonymize(spark, sf):
         anon.groupBy("pa_hash").agg(F.min("curator").alias("a_curator")),
         "pa_hash",
     )
+
+
+# ------------------------------------------------------------ skew escapes
+
+from indra_db_spark.operators import skew as K  # noqa: E402
+
+
+@register(
+    "skew_two_phase_agg",
+    """
+    SELECT l_suppkey, count(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem GROUP BY l_suppkey
+    """,
+)
+def skew_two_phase_agg(spark, sf):
+    """Salted two-phase aggregation ≡ plain GROUP BY (the oracle IS the
+    unsalted form): one hot reduce key becomes salt_factor partial groups
+    (operators/skew.py) — the escape hatch when AQE can't split a single
+    flooded group."""
+    li = T(spark, sf, "lineitem").select(
+        "l_suppkey", F.col("l_quantity").cast("decimal(18,2)").alias("qty")
+    )
+    out = K.two_phase_agg(li, "l_suppkey", "qty")
+    return out.select(
+        "l_suppkey", "n", F.col("sum_qty").cast("double").alias("sum_qty")
+    )
+
+
+@register(
+    "skew_salted_join",
+    """
+    SELECT n_name, count(*) AS n_items
+    FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    GROUP BY n_name
+    """,
+)
+def skew_salted_join(spark, sf):
+    """Salted fact⋈dim join ≡ the plain join (oracle is unsalted): the
+    small side replicates per salt bucket so a hot supplier key spreads
+    over salt_factor partitions (operators/skew.py:salted_join)."""
+    li = T(spark, sf, "lineitem").select("l_suppkey")
+    sup = T(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    nat = F.broadcast(T(spark, sf, "nation").select("n_nationkey", "n_name"))
+    j = K.salted_join(
+        li.withColumnRenamed("l_suppkey", "s_suppkey"), sup, on="s_suppkey"
+    )
+    return (
+        j.join(nat, j.s_nationkey == nat.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_items"))
+    )

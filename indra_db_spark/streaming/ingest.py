@@ -129,3 +129,33 @@ def run_to_memory_sink(
     )
     q.awaitTermination()
     return stream_df.sparkSession.table(query_name)
+
+
+def incremental_new_docs(
+    docs: DataFrame,
+    known_fingerprints: DataFrame,
+    text_col: str = "text",
+    ts_col: str | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Incremental corpus ingestion: keep only arriving documents that are
+    (a) not already in the corpus — md5-fingerprint LEFT ANTI join against
+    the static ``known_fingerprints`` frame (column ``fp``); stream-static
+    anti joins are stateless on the stream side, the static side is the
+    broadcast/lookup build — and (b) not duplicated *within* the stream,
+    via watermarked ``dropDuplicates`` on the fingerprint (state evicted at
+    the horizon).
+
+    The daily-batch analog of the reference's supplement flow
+    (preassemble_db.py:497-615: new statements dedup against themselves and
+    against the existing corpus) as a continuous pipeline.  Works
+    identically on a static ``docs`` frame (batch parity is the test
+    oracle).
+    """
+    out = docs.withColumn("fp", F.md5(F.col(text_col))).join(
+        known_fingerprints.select("fp"), "fp", "left_anti"
+    )
+    if ts_col is not None:
+        out = _with_event_time(out, ts_col).withWatermark(ts_col, watermark)
+        return out.dropDuplicates(["fp"])
+    return out.dropDuplicates(["fp"])

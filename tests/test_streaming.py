@@ -131,3 +131,43 @@ def test_text_gates_stream_matches_batch(spark, tmp_path_factory):
 
     got_split = _counter(run_to_memory_sink(split_assign(stream), "gates_split"))
     assert got_split == _counter(split_assign(static))
+
+
+def test_incremental_new_docs_stream_matches_batch(spark, tmp_path):
+    import pandas as pd
+    from indra_db_spark.streaming.ingest import (
+        incremental_new_docs,
+        read_stream,
+        run_to_memory_sink,
+    )
+
+    # corpus knows fingerprints of texts "known-0".."known-4"
+    known = spark.createDataFrame(
+        [(f"known-{i}",) for i in range(5)], ["text"]
+    ).select(F.md5("text").alias("fp"))
+    # arriving batch: 3 genuinely new texts (one duplicated in-stream),
+    # 2 already-known texts
+    rows = [
+        (1, "fresh-a"), (2, "fresh-b"), (3, "fresh-a"),
+        (4, "known-1"), (5, "known-3"), (6, "fresh-c"),
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    path = tmp_path / "docs_stream"
+    path.mkdir()
+    spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(
+        str(path)
+    )
+
+    static = spark.read.parquet(str(path))
+    batch_out = incremental_new_docs(static, known)
+    stream = read_stream(
+        spark, str(path), static.schema, max_files_per_trigger=1
+    )
+    stream_out = run_to_memory_sink(
+        incremental_new_docs(stream, known), "inc_docs"
+    )
+
+    got_b = sorted(r.text for r in batch_out.collect())
+    got_s = sorted(r.text for r in stream_out.collect())
+    assert got_b == ["fresh-a", "fresh-b", "fresh-c"]
+    assert got_s == got_b
