@@ -12,6 +12,13 @@ functions can be swapped in without touching the Spark plumbing.  The
 default implementations are deterministic stand-ins (SURVEY.md §7.4 risk 1:
 never recompute hashes in two places — this module's ``stable_hash`` IS the
 fixture hash).
+
+These injected callables are the DECLARED PARITY BOUNDARY of the rebuild:
+everything on the Spark side of the seam (batching, schema, dedup grain,
+hash plumbing, source-count aggregation) is reference-parity and tested;
+the ML models behind the seam (gilda/adeft grounding, protmapper sequence
+mapping, the sklearn belief scorer) are external, nondeterministic
+dependencies that a production deployment injects here unchanged.
 """
 
 from __future__ import annotations

@@ -831,3 +831,24 @@ def doc_vocab(spark, sf):
     TakeOrderedAndProject; the Zipf head arrives at reducers as per-task
     partial counts, never raw occurrences."""
     return X.vocab_topk(T(spark, sf, "documents"), k=100)
+
+
+@register(
+    "doc_mix_weights",
+    """
+    WITH per AS (
+      SELECT lang, source, CAST(SUM(n_chars) AS BIGINT) AS total
+      FROM documents GROUP BY lang, source
+    ),
+    g AS (SELECT CAST(SUM(total) AS BIGINT) AS grand FROM per)
+    SELECT lang, source, total,
+           CAST(total AS DOUBLE) / CAST(grand AS DOUBLE) AS weight
+    FROM per, g
+    """,
+)
+def doc_mix_weights(spark, sf):
+    """Domain-mixture measurement: per-(lang, source) char share of the
+    corpus — one partial-agg shuffle; the grand total broadcasts back."""
+    return SM.mixture_weights(
+        T(spark, sf, "documents"), strata_cols=("lang", "source")
+    )

@@ -108,3 +108,52 @@ def decontaminate(
         .agg(F.count_distinct(F.col("shingle")).alias("n_hits"))
         .filter(F.col("n_hits") >= min_overlap)
     )
+
+
+def mixture_weights(
+    df: DataFrame,
+    strata_cols: tuple[str, ...] = ("source",),
+    weight_col: str = "n_chars",
+) -> DataFrame:
+    """Per-stratum corpus share: (strata…, total, weight ∈ [0,1]) where
+    weight = stratum total / corpus total of ``weight_col`` (chars or
+    tokens) — the measurement step behind domain-mixture weighting
+    (sampling a target blend of sources/languages for a training run).
+
+    Shape: one partial-agg shuffle to the per-stratum totals, then the
+    global total joins back as a broadcast of ~|strata| rows — the corpus
+    is read once and never reshuffled for the denominator.
+    """
+    per = df.groupBy(*strata_cols).agg(F.sum(weight_col).alias("total"))
+    denom = per.agg(F.sum("total").alias("_grand"))
+    return (
+        per.join(F.broadcast(denom))
+        .withColumn("weight", F.col("total") / F.col("_grand"))
+        .drop("_grand")
+    )
+
+
+def write_corpus_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    id_col: str = "doc_id",
+    fmt: str = "parquet",
+) -> None:
+    """Materialize a curated corpus as ``n_shards`` deterministic md5-bucket
+    shards: ``path/shard=K/part-*.parquet``, one file per shard.
+
+    ``repartition(n, "shard")`` is the single shuffle — it both co-locates
+    each shard in one task (so ``partitionBy`` emits ONE file per shard
+    directory instead of tasks × shards fragments) and is the writer's
+    shuffle-and-shard step.  Readers get per-shard parallelism and
+    partition pruning on the shard column.
+    """
+    out = shard_assign(df, n_shards, id_col)
+    (
+        out.repartition(n_shards, "shard")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .format(fmt)
+        .save(path)
+    )

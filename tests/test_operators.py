@@ -368,3 +368,37 @@ def test_vocab_topk_orders_by_count_then_token(spark):
     out = [(r.token, r.n) for r in vocab_topk(df, k=3).collect()]
     # lowercased: a=3, b=3, c=1, x=1 -> ties broken by token asc
     assert out == [("a", 3), ("b", 3), ("c", 1)]
+
+
+def test_mixture_weights_sum_to_one(spark):
+    df = spark.createDataFrame(
+        [(1, "web", 100), (2, "web", 300), (3, "books", 400), (4, "code", 200)],
+        ["doc_id", "source", "n_chars"],
+    )
+    from indra_db_spark.operators.sampling import mixture_weights
+
+    out = {r.source: (r.total, r.weight) for r in mixture_weights(df).collect()}
+    assert out["web"] == (400, 0.4)
+    assert out["books"] == (400, 0.4)
+    assert out["code"] == (200, 0.2)
+    assert abs(sum(w for _, w in out.values()) - 1.0) < 1e-12
+
+
+def test_write_corpus_shards_layout(spark, tmp_path):
+    from indra_db_spark.operators.sampling import shard_assign, write_corpus_shards
+
+    df = spark.createDataFrame([(i, f"t{i}") for i in range(200)], ["doc_id", "text"])
+    path = str(tmp_path / "shards")
+    write_corpus_shards(df, path, n_shards=4)
+    import glob, os
+    dirs = sorted(os.path.basename(p) for p in glob.glob(f"{path}/shard=*"))
+    assert len(dirs) == 4
+    # one data file per shard directory (repartition co-located each shard)
+    for d in glob.glob(f"{path}/shard=*"):
+        assert len(glob.glob(f"{d}/*.parquet")) == 1
+    back = spark.read.parquet(path)
+    assert back.count() == 200
+    # round-trip shard assignment matches the operator
+    expect = {r.doc_id: r.shard for r in shard_assign(df, 4).collect()}
+    got = {r.doc_id: r.shard for r in back.collect()}
+    assert got == expect
