@@ -43,6 +43,11 @@ HEADLINE = [
     # forced-distributed doubling-join loop: the closure path that runs at
     # scale (the plain entry times the size-gated driver fast path)
     "closure_ancestors_dist",
+    # corpus-curation family (round 4): broadcast decontamination,
+    # WindowGroupLimit stratified cap, heavy-hitter vocabulary
+    "doc_decontaminate",
+    "doc_stratified_sample",
+    "doc_vocab",
 ]
 
 
