@@ -1,0 +1,161 @@
+"""Empirical scaling probe: time the corpus-curation operators at 1×, 10×,
+and 100× the sf0.1 corpus and report the log-log scaling slope per op.
+
+The 100 TB argument in SCALING.md is made from plan shapes; this tool adds
+measured evidence on one machine: if an operator is linear (slope ≈ 1 on
+data× vs time×), its plan has no hidden quadratic or skew cliff in the
+probed range.
+
+Amplification: copy k of each document rewrites every word with a
+``_k`` suffix (pure ``transform``), so copies share NO shingles — the
+near-dup pair structure stays proportional to the corpus instead of gaining
+K² cross-copy pairs, which is what a real 100× corpus looks like (more
+documents, not 100 identical copies of each).  Embedding copy k shifts one
+component deterministically for the same reason.  Amplified inputs are
+cached as parquet under ``.scale_data/`` (gitignored).
+
+Usage:  PYTHONPATH=. python tools/scale_probe.py [factor ...]   # default 1 10 100
+Writes SCALE_PROBE.json and prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+CACHE = os.path.join(ROOT, ".scale_data")
+
+
+def _amplified(spark, table: str, factor: int, build):
+    path = os.path.join(CACHE, f"{table}_x{factor}.parquet")
+    if not os.path.exists(path):
+        build(spark, factor).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+def _docs_x(spark, factor: int):
+    from pyspark.sql import functions as F
+
+    base = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    copies = F.explode(F.sequence(F.lit(0), F.lit(factor - 1))).alias("k")
+    out = base.select("*", copies)
+    suffix = F.concat(F.lit("_"), F.col("k").cast("string"))
+    return out.select(
+        (F.col("doc_id") + F.col("k") * F.lit(10_000_000)).alias("doc_id"),
+        F.when(F.col("k") == 0, F.col("text"))
+        .otherwise(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.split(F.col("text"), " "), lambda w: F.concat(w, suffix)
+                ),
+            )
+        )
+        .alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+
+
+def _emb_x(spark, factor: int):
+    from pyspark.sql import functions as F
+
+    base = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    copies = F.explode(F.sequence(F.lit(0), F.lit(factor - 1))).alias("k")
+    out = base.select("*", copies)
+    shift = F.col("k").cast("float") * F.lit(0.01)
+    return out.select(
+        (F.col("vec_id") + F.col("k") * F.lit(10_000_000)).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at("embedding", 1) + shift),
+            F.slice("embedding", 2, 10_000),
+        ).alias("embedding"),
+        "label",
+    )
+
+
+def _ops(spark, docs, emb):
+    from pyspark.sql import functions as F
+
+    from indra_db_spark.operators import dedup as D
+    from indra_db_spark.operators import sampling as SM
+    from indra_db_spark.operators import similarity as S
+    from indra_db_spark.operators import text as X
+
+    is_test = F.col("doc_id") % 41 == 0
+    queries = emb.filter(F.col("vec_id") < 10)
+    return {
+        "exact_dedup": lambda: D.exact_dedup(docs),
+        "minhash_verified": lambda: D.minhash_verified_pairs(
+            docs, num_hashes=12, bands=4, threshold=0.2
+        ),
+        "simhash": lambda: D.simhash(docs, bits=32),
+        "vocab_topk": lambda: X.vocab_topk(docs, k=100),
+        "decontaminate": lambda: SM.decontaminate(
+            docs.filter(~is_test), docs.filter(is_test), min_overlap=2
+        ),
+        "stratified_sample": lambda: SM.stratified_sample(
+            docs, ("lang",), 30
+        ),
+        "shard_stats": lambda: SM.shard_assign(docs, 16)
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("n")),
+        "srp_topk": lambda: S.srp_topk(emb, queries, k=5, planes=6),
+    }
+
+
+def main() -> None:
+    factors = [int(a) for a in sys.argv[1:]] or [1, 10, 100]
+    from indra_db_spark.session import get_spark
+
+    spark = get_spark("scale-probe")
+    os.makedirs(CACHE, exist_ok=True)
+
+    results: dict[str, dict[str, float]] = {}
+    for factor in factors:
+        docs = _amplified(spark, "documents", factor, _docs_x)
+        emb = _amplified(spark, "embeddings", factor, _emb_x)
+        docs.count(), emb.count()  # warm footers
+        timings: dict[str, float] = {}
+        for name, build in _ops(spark, docs, emb).items():
+            build().write.mode("overwrite").format("noop").save()  # warm
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.monotonic()
+                build().write.mode("overwrite").format("noop").save()
+                best = min(best, time.monotonic() - t0)
+            timings[name] = round(best, 3)
+        results[str(factor)] = timings
+
+    slopes = {}
+    if len(factors) >= 2:
+        lo, hi = str(min(factors)), str(max(factors))
+        ratio = math.log(max(factors) / min(factors))
+        for op in results[lo]:
+            t_lo, t_hi = results[lo][op], results[hi][op]
+            # subtract nothing: fixed overhead makes slopes UNDER-estimate,
+            # so a slope ≤ 1 is conservative evidence of linearity
+            slopes[op] = round(math.log(max(t_hi, 1e-9) / max(t_lo, 1e-9)) / ratio, 3)
+
+    payload = {
+        "metric": "scale_probe",
+        "sf_dir": SF_DIR,
+        "factors": factors,
+        "timings_s": results,
+        "loglog_slope": slopes,
+    }
+    with open(os.path.join(ROOT, "SCALE_PROBE.json"), "w") as f:
+        json.dump(payload, f, indent=2)
+    print(json.dumps(payload))
+
+
+if __name__ == "__main__":
+    main()
