@@ -118,9 +118,16 @@ class CurationStore:
     """
 
     def __init__(self, spark, path: str | None = None):
+        import threading
+
         self.spark = spark
         self.path = path
         self._pending: list[dict] = []
+        # the REST layer serves submits from ThreadingHTTPServer threads:
+        # id assignment, the pending tail, and flush share one lock so
+        # concurrent submissions can neither mint duplicate ids nor lose a
+        # row appended between another thread's flush build and clear
+        self._lock = threading.Lock()
         self._next_id = self._persisted_count() + 1
 
     def _persisted_count(self) -> int:
@@ -167,27 +174,33 @@ class CurationStore:
                 raise BadHashError(hash_val)
             if pa_json is None:
                 pa_json = _json.loads(bytes(hit[0].json).decode())
-        row = {
-            "id": self._next_id,
-            "pa_hash": hash_val,
-            "source_hash": int(ev_hash) if ev_hash is not None else None,
-            "tag": tag,
-            "curator": curator,
-            "text": text,
-            "ip": ip,
-            "source": source,
-            "date": date or _dt.datetime.utcnow().isoformat(timespec="seconds"),
-            "pa_json": _json.dumps(pa_json).encode() if pa_json else None,
-            "ev_json": _json.dumps(ev_json).encode() if ev_json else None,
-        }
-        self._pending.append(row)
-        self._next_id += 1
-        if self.path is not None:
-            self.flush()
+        with self._lock:
+            row = {
+                "id": self._next_id,
+                "pa_hash": hash_val,
+                "source_hash": int(ev_hash) if ev_hash is not None else None,
+                "tag": tag,
+                "curator": curator,
+                "text": text,
+                "ip": ip,
+                "source": source,
+                "date": date
+                or _dt.datetime.utcnow().isoformat(timespec="seconds"),
+                "pa_json": _json.dumps(pa_json).encode() if pa_json else None,
+                "ev_json": _json.dumps(ev_json).encode() if ev_json else None,
+            }
+            self._pending.append(row)
+            self._next_id += 1
+            if self.path is not None:
+                self._flush_locked()
         return row["id"]
 
     def flush(self) -> None:
         """Append pending rows to the parquet log."""
+        with self._lock:
+            self._flush_locked()
+
+    def _flush_locked(self) -> None:
         if not self._pending or self.path is None:
             return
         from indra_db_spark.schemas import CURATION_SCHEMA
@@ -201,7 +214,9 @@ class CurationStore:
         """All curations: persisted log ∪ unflushed tail."""
         from indra_db_spark.schemas import CURATION_SCHEMA
 
-        tail = self.spark.createDataFrame(self._pending, CURATION_SCHEMA)
+        with self._lock:
+            pending = list(self._pending)
+        tail = self.spark.createDataFrame(pending, CURATION_SCHEMA)
         if self.path is None:
             return tail
         try:

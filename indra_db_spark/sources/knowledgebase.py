@@ -218,7 +218,10 @@ class TrrustManager(FileKnowledgebaseManager):
 
     def get_statements(self) -> Iterator[dict]:
         with open(self.path, newline="") as f:
-            for tf, target, mode, pmids in csv.reader(f, delimiter="\t"):
+            for row in csv.reader(f, delimiter="\t"):
+                if len(row) < 4:  # blank/truncated line: skip, don't abort
+                    continue
+                tf, target, mode, pmids = row[:4]
                 stype = self.MODES.get(mode)
                 if stype is None:  # 'Unknown' rows carry no direction
                     continue

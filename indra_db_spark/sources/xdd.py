@@ -30,6 +30,7 @@ is idempotent.
 from __future__ import annotations
 
 import json
+import os
 from dataclasses import dataclass
 from typing import Iterator
 
@@ -189,37 +190,44 @@ def _parse_files(iterator: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 "stmt_json": None,
                 "parse_error": False,
             }
+            # the whole extraction is inside the try: a malformed ENTRY
+            # (bib identifier without 'id', a non-dict payload element, …)
+            # must also degrade to the file-level parse_error row instead
+            # of killing the executor task — file_rows buffers the partial
+            # output so a mid-file failure leaves no half-parsed rows
+            file_rows: list[dict] = []
             try:
                 payload = json.loads(row.value)
                 if not isinstance(payload, list):
                     raise ValueError("expected a JSON array")
-            except (ValueError, TypeError):
+                if row.kind == "bib":
+                    for bib in payload:
+                        ident = bib.get("identifier") or []
+                        file_rows.append(
+                            {
+                                **base,
+                                "xddid": bib.get("_xddid"),
+                                "doi": ident[0]["id"].upper() if ident else None,
+                                "publisher": bib.get("publisher"),
+                            }
+                        )
+                else:
+                    for sj in payload:
+                        ev = (sj.get("evidence") or [{}])[0]
+                        trefs = ev.get("text_refs") or {}
+                        ev.pop("pmid", None)  # cli/xdd.py:56
+                        file_rows.append(
+                            {
+                                **base,
+                                "xddid": trefs.get("CONTENT_ID"),
+                                "reader": trefs.get("READER"),
+                                "stmt_json": json.dumps(sj, sort_keys=True),
+                            }
+                        )
+            except (ValueError, TypeError, KeyError, AttributeError, IndexError):
                 out.append({**base, "parse_error": True})
                 continue
-            if row.kind == "bib":
-                for bib in payload:
-                    ident = bib.get("identifier") or []
-                    out.append(
-                        {
-                            **base,
-                            "xddid": bib.get("_xddid"),
-                            "doi": ident[0]["id"].upper() if ident else None,
-                            "publisher": bib.get("publisher"),
-                        }
-                    )
-            else:
-                for sj in payload:
-                    ev = (sj.get("evidence") or [{}])[0]
-                    trefs = ev.get("text_refs") or {}
-                    ev.pop("pmid", None)  # cli/xdd.py:56
-                    out.append(
-                        {
-                            **base,
-                            "xddid": trefs.get("CONTENT_ID"),
-                            "reader": trefs.get("READER"),
-                            "stmt_json": json.dumps(sj, sort_keys=True),
-                        }
-                    )
+            out.extend(file_rows)
         yield pd.DataFrame(out, columns=[f.name for f in _PARSED_SCHEMA.fields])
 
 
@@ -318,6 +326,7 @@ def process_xdd_groups(
     ledger: ProvenanceLedger | None = None,
     batch_id: int = 0,
     max_existing: dict[str, int] | None = None,
+    text_content: DataFrame | None = None,
 ) -> XddBatch:
     """One XddManager.run() (cli/xdd.py:138-146) over ``root``.
 
@@ -325,8 +334,12 @@ def process_xdd_groups(
     TEXT_REF_SCHEMA); DOIs found there are reused, new DOIs get fresh
     trids above the current max.  ``existing_raw`` enables the
     idempotent-retry uuid filter.  ``max_existing`` may pin the id
-    high-water marks {'trid', 'tcid', 'sid'} explicitly (otherwise they
-    are read from the supplied tables)."""
+    high-water marks {'trid', 'tcid', 'sid'} explicitly; otherwise trid
+    comes from ``text_refs``, sid from ``existing_raw``, and tcid from
+    ``text_content`` — pass the current text_content table (or pin tcid)
+    on ANY run against a non-empty corpus, or minted tcids (and the
+    reading ids derived from them) restart at 1 and collide with earlier
+    runs'."""
     all_groups = _list_groups(spark, root)
     done = ledger.processed_xdd_days() if ledger is not None else set()
     days = sorted(d for d in all_groups if d not in done)
@@ -353,27 +366,37 @@ def process_xdd_groups(
         )
         return empty
 
-    # One distributed whole-file read over every (bib, stmts) file: the
-    # (day, run, src, kind) tags ride alongside so the parse needs no path
-    # arithmetic.
-    frames = []
-    for day, run_id, id_src, kind, path in reads:
-        frames.append(
-            spark.read.option("wholetext", "true")
-            .text(path)
-            .select(
-                F.lit(day).alias("day_str"),
-                F.lit(run_id).alias("run_id"),
-                # '' sentinel for "no id_src": the bib<->stmts equi-join
-                # must match on it, and NULL keys never equi-join
-                F.lit(id_src or "").alias("id_src"),
-                F.lit(kind).alias("kind"),
-                F.col("value"),
-            )
+    # ONE distributed whole-file read over every (bib, stmts) file — a
+    # per-file DataFrame chained through unionByName builds an O(files)-deep
+    # plan that stalls the driver at thousands of files.  The (day, run,
+    # src, kind) tags come from a broadcast path-keyed lookup instead.
+    # '' is the sentinel for "no id_src": the bib<->stmts equi-join must
+    # match on it, and NULL keys never equi-join.
+    def _plain(p: str) -> str:
+        # one canonical key for both the listing paths (which may be
+        # file:-scheme URIs) and executor-side input_file_name()
+        import re as _re
+
+        if p.startswith("file:"):
+            return _re.sub("^file:/{0,2}/", "/", p)
+        return os.path.abspath(p)
+
+    path_rows = [
+        (_plain(path), day, run_id, id_src or "", kind)
+        for day, run_id, id_src, kind, path in reads
+    ]
+    lookup = spark.createDataFrame(
+        path_rows, "path string, day_str string, run_id string, id_src string, kind string"
+    )
+    raw_files = (
+        spark.read.option("wholetext", "true")
+        .text([p for p, *_ in path_rows])
+        .withColumn(
+            "path", F.regexp_replace(F.input_file_name(), "^file:/{0,2}/", "/")
         )
-    raw_files = frames[0]
-    for f in frames[1:]:
-        raw_files = raw_files.unionByName(f)
+        .join(F.broadcast(lookup), "path")
+        .select("day_str", "run_id", "id_src", "kind", "value")
+    )
 
     parsed = raw_files.mapInPandas(_parse_files, _PARSED_SCHEMA)
     parsed = parsed.localCheckpoint(eager=False)
@@ -386,8 +409,13 @@ def process_xdd_groups(
     for d in error_days:
         complete[d] = False
 
-    bibs = parsed.filter("kind = 'bib' AND NOT parse_error").select(
-        "day_str", "run_id", "id_src", "xddid", "doi", "publisher"
+    # one bib per content id: a dump that repeats an _xddid would otherwise
+    # multiply every statement of that content through the left join below
+    # (the reference's dict keyed on xddid collapses duplicates implicitly)
+    bibs = (
+        parsed.filter("kind = 'bib' AND NOT parse_error")
+        .select("day_str", "run_id", "id_src", "xddid", "doi", "publisher")
+        .dropDuplicates(["day_str", "run_id", "id_src", "xddid"])
     )
     stmts = parsed.filter("kind = 'stmts' AND NOT parse_error").select(
         "day_str", "run_id", "id_src", "xddid", "reader", "stmt_json"
@@ -444,6 +472,8 @@ def process_xdd_groups(
     )
     if max_existing and "tcid" in max_existing:
         max_tcid = max_existing["tcid"]
+    elif text_content is not None:
+        max_tcid = text_content.agg(F.max("tcid")).first()[0] or 0
     else:
         max_tcid = 0
     tc = _dense_ids(tc, ["text_ref_id", "source"], max_tcid, "tcid")
@@ -480,6 +510,12 @@ def process_xdd_groups(
         ),
         (joined["trid"] == F.col("text_ref_id")) & (src_col == F.col("id_src_key")),
     ).withColumn("reader_uc", F.upper("reader"))
+    # a statement whose READER is absent or unregistered has no reading-id
+    # base; it must be dropped here, not carried as a NULL that turns into
+    # a NaN->int crash inside _enrich_statements
+    with_tc = with_tc.filter(
+        F.col("reader_uc").isin(*XDD_READER_VERSIONS.keys())
+    )
     with_rid = with_tc.withColumn(
         "reading_id", (rid_base_map[F.col("reader_uc")] + F.col("tcid")).cast("long")
     )
@@ -499,6 +535,17 @@ def process_xdd_groups(
     enriched = with_rid.select(
         "day_str", "run_id", "doi", "trid", "reading_id", "stmt_json"
     ).mapInPandas(_enrich_statements, _ENRICHED_SCHEMA)
+    # in-batch uuid dedup: the anti-join below only guards against rows
+    # already persisted; a uuid repeated WITHIN the batch (e.g. the same
+    # statement listed under two runs) must also collapse to one row —
+    # deterministically (first by day/json), not dropDuplicates' partition
+    # lottery, so a retried run reproduces the same surviving row
+    w_uuid = Window.partitionBy("uuid").orderBy("day_str", "json")
+    enriched = (
+        enriched.withColumn("_rn", F.row_number().over(w_uuid))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
     if existing_raw is not None:
         enriched = enriched.join(
             existing_raw.select("uuid"), "uuid", "left_anti"

@@ -152,6 +152,11 @@ def incremental_new_docs(
     identically on a static ``docs`` frame (batch parity is the test
     oracle).
     """
+    if docs.isStreaming and ts_col is None:
+        raise ValueError(
+            "streaming input requires ts_col: dropDuplicates without a "
+            "watermark keeps one state entry per fingerprint forever"
+        )
     out = docs.withColumn("fp", F.md5(F.col(text_col))).join(
         known_fingerprints.select("fp"), "fp", "left_anti"
     )

@@ -283,3 +283,88 @@ def test_xdd_parse_error_demotes_day(spark, xdd_root, text_refs, tmp_path):
     # the intact run2 pair still ingests (reference loads what it got)
     uuids = {r["uuid"] for r in batch.raw_statements_new.collect()}
     assert uuids == {"uuid-y1-REACH-A", "uuid-z1-SPARSER-H"}
+
+
+def test_xdd_malformed_entries_and_unknown_reader(spark, tmp_path, text_refs):
+    """Regression pack: a bib entry with an identifier missing 'id' demotes
+    the day instead of crashing; an unknown READER drops its statement
+    instead of minting a NULL reading id; a duplicated bib entry does not
+    duplicate statements; a TRIPS statement on a known day is dropped."""
+    root = tmp_path / "xdd2"
+    good = root / "2021-06-01"
+    good.mkdir(parents=True)
+    # duplicated bib entry for g1 + one statement with an unknown reader
+    good_bibs = [_bib("g1", "10.5/good"), _bib("g1", "10.5/good")]
+    (good / "run1_bib.json").write_text(json.dumps(good_bibs))
+    (good / "run1_stmts.json").write_text(
+        json.dumps(
+            [
+                _stmt("g1", "REACH", "A", "B"),
+                _stmt("g1", "TRIPS", "A", "C"),  # not in XDD_READER_VERSIONS
+            ]
+        )
+    )
+    bad = root / "2021-06-02"
+    bad.mkdir()
+    (bad / "run2_bib.json").write_text(
+        json.dumps([{"_xddid": "b1", "identifier": [{"type": "doi"}]}])
+    )
+    (bad / "run2_stmts.json").write_text(
+        json.dumps([_stmt("b1", "REACH", "X", "Y")])
+    )
+
+    batch = process_xdd_groups(spark, str(root), text_refs)
+    # malformed bib file -> parse_error -> day demoted, not crashed
+    assert batch.days_partial == ["2021-06-02"]
+    assert batch.days_complete == ["2021-06-01"]
+    raws = batch.raw_statements_new.collect()
+    # exactly ONE raw statement: REACH kept once (dup bib collapsed),
+    # TRIPS dropped for lack of a reading-id base
+    assert len(raws) == 1
+    assert raws[0]["uuid"] == "uuid-g1-REACH-A"
+    readings = batch.reading_new.collect()
+    assert {r["reader"] for r in readings} == {"REACH"}
+
+
+def test_trrust_manager_skips_malformed_rows(tmp_path):
+    from indra_db_spark.sources.knowledgebase import TrrustManager
+
+    p = tmp_path / "trrust.tsv"
+    p.write_text(
+        "TF1\tT1\tActivation\t111;222\n"
+        "\n"  # blank line -> csv.reader yields []
+        "TF2\tT2\tRepression\t333\textra-col\n"
+        "short\trow\n"
+    )
+    stmts = list(TrrustManager(str(p)).get_statements())
+    assert [s["evidence"]["pmid"] for s in stmts] == ["111", "222", "333"]
+
+
+def test_curation_store_concurrent_submits(spark, tmp_path):
+    import threading
+
+    from indra_db_spark.plans.principal import CurationStore
+
+    store = CurationStore(spark, str(tmp_path / "cur"))
+    errs = []
+
+    def work(k):
+        try:
+            for i in range(5):
+                store.submit(
+                    hash_val=k * 100 + i, tag="grounding",
+                    curator="c@x.org", ip="127.0.0.1",
+                )
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [threading.Thread(target=work, args=(k,)) for k in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    rows = store.df().collect()
+    assert len(rows) == 20  # no lost submissions
+    ids = sorted(r["id"] for r in rows)
+    assert ids == list(range(1, 21))  # no duplicate ids

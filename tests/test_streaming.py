@@ -152,6 +152,9 @@ def test_incremental_new_docs_stream_matches_batch(spark, tmp_path):
         (4, "known-1"), (5, "known-3"), (6, "fresh-c"),
     ]
     pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    pdf["ts"] = pd.Timestamp("2026-01-01") + pd.to_timedelta(
+        pdf["doc_id"], unit="m"
+    )
     path = tmp_path / "docs_stream"
     path.mkdir()
     spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(
@@ -159,12 +162,18 @@ def test_incremental_new_docs_stream_matches_batch(spark, tmp_path):
     )
 
     static = spark.read.parquet(str(path))
-    batch_out = incremental_new_docs(static, known)
+    batch_out = incremental_new_docs(static, known, ts_col="ts")
     stream = read_stream(
         spark, str(path), static.schema, max_files_per_trigger=1
     )
+    # a streaming input without an event-time column must be refused —
+    # unbounded dedup state otherwise
+    import pytest
+
+    with pytest.raises(ValueError, match="watermark"):
+        incremental_new_docs(stream, known)
     stream_out = run_to_memory_sink(
-        incremental_new_docs(stream, known), "inc_docs"
+        incremental_new_docs(stream, known, ts_col="ts"), "inc_docs"
     )
 
     got_b = sorted(r.text for r in batch_out.collect())
