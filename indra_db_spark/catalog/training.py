@@ -852,3 +852,32 @@ def doc_mix_weights(spark, sf):
     return SM.mixture_weights(
         T(spark, sf, "documents"), strata_cols=("lang", "source")
     )
+
+
+@register(
+    "doc_incremental_new",
+    """
+    WITH known AS (
+      SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id % 7 = 0
+    ),
+    arriving AS (
+      SELECT md5(text) AS fp FROM documents WHERE doc_id % 7 <> 0
+    )
+    SELECT DISTINCT fp FROM arriving
+    WHERE fp NOT IN (SELECT fp FROM known)
+    """,
+)
+def doc_incremental_new(spark, sf):
+    """Incremental-supplement shape (preassemble_db.py:497-615 as a corpus
+    op): arriving docs anti-joined against known corpus fingerprints, then
+    in-batch deduped — the batch twin of streaming.incremental_new_docs
+    (same function, static input).  Output is the fingerprint set, which is
+    deterministic regardless of which duplicate row survives."""
+    from indra_db_spark.streaming.ingest import incremental_new_docs
+
+    docs = T(spark, sf, "documents")
+    known = docs.filter(F.col("doc_id") % 7 == 0).select(
+        F.md5("text").alias("fp")
+    )
+    out = incremental_new_docs(docs.filter(F.col("doc_id") % 7 != 0), known)
+    return out.select("fp").distinct()
