@@ -329,3 +329,64 @@ def vocab_topk(
         .orderBy(F.desc("n"), F.asc("token"))
         .limit(k)
     )
+
+
+def line_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_line_freq: int = 2,
+    min_line_chars: int = 10,
+    sep: str = "\n",
+) -> DataFrame:
+    """Corpus-level boilerplate removal (the C4/CCNet line-dedup pass):
+    drop every line that appears in more than ``max_line_freq`` documents
+    (headers, footers, cookie banners), keep short lines (< min_line_chars)
+    unconditionally (list bullets, code), and reassemble each document with
+    line order preserved.
+
+    Shape: posexplode → one partial-agg shuffle on the line fingerprint for
+    corpus frequencies (Zipf-skewed boilerplate arrives as per-task partial
+    counts), a second shuffle regrouping surviving lines by doc.  Frequency
+    counting uses md5(line) not the line text, so the wide text never rides
+    the exchange twice.  Returns (id, text, n_lines_dropped).
+    """
+    lines = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+    ).withColumn("line_fp", F.md5("line"))
+    freq = (
+        lines.filter(F.length("line") >= min_line_chars)
+        .groupBy("line_fp")
+        .agg(F.count(F.lit(1)).alias("_freq"))
+        .filter(F.col("_freq") > max_line_freq)
+    )
+    marked = lines.join(
+        freq.select("line_fp").withColumn("_drop", F.lit(True)),
+        "line_fp",
+        "left",
+    ).withColumn(
+        "_drop",
+        F.col("_drop").isNotNull() & (F.length("line") >= min_line_chars),
+    )
+    return (
+        marked.groupBy("id")
+        .agg(
+            F.concat_ws(
+                sep,
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                ~F.col("_drop"),
+                                F.struct(F.col("pos"), F.col("line")),
+                            )
+                        )
+                    ),
+                    lambda s: s.line,
+                ),
+            ).alias("text"),
+            F.sum(F.col("_drop").cast("int")).alias("n_lines_dropped"),
+        )
+        .withColumnRenamed("id", id_col)
+    )

@@ -402,3 +402,32 @@ def test_write_corpus_shards_layout(spark, tmp_path):
     expect = {r.doc_id: r.shard for r in shard_assign(df, 4).collect()}
     got = {r.doc_id: r.shard for r in back.collect()}
     assert got == expect
+
+
+def test_line_dedup_removes_corpus_boilerplate(spark):
+    from indra_db_spark.operators.text import line_dedup
+
+    footer = "subscribe to our newsletter today"
+    docs = [
+        (1, f"unique alpha content line\n{footer}\nshort"),
+        (2, f"unique beta content here\n{footer}"),
+        (3, f"{footer}\nunique gamma content again"),
+        (4, "totally unrelated document text"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {r.doc_id: r for r in line_dedup(df, max_line_freq=2).collect()}
+    # the footer appears in 3 docs (> max_line_freq=2) -> dropped everywhere
+    assert out[1].text == "unique alpha content line\nshort"  # short line kept
+    assert out[2].text == "unique beta content here"
+    assert out[3].text == "unique gamma content again"
+    assert out[4].text == "totally unrelated document text"
+    assert out[1].n_lines_dropped == 1
+    assert out[4].n_lines_dropped == 0
+    # line ORDER preserved when the dropped line is in the middle
+    df2 = spark.createDataFrame(
+        [(10, "aaaaaaaaaaaa\ncccccccccccc\nbbbbbbbbbbbb")]
+        + [(i, "cccccccccccc") for i in range(5)],
+        ["doc_id", "text"],
+    )
+    out2 = {r.doc_id: r.text for r in line_dedup(df2, max_line_freq=2).collect()}
+    assert out2[10] == "aaaaaaaaaaaa\nbbbbbbbbbbbb"
