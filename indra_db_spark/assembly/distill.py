@@ -59,15 +59,21 @@ def _version_rank(version_priority: dict[str, "list[str]"] | None) -> "F.Column"
     """Explicit reader-version ordering (export_assembly.py:185-189 sorts by
     ``reader_versions[reader].index(version)``, newest = highest index).
     Falls back to lexicographic ``reader_version`` for unlisted pairs, which
-    is correct for same-width version strings."""
+    is correct for same-width version strings.
+
+    The rank is a STRING so both regimes compose in one ORDER BY: listed
+    (reader, version) pairs rank ``"1:<zero-padded index>"`` — above every
+    unlisted pair (explicit priority wins) — while unlisted pairs rank
+    ``"0:<version>"``, preserving lexicographic order among themselves
+    instead of collapsing to an arbitrary tie."""
     if not version_priority:
         return F.col("reader_version")
-    expr = F.lit(-1)
+    expr = F.concat(F.lit("0:"), F.col("reader_version"))
     for reader, versions in version_priority.items():
         for i, v in enumerate(versions):
             expr = F.when(
                 (F.col("reader") == reader) & (F.col("reader_version") == v),
-                F.lit(i),
+                F.lit(f"1:{i:06d}"),
             ).otherwise(expr)
     return expr
 

@@ -75,6 +75,7 @@ def run_assembly(
     ontology_edges: DataFrame | None = None,
     grounding_map: dict[str, str] | None = None,
     persist: bool = True,
+    version_priority: dict[str, list[str]] | None = None,
 ) -> dict[str, DataFrame]:
     """Principal inputs -> every readonly table, deriving the PA side from
     the raw statement JSON itself (no precomputed pa_* needed).
@@ -87,7 +88,10 @@ def run_assembly(
     spark = principal["raw_statements"].sparkSession
     # distill FIRST so superseded readings feed neither statements nor
     # belief counts (export_assembly.py:984-999 stage order)
-    kept = distill_readings(principal["text_content"], principal["reading"])
+    kept = distill_readings(
+        principal["text_content"], principal["reading"],
+        version_priority=version_priority,
+    )
     # disjoint branches: a row with BOTH ids set counts once, not twice
     raw0 = principal["raw_statements"].filter(
         F.col("db_info_id").isNotNull()
@@ -176,7 +180,11 @@ def run_assembly(
         pa_support_links=links,
     )
     derived.pop("raw_unique_links", None)  # regenerated from rehashed raws
-    out = build_readonly(derived, belief=belief, persist=persist)
+    # pass the distillation result through: build_readonly must not
+    # re-execute the two window shuffles over reading x text_content
+    out = build_readonly(
+        derived, belief=belief, persist=persist, distilled=kept
+    )
     out["pa_statements"] = pa_statements
     out["pa_agents"] = pa_agents
     out["pa_support_links"] = links

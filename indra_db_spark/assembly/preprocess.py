@@ -119,6 +119,13 @@ def preprocess_statements(
             return ground(stmt)
         if gmap:
             stmt["agents"] = [gmap.get(a, a) for a in stmt.get("agents", [])]
+            # agent_groundings feed extract_agent_rows (pipeline.py) and
+            # from there pa_agents/name_meta — renaming only `agents` would
+            # desynchronize the recomputed hash/JSON from the meta rows
+            # the query algebra routes on
+            for g in stmt.get("agent_groundings") or []:
+                if isinstance(g, dict) and "NAME" in g:
+                    g["NAME"] = gmap.get(g["NAME"], g["NAME"])
         return stmt
 
     def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

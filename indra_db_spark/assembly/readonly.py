@@ -43,8 +43,14 @@ def build_raw_stmt_src(
 ) -> DataFrame:
     """sid -> lower(reader) UNION sid -> lower(db_name)
     (readonly_schema.py:382-413)."""
+    # db_info_id IS NULL keeps the branches disjoint: a malformed row with
+    # BOTH ids set counts once — as database-sourced, the same priority the
+    # raw branch split in build_readonly and pipeline.py applies — instead
+    # of emitting two src rows that would double its evidence downstream
     rd = (
-        raw_statements.filter(F.col("reading_id").isNotNull())
+        raw_statements.filter(
+            F.col("reading_id").isNotNull() & F.col("db_info_id").isNull()
+        )
         .join(reading, raw_statements["reading_id"] == reading["rid"])
         .select(F.col("sid"), F.lower("reader").alias("src"))
     )
@@ -383,6 +389,8 @@ def build_readonly(
     principal: dict[str, DataFrame],
     belief: DataFrame | None = None,
     persist: bool = False,
+    version_priority: dict[str, list[str]] | None = None,
+    distilled: DataFrame | None = None,
 ) -> dict[str, DataFrame]:
     """Run the full RUN_ORDER DAG (readonly_dumping.py:64-82): principal
     tables -> every readonly table, as lazily-composed DataFrames.
@@ -390,6 +398,11 @@ def build_readonly(
     ``belief`` (mk_hash, belief) may be precomputed by
     :func:`indra_db_spark.assembly.belief.belief_scores`; defaults to 0.0
     when absent (the reference loads it from the belief-stage output).
+
+    ``distilled`` (rid) may carry an already-computed distillation result —
+    run_assembly passes its own so the two distillation window shuffles
+    execute once, not once per layer; ``version_priority`` feeds
+    :func:`distill_readings` when it is computed here.
 
     ``persist=True`` caches the fan-out intermediates (the evidence-grain
     link, the sort/group block, source_meta) with MEMORY_AND_DISK — without
@@ -404,7 +417,15 @@ def build_readonly(
 
             return df.persist(StorageLevel.MEMORY_AND_DISK)
         return df
-    kept = distill_readings(principal["text_content"], principal["reading"])
+    kept = (
+        distilled
+        if distilled is not None
+        else distill_readings(
+            principal["text_content"],
+            principal["reading"],
+            version_priority=version_priority,
+        )
+    )
     reading = principal["reading"].join(kept, "rid", "left_semi")
     # branches kept disjoint: a malformed row with BOTH ids set counts once
     # (as database-sourced), never twice

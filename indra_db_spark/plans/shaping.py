@@ -208,8 +208,10 @@ def get_relations(
     limit: Optional[int] = None,
     with_complex_dups: bool = False,
 ) -> DataFrame:
-    """(agents, type) grain: sum ev_count, max belief, collect hashes
-    (reference RelationSQL.agg, query.py:130-163)."""
+    """Relations grain — groupBy(agents, type, agent_count, activity,
+    is_active), exactly the reference's RelationSQL.agg key set
+    (query.py:130-163; SURVEY §2.5): sum ev_count, max belief, collect
+    hashes."""
     base = _interactions_base(query, lake, with_complex_dups)
     out = (
         base.withColumn("agent_key", F.to_json(F.col("agent_json")))
@@ -261,6 +263,10 @@ def get_agents(
     )
     if limit:
         out = out.limit(limit)
+    # the covered-complex harvest below executes the plan; persist so the
+    # caller's own action reuses the result instead of recomputing the
+    # whole aggregation
+    out = out.persist()
     covered = set(complexes_covered or ())
     from indra_db_spark.schemas import TYPE_NUMS
 
@@ -285,16 +291,15 @@ def get_mesh_ref_counts(
     terms = [int(m[1:]) for m in mesh_ids if m.startswith("D")]
     concepts = [int(m[1:]) for m in mesh_ids if m.startswith("C")]
     parts = []
-    for nums, table, kind in (
-        (terms, "mesh_term_ref_counts", "D"),
-        (concepts, "mesh_concept_ref_counts", "C"),
+    for nums, table in (
+        (terms, "mesh_term_ref_counts"),
+        (concepts, "mesh_concept_ref_counts"),
     ):
         if nums:
             parts.append(
                 lake[table]
                 .filter(F.col("mesh_num").isin(nums))
                 .select("mk_hash", "mesh_num", "ref_count", "pmid_count")
-                .withColumn("_kind", F.lit(kind))
             )
     if not parts:
         raise ValueError("no valid mesh ids given")
@@ -375,20 +380,25 @@ class EvidenceFilter:
         return EvidenceFilter("or", children=[self, other])
 
     # -- application
-    def _keep_ids(self, lake: ReadonlyLake, ev: DataFrame) -> DataFrame:
-        """Evidence-row id sets satisfying the clause."""
+    def _keep_ids(self, lake: ReadonlyLake, ev: DataFrame):
+        """Evidence-row id sets satisfying the clause; None = no
+        restriction (a clause with zero children is vacuously true)."""
         if self.kind == "and":
             out = None
             for c in self.children:
                 ids = c._keep_ids(lake, ev)
+                if ids is None:
+                    continue
                 out = ids if out is None else out.join(ids, "id", "left_semi")
             return out
         if self.kind == "or":
             out = None
             for c in self.children:
                 ids = c._keep_ids(lake, ev)
+                if ids is None:
+                    continue
                 out = ids if out is None else out.unionByName(ids)
-            return out.distinct()
+            return None if out is None else out.distinct()
         method, args = self.clause
         if method == "source":
             return ev.filter(F.col("src").isin(args)).select("id")
@@ -423,4 +433,5 @@ class EvidenceFilter:
         raise ValueError(f"unknown evidence clause {method}")
 
     def apply(self, lake: ReadonlyLake, ev: DataFrame) -> DataFrame:
-        return ev.join(self._keep_ids(lake, ev), "id", "left_semi")
+        ids = self._keep_ids(lake, ev)
+        return ev if ids is None else ev.join(ids, "id", "left_semi")

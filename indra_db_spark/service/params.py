@@ -23,10 +23,10 @@ from indra_db_spark.plans.queries import (
     build_intersection,
     build_union,
 )
+from indra_db_spark.plans.shaping import MAX_STMTS  # single source of truth
 from indra_db_spark.plans.shaping import EvidenceFilter
 
 #: service caps (indra_db_service/config.py:27-28, call_handlers.py:190-210)
-MAX_STMTS = 500
 MAX_LIST_LEN = 2000
 
 

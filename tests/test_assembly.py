@@ -454,3 +454,67 @@ def test_snapshot_diff(readonly_built, spark):
     assert any("schema drift" in p for p in problems)
     assert any("rows" in p for p in problems)
     assert diff_snapshots(snap, {}) == ["missing table: source_meta"]
+
+
+def test_distill_unlisted_reader_falls_back_to_lexicographic(spark):
+    # a version_priority naming only reach must not collapse OTHER readers'
+    # version ordering to rid order (regression: unlisted pairs all ranked
+    # -1, keeping the superseded version)
+    content = spark.createDataFrame(
+        [(10, 1, "pubmed", "text", "abstract", False)],
+        PRINCIPAL_SCHEMAS["text_content"],
+    )
+    reading = spark.createDataFrame(
+        [(100, 10, "medscan", "1.0", 1), (101, 10, "medscan", "2.0", 1)],
+        PRINCIPAL_SCHEMAS["reading"],
+    )
+    kept = {
+        r.rid
+        for r in distill_readings(
+            content, reading, version_priority={"reach": ["1.0", "2.0"]}
+        ).collect()
+    }
+    assert kept == {101}  # lexicographically newest survives
+
+
+def test_grounding_map_rewrites_agent_groundings(spark):
+    # regression: renaming only stmt['agents'] desynchronized the hash/JSON
+    # from the pa_agents rows built from agent_groundings
+    import json as _json
+
+    from indra_db_spark.assembly.preprocess import preprocess_statements
+
+    stmt = {
+        "id": "u1",
+        "type": "Activation",
+        "agents": ["MEK", "ERK"],
+        "agent_groundings": [{"NAME": "MEK"}, {"NAME": "ERK"}],
+        "evidence": {"source_api": "reach"},
+    }
+    raw = spark.createDataFrame(
+        [(1, _json.dumps(stmt).encode())], "sid long, json binary"
+    )
+    out = preprocess_statements(raw, grounding_map={"MEK": "MAP2K1"}).collect()
+    got = _json.loads(bytes(out[0]["json"]).decode())
+    assert got["agents"] == ["MAP2K1", "ERK"]
+    assert got["agent_groundings"][0]["NAME"] == "MAP2K1"
+
+
+def test_raw_stmt_src_counts_dual_id_row_once(spark):
+    from indra_db_spark.assembly.readonly import build_raw_stmt_src
+
+    raws = spark.createDataFrame(
+        [(1, 100, 5), (2, 100, None), (3, None, 5)],
+        "sid long, reading_id long, db_info_id int",
+    )
+    reading = spark.createDataFrame(
+        [(100, 1, "REACH", "1.0", 1)], PRINCIPAL_SCHEMAS["reading"]
+    )
+    db_info = spark.createDataFrame(
+        [(5, "signor", "SIGNOR")], "id int, db_name string, db_full_name string"
+    )
+    out = sorted(
+        (r.sid, r.src) for r in build_raw_stmt_src(raws, reading, db_info).collect()
+    )
+    # sid 1 has BOTH ids -> database-sourced once (branch-split priority)
+    assert out == [(1, "signor"), (2, "reach"), (3, "signor")]

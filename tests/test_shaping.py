@@ -135,3 +135,12 @@ def test_get_agents_complexes_covered_paging(fx):
     df2, _ = get_agents(q, lake, complexes_covered=covered)
     n_rows = df2.select(F.size("hashes").alias("n")).collect()
     assert sum(r.n for r in n_rows) == len(complex_hashes)
+
+
+def test_empty_evidence_filter_is_noop(spark):
+    from indra_db_spark.plans.shaping import EvidenceFilter
+
+    ev = spark.createDataFrame([(1,), (2,)], ["id"])
+    for f in (EvidenceFilter.from_filters(), EvidenceFilter("or", children=[])):
+        out = f.apply(None, ev)
+        assert {r.id for r in out.collect()} == {1, 2}
