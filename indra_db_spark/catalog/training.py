@@ -881,3 +881,65 @@ def doc_incremental_new(spark, sf):
     )
     out = incremental_new_docs(docs.filter(F.col("doc_id") % 7 != 0), known)
     return out.select("fp").distinct()
+
+
+@register(
+    "doc_line_dedup",
+    r"""
+    WITH aug AS (
+      SELECT doc_id,
+        concat_ws(chr(10), text,
+          'refrain unique to document ' || CAST(doc_id AS VARCHAR),
+          'refrain unique to document ' || CAST(doc_id AS VARCHAR),
+          'refrain unique to document ' || CAST(doc_id AS VARCHAR),
+          'shared footer from source ' || source) AS text
+      FROM documents
+    ),
+    lines AS (
+      SELECT doc_id,
+             unnest(string_split(text, chr(10))) AS line,
+             generate_subscripts(string_split(text, chr(10)), 1) AS pos
+      FROM aug
+    ),
+    freq AS (
+      SELECT md5(line) AS line_fp FROM lines WHERE length(line) >= 10
+      GROUP BY md5(line) HAVING count(DISTINCT doc_id) > 2
+    ),
+    marked AS (
+      SELECT l.doc_id, l.pos, l.line,
+             (f.line_fp IS NOT NULL AND length(l.line) >= 10) AS dropped
+      FROM lines l LEFT JOIN freq f ON md5(l.line) = f.line_fp
+    )
+    SELECT doc_id,
+      coalesce(string_agg(CASE WHEN NOT dropped THEN line END, chr(10)
+                          ORDER BY pos), '') AS text,
+      CAST(sum(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_lines_dropped
+    FROM marked GROUP BY doc_id
+    """,
+)
+def doc_line_dedup(spark, sf):
+    """Corpus-level boilerplate (line) dedup — C4/CCNet pass.  The synthetic
+    docs are single-line, so the entry augments each with a per-source shared
+    footer (cross-document boilerplate: must be dropped everywhere) and a
+    per-document refrain repeated 3x (within-document repetition: document
+    frequency is 1, so it must be KEPT — this pins doc-frequency semantics
+    against a plain occurrence count).  Shape: two shuffles — one partial-agg
+    on the line fingerprint, one regroup by doc; the wide text never rides
+    the frequency exchange (md5 fingerprints only).
+    """
+    refrain = F.concat(
+        F.lit("refrain unique to document "), F.col("doc_id").cast("string")
+    )
+    aug = T(spark, sf, "documents").select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.col("text"),
+            refrain,
+            refrain,
+            refrain,
+            F.concat(F.lit("shared footer from source "), F.col("source")),
+        ).alias("text"),
+    )
+    return X.line_dedup(aug, id_col="doc_id", text_col="text")

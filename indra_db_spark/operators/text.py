@@ -358,7 +358,10 @@ def line_dedup(
     freq = (
         lines.filter(F.length("line") >= min_line_chars)
         .groupBy("line_fp")
-        .agg(F.count(F.lit(1)).alias("_freq"))
+        # Document frequency, not occurrence count: a document repeating its
+        # own refrain must not push the line over the threshold (C4/CCNet
+        # semantics — boilerplate is cross-document by definition).
+        .agg(F.count_distinct("id").alias("_freq"))
         .filter(F.col("_freq") > max_line_freq)
     )
     marked = lines.join(

@@ -431,3 +431,16 @@ def test_line_dedup_removes_corpus_boilerplate(spark):
     )
     out2 = {r.doc_id: r.text for r in line_dedup(df2, max_line_freq=2).collect()}
     assert out2[10] == "aaaaaaaaaaaa\nbbbbbbbbbbbb"
+    # document frequency, NOT occurrence count: a line repeated 3x inside a
+    # single document (df=1) stays; the same text in 3 docs (df=3) goes
+    refrain = "my own legitimate refrain"
+    df3 = spark.createDataFrame(
+        [(20, f"{refrain}\nmiddle unique content\n{refrain}\n{refrain}")]
+        + [(30 + i, "cross document boilerplate") for i in range(3)],
+        ["doc_id", "text"],
+    )
+    out3 = {r.doc_id: r for r in line_dedup(df3, max_line_freq=2).collect()}
+    assert out3[20].text == f"{refrain}\nmiddle unique content\n{refrain}\n{refrain}"
+    assert out3[20].n_lines_dropped == 0
+    assert out3[30].text == ""
+    assert out3[30].n_lines_dropped == 1
