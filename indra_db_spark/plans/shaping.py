@@ -265,17 +265,30 @@ def get_agents(
         out = out.limit(limit)
     # the covered-complex harvest below executes the plan; persist so the
     # caller's own action reuses the result instead of recomputing the
-    # whole aggregation
+    # whole aggregation.  The returned DataFrame stays persisted — callers
+    # that page repeatedly (the REST service) must unpersist when done.
     out = out.persist()
     covered = set(complexes_covered or ())
+    covered.update(
+        r.h for r in _covered_complex_hashes(out).collect()
+    )
+    return out, covered
+
+
+def _covered_complex_hashes(out: DataFrame) -> DataFrame:
+    """Distinct Complex-type hashes of an agents-grain result.  Explodes and
+    filters executor-side so the driver collect is O(complex hashes), not
+    O(result × arrays) — the unbounded-``limit`` library path must not pull
+    the whole agents table through the driver."""
     from indra_db_spark.schemas import TYPE_NUMS
 
     complex_num = TYPE_NUMS["Complex"]
-    for row in out.select("hashes", "type_nums").collect():
-        for h, tn in zip(row.hashes, row.type_nums):
-            if tn == complex_num:
-                covered.add(h)
-    return out, covered
+    return (
+        out.select(F.explode(F.arrays_zip("hashes", "type_nums")).alias("p"))
+        .filter(F.col("p.type_nums") == complex_num)
+        .select(F.col("p.hashes").alias("h"))
+        .distinct()
+    )
 
 
 def get_mesh_ref_counts(
@@ -392,13 +405,17 @@ class EvidenceFilter:
                 out = ids if out is None else out.join(ids, "id", "left_semi")
             return out
         if self.kind == "or":
+            if not self.children:
+                return None
             out = None
             for c in self.children:
                 ids = c._keep_ids(lake, ev)
                 if ids is None:
-                    continue
+                    # true OR anything = true: a vacuously-true disjunct
+                    # lifts the whole OR to "no restriction"
+                    return None
                 out = ids if out is None else out.unionByName(ids)
-            return None if out is None else out.distinct()
+            return out.distinct()
         method, args = self.clause
         if method == "source":
             return ev.filter(F.col("src").isin(args)).select("id")

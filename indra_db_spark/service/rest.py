@@ -178,10 +178,16 @@ def make_handler(lake, curation: CurationStore | None = None, pa_statements=None
                 query, lake, limit=page["limit"],
                 complexes_covered=complexes_covered,
             )
-            return {
-                "results": _rows_json(df, None),
-                "complexes_covered": sorted(covered),
-            }
+            try:
+                return {
+                    "results": _rows_json(df, None),
+                    "complexes_covered": sorted(covered),
+                }
+            finally:
+                # get_agents persists its result for the harvest/response
+                # double action; release it so repeated paging calls don't
+                # accumulate cached DataFrames in executor storage
+                df.unpersist()
 
         # ------------------------------------------------------------ GET
 

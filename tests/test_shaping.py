@@ -144,3 +144,37 @@ def test_empty_evidence_filter_is_noop(spark):
     for f in (EvidenceFilter.from_filters(), EvidenceFilter("or", children=[])):
         out = f.apply(None, ev)
         assert {r.id for r in out.collect()} == {1, 2}
+
+
+def test_evidence_filter_or_with_vacuous_child_is_true(fx):
+    lake, stmts = fx
+    # OR(empty-AND, has_source([...])): the vacuously-true disjunct makes the
+    # whole OR true — every evidence row survives, not just the source hits
+    f = EvidenceFilter("or", children=[
+        EvidenceFilter.from_filters(),
+        EvidenceFilter.has_source(["reach"]),
+    ])
+    res = get_statements(HasAgent("ERK"), lake, limit=5, ev_limit=1000,
+                         evidence_filter=f)
+    by_hash = {s.mk_hash: s for s in stmts}
+    for h, stmt in res.statements.items():
+        assert len(stmt["evidence"]) == by_hash[h].ev_count
+
+
+def test_get_agents_harvest_is_bounded_and_unpersistable(fx):
+    from indra_db_spark.plans.shaping import _covered_complex_hashes
+
+    lake, stmts = fx
+    q = HasType(["Complex", "Phosphorylation"])
+    df, covered = get_agents(q, lake)
+    # the driver-side harvest pulls exactly the distinct Complex hashes —
+    # O(complex rows), not O(result x array width)
+    harvested = _covered_complex_hashes(df).collect()
+    complex_hashes = {s.mk_hash for s in stmts if s.stmt_type == "Complex"}
+    assert len(harvested) == len(complex_hashes)
+    assert covered == complex_hashes
+    # the result comes back persisted (harvest + caller action share one
+    # execution); callers can release it
+    assert df.storageLevel.useMemory
+    df.unpersist()
+    assert not df.storageLevel.useMemory
