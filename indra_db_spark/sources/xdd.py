@@ -372,29 +372,60 @@ def process_xdd_groups(
     # src, kind) tags come from a broadcast path-keyed lookup instead.
     # '' is the sentinel for "no id_src": the bib<->stmts equi-join must
     # match on it, and NULL keys never equi-join.
-    def _plain(p: str) -> str:
-        # one canonical key for both the listing paths (which may be
-        # file:-scheme URIs) and executor-side input_file_name()
+    def _canon(p: str) -> str:
+        # canonical join key for a listing URI: unify file:-scheme slash
+        # variants to a plain path; any other scheme (s3a://, hdfs://, …)
+        # passes through untouched — _list_groups returns fully-qualified
+        # URIs, so abspath only applies to a caller-supplied bare path.
+        # The listing side is NOT percent-encoded (Hadoop Path.toString()
+        # is the decoded form), so no decoding happens here; the
+        # executor side decodes input_file_name() to match.
         import re as _re
 
         if p.startswith("file:"):
             return _re.sub("^file:/{0,2}/", "/", p)
+        if _re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://", p):
+            return p
         return os.path.abspath(p)
 
     path_rows = [
-        (_plain(path), day, run_id, id_src or "", kind)
+        (_canon(path), day, run_id, id_src or "", kind)
         for day, run_id, id_src, kind, path in reads
     ]
     lookup = spark.createDataFrame(
         path_rows, "path string, day_str string, run_id string, id_src string, kind string"
     )
+    # input_file_name() is the percent-encoded URI form; url_decode maps it
+    # back to the listing's decoded form.  '+' must be protected first:
+    # URL-decoding treats it as a space, but a literal '+' in a file name
+    # rides the URI unencoded.
+    decoded = F.url_decode(F.regexp_replace(F.input_file_name(), r"\+", "%2B"))
+    canon = F.when(
+        decoded.startswith("file:"),
+        F.regexp_replace(decoded, "^file:/{0,2}/", "/"),
+    ).otherwise(decoded)
     raw_files = (
+        # the read gets the ORIGINAL listing URIs — canonicalization is
+        # only ever a join-key transform, never handed back to Hadoop
         spark.read.option("wholetext", "true")
-        .text([p for p, *_ in path_rows])
+        .text([path for day, run_id, id_src, kind, path in reads])
+        .withColumn("path", canon)
+        .join(F.broadcast(lookup), "path", "left")
+        # a key mismatch must fail loudly naming the file, not silently
+        # drop its rows (the day could otherwise be marked complete and
+        # permanently skipped by the ledger with data missing)
         .withColumn(
-            "path", F.regexp_replace(F.input_file_name(), "^file:/{0,2}/", "/")
+            "day_str",
+            F.when(
+                F.col("day_str").isNull(),
+                F.raise_error(
+                    F.concat(
+                        F.lit("xdd listing/read join key mismatch for file: "),
+                        F.col("path"),
+                    )
+                ),
+            ).otherwise(F.col("day_str")),
         )
-        .join(F.broadcast(lookup), "path")
         .select("day_str", "run_id", "id_src", "kind", "value")
     )
 
@@ -475,6 +506,18 @@ def process_xdd_groups(
     elif text_content is not None:
         max_tcid = text_content.agg(F.max("tcid")).first()[0] or 0
     else:
+        # fail safe: text_refs (or existing_raw) says the corpus is
+        # non-empty, so text_content rows almost certainly exist too —
+        # silently minting tcids from 1 would collide with them (and with
+        # the reading ids derived from them).  max_trid is already computed
+        # above, so this check costs nothing.
+        if max_trid > 0 or existing_raw is not None:
+            raise ValueError(
+                "process_xdd_groups: tcid high-water mark unknown over a "
+                "non-empty corpus — pass text_content or pin "
+                "max_existing['tcid'] (0 only if the corpus truly has no "
+                "text_content rows)"
+            )
         max_tcid = 0
     tc = _dense_ids(tc, ["text_ref_id", "source"], max_tcid, "tcid")
     text_content_new = tc.select(

@@ -207,7 +207,7 @@ def text_refs(spark):
 
 
 def test_xdd_ingestion(spark, xdd_root, text_refs):
-    batch = process_xdd_groups(spark, xdd_root, text_refs)
+    batch = process_xdd_groups(spark, xdd_root, text_refs, max_existing={"tcid": 0})
 
     assert batch.days_complete == ["2020-01-01"]
     assert batch.days_partial == ["2020-01-02"]
@@ -256,7 +256,7 @@ def test_xdd_ingestion(spark, xdd_root, text_refs):
 
 def test_xdd_ledger_skip_and_idempotent_retry(spark, xdd_root, text_refs, tmp_path):
     ledger = ProvenanceLedger(spark, str(tmp_path / "lake"))
-    batch = process_xdd_groups(spark, xdd_root, text_refs, ledger=ledger)
+    batch = process_xdd_groups(spark, xdd_root, text_refs, ledger=ledger, max_existing={"tcid": 0})
     record_xdd_run(ledger, batch, dt(10))
     assert ledger.processed_xdd_days() == {"2020-01-01"}
 
@@ -265,7 +265,8 @@ def test_xdd_ledger_skip_and_idempotent_retry(spark, xdd_root, text_refs, tmp_pa
     # nothing new (cli/xdd.py:125-135 skipped-uuid semantics).
     existing = batch.raw_statements_new
     again = process_xdd_groups(
-        spark, xdd_root, text_refs, existing_raw=existing, ledger=ledger
+        spark, xdd_root, text_refs, existing_raw=existing, ledger=ledger,
+        max_existing={"tcid": 0},
     )
     assert again.days_partial == ["2020-01-02"]
     assert "2020-01-01" not in again.days_complete + again.days_partial
@@ -277,7 +278,7 @@ def test_xdd_parse_error_demotes_day(spark, xdd_root, text_refs, tmp_path):
 
     bad = pathlib.Path(xdd_root) / "2020-01-01" / "run1_stmts.json"
     bad.write_text("{not json")
-    batch = process_xdd_groups(spark, xdd_root, text_refs)
+    batch = process_xdd_groups(spark, xdd_root, text_refs, max_existing={"tcid": 0})
     assert batch.days_complete == []
     assert set(batch.days_partial) == {"2020-01-01", "2020-01-02"}
     # the intact run2 pair still ingests (reference loads what it got)
@@ -313,7 +314,7 @@ def test_xdd_malformed_entries_and_unknown_reader(spark, tmp_path, text_refs):
         json.dumps([_stmt("b1", "REACH", "X", "Y")])
     )
 
-    batch = process_xdd_groups(spark, str(root), text_refs)
+    batch = process_xdd_groups(spark, str(root), text_refs, max_existing={"tcid": 0})
     # malformed bib file -> parse_error -> day demoted, not crashed
     assert batch.days_partial == ["2021-06-02"]
     assert batch.days_complete == ["2021-06-01"]
@@ -368,3 +369,36 @@ def test_curation_store_concurrent_submits(spark, tmp_path):
     assert len(rows) == 20  # no lost submissions
     ids = sorted(r["id"] for r in rows)
     assert ids == list(range(1, 21))  # no duplicate ids
+
+
+def test_xdd_special_char_filenames_survive_path_join(spark, tmp_path, text_refs):
+    """input_file_name() returns percent-encoded URIs; a space or a literal
+    '+' in a file name must decode back to the listing path, not silently
+    fail the path join and vanish the file's rows."""
+    root = tmp_path / "xdd3"
+    day = root / "2022-03-01"
+    day.mkdir(parents=True)
+    (day / "run 5_bib.json").write_text(json.dumps([_bib("s1", "10.7/sp")]))
+    (day / "run 5_stmts.json").write_text(
+        json.dumps([_stmt("s1", "REACH", "A", "B")])
+    )
+    (day / "a+b_bib.json").write_text(json.dumps([_bib("p1", "10.7/pl")]))
+    (day / "a+b_stmts.json").write_text(
+        json.dumps([_stmt("p1", "SPARSER", "C", "D")])
+    )
+    batch = process_xdd_groups(
+        spark, str(root), text_refs, max_existing={"tcid": 0}
+    )
+    assert batch.days_complete == ["2022-03-01"]
+    uuids = {r["uuid"] for r in batch.raw_statements_new.collect()}
+    assert uuids == {"uuid-s1-REACH-A", "uuid-p1-SPARSER-C"}
+
+
+def test_xdd_tcid_guard_requires_base_over_nonempty_corpus(
+    spark, xdd_root, text_refs
+):
+    """Defaulting the tcid high-water mark to 0 over a corpus that already
+    has text_refs would mint colliding tcids (and reading ids); the caller
+    must pass text_content or pin max_existing['tcid'] explicitly."""
+    with pytest.raises(ValueError, match="tcid high-water mark"):
+        process_xdd_groups(spark, xdd_root, text_refs)
