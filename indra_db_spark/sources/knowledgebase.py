@@ -262,16 +262,25 @@ def _statement_rows(
     from indra_db_spark.assembly.preprocess import compute_mk_hash
 
     sid = start_sid
+    seen: set[tuple[int, int]] = set()
     for stmt in mgr.get_statements():
         ev = stmt.get("evidence") or {}
+        # per-manager exact dedup on (mk_hash, source_hash) — the
+        # reference's extract_duplicates(KeyFunc.mk_and_one_ev_src) applied
+        # to every manager's output before insert (cli/knowledgebase.py:146)
+        key = (
+            compute_mk_hash(stmt),
+            stable_hash(f"{mgr.short_name}|{json.dumps(ev, sort_keys=True)}"),
+        )
+        if key in seen:
+            continue
+        seen.add(key)
         yield {
             "sid": sid,
             "uuid": f"kb-{mgr.short_name}-{sid}",
             "batch_id": batch_id,
-            "mk_hash": compute_mk_hash(stmt),
-            "source_hash": stable_hash(
-                f"{mgr.short_name}|{json.dumps(ev, sort_keys=True)}"
-            ),
+            "mk_hash": key[0],
+            "source_hash": key[1],
             "reading_id": None,
             "db_info_id": db_info_id,
             "type": stmt.get("type"),
@@ -323,3 +332,46 @@ def kb_update(
         "mk_hash", "source_hash"
     )
     return candidate.join(seen, ["mk_hash", "source_hash"], "left_anti")
+
+
+# Concrete managers beyond TAS/SIGNOR/TRRUST live in kb_managers.py
+# (reference: cli/knowledgebase.py:190-737); re-exported here so the full
+# roster imports from one place.
+from indra_db_spark.sources.kb_managers import (  # noqa: E402,F401
+    BelLcManager,
+    BiogridManager,
+    CbnManager,
+    ConibManager,
+    CrogManager,
+    CTDManager,
+    DgiManager,
+    DrugBankManager,
+    HPRDManager,
+    PathwayCommonsManager,
+    PhosphoElmManager,
+    PhosphositeManager,
+    RlimspManager,
+    UbiBrowserManager,
+    VirHostNetManager,
+)
+
+ALL_MANAGER_CLASSES = [
+    TasManager,
+    SignorManager,
+    TrrustManager,
+    CbnManager,
+    BiogridManager,
+    PathwayCommonsManager,
+    CTDManager,
+    DrugBankManager,
+    VirHostNetManager,
+    PhosphoElmManager,
+    HPRDManager,
+    BelLcManager,
+    PhosphositeManager,
+    RlimspManager,
+    DgiManager,
+    CrogManager,
+    ConibManager,
+    UbiBrowserManager,
+]
