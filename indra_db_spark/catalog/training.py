@@ -695,15 +695,65 @@ def belief_ancestor_agg(spark, sf):
     )
 
 
-@register("emb_ivf_topk")  # no SQL oracle: k-means cells aren't portable —
-# the driver records the weaker rows-only check for this entry
+# squared Euclidean distance, sequential fold order (matches Spark's
+# F.aggregate over zip_with element order bit-for-bit)
+def _d2(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_transform(list_zip(CAST({a} AS DOUBLE[]), {b}), "
+        "x -> (x[1] - x[2])*(x[1] - x[2])), (acc, y) -> acc + y)"
+    )
+
+
+@register(
+    "emb_ivf_topk",
+    f"""
+    WITH seeds AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+             CAST(embedding AS DOUBLE[]) AS svec
+      FROM embeddings WHERE vec_id < 8
+    ),
+    ca AS (
+      SELECT e.vec_id AS neighbor_id, e.embedding AS cvec, s.cell,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY round({_d2('e.embedding', 's.svec')}, 6), s.cell
+             ) AS drn
+      FROM embeddings e, seeds s
+    ),
+    assign AS (SELECT neighbor_id, cvec, cell FROM ca WHERE drn = 1),
+    qa AS (
+      SELECT e.vec_id AS query_id, e.embedding AS qvec, s.cell,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY round({_d2('e.embedding', 's.svec')}, 6), s.cell
+             ) AS qrn
+      FROM embeddings e, seeds s WHERE e.vec_id < 10
+    ),
+    q AS (SELECT query_id, qvec, cell FROM qa WHERE qrn <= 3),
+    c AS (SELECT * FROM assign),
+    s AS (
+      SELECT query_id, neighbor_id, {_COS} AS sim
+      FROM q JOIN c USING (cell) WHERE query_id <> neighbor_id
+    ),
+    r AS (SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
+          FROM s)
+    SELECT query_id, neighbor_id, sim FROM r WHERE rn <= 5
+    """,
+)
 def emb_ivf_topk(spark, sf):
-    """IVF ANN (k-means coarse quantizer, nprobe cells per query) — the
-    scale path beside SRP bucketing; recall checked in tests against the
-    exact brute-force baseline."""
+    """IVF ANN with a deterministic pinned-seed quantizer: cells are the
+    first 8 corpus vectors (engine-portable, so the full DuckDB oracle
+    applies — fixes the r4 rows-only gap), assignment is argmin squared
+    distance with (distance, cell) tie-break, each query probes its 3
+    nearest cells.  The k-means-trained quantizer is the production path
+    (ivf_train_centroids → ivf_build_index → ivf_probe, index built once
+    and reused); recall vs the exact baseline is pinned in tests."""
     emb = T(spark, sf, "embeddings")
-    queries = emb.orderBy("vec_id").limit(10)
-    return S.ivf_topk(emb, queries, k=5, nlist=8, nprobe=3)
+    seed_rows = emb.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
+    centers = [[float(x) for x in r.embedding] for r in seed_rows]
+    queries = emb.filter(F.col("vec_id") < 10)
+    return S.ivf_topk(emb, queries, k=5, nprobe=3, centroids=centers)
 
 
 # --------------------------------------------- sampling / sharding / vocab

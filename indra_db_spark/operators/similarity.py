@@ -190,6 +190,110 @@ def srp_topk(
     return _rank_topk(scored, k)
 
 
+def _ranked_cells(vec, centers: list[list[float]], n: int,
+                  dist_decimals: int | None = 6) -> Column:
+    """Ids of the ``n`` nearest centroids to ``vec`` (squared Euclidean,
+    rounded to ``dist_decimals`` before ranking, ties broken by cell id) —
+    a pure column expression over literal centers, so it runs JVM-side per
+    row with no UDF and is reproducible across engines."""
+    dists = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    vec,
+                    F.array(*[F.lit(x) for x in c]),
+                    lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            for c in centers
+        ]
+    )
+    if dist_decimals is not None:
+        dists = F.transform(dists, lambda d: F.round(d, dist_decimals))
+    idx = F.sequence(F.lit(0), F.lit(len(centers) - 1))
+    ranked = F.array_sort(
+        F.zip_with(dists, idx, lambda d, i: F.struct(d.alias("d"), i.alias("i")))
+    )
+    return F.slice(F.transform(ranked, lambda s: s["i"]), 1, n)
+
+
+def ivf_train_centroids(
+    emb: DataFrame,
+    nlist: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_train_rows: int = 100_000,
+) -> list[list[float]]:
+    """Train the coarse quantizer ONCE (MLlib k-means, seeded, on a bounded
+    slice — k-means over the full corpus would dwarf the nprobe/nlist scan
+    savings the index exists to provide).  Returns plain centroid lists:
+    a tiny, serializable index artifact to persist and reuse across probe
+    calls — retraining per query call is the anti-pattern this split
+    removes."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = emb.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    ).limit(max_train_rows)
+    model = KMeans(k=nlist, seed=seed, maxIter=20).fit(train)
+    return [[float(x) for x in c] for c in model.clusterCenters()]
+
+
+def ivf_build_index(
+    emb: DataFrame,
+    centers: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dist_decimals: int | None = 6,
+) -> DataFrame:
+    """Assign every corpus vector to its nearest cell ONCE (narrow map over
+    literal centers — no shuffle, no UDF).  The result is the inverted
+    file: persist it partitioned by cell and probe it many times."""
+    return emb.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        F.element_at(
+            _ranked_cells(F.col(vec_col), centers, 1, dist_decimals), 1
+        ).alias("cell"),
+    )
+
+
+def ivf_probe(
+    corpus: DataFrame,
+    centers: list[list[float]],
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sim_decimals: int | None = 6,
+    dist_decimals: int | None = 6,
+) -> DataFrame:
+    """Score each query only against its ``nprobe`` nearest cells of a
+    prebuilt inverted file — the classic IVF trade: recall grows with
+    nprobe, scan cost is ~nprobe/nlist of the corpus.  Queries (small by
+    contract) broadcast; the corpus never reshuffles per probe."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        F.explode(
+            _ranked_cells(F.col(vec_col), centers, nprobe, dist_decimals)
+        ).alias("cell"),
+    )
+    sim = cosine(F.col("qvec"), F.col("cvec"))
+    if sim_decimals is not None:
+        sim = F.round(sim, sim_decimals)
+    scored = (
+        corpus.join(F.broadcast(q), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("sim", sim)
+    )
+    return _rank_topk(scored, k)
+
+
 def ivf_topk(
     emb: DataFrame,
     queries: DataFrame,
@@ -201,69 +305,19 @@ def ivf_topk(
     seed: int = 42,
     sim_decimals: int | None = 6,
     max_train_rows: int = 100_000,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
-    """IVF approximate top-k: MLlib k-means as the coarse quantizer.
-
-    Train ``nlist`` centroids (seeded, on the first ``max_train_rows``
-    vectors), assign every corpus
-    vector to its nearest cell ONCE, then score each query only against its
-    ``nprobe`` nearest cells — the classic inverted-file trade: recall grows
-    with nprobe, scan cost is ~nprobe/nlist of the corpus.  The centroid
-    model is small and broadcasts; the corpus shuffles once at index-build
-    time (by cell) and never again per query.
-    """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    ml = emb.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cvec"),
-        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
+    """IVF approximate top-k = train (unless ``centroids`` pins the cells)
+    → build → probe, composed.  Pass ``centroids`` for a deterministic,
+    engine-portable index (e.g. pinned sample vectors); leave it None for
+    the k-means quantizer.  One-shot convenience — for repeated probing,
+    call the build/probe pieces and reuse the index."""
+    centers = centroids if centroids is not None else ivf_train_centroids(
+        emb, nlist=nlist, vec_col=vec_col, seed=seed,
+        max_train_rows=max_train_rows,
     )
-    # train on a bounded slice — k-means over the FULL corpus per call would
-    # dwarf the nprobe/nlist scan savings this index exists to provide
-    train = ml.select("features").limit(max_train_rows)
-    model = KMeans(k=nlist, seed=seed, maxIter=20).fit(train)
-    corpus = model.transform(ml).select(
-        "neighbor_id", "cvec", F.col("prediction").alias("cell")
+    corpus = ivf_build_index(emb, centers, id_col=id_col, vec_col=vec_col)
+    return ivf_probe(
+        corpus, centers, queries, k=k, nprobe=nprobe, id_col=id_col,
+        vec_col=vec_col, sim_decimals=sim_decimals,
     )
-
-    centers = [[float(x) for x in c] for c in model.clusterCenters()]
-
-    def _nearest_cells(vec, n):
-        # tiny driver-free expression: distance to each centroid, pick n —
-        # computed per QUERY row only (queries are small by contract)
-        dists = F.array(
-            *[
-                F.aggregate(
-                    F.zip_with(
-                        vec,
-                        F.array(*[F.lit(x) for x in c]),
-                        lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-                for c in centers
-            ]
-        )
-        idx = F.sequence(F.lit(0), F.lit(len(centers) - 1))
-        ranked = F.array_sort(
-            F.zip_with(dists, idx, lambda d, i: F.struct(d.alias("d"), i.alias("i")))
-        )
-        return F.slice(F.transform(ranked, lambda s: s["i"]), 1, n)
-
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qvec"),
-        F.explode(_nearest_cells(F.col(vec_col), nprobe)).alias("cell"),
-    )
-    sim = cosine(F.col("qvec"), F.col("cvec"))
-    if sim_decimals is not None:
-        sim = F.round(sim, sim_decimals)
-    scored = (
-        corpus.join(F.broadcast(q), "cell")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("sim", sim)
-    )
-    return _rank_topk(scored, k)

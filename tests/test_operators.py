@@ -280,6 +280,41 @@ def test_ivf_topk_recall(spark, sf_dir):
     assert recall >= 0.5, recall
 
 
+def test_ivf_build_once_probe_many_and_containment(spark, sf_dir):
+    """The build/probe split: train + assign once, probe repeatedly against
+    the same index; every returned sim equals the exact cosine (IVF only
+    restricts the candidate set, never changes the metric)."""
+    from indra_db_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_build_index,
+        ivf_probe,
+        ivf_train_centroids,
+    )
+    from indra_db_spark.sources.lake import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centers = ivf_train_centroids(emb, nlist=8)
+    assert len(centers) == 8 and all(len(c) == 64 for c in centers)
+    index = ivf_build_index(emb, centers).persist()
+    try:
+        q1 = emb.orderBy("vec_id").limit(3)
+        q2 = emb.orderBy(F.desc("vec_id")).limit(3)
+        r1 = ivf_probe(index, centers, q1, k=5, nprobe=4).collect()
+        r2 = ivf_probe(index, centers, q2, k=5, nprobe=4).collect()
+        assert len(r1) == len(r2) == 15
+        # containment: approximate sims ARE exact cosines for the pairs kept
+        exact = {
+            (r.query_id, r.neighbor_id): r.sim
+            for r in brute_force_topk(emb, q1, k=500).collect()
+        }
+        for r in r1:
+            key = (r.query_id, r.neighbor_id)
+            if key in exact:  # brute force capped at k=500 neighbors
+                assert abs(exact[key] - r.sim) < 1e-9
+    finally:
+        index.unpersist()
+
+
 def test_srp_neardup_subset_of_exact(spark, sf_dir):
     from indra_db_spark.operators.similarity import (
         cosine_neardup_pairs,
