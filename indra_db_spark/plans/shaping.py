@@ -344,13 +344,16 @@ def expand_agent_json(
     agent_json: dict,
     stmt_type: Optional[str] = None,
     limit: Optional[int] = None,
+    hashes: Optional[list[int]] = None,
 ) -> DataFrame:
     """AgentJsonExpander.expand (query.py:1123-1152): drill one agents-grain
     row down a level — no type given re-aggregates per (type); a type given
-    drops to the per-hash interaction grain."""
+    drops to the per-hash interaction grain.  ``hashes`` restricts the
+    expansion to a known hash set (the reference's AgentJsonExpander
+    constructor arg, api.py:444-457)."""
     from indra_db_spark.plans.queries import FromAgentJson
 
-    q = FromAgentJson(agent_json, stmt_type=stmt_type)
+    q = FromAgentJson(agent_json, stmt_type=stmt_type, hashes=hashes)
     if stmt_type is None:
         return get_relations(q, lake, limit=limit)
     return get_interactions(q, lake, limit=limit)

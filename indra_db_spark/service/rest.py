@@ -25,6 +25,10 @@ api.py:359-418; method dispatch mirrors the ApiCall subclasses):
   DirectQuery shape)
 - ``POST /compile[?format=json|string]``  (conformance endpoint,
   api.py:527-539)
+- ``GET  /ground?agent=<text>`` — grounding matches from the injectable
+  grounder (api.py:199-206; gilda in the reference)
+- ``POST /expand`` body ``{"agent_json": ..., "stmt_type": ...,
+  "hashes": [...]}`` — AgentJsonExpander drill-down (api.py:421-500)
 - ``POST /curation/submit/<hash>`` body ``{"tag":..., "curator":...,
   "text":..., "ev_hash":..., "source":...}`` (api.py:570-600)
 - ``GET  /curation/list/<stmt_hash>[/<src_hash>]`` — curators in the clear
@@ -93,9 +97,18 @@ def _rows_json(df, limit):
     return [json.loads(s) for s in df.toJSON().collect()]
 
 
-def make_handler(lake, curation: CurationStore | None = None, pa_statements=None):
+def make_handler(
+    lake,
+    curation: CurationStore | None = None,
+    pa_statements=None,
+    grounder=None,
+):
     """``curation`` enables the write endpoints; ``pa_statements`` (a
-    (mk_hash, json) frame) makes submissions hash-validated."""
+    (mk_hash, json) frame) makes submissions hash-validated.  ``grounder``
+    (text -> list of gilda-shaped match dicts) enables ``/ground``
+    (reference api.py:199-206); when omitted it falls back to the
+    ``HasAgent.grounding_service`` seam (plans/queries.py) wrapped into the
+    same shape, and 503s if neither is installed."""
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):  # quiet test runs
@@ -221,11 +234,42 @@ def make_handler(lake, curation: CurationStore | None = None, pa_statements=None
                     ev_filter = EvidenceFilter.from_papers([(parts[2], parts[3])])
                     self._send(200, self._run(parts[0], query, ev_filter, qs))
                     return
+                if url.path == "/ground":
+                    self._ground(qs)
+                    return
                 self._send(404, {"error": f"no route {url.path}"})
             except (WebQueryError, KeyError, ValueError) as e:
                 # ValueError/KeyError cover malformed query params (e.g. a
                 # non-integer limit) — same contract as do_POST
                 self._send(400, {"error": str(e)})
+
+        def _ground(self, qs) -> None:
+            """GET /ground?agent=<text> (reference api.py:199-206: the
+            gilda call returns a ranked list of match dicts)."""
+            agent = qs.get("agent", [""])[0]
+            if not agent:
+                raise WebQueryError("no agent text given")
+            fn = grounder
+            if fn is None:
+                from indra_db_spark.plans.queries import HasAgent
+
+                seam = HasAgent.grounding_service
+                if seam is not None:
+                    def fn(text):  # (ns, id) -> one gilda-shaped match
+                        res = seam(text)
+                        if res is None:
+                            return []
+                        return [
+                            {
+                                "term": {"db": res[0], "id": res[1],
+                                         "entry_name": text},
+                                "score": 1.0,
+                            }
+                        ]
+            if fn is None:
+                self._send(503, {"error": "no grounding service mounted"})
+                return
+            self._send(200, {"results": fn(agent)})
 
         def _curation_list(self, rest: list[str]) -> None:
             if curation is None:
@@ -262,6 +306,9 @@ def make_handler(lake, curation: CurationStore | None = None, pa_statements=None
                 for k in ("limit", "offset", "ev_limit"):
                     if k in body:
                         qs[k] = [str(body[k])]
+                if url.path == "/expand":
+                    self._expand(body, qs)
+                    return
                 if len(parts) == 2 and parts[0] == "query":
                     query = query_from_simple_json(body["query"])
                     self._send(200, self._run(parts[1], query, None, qs))
@@ -312,6 +359,30 @@ def make_handler(lake, curation: CurationStore | None = None, pa_statements=None
             except (WebQueryError, KeyError, ValueError) as e:
                 self._send(400, {"error": str(e)})
 
+        def _expand(self, body: dict, qs) -> None:
+            """POST /expand (reference api.py:421-500): drill one
+            agents-grain row down a level via AgentJsonExpander.  Body:
+            ``{"agent_json": ..., "stmt_type": ..., "hashes": [...]}``;
+            medscan-only rows are censored for callers without the
+            permission, like every other route."""
+            agent_json = body.get("agent_json")
+            if not agent_json:
+                raise WebQueryError("no agent_json given")
+            stmt_type = body.get("stmt_type")
+            query = FromAgentJson(agent_json, stmt_type, body.get("hashes"))
+            # medscan-only statements censored at the query level (the
+            # reference pops medscan counts and drops emptied entries,
+            # api.py:460-470)
+            query = apply_medscan_censor(
+                query, has_medscan=qs.get("medscan", ["false"])[0] == "true"
+            )
+            limit = self._page_args(qs)["limit"]
+            if stmt_type is None:
+                df = get_relations(query, lake, limit=limit)
+            else:
+                df = get_interactions(query, lake, limit=limit)
+            self._send(200, {"results": _rows_json(df, None)})
+
         def _curation_submit(self, hash_val: int, body: dict) -> None:
             if curation is None:
                 self._send(503, {"error": "no curation store mounted"})
@@ -348,11 +419,12 @@ def serve(
     port: int = 0,
     curation: CurationStore | None = None,
     pa_statements=None,
+    grounder=None,
 ) -> ThreadingHTTPServer:
     """Start the shim on a daemon thread; returns the server (use
     ``server.server_address`` for the bound port, ``.shutdown()`` to stop)."""
     server = ThreadingHTTPServer(
-        (host, port), make_handler(lake, curation, pa_statements)
+        (host, port), make_handler(lake, curation, pa_statements, grounder)
     )
     t = threading.Thread(target=server.serve_forever, daemon=True)
     t.start()
