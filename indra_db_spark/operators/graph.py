@@ -19,8 +19,12 @@ from pyspark.sql import functions as F
 #: below this many distinct edges the closure is computed driver-side —
 #: the graph analog of the broadcast-join threshold.  The reference ALWAYS
 #: runs driver-side (networkx, export_assembly.py:859-877); here it is a
-#: size-gated fast path with a distributed fallback.
-DRIVER_MAX_EDGES = 2_000_000
+#: size-gated fast path with a distributed fallback.  The value is
+#: MEASURED, not guessed: the r5 scale probe put the driver-vs-distributed
+#: crossover between 20k edges (driver 4× faster) and 200k edges (driver
+#: 1.4× slower) on a binary tree, so the gate sits at the geometric middle
+#: — see SCALE_PROBE.json closure_auto/closure_dist and SCALING.md.
+DRIVER_MAX_EDGES = 100_000
 
 
 def _driver_closure(rows) -> list | None:

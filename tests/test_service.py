@@ -586,3 +586,57 @@ def test_rest_expand_and_ground_routes(spark):
         assert e.code == 503
     finally:
         bare.shutdown()
+
+
+def test_lake_name_grounder(spark):
+    """Concrete AUTO grounding (reference grounds through gilda,
+    query.py:1586-1612): the lake-derived frequency index grounds a known
+    agent name, feeds the HasAgent seam, and serves /ground."""
+    import json
+    from urllib.request import urlopen
+
+    from indra_db_spark.plans.fixtures import fixture_lake
+    from indra_db_spark.plans.queries import HasAgent
+    from indra_db_spark.service.grounding import LakeNameGrounder
+    from indra_db_spark.service.rest import serve
+
+    lake, stmts, _ = fixture_lake(spark)
+    grounder = LakeNameGrounder.from_lake(lake)
+
+    matches = grounder("mek")
+    assert matches, "MEK must ground from the fixture corpus"
+    assert matches[0]["score"] >= max(m["score"] for m in matches)
+    top = matches[0]["term"]
+    assert top["db"] and top["id"]
+    # scores are occurrence shares: they sum to <= 1 per surface form
+    assert sum(m["score"] for m in matches) <= 1.0 + 1e-6
+    # qualifier fallback: "mek kinase" reaches the "mek" entry
+    assert grounder("mek kinase") == matches
+    assert grounder("completely unknown thing") == []
+
+    # the seam drives an AUTO query end-to-end: same hashes as querying
+    # the grounded namespace directly
+    HasAgent.grounding_service = grounder.as_seam()
+    try:
+        auto = {
+            r.mk_hash
+            for r in HasAgent("MEK", namespace="AUTO").hashes(lake).collect()
+        }
+        direct = {
+            r.mk_hash
+            for r in HasAgent(top["id"], namespace=top["db"])
+            .hashes(lake)
+            .collect()
+        }
+        assert auto == direct and auto
+    finally:
+        HasAgent.grounding_service = None
+
+    # /ground serves the same matches
+    server = serve(lake, grounder=grounder)
+    host, port = server.server_address
+    try:
+        got = json.load(urlopen(f"http://{host}:{port}/ground?agent=mek"))
+        assert got["results"] == matches
+    finally:
+        server.shutdown()

@@ -82,10 +82,26 @@ def _emb_x(spark, factor: int):
     )
 
 
-def _ops(spark, docs, emb):
+def _tree_edges(spark, factor: int):
+    """Amplified binary-tree hierarchy (same shape as the closure catalog
+    entries' part-derived edges: child i -> parent i//2): N scales with the
+    factor, depth with log2(N) — so the closure probe measures BOTH a wider
+    per-round shuffle and the extra doubling rounds a deeper graph costs."""
+    from pyspark.sql import functions as F
+
+    base_n = spark.read.parquet(
+        os.path.join(SF_DIR, "part.parquet")
+    ).count()
+    return spark.range(2, base_n * factor).select(
+        F.col("id").alias("child"), F.expr("id div 2").alias("parent")
+    )
+
+
+def _ops(spark, docs, emb, edges, ivf_index, ivf_centers):
     from pyspark.sql import functions as F
 
     from indra_db_spark.operators import dedup as D
+    from indra_db_spark.operators import graph as G
     from indra_db_spark.operators import sampling as SM
     from indra_db_spark.operators import similarity as S
     from indra_db_spark.operators import text as X
@@ -108,7 +124,20 @@ def _ops(spark, docs, emb):
         "shard_stats": lambda: SM.shard_assign(docs, 16)
         .groupBy("shard")
         .agg(F.count(F.lit(1)).alias("n")),
+        # the ANN triple: exact baseline vs SRP buckets vs IVF probe over a
+        # prebuilt index — the crossover between them is the measurement
+        "emb_topk_exact": lambda: S.brute_force_topk(emb, queries, k=5),
         "srp_topk": lambda: S.srp_topk(emb, queries, k=5, planes=6),
+        "ivf_probe": lambda: S.ivf_probe(
+            ivf_index, ivf_centers, queries, k=5, nprobe=2
+        ),
+        # closure: auto (size-gated driver fast path may engage) vs forced
+        # distributed doubling loop — their gap is the driver-vs-cluster
+        # crossover at each scale
+        "closure_auto": lambda: G.transitive_closure(edges),
+        "closure_dist": lambda: G.transitive_closure(
+            edges, driver_max_edges=0
+        ),
     }
 
 
@@ -119,13 +148,21 @@ def main() -> None:
     spark = get_spark("scale-probe")
     os.makedirs(CACHE, exist_ok=True)
 
+    from indra_db_spark.operators import similarity as S
+
     results: dict[str, dict[str, float]] = {}
     for factor in factors:
         docs = _amplified(spark, "documents", factor, _docs_x)
         emb = _amplified(spark, "embeddings", factor, _emb_x)
         docs.count(), emb.count()  # warm footers
+        edges = _tree_edges(spark, factor).localCheckpoint(eager=True)
+        # IVF index built ONCE per corpus (untimed: index construction is a
+        # build-time cost; the probe is what runs per query batch)
+        centers = S.ivf_train_centroids(emb, nlist=16)
+        index = S.ivf_build_index(emb, centers).persist()
+        index.count()
         timings: dict[str, float] = {}
-        for name, build in _ops(spark, docs, emb).items():
+        for name, build in _ops(spark, docs, emb, edges, index, centers).items():
             build().write.mode("overwrite").format("noop").save()  # warm
             best = float("inf")
             for _ in range(2):
@@ -133,6 +170,7 @@ def main() -> None:
                 build().write.mode("overwrite").format("noop").save()
                 best = min(best, time.monotonic() - t0)
             timings[name] = round(best, 3)
+        index.unpersist()
         results[str(factor)] = timings
 
     slopes = {}
