@@ -34,6 +34,11 @@ api.py:359-418; method dispatch mirrors the ApiCall subclasses):
 - ``GET  /curation/list/<stmt_hash>[/<src_hash>]`` — curators in the clear
   (api.py:603-614)
 - ``GET  /curation/list`` — curators anonymized md5[:16] (api.py:620-639)
+- ``GET  /summary/data/stats`` — db_stats payload (api.py:285-293), from
+  ``service.monitor.generate_db_stats``
+- ``GET  /monitor/data/runtime`` / ``liststages`` / ``<stage>`` — stage
+  runtime bars and count digests (api.py:300-338), from the
+  ``service.monitor.DataGatherer`` blob store
 
 The ``medscan`` query param simulates the reference's API-key permission
 (call_handlers.py:168-174): without it, medscan-only statements are
@@ -102,13 +107,21 @@ def make_handler(
     curation: CurationStore | None = None,
     pa_statements=None,
     grounder=None,
+    stats=None,
+    stage_store=None,
 ):
     """``curation`` enables the write endpoints; ``pa_statements`` (a
     (mk_hash, json) frame) makes submissions hash-validated.  ``grounder``
     (text -> list of gilda-shaped match dicts) enables ``/ground``
     (reference api.py:199-206); when omitted it falls back to the
     ``HasAgent.grounding_service`` seam (plans/queries.py) wrapped into the
-    same shape, and 503s if neither is installed."""
+    same shape, and 503s if neither is installed.  ``stats`` (a dict or a
+    zero-arg callable producing one, e.g. ``monitor.generate_db_stats``
+    partially applied) enables ``/summary/data/stats`` (api.py:285-293);
+    ``stage_store`` (a ``monitor.LocalStageStore``) enables the
+    ``/monitor/data/*`` routes (api.py:300-338) — digests are recomputed
+    from the stage blobs on each request, where the reference serves
+    pre-digested S3 objects."""
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):  # quiet test runs
@@ -237,6 +250,16 @@ def make_handler(
                 if url.path == "/ground":
                     self._ground(qs)
                     return
+                if url.path == "/summary/data/stats":
+                    # api.py:285-293 serves the pregenerated db_stats.json
+                    if stats is None:
+                        self._send(503, {"error": "no stats mounted"})
+                        return
+                    self._send(200, stats() if callable(stats) else stats)
+                    return
+                if parts[0] == "monitor" and len(parts) == 3 and parts[1] == "data":
+                    self._monitor(parts[2])
+                    return
                 self._send(404, {"error": f"no route {url.path}"})
             except (WebQueryError, KeyError, ValueError) as e:
                 # ValueError/KeyError cover malformed query params (e.g. a
@@ -270,6 +293,25 @@ def make_handler(
                 self._send(503, {"error": "no grounding service mounted"})
                 return
             self._send(200, {"results": fn(agent)})
+
+        def _monitor(self, which: str) -> None:
+            """GET /monitor/data/{runtime|liststages|<stage>}
+            (api.py:300-338): runtime bars, stage list, per-stage count
+            digests — all derived from the DataGatherer blob store."""
+            if stage_store is None:
+                self._send(503, {"error": "no stage store mounted"})
+                return
+            from indra_db_spark.service.monitor import digest_store
+
+            runtimes, digests = digest_store(stage_store)
+            if which == "runtime":
+                self._send(200, {"results": runtimes})
+            elif which == "liststages":
+                self._send(200, {"results": sorted(digests)})
+            elif which in digests:
+                self._send(200, digests[which])
+            else:
+                self._send(404, {"error": f"no stage {which!r}"})
 
         def _curation_list(self, rest: list[str]) -> None:
             if curation is None:
@@ -420,11 +462,14 @@ def serve(
     curation: CurationStore | None = None,
     pa_statements=None,
     grounder=None,
+    stats=None,
+    stage_store=None,
 ) -> ThreadingHTTPServer:
     """Start the shim on a daemon thread; returns the server (use
     ``server.server_address`` for the bound port, ``.shutdown()`` to stop)."""
     server = ThreadingHTTPServer(
-        (host, port), make_handler(lake, curation, pa_statements, grounder)
+        (host, port),
+        make_handler(lake, curation, pa_statements, grounder, stats, stage_store),
     )
     t = threading.Thread(target=server.serve_forever, daemon=True)
     t.start()
