@@ -993,3 +993,45 @@ def doc_line_dedup(spark, sf):
         ).alias("text"),
     )
     return X.line_dedup(aug, id_col="doc_id", text_col="text")
+
+
+@register(
+    "emb_semantic_dedup",
+    f"""
+    WITH seeds AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+             CAST(embedding AS DOUBLE[]) AS svec
+      FROM embeddings WHERE vec_id < 8
+    ),
+    ca AS (
+      SELECT e.vec_id, e.embedding AS v, s.cell,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY round({_d2('e.embedding', 's.svec')}, 6), s.cell
+             ) AS drn
+      FROM embeddings e, seeds s
+    ),
+    assign AS (SELECT vec_id, v, cell FROM ca WHERE drn = 1),
+    dups AS (
+      SELECT DISTINCT b.vec_id
+      FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE round(list_cosine_similarity(CAST(a.v AS DOUBLE[]),
+                                         CAST(b.v AS DOUBLE[])), 6) >= 0.35
+    )
+    SELECT a.vec_id, a.cell FROM assign a
+    LEFT JOIN dups d ON d.vec_id = a.vec_id
+    WHERE d.vec_id IS NULL
+    """,
+)
+def emb_semantic_dedup(spark, sf):
+    """SemDeDup semantic near-dup pruning (arXiv:2303.09540): quantize to
+    cells (pinned first-8-vector seeds, engine-portable like emb_ivf_topk),
+    then keep only the lowest-id member of every within-cell near-dup pair
+    (cosine >= 0.35, the corpus's near-dup band — matches emb_neardup).
+    The production path trains the quantizer once with ivf_train_centroids;
+    the leader rule makes the kept set deterministic, so the full DuckDB
+    oracle applies."""
+    emb = T(spark, sf, "embeddings")
+    seed_rows = emb.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
+    centers = [[float(x) for x in r.embedding] for r in seed_rows]
+    return S.semantic_dedup(emb, centers, threshold=0.35)

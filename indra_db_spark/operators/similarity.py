@@ -294,6 +294,58 @@ def ivf_probe(
     return _rank_topk(scored, k)
 
 
+def semantic_dedup(
+    emb: DataFrame,
+    centers: list[list[float]],
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sim_decimals: int | None = 6,
+    dist_decimals: int | None = 6,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster embeddings with a coarse quantizer, then
+    within each cluster drop every vector that has a LOWER-id neighbor
+    with cosine >= ``threshold``; returns the keepers as (id, cell).
+
+    The leader rule (keep the smallest id of any near-dup pair) makes the
+    output a pure function of the input — deterministic across engines,
+    partitionings, and runs, unlike SemDeDup's keep-a-random-member — and
+    guarantees no two kept vectors in the same cell are within
+    ``threshold`` of each other.  Cross-cell near-dups are missed by
+    construction (the standard quantizer trade; raise nlist resolution or
+    overlap cells to tighten recall).
+
+    Scale shape: the cell assignment is a narrow map over literal centers
+    (no shuffle, no UDF); the only shuffle is the per-cell self-join, and
+    nlist grows with the corpus so per-cell pair volume stays bounded —
+    the corpus-level all-pairs join never happens.
+    """
+    index = ivf_build_index(
+        emb, centers, id_col=id_col, vec_col=vec_col, dist_decimals=dist_decimals
+    )
+    a = index.select(
+        F.col("neighbor_id").alias("id_a"), F.col("cvec").alias("va"), "cell"
+    )
+    b = index.select(
+        F.col("neighbor_id").alias("id_b"), F.col("cvec").alias("vb"), "cell"
+    )
+    sim = cosine(F.col("va"), F.col("vb"))
+    if sim_decimals is not None:
+        sim = F.round(sim, sim_decimals)
+    dups = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("sim", sim)
+        .filter(F.col("sim") >= threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return index.select(
+        F.col("neighbor_id").alias(id_col), "cell"
+    ).join(dups, id_col, "left_anti")
+
+
 def ivf_topk(
     emb: DataFrame,
     queries: DataFrame,

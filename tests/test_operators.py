@@ -339,6 +339,43 @@ def test_srp_neardup_subset_of_exact(spark, sf_dir):
         assert sim == exact[pair]
 
 
+def test_semantic_dedup_leader_invariants(spark, sf_dir):
+    """SemDeDup keepers: smallest id always survives, output is one row per
+    kept id, and no two keepers sharing a cell are within the threshold
+    (the leader rule's guarantee)."""
+    from indra_db_spark.operators.similarity import cosine, semantic_dedup
+    from indra_db_spark.sources.lake import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centers = [
+        [float(x) for x in r.embedding]
+        for r in emb.orderBy("vec_id").limit(4).collect()
+    ]
+    kept = semantic_dedup(emb, centers, threshold=0.35).collect()
+    ids = {r.vec_id for r in kept}
+    n = emb.count()
+    assert len(kept) == len(ids)  # one row per keeper
+    assert 0 < len(ids) < n  # something dropped, something kept
+    assert min(r.vec_id for r in emb.select("vec_id").collect()) in ids
+
+    kept_df = spark.createDataFrame(
+        [(r.vec_id, r.cell) for r in kept], "vec_id long, cell int"
+    ).join(emb.select("vec_id", "embedding"), "vec_id")
+    a = kept_df.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"), "cell"
+    )
+    b = kept_df.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"), "cell"
+    )
+    close = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("sim", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("sim") >= 0.35)
+    )
+    assert close.isEmpty()
+
+
 # ------------------------------------------------- sampling / shard / vocab
 
 from indra_db_spark.operators.sampling import (  # noqa: E402
