@@ -48,6 +48,8 @@ HEADLINE = [
     "doc_decontaminate",
     "doc_stratified_sample",
     "doc_vocab",
+    # round 5: SemDeDup semantic pruning — quantize + per-cell leader rule
+    "emb_semantic_dedup",
 ]
 
 

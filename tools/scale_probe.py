@@ -151,6 +151,7 @@ def main() -> None:
     from indra_db_spark.operators import similarity as S
 
     results: dict[str, dict[str, float]] = {}
+    errors: dict[str, str] = {}
     for factor in factors:
         docs = _amplified(spark, "documents", factor, _docs_x)
         emb = _amplified(spark, "embeddings", factor, _emb_x)
@@ -163,13 +164,25 @@ def main() -> None:
         index.count()
         timings: dict[str, float] = {}
         for name, build in _ops(spark, docs, emb, edges, index, centers).items():
-            build().write.mode("overwrite").format("noop").save()  # warm
-            best = float("inf")
-            for _ in range(2):
-                t0 = time.monotonic()
-                build().write.mode("overwrite").format("noop").save()
-                best = min(best, time.monotonic() - t0)
-            timings[name] = round(best, 3)
+            # one op blowing up at high amplification (e.g. an executor OOM)
+            # must not void the whole probe: record the failure and move on
+            try:
+                build().write.mode("overwrite").format("noop").save()  # warm
+                best = float("inf")
+                for _ in range(2):
+                    t0 = time.monotonic()
+                    build().write.mode("overwrite").format("noop").save()
+                    best = min(best, time.monotonic() - t0)
+                timings[name] = round(best, 3)
+            except Exception as e:  # noqa: BLE001
+                msg = str(e).splitlines()[0][:200] if str(e) else type(e).__name__
+                errors[f"{name}@x{factor}"] = msg
+                print(f"ERROR {name}@x{factor}: {msg}", file=sys.stderr)
+            print(
+                f"probe x{factor} {name}: {timings.get(name, 'ERROR')}",
+                file=sys.stderr,
+                flush=True,
+            )
         index.unpersist()
         results[str(factor)] = timings
 
@@ -178,6 +191,8 @@ def main() -> None:
         lo, hi = str(min(factors)), str(max(factors))
         ratio = math.log(max(factors) / min(factors))
         for op in results[lo]:
+            if op not in results.get(hi, {}):
+                continue
             t_lo, t_hi = results[lo][op], results[hi][op]
             # subtract nothing: fixed overhead makes slopes UNDER-estimate,
             # so a slope ≤ 1 is conservative evidence of linearity
@@ -190,6 +205,8 @@ def main() -> None:
         "timings_s": results,
         "loglog_slope": slopes,
     }
+    if errors:
+        payload["errors"] = errors
     with open(os.path.join(ROOT, "SCALE_PROBE.json"), "w") as f:
         json.dump(payload, f, indent=2)
     print(json.dumps(payload))
