@@ -1035,3 +1035,30 @@ def emb_semantic_dedup(spark, sf):
     seed_rows = emb.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
     centers = [[float(x) for x in r.embedding] for r in seed_rows]
     return S.semantic_dedup(emb, centers, threshold=0.35)
+
+
+@register(
+    "stats_histogram",
+    """
+    SELECT LEAST(CAST(floor(o_totalprice / 20000) AS INT), 9) AS bucket,
+           count(*) AS n
+    FROM orders GROUP BY 1 ORDER BY bucket
+    """,
+)
+def stats_histogram(spark, sf):
+    """Equal-width histogram with a clamped top bucket — the aggregation
+    shape behind the monitor page's belief/evidence distributions
+    (service/monitor.py belief_distribution; reference renders these from
+    full driver-side scans, util/visualization.py:470-516).  Pure partial
+    agg: the bucket expression is computed map-side, so only ≤10 rows per
+    partition reach the exchange regardless of corpus size."""
+    bucket = F.least(
+        F.floor(F.col("o_totalprice") / 20000).cast("int"), F.lit(9)
+    )
+    return (
+        T(spark, sf, "orders")
+        .select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("bucket")
+    )
