@@ -1062,3 +1062,47 @@ def stats_histogram(spark, sf):
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("bucket")
     )
+
+
+# DuckDB-side 16-bit value of the first 4 hex chars of an md5 string
+_hex4 = " + ".join(
+    f"(strpos('0123456789abcdef', substr(h, {1 + k}, 1)) - 1) * {16 ** (3 - k)}"
+    for k in range(4)
+)
+
+
+@register(
+    "doc_importance_sample",
+    f"""
+    WITH m AS (
+      SELECT doc_id, lang, source, n_chars,
+             md5('is1' || CAST(doc_id AS VARCHAR)) AS h
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, lang, source, n_chars,
+             ({_hex4}) / 65536.0 AS u,
+             LEAST(GREATEST(n_chars / 1500.0, 0.0), 1.0) AS weight
+      FROM m
+    )
+    SELECT doc_id, lang, source, n_chars, round(u, 6) AS u,
+           round(weight, 6) AS weight
+    FROM s WHERE u < weight
+    """,
+)
+def doc_importance_sample(spark, sf):
+    """Quality-weighted corpus resampling: longer documents (the stand-in
+    quality signal; swap in any classifier score column) survive with
+    probability n_chars/1500 clamped to [0,1] — deterministic Bernoulli by
+    id hash, so the kept set is reproducible and incrementally extensible.
+    The u/weight comparison happens on exact doubles (integer/65536, one
+    division) so both engines make identical keep decisions; rounding is
+    display-only."""
+    docs = T(spark, sf, "documents").select("doc_id", "lang", "source", "n_chars")
+    out = SM.importance_sample(
+        docs, weight=F.col("n_chars") / F.lit(1500.0)
+    )
+    return out.select(
+        "doc_id", "lang", "source", "n_chars",
+        F.round("u", 6).alias("u"), F.round("weight", 6).alias("weight"),
+    )

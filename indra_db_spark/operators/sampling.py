@@ -133,6 +133,37 @@ def mixture_weights(
     )
 
 
+def importance_sample(
+    df: DataFrame,
+    weight: "F.Column",
+    id_col: str = "doc_id",
+    salt: str = "is1",
+) -> DataFrame:
+    """Deterministic weighted Bernoulli sampling: keep a row iff
+    u(id) < weight, where u is a 16-bit uniform derived from
+    md5(salt || id) — the mechanism behind classifier-score-weighted corpus
+    resampling (keep high-quality documents with high probability, down-
+    weight the rest, as in FineWeb-Edu/DCLM-style pipelines).
+
+    Membership is a pure function of (salt, id, weight): stable across
+    runs, engines, and partitionings, and re-runnable incrementally — new
+    documents get sampled without disturbing prior decisions.  ``salt``
+    decorrelates repeated draws over the same corpus.  ``weight`` is any
+    column expression in [0, 1] (values outside are clamped).
+
+    Shape: scan-fused projection + filter — no shuffle, no RNG state, and
+    the filter pushes below any downstream exchange.
+    """
+    m = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    u = F.conv(F.substring(m, 1, 4), 16, 10).cast("double") / F.lit(65536.0)
+    w = F.least(F.greatest(weight, F.lit(0.0)), F.lit(1.0))
+    return (
+        df.withColumn("u", u)
+        .withColumn("weight", w)
+        .filter(F.col("u") < F.col("weight"))
+    )
+
+
 def write_corpus_shards(
     df: DataFrame,
     path: str,

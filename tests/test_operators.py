@@ -456,6 +456,31 @@ def test_mixture_weights_sum_to_one(spark):
     assert abs(sum(w for _, w in out.values()) - 1.0) < 1e-12
 
 
+def test_importance_sample_deterministic_and_calibrated(spark):
+    from indra_db_spark.operators.sampling import importance_sample
+
+    df = spark.createDataFrame(
+        [(i, 1000) for i in range(2000)], ["doc_id", "n_chars"]
+    )
+    half = F.lit(0.5)
+    kept1 = {r.doc_id for r in importance_sample(df, half).collect()}
+    kept2 = {
+        r.doc_id
+        for r in importance_sample(df.repartition(7), half).collect()
+    }
+    assert kept1 == kept2  # pure function of (salt, id) — layout-independent
+    # calibration: keep rate tracks the weight (16-bit uniform, n=2000)
+    assert 0.45 < len(kept1) / 2000 < 0.55
+    # weight 0 keeps nothing, weight >= 1 keeps everything (clamped)
+    assert importance_sample(df, F.lit(0.0)).isEmpty()
+    assert importance_sample(df, F.lit(2.5)).count() == 2000
+    # a different salt redraws membership
+    kept3 = {
+        r.doc_id for r in importance_sample(df, half, salt="other").collect()
+    }
+    assert kept3 != kept1
+
+
 def test_write_corpus_shards_layout(spark, tmp_path):
     from indra_db_spark.operators.sampling import shard_assign, write_corpus_shards
 
