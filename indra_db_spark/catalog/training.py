@@ -1106,3 +1106,40 @@ def doc_importance_sample(spark, sf):
         "doc_id", "lang", "source", "n_chars",
         F.round("u", 6).alias("u"), F.round("weight", 6).alias("weight"),
     )
+
+
+@register(
+    "doc_pack_sequences",
+    """
+    WITH m AS (
+      SELECT doc_id, n_chars, md5(CAST(doc_id AS VARCHAR)) AS h
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, n_chars, h,
+        CAST((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16 +
+             (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) AS INT) % 8
+          AS stream
+      FROM m
+    ),
+    c AS (
+      SELECT doc_id, n_chars, stream,
+        COALESCE(SUM(n_chars) OVER (
+          PARTITION BY stream ORDER BY h, doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+        ), 0) AS cum_before
+      FROM s
+    )
+    SELECT doc_id, n_chars, stream, cum_before,
+           CAST(floor(cum_before / 8192.0) AS INT) AS pack
+    FROM c
+    """,
+)
+def doc_pack_sequences(spark, sf):
+    """Training-batch sequence packing: deterministic greedy fill of
+    8192-char packs across 8 hash streams (documents never split; layout a
+    pure function of ids).  One window shuffle — the stream hash bounds
+    ordered-partition size so the running sum never needs a single global
+    sort at 100 TB."""
+    docs = T(spark, sf, "documents").select("doc_id", "n_chars")
+    return SM.pack_sequences(docs, budget=8192, size_col="n_chars")

@@ -164,6 +164,49 @@ def importance_sample(
     )
 
 
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    size_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    n_streams: int = 8,
+) -> DataFrame:
+    """Assign documents to fixed-budget training packs: (stream, pack)
+    where each pack accumulates ~``budget`` units of ``size_col`` — the
+    batch-assembly step of a training pipeline (concatenate a pack's
+    documents into one context window).
+
+    Streams are md5-hash buckets of the id; within a stream documents are
+    laid out in deterministic (md5(id), id) order and a running exclusive
+    prefix sum assigns ``pack = floor(cum_before / budget)``.  Documents
+    are never split: when every document fits the budget, each non-tail
+    pack's total lands within one maximum-document-size of the budget (its
+    start is offset by the previous pack's overflow and its end overflows
+    by at most one document — the standard greedy-fill trade); a document
+    larger than the budget claims its pack and the indices its overflow
+    covers are skipped.  The layout is a pure function of the ids, so
+    packs are stable across runs and engines.
+
+    Shape: ONE hash-partitioned window shuffle; streams bound the window
+    partitions so no single ordered partition must hold the whole corpus
+    (n_streams scales with cluster width at 100 TB).
+    """
+    m = F.md5(F.col(id_col).cast("string"))
+    stream = F.conv(F.substring(m, 1, 2), 16, 10).cast("int") % n_streams
+    w = (
+        Window.partitionBy("stream")
+        .orderBy("h", id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    out = (
+        df.withColumn("h", m)
+        .withColumn("stream", stream)
+        .withColumn("cum_before", F.coalesce(F.sum(size_col).over(w), F.lit(0)))
+        .withColumn("pack", F.floor(F.col("cum_before") / budget).cast("int"))
+    )
+    return out.drop("h")
+
+
 def write_corpus_shards(
     df: DataFrame,
     path: str,

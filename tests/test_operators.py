@@ -481,6 +481,34 @@ def test_importance_sample_deterministic_and_calibrated(spark):
     assert kept3 != kept1
 
 
+def test_pack_sequences_invariants(spark):
+    from collections import defaultdict
+
+    from indra_db_spark.operators.sampling import pack_sequences
+
+    df = spark.createDataFrame(
+        [(i, 10 + (i * 7) % 90) for i in range(1200)], ["doc_id", "n_tokens"]
+    )
+    rows = pack_sequences(df, budget=500, n_streams=4).collect()
+    assert len(rows) == 1200  # packing assigns, never drops
+    assert {r.stream for r in rows} <= set(range(4))
+    totals: dict = defaultdict(int)
+    for r in rows:
+        totals[(r.stream, r.pack)] += r.n_tokens
+    # all sizes < budget here, so every non-tail pack lands within one
+    # max-size document of the budget (its start is offset by the previous
+    # pack's overflow, its end overflows by at most one document)
+    last = {s: max(p for t, p in totals if t == s) for s, _ in totals}
+    for (s, p), tot in totals.items():
+        if p != last[s]:
+            assert 500 - 100 < tot < 500 + 100, (s, p, tot)
+    # layout is a pure function of ids: repartitioning changes nothing
+    again = pack_sequences(df.repartition(11), budget=500, n_streams=4).collect()
+    assert {(r.doc_id, r.stream, r.pack) for r in again} == {
+        (r.doc_id, r.stream, r.pack) for r in rows
+    }
+
+
 def test_write_corpus_shards_layout(spark, tmp_path):
     from indra_db_spark.operators.sampling import shard_assign, write_corpus_shards
 
