@@ -86,8 +86,16 @@ def transitive_closure(
     def _ckpt(df: DataFrame) -> DataFrame:
         # the fresh Project gives the checkpoint a clean attribute set
         # (checkpointing a bare Union of prior checkpoints trips Spark's
-        # constraint-rewrite on reused expression ids)
-        return df.select("child", "anc").localCheckpoint(eager=True)
+        # constraint-rewrite on reused expression ids); blocks are stored
+        # SERIALIZED (PySpark's MEMORY_AND_DISK, vs the deserialized
+        # default) — the closure retains every round's delta for the final
+        # union, and deserialized row objects OOM the heap at ~10M pairs
+        # where the serialized form spills gracefully
+        from pyspark.storagelevel import StorageLevel
+
+        return df.select("child", "anc").localCheckpoint(
+            eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
+        )
 
     spark = edges.sparkSession
     e = edges.select(
@@ -245,7 +253,14 @@ def connected_components(
         )
 
     def _ckpt(df):
-        return df.localCheckpoint(eager=True)
+        # serialized blocks for the same reason as transitive_closure:
+        # label frames are retained across rounds, deserialized storage
+        # OOMs first
+        from pyspark.storagelevel import StorageLevel
+
+        return df.localCheckpoint(
+            eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
+        )
 
     conf_key = "spark.sql.constraintPropagation.enabled"
     prev = spark.conf.get(conf_key, "true")

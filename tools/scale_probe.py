@@ -143,6 +143,10 @@ def _ops(spark, docs, emb, edges, ivf_index, ivf_centers):
 
 def main() -> None:
     factors = [int(a) for a in sys.argv[1:]] or [1, 10, 100]
+    # the 100x closure holds ~40M (child, anc) pairs in retained checkpoint
+    # blocks; give the single local JVM room (the machine has 128 GiB —
+    # callers can still override)
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
     from indra_db_spark.session import get_spark
 
     spark = get_spark("scale-probe")
@@ -163,7 +167,12 @@ def main() -> None:
         index = S.ivf_build_index(emb, centers).persist()
         index.count()
         timings: dict[str, float] = {}
+        only = {
+            s for s in os.environ.get("SPARK_GRAFT_PROBE_OPS", "").split(",") if s
+        }
         for name, build in _ops(spark, docs, emb, edges, index, centers).items():
+            if only and name not in only:
+                continue
             # one op blowing up at high amplification (e.g. an executor OOM)
             # must not void the whole probe: record the failure and move on
             try:
@@ -185,6 +194,29 @@ def main() -> None:
             )
         index.unpersist()
         results[str(factor)] = timings
+
+    # partial runs (SPARK_GRAFT_PROBE_OPS) merge into the existing probe
+    # file instead of clobbering the other operators' measurements
+    out_path = os.path.join(ROOT, "SCALE_PROBE.json")
+    if os.path.exists(out_path):
+        try:
+            with open(out_path) as f:
+                prev = json.load(f)
+            for fct, t in prev.get("timings_s", {}).items():
+                merged = dict(t)
+                merged.update(results.get(fct, {}))
+                results[fct] = merged
+            for k, v in prev.get("errors", {}).items():
+                op, fct = k.rsplit("@x", 1)
+                if op not in results.get(fct, {}):
+                    errors.setdefault(k, v)
+        except (json.JSONDecodeError, OSError):
+            pass
+    errors = {
+        k: v
+        for k, v in errors.items()
+        if k.rsplit("@x", 1)[0] not in results.get(k.rsplit("@x", 1)[1], {})
+    }
 
     slopes = {}
     if len(factors) >= 2:
