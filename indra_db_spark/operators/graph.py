@@ -27,6 +27,18 @@ from pyspark.sql import functions as F
 DRIVER_MAX_EDGES = 100_000
 
 
+def _ckpt_level(big: bool):
+    """Checkpoint storage for the iterative loops, size-gated like the
+    execution strategy itself: small graphs keep the fast deserialized
+    blocks; past the driver-gate edge count the retained per-round deltas
+    are stored SERIALIZED (PySpark's MEMORY_AND_DISK) — deserialized row
+    objects OOM an 8g heap near ~40M closure pairs where the serialized
+    form spills gracefully (found by the 100x scale probe)."""
+    from pyspark.storagelevel import StorageLevel
+
+    return StorageLevel.MEMORY_AND_DISK if big else StorageLevel.MEMORY_AND_DISK_DESER
+
+
 def _driver_closure(rows) -> list | None:
     """Memoized reverse-topological closure on the driver; returns None on a
     cycle (caller falls back to the distributed loop — the reference instead
@@ -83,20 +95,6 @@ def transitive_closure(
     shuffle barrier).  ``localCheckpoint`` truncates lineage each round
     (iterative plans otherwise grow exponentially and overwhelm Catalyst).
     """
-    def _ckpt(df: DataFrame) -> DataFrame:
-        # the fresh Project gives the checkpoint a clean attribute set
-        # (checkpointing a bare Union of prior checkpoints trips Spark's
-        # constraint-rewrite on reused expression ids); blocks are stored
-        # SERIALIZED (PySpark's MEMORY_AND_DISK, vs the deserialized
-        # default) — the closure retains every round's delta for the final
-        # union, and deserialized row objects OOM the heap at ~10M pairs
-        # where the serialized form spills gracefully
-        from pyspark.storagelevel import StorageLevel
-
-        return df.select("child", "anc").localCheckpoint(
-            eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
-        )
-
     spark = edges.sparkSession
     e = edges.select(
         F.col(child_col).alias("child"), F.col(parent_col).alias("anc")
@@ -109,16 +107,33 @@ def transitive_closure(
     raw = edges.select(
         F.col(child_col).alias("child"), F.col(parent_col).alias("anc")
     )
-    probe = raw.limit(driver_max_edges + 1).toPandas()
-    if len(probe) <= driver_max_edges:
-        pairs = _driver_closure(
-            zip(probe["child"].tolist(), probe["anc"].tolist())
-        )
-        if pairs is not None:
-            import pandas as pd
+    big = True
+    if driver_max_edges > 0:
+        probe = raw.limit(driver_max_edges + 1).toPandas()
+        big = len(probe) > driver_max_edges
+        if not big:
+            pairs = _driver_closure(
+                zip(probe["child"].tolist(), probe["anc"].tolist())
+            )
+            if pairs is not None:
+                import pandas as pd
 
-            pdf = pd.DataFrame(pairs, columns=["child", "anc"])
-            return spark.createDataFrame(pdf, e.schema)
+                pdf = pd.DataFrame(pairs, columns=["child", "anc"])
+                return spark.createDataFrame(pdf, e.schema)
+    else:
+        # forced-distributed callers skip the Arrow probe; a JVM-side
+        # bounded count still sizes the checkpoint storage choice
+        big = raw.limit(DRIVER_MAX_EDGES + 1).count() > DRIVER_MAX_EDGES
+
+    level = _ckpt_level(big)
+
+    def _ckpt(df: DataFrame) -> DataFrame:
+        # the fresh Project gives the checkpoint a clean attribute set
+        # (checkpointing a bare Union of prior checkpoints trips Spark's
+        # constraint-rewrite on reused expression ids)
+        return df.select("child", "anc").localCheckpoint(
+            eager=True, storageLevel=level
+        )
 
     # Spark's constraint rewrite chokes on iterative plans over checkpointed
     # RDDs (NoSuchElementException on reused expr ids); constraints buy
@@ -241,26 +256,28 @@ def connected_components(
     raw = edges.select(
         F.col(left_col).alias("a"), F.col(right_col).alias("b")
     )
-    probe = raw.limit(driver_max_edges + 1).toPandas()
-    if len(probe) <= driver_max_edges:
-        import pandas as pd
+    big = True
+    if driver_max_edges > 0:
+        probe = raw.limit(driver_max_edges + 1).toPandas()
+        big = len(probe) > driver_max_edges
+        if not big:
+            import pandas as pd
 
-        out = _driver_components(zip(probe["a"].tolist(), probe["b"].tolist()))
-        t = raw.schema["a"].dataType.simpleString()
-        return spark.createDataFrame(
-            pd.DataFrame(out, columns=["node", "component"]),
-            f"node {t}, component {t}",
-        )
+            out = _driver_components(
+                zip(probe["a"].tolist(), probe["b"].tolist())
+            )
+            t = raw.schema["a"].dataType.simpleString()
+            return spark.createDataFrame(
+                pd.DataFrame(out, columns=["node", "component"]),
+                f"node {t}, component {t}",
+            )
+    else:
+        big = raw.limit(DRIVER_MAX_EDGES + 1).count() > DRIVER_MAX_EDGES
+
+    level = _ckpt_level(big)
 
     def _ckpt(df):
-        # serialized blocks for the same reason as transitive_closure:
-        # label frames are retained across rounds, deserialized storage
-        # OOMs first
-        from pyspark.storagelevel import StorageLevel
-
-        return df.localCheckpoint(
-            eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
-        )
+        return df.localCheckpoint(eager=True, storageLevel=level)
 
     conf_key = "spark.sql.constraintPropagation.enabled"
     prev = spark.conf.get(conf_key, "true")
