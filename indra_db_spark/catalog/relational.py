@@ -880,3 +880,65 @@ def skew_salted_join(spark, sf):
         .groupBy("n_name")
         .agg(F.count(F.lit(1)).alias("n_items"))
     )
+
+
+@register(
+    "english_render",
+    """
+    SELECT o_orderkey,
+      CASE
+        WHEN o_orderstatus = 'P'
+          THEN c_name || ' binds ' || o_orderpriority || ', and '
+               || c_mktsegment || '.'
+        WHEN o_orderkey % 7 = 0 AND o_orderstatus = 'O'
+          THEN o_orderpriority || ' is activated.'
+        WHEN o_orderkey % 7 = 0
+          THEN o_orderpriority || ' is phosphorylated.'
+        WHEN o_orderstatus = 'O'
+          THEN c_name || ' activates ' || o_orderpriority || '.'
+        ELSE c_name || ' phosphorylates ' || o_orderpriority || '.'
+      END AS english
+    FROM orders JOIN customer ON c_custkey = o_custkey
+    WHERE o_orderkey < 2000
+    """,
+)
+def english_render(spark, sf):
+    """English rendering as a pure column expression (functions/english.py)
+    — the Spark-native replacement for the reference's row-at-a-time
+    indra-assembler calls (indra_db_service/util.py:144-165,
+    call_handlers.py:234-272).  The oracle writes the same grammar by hand:
+    typed 2-agent active voice, missing-subject passive voice, and the
+    Complex Oxford-comma list."""
+    from indra_db_spark.functions.english import english_expr
+
+    o = T(spark, sf, "orders").filter(F.col("o_orderkey") < 2000)
+    c = T(spark, sf, "customer").select("c_custkey", "c_name", "c_mktsegment")
+    o = o.join(c, o.o_custkey == c.c_custkey)
+    type_name = (
+        F.when(F.col("o_orderstatus") == "P", F.lit("Complex"))
+        .when(F.col("o_orderstatus") == "O", F.lit("Activation"))
+        .otherwise(F.lit("Phosphorylation"))
+    )
+    agents = (
+        F.when(
+            F.col("o_orderstatus") == "P",
+            F.create_map(
+                F.lit("0"), F.col("c_name"),
+                F.lit("1"), F.col("o_orderpriority"),
+                F.lit("2"), F.col("c_mktsegment"),
+            ),
+        )
+        .when(
+            F.col("o_orderkey") % 7 == 0,
+            F.create_map(F.lit("1"), F.col("o_orderpriority")),
+        )
+        .otherwise(
+            F.create_map(
+                F.lit("0"), F.col("c_name"),
+                F.lit("1"), F.col("o_orderpriority"),
+            )
+        )
+    )
+    return o.select(
+        "o_orderkey", english_expr(type_name, agents).alias("english")
+    )

@@ -76,6 +76,9 @@ from indra_db_spark.service.params import (
     query_from_simple_json,
     query_from_web_params,
 )
+from pyspark.sql import functions as F
+
+from indra_db_spark.functions.english import meta_english_expr, render_english
 
 RESULT_TYPES = ("statements", "hashes", "interactions", "relations", "agents")
 
@@ -180,8 +183,6 @@ def make_handler(
                     qs.get("with_cur_counts", ["false"])[0] == "true"
                     and curation is not None
                 ):
-                    from pyspark.sql import functions as F
-
                     page_hashes = [int(h) for h in out["statements"]]
                     counts = curation_counts(
                         curation.df().filter(
@@ -192,11 +193,19 @@ def make_handler(
                         str(r.pa_hash): r.curation_count for r in counts
                     }
                 return out
+            # with_english: typed English riding the response rows, the
+            # reference's row-at-a-time assembler loop
+            # (call_handlers.py:234-272) as one column expression
+            w_english = qs.get("with_english", ["false"])[0] == "true"
             if result_type == "interactions":
                 df = get_interactions(query, lake, limit=page["limit"])
+                if w_english:
+                    df = render_english(df)
                 return {"results": _rows_json(df, None)}
             if result_type == "relations":
                 df = get_relations(query, lake, limit=page["limit"])
+                if w_english:
+                    df = render_english(df)
                 return {"results": _rows_json(df, None)}
             # agents: stateful complex paging — covered hashes ride the
             # response so the client can carry them to the next page
@@ -205,8 +214,15 @@ def make_handler(
                 complexes_covered=complexes_covered,
             )
             try:
+                out_df = df
+                if w_english:
+                    # agents grain carries no single type — the reference
+                    # uses the bolded meta fallback here (util.py:144-165)
+                    out_df = df.withColumn(
+                        "english", meta_english_expr(F.col("agent_json"))
+                    )
                 return {
-                    "results": _rows_json(df, None),
+                    "results": _rows_json(out_df, None),
                     "complexes_covered": sorted(covered),
                 }
             finally:

@@ -434,6 +434,20 @@ def test_rest_route_parity(spark):
         ag = get("/agents/from_agents?agent=MEK&limit=10")
         assert ag["results"] and isinstance(ag["complexes_covered"], list)
 
+        # with_english (call_handlers.py:234-272): typed render on the
+        # relation/interaction grains, bolded meta fallback on agents
+        rel_en = get("/relations/from_agents?agent=MEK&limit=10&with_english=true")[
+            "results"
+        ]
+        assert rel_en and all(r["english"].endswith(".") for r in rel_en)
+        assert any("MEK" in r["english"] for r in rel_en)
+        ag_en = get("/agents/from_agents?agent=MEK&limit=10&with_english=true")
+        assert ag_en["results"] and all(
+            r["english"].startswith("<b>") for r in ag_en["results"]
+        )
+        # absent unless requested
+        assert all("english" not in r for r in rel)
+
         # from_paper / from_papers
         pmid = papers[0].pmid
         via_get = get(f"/hashes/from_paper/pmid/{pmid}")["results"]
