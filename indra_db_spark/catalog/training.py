@@ -1143,3 +1143,18 @@ def doc_pack_sequences(spark, sf):
     sort at 100 TB."""
     docs = T(spark, sf, "documents").select("doc_id", "n_chars")
     return SM.pack_sequences(docs, budget=8192, size_col="n_chars")
+
+
+@register("doc_bpe_tokens", None)  # BPE training is not SQL-expressible;
+# value-pinned instead by tests/test_bpe.py's pure-Python differential twin
+def doc_bpe_tokens(spark, sf):
+    """Distributed BPE: one corpus-scale word-count shuffle, driver-side
+    merge learning on the vocabulary-bounded (word, freq) table, then
+    segmentation of DISTINCT words only (Arrow pandas UDF) joined back to
+    occurrences — tokenization cost is corpus-size-invariant
+    (operators/bpe.py)."""
+    from indra_db_spark.operators import bpe as B
+
+    docs = T(spark, sf, "documents").select("doc_id", "text")
+    merges = B.train_bpe(docs, num_merges=60)
+    return B.bpe_token_counts(docs, merges).orderBy("doc_id")
