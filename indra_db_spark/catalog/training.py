@@ -1145,16 +1145,54 @@ def doc_pack_sequences(spark, sf):
     return SM.pack_sequences(docs, budget=8192, size_col="n_chars")
 
 
-@register("doc_bpe_tokens", None)  # BPE training is not SQL-expressible;
-# value-pinned instead by tests/test_bpe.py's pure-Python differential twin
+def _bpe_apply_sql(merges: list[tuple[str, str]]) -> str:
+    """Chained-replace BPE application over a space-separated symbol
+    string: two leftmost-nonoverlapping replaces per merge, in rank order
+    — exactly the greedy lowest-rank-first loop when no merge is a
+    self-pair (see operators/bpe.py:PINNED_MERGES_V1 for the argument;
+    pinned by the 300k-case fuzz differential in tests/test_bpe.py)."""
+    if any(a == b for a, b in merges):
+        raise ValueError("chained-replace oracle requires no self-pair merges")
+    expr = "' ' || regexp_replace(word, '(.)', '\\1 ', 'g')"
+    for a, b in merges:
+        pat, rep = f"' {a} {b} '", f"' {a}{b} '"
+        expr = f"replace(replace({expr}, {pat}, {rep}), {pat}, {rep})"
+    return expr
+
+
+def _bpe_oracle(merges: list[tuple[str, str]]) -> str:
+    return f"""
+    WITH words AS (
+      SELECT doc_id, t.word
+      FROM documents, UNNEST(list_filter(
+        regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        w -> w <> '')) AS t(word)
+    ),
+    seg AS (SELECT doc_id, {_bpe_apply_sql(merges)} AS s FROM words)
+    SELECT doc_id,
+           CAST(sum(len(s) - len(replace(s, ' ', '')) - 1) AS INT)
+             AS n_bpe_tokens
+    FROM seg GROUP BY doc_id ORDER BY doc_id
+    """
+
+
+def _pinned_merges():
+    from indra_db_spark.operators.bpe import PINNED_MERGES_V1
+
+    return PINNED_MERGES_V1
+
+
+@register("doc_bpe_tokens", _bpe_oracle(_pinned_merges()))
 def doc_bpe_tokens(spark, sf):
-    """Distributed BPE: one corpus-scale word-count shuffle, driver-side
-    merge learning on the vocabulary-bounded (word, freq) table, then
-    segmentation of DISTINCT words only (Arrow pandas UDF) joined back to
-    occurrences — tokenization cost is corpus-size-invariant
-    (operators/bpe.py)."""
+    """BPE tokenization with the pinned tokenizer-v1 merge table — the
+    corpus-scale half of the BPE pipeline (training is driver-side over the
+    vocabulary-bounded word-frequency table and stays pinned by
+    tests/test_bpe.py's differential twin + the PINNED_MERGES_V1
+    reproduction test).  Segmentation runs once per DISTINCT word (Arrow
+    pandas UDF) and joins back to occurrences, so tokenization cost is
+    vocabulary-bounded and the only corpus-scale stages are the word
+    explode and the count join (operators/bpe.py)."""
     from indra_db_spark.operators import bpe as B
 
     docs = T(spark, sf, "documents").select("doc_id", "text")
-    merges = B.train_bpe(docs, num_merges=60)
-    return B.bpe_token_counts(docs, merges).orderBy("doc_id")
+    return B.bpe_token_counts(docs, B.PINNED_MERGES_V1).orderBy("doc_id")

@@ -42,6 +42,7 @@ __all__ = [
     "py_segment",
     "tokenize",
     "bpe_token_counts",
+    "PINNED_MERGES_V1",
 ]
 
 #: split pattern for word extraction — whitespace + punctuation boundaries,
@@ -247,3 +248,38 @@ def bpe_token_counts(
         .groupBy(id_col)
         .agg(F.sum("n_toks").cast("int").alias("n_bpe_tokens"))
     )
+
+
+# ------------------------------------------------------ pinned tokenizer
+
+#: Tokenizer-v1 merge table: the output of ``train_bpe(documents,
+#: num_merges=60, min_pair_freq=2)`` on the sf0.001 ``documents`` corpus,
+#: pinned as a versioned artifact.  This mirrors how production pipelines
+#: ship tokenizers — train once, freeze, apply everywhere — and makes the
+#: corpus-scale APPLICATION step (the part that actually runs over 100 TB)
+#: fully oracle-checkable: applying merges in rank order with two
+#: leftmost-nonoverlapping replace passes per rank over a space-separated
+#: symbol string is exactly equivalent to the greedy lowest-rank-first
+#: loop in ``py_segment`` whenever no merge is a self-pair (a == b) —
+#: a merged symbol born at rank r can only participate in pairs learned
+#: after r, so rank-order application never misses a lower rank, and the
+#: second replace pass catches back-to-back occurrences whose shared
+#: boundary separator the first pass consumed (pinned by a 300k-case fuzz
+#: differential in tests/test_bpe.py).  ``tests/test_bpe.py`` also asserts
+#: this table IS what training reproduces, so the training path stays tied
+#: to the verified artifact.
+PINNED_MERGES_V1: list[tuple[str, str]] = [
+    ("e", "r"), ("o", "r"), ("i", "n"), ("o", "w"), ("s", "t"),
+    ("l", "u"), ("a", "r"), ("p", "ar"), ("m", "er"), ("a", "t"),
+    ("a", "n"), ("c", "an"), ("s", "can"), ("c", "o"), ("co", "lu"),
+    ("colu", "m"), ("colum", "n"), ("d", "ow"), ("in", "dow"),
+    ("w", "indow"), ("d", "er"), ("or", "der"), ("or", "t"), ("s", "ort"),
+    ("par", "t"), ("u", "p"), ("a", "g"), ("ag", "g"), ("a", "lu"),
+    ("alu", "e"), ("v", "alue"), ("in", "e"), ("l", "ine"), ("e", "y"),
+    ("k", "ey"), ("j", "o"), ("jo", "in"), ("g", "e"), ("mer", "ge"),
+    ("er", "y"), ("g", "r"), ("gr", "o"), ("gro", "up"), ("q", "u"),
+    ("qu", "ery"), ("c", "t"), ("ct", "or"), ("e", "ctor"),
+    ("v", "ector"), ("a", "s"), ("as", "h"), ("h", "ash"), ("l", "ow"),
+    ("s", "low"), ("a", "m"), ("e", "am"), ("r", "eam"), ("st", "ream"),
+    ("f", "i"), ("fi", "l"),
+]

@@ -104,3 +104,86 @@ def test_empty_and_degenerate_inputs(spark):
     # all-punctuation doc has no words → no output row (empty token list
     # docs drop out of the explode; callers left-join if they need them)
     assert 1 not in out and out[2] == ["aa", "aa"]
+
+
+# ------------------------------------------------- pinned tokenizer-v1
+
+
+def _chain_replace(word: str, merges) -> list[str]:
+    """Pure-Python mirror of the DuckDB chained-replace oracle
+    (catalog/training.py:_bpe_apply_sql): two leftmost-nonoverlapping
+    replace passes per merge, in rank order."""
+    s = " " + " ".join(word) + " "
+    for a, b in merges:
+        pat, rep = f" {a} {b} ", f" {a}{b} "
+        s = s.replace(pat, rep).replace(pat, rep)
+    return s.strip().split(" ")
+
+
+def test_pinned_merges_reproduce_training(spark, sf_dir):
+    # the versioned artifact IS what training produces on its declared
+    # corpus — keeps the pinned table tied to the (tested) training path
+    from indra_db_spark.operators.bpe import PINNED_MERGES_V1
+
+    docs = load_table(spark, sf_dir, "documents")
+    assert train_bpe(docs, num_merges=60) == PINNED_MERGES_V1
+
+
+def test_pinned_merges_have_no_self_pairs():
+    # the chained-replace oracle equivalence requires a != b per merge;
+    # the SQL generator enforces it
+    from indra_db_spark.catalog.training import _bpe_apply_sql
+    from indra_db_spark.operators.bpe import PINNED_MERGES_V1
+
+    assert all(a != b for a, b in PINNED_MERGES_V1)
+    with pytest.raises(ValueError):
+        _bpe_apply_sql([("a", "a")])
+
+
+def test_chained_replace_equals_greedy_fuzz():
+    # rank-order two-pass replace == greedy lowest-rank-first segmentation
+    # (the equivalence the DuckDB oracle rests on), under random and
+    # adversarial (merge-substring-concatenation) words
+    import random
+
+    from indra_db_spark.operators.bpe import PINNED_MERGES_V1
+
+    ranks = {p: i for i, p in enumerate(PINNED_MERGES_V1)}
+    rng = random.Random(7)
+    alpha = "abcdefghijklmnopqrstuvwxyz0123456789"
+    parts = [a + b for a, b in PINNED_MERGES_V1] + [
+        s for p in PINNED_MERGES_V1 for s in p
+    ]
+    for trial in range(20000):
+        if trial % 2:
+            w = "".join(
+                rng.choice(alpha[: rng.choice([3, 5, 8, 36])])
+                for _ in range(rng.randint(1, 18))
+            )
+        else:
+            w = "".join(rng.choice(parts) for _ in range(rng.randint(1, 5)))
+        assert py_segment(w, ranks) == _chain_replace(w, PINNED_MERGES_V1), w
+
+
+def test_sql_apply_expr_matches_python_twin():
+    # run the literal generated SQL expression in DuckDB over adversarial
+    # words — pins the SQL TEXT (regexp/replace dialect semantics), not
+    # just the mental model behind it
+    import duckdb
+
+    from indra_db_spark.catalog.training import _bpe_apply_sql
+    from indra_db_spark.operators.bpe import PINNED_MERGES_V1
+
+    ranks = {p: i for i, p in enumerate(PINNED_MERGES_V1)}
+    words = [
+        "gegeb", "ggdgegekjbdk", "partpartpart", "scanscan", "window",
+        "streamstream", "queryqueryquery", "aggaggagg", "x", "hashash",
+        "columncolumn", "valuevaluevalue", "sortsortsort", "abcdefgh",
+    ]
+    con = duckdb.connect()
+    expr = _bpe_apply_sql(PINNED_MERGES_V1)
+    for w in words:
+        (s,) = con.execute(
+            f"SELECT {expr} FROM (SELECT ? AS word)", [w]
+        ).fetchone()
+        assert s.strip().split(" ") == py_segment(w, ranks), w
