@@ -1196,3 +1196,49 @@ def doc_bpe_tokens(spark, sf):
 
     docs = T(spark, sf, "documents").select("doc_id", "text")
     return B.bpe_token_counts(docs, B.PINNED_MERGES_V1).orderBy("doc_id")
+
+
+_SPAN_K = 4
+
+
+@register(
+    "doc_dup_spans",
+    f"""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    g AS (
+      SELECT doc_id, i AS pos,
+             md5(array_to_string(ws[i:i+{_SPAN_K - 1}], ' ')) AS g
+      FROM w, UNNEST(range(1, len(ws) - {_SPAN_K} + 2)) AS t(i)
+      WHERE len(ws) >= {_SPAN_K}
+    ),
+    dup AS (
+      SELECT g FROM g GROUP BY g HAVING count(DISTINCT doc_id) >= 2
+    ),
+    hits AS (SELECT doc_id, pos FROM g WHERE g IN (SELECT g FROM dup)),
+    brk AS (
+      SELECT doc_id, pos,
+        CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                  > {_SPAN_K} THEN 1 ELSE 0 END AS b
+      FROM hits
+    ),
+    isl AS (
+      SELECT doc_id, pos,
+             sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      FROM brk
+    )
+    SELECT doc_id,
+           CAST(min(pos) AS INT) AS span_start,
+           CAST(max(pos) + {_SPAN_K - 1} AS INT) AS span_end,
+           CAST(max(pos) + {_SPAN_K} - min(pos) AS INT) AS n_words
+    FROM isl GROUP BY doc_id, grp
+    """,
+)
+def doc_dup_spans(spark, sf):
+    """Exact duplicate-span detection (Lee et al. 2022 substring dedup,
+    relational form): maximal word spans covered by cross-document k-grams.
+    One partial-agg shuffle on the gram hash + a doc-partitioned window
+    over the hit surface only — no suffix array, no global sort
+    (operators/dedup.py:duplicate_spans)."""
+    return D.duplicate_spans(T(spark, sf, "documents"), k=_SPAN_K)

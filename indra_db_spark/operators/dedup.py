@@ -356,3 +356,88 @@ def simhash_neardup_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+# ------------------------------------------------- duplicate span detection
+
+
+def positional_grams(
+    df: DataFrame,
+    k: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Positional word k-grams → (id, pos, g): md5 of the k words starting
+    at 1-based word position ``pos``.  Same split convention as
+    ``word_shingles`` (single-space) so positions index the split array in
+    any SQL engine.  Pure built-ins; the split is materialized once per doc
+    before the explode."""
+    words = df.select(
+        F.col(id_col).alias("id"), F.split(F.col(text_col), " ").alias("_ws")
+    )
+    idx = F.when(
+        F.size("_ws") >= k, F.sequence(F.lit(1), F.size("_ws") - (k - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    return words.select("id", F.explode(idx).alias("pos"), "_ws").select(
+        "id",
+        "pos",
+        F.md5(F.concat_ws(" ", F.slice("_ws", F.col("pos"), k))).alias("g"),
+    )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    k: int = 4,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact duplicate-SPAN detection (the substring-level dedup of
+    "Deduplicating Training Data Makes Language Models Better", Lee et al.
+    2022, re-expressed relationally): every maximal word span covered by
+    k-grams that appear in ≥ ``min_docs`` distinct documents →
+    (doc_id, span_start, span_end, n_words), positions 1-based inclusive.
+
+    Instead of a suffix array (sequential, memory-bound), the distributed
+    shape is: positional k-grams → one partial-agg shuffle on the gram
+    hash to find cross-document grams → join the hit surface back → merge
+    overlapping/adjacent gram intervals per document with one
+    doc-partitioned window (two hit positions merge when they are ≤ k
+    words apart, i.e. their k-word intervals touch or overlap).
+
+    100 TB shape: the gram shuffle is O(corpus words) fixed-width md5
+    keys with map-side combine — the inherent cost of exact substring
+    dedup; the window only sees the duplicated surface, partitioned by
+    document (bounded partitions, no global sort).  md5 keeps the grams
+    engine-reproducible; swap ``F.md5`` for ``F.xxhash64`` when an
+    external oracle is not needed (8-byte keys, same plan).
+    """
+    from pyspark.sql.window import Window
+
+    grams = _materialize(positional_grams(df, k, id_col, text_col))
+    dup = (
+        grams.groupBy("g")
+        .agg(F.count_distinct("id").alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("g")
+    )
+    hits = grams.join(dup, "g").select("id", "pos")
+    w = Window.partitionBy("id").orderBy("pos")
+    brk = F.when(
+        F.col("pos") - F.lag("pos", 1).over(w) > k, F.lit(1)
+    ).otherwise(F.lit(0))
+    isl = hits.withColumn(
+        "_grp",
+        F.sum(brk).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        isl.groupBy(F.col("id").alias(id_col), "_grp")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + (k - 1)).alias("span_end"),
+        )
+        .withColumn(
+            "n_words", F.col("span_end") - F.col("span_start") + F.lit(1)
+        )
+        .drop("_grp")
+    )

@@ -569,3 +569,57 @@ def test_line_dedup_removes_corpus_boilerplate(spark):
     assert out3[20].n_lines_dropped == 0
     assert out3[30].text == ""
     assert out3[30].n_lines_dropped == 1
+
+
+def test_duplicate_spans_semantics(spark):
+    from indra_db_spark.operators.dedup import duplicate_spans
+
+    shared = "alpha beta gamma delta epsilon"  # 5 words, shared verbatim
+    docs = spark.createDataFrame(
+        [
+            # doc 1: shared sentence at words 3-7
+            (1, "one two " + shared + " tail words here"),
+            # doc 2: the same sentence at words 1-5, repeated again at 8-12
+            (2, shared + " xx yy " + shared),
+            # doc 3: no overlap with anything
+            (3, "qq ww ee rr tt zz uu ii oo pp"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = duplicate_spans(docs, k=4)
+    spans = {
+        (r.doc_id, r.span_start, r.span_end, r.n_words) for r in out.collect()
+    }
+    # k=4 grams of the 5-word sentence: positions p and p+1 → merged into
+    # one maximal 5-word span per occurrence
+    assert (1, 3, 7, 5) in spans
+    assert (2, 1, 5, 5) in spans
+    # the WITHIN-doc second copy in doc 2 is also flagged (its grams are
+    # cross-document duplicates); gap of 2 filler words > touching
+    # distance would merge if ≤ k — here gap is 8-2=6 > k=4? start pos 8,
+    # prev hit pos 2 → 8-2=6 > 4 → separate span
+    assert (2, 8, 12, 5) in spans
+    assert not any(d == 3 for d, *_ in spans)
+    # positions are 1-based and spans inclusive
+    assert all(s >= 1 and e >= s for _, s, e, _ in spans)
+
+
+def test_duplicate_spans_merges_touching_intervals(spark):
+    from indra_db_spark.operators.dedup import duplicate_spans
+
+    # two dup 4-grams k words apart (touching intervals) merge into one span
+    a = "w1 w2 w3 w4"   # gram A at pos 1
+    b = "v1 v2 v3 v4"   # gram B at pos 5 in doc 1 → intervals [1,4],[5,8]
+    docs = spark.createDataFrame(
+        [
+            (1, a + " " + b),
+            (2, a + " zz qq pp mm nn"),
+            (3, "kk " + b + " rr ss tt"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = duplicate_spans(docs, k=4)
+    spans = {(r.doc_id, r.span_start, r.span_end) for r in out.collect()}
+    assert (1, 1, 8) in spans  # merged maximal span
+    assert (2, 1, 4) in spans
+    assert (3, 2, 5) in spans
