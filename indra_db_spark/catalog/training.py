@@ -1242,3 +1242,45 @@ def doc_dup_spans(spark, sf):
     over the hit surface only — no suffix array, no global sort
     (operators/dedup.py:duplicate_spans)."""
     return D.duplicate_spans(T(spark, sf, "documents"), k=_SPAN_K)
+
+
+@register(
+    "doc_lm_score",
+    """
+    WITH w AS (
+      SELECT doc_id, list_filter(
+        regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        x -> x <> '') AS ws
+      FROM documents
+    ),
+    big AS (
+      SELECT doc_id, ws[i] AS a, ws[i+1] AS b
+      FROM w, UNNEST(range(1, len(ws))) AS t(i)
+      WHERE len(ws) >= 2
+    ),
+    v AS (
+      SELECT count(DISTINCT x) AS v
+      FROM (SELECT a AS x FROM big UNION ALL SELECT b FROM big)
+    ),
+    cab AS (SELECT a, b, count(*) AS c_ab FROM big GROUP BY a, b),
+    ca AS (SELECT a, count(*) AS c_a FROM big GROUP BY a),
+    s AS (
+      SELECT big.doc_id, ((c_ab + 1) * 1000000) // (c_a + v) AS p_micro
+      FROM big JOIN cab USING (a, b) JOIN ca USING (a), v
+    )
+    SELECT doc_id,
+           CAST(count(*) AS INT) AS n_bigrams,
+           CAST(sum(p_micro) AS BIGINT) AS sum_p_micro,
+           CAST(sum(CASE WHEN p_micro < 2000 THEN 1 ELSE 0 END) AS INT)
+             AS rare_bigrams,
+           sum(p_micro) / count(*) AS mean_p_micro
+    FROM s GROUP BY doc_id
+    """,
+)
+def doc_lm_score(spark, sf):
+    """CCNet-style LM familiarity: self-trained add-one bigram model, each
+    doc scored by mean/rare bigram probability in exact integer micro-units
+    (order-independent sums; the one IEEE division is trailing).  Count
+    tables are vocabulary-bounded → broadcastable at scale
+    (operators/text.py:bigram_lm_score)."""
+    return X.bigram_lm_score(T(spark, sf, "documents"))

@@ -393,3 +393,95 @@ def line_dedup(
         )
         .withColumnRenamed("id", id_col)
     )
+
+
+# --------------------------------------------------------- n-gram LM scoring
+
+
+def bigram_lm_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    micro: int = 1_000_000,
+    rare_micro: int = 2_000,
+) -> DataFrame:
+    """CCNet-style language-model quality signal: score each document by
+    how familiar its word bigrams are under an add-one-smoothed bigram
+    model trained on the corpus itself →
+    (id, n_bigrams, sum_p_micro, rare_bigrams, mean_p_micro).
+
+    P(b|a) = (c(a,b) + 1) / (c(a·) + V), where c(a·) counts ``a`` as a
+    bigram prefix and V is the corpus vocabulary size.  Probabilities are
+    kept in exact integer micro-units (``(c_ab+1)*micro div (c_a+V)`` —
+    integer division, bit-reproducible in any engine) so the per-document
+    SUM is order-independent; ``mean_p_micro`` is the one trailing IEEE
+    division.  ``rare_bigrams`` counts bigrams below ``rare_micro`` — the
+    out-of-distribution surface CCNet's perplexity filter targets.  For a
+    true log-domain perplexity use :func:`log_perplexity` (float,
+    library-side; transcendental functions are not bit-portable across
+    engines so it stays out of the oracle gate).
+
+    100 TB shape: the doc-bigram frame (O(corpus words)) is materialized
+    once and feeds both count aggregations — whose outputs are
+    VOCABULARY-bounded (Zipf), so the count joins broadcast at scale —
+    plus one final groupBy(id).  No Python UDFs anywhere.
+    """
+    words = df.select(
+        F.col(id_col).alias("id"),
+        F.filter(
+            F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"),
+            lambda w: w != "",
+        ).alias("_ws"),
+    )
+    n1 = F.greatest(F.size("_ws") - 1, F.lit(0))
+    pairs = F.arrays_zip(
+        F.slice(F.col("_ws"), F.lit(1), n1).alias("a"),
+        F.slice(F.col("_ws"), F.lit(2), n1).alias("b"),
+    )
+    big = words.select("id", F.explode(pairs).alias("p")).select(
+        "id", F.col("p.a").alias("a"), F.col("p.b").alias("b")
+    )
+    from indra_db_spark.operators.dedup import _materialize
+
+    big = _materialize(big)
+
+    vocab = big.select(F.col("a").alias("w")).union(
+        big.select(F.col("b").alias("w"))
+    )
+    v = vocab.agg(F.count_distinct("w").alias("v"))
+    cab = big.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
+    ca = big.groupBy("a").agg(F.count(F.lit(1)).alias("c_a"))
+
+    scored = (
+        big.join(cab, ["a", "b"])
+        .join(ca, "a")
+        .crossJoin(F.broadcast(v))
+        .withColumn(
+            "p_micro",
+            F.expr(f"(c_ab + 1) * {micro} div (c_a + v)"),
+        )
+    )
+    return (
+        scored.groupBy(F.col("id").alias(id_col))
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_bigrams"),
+            F.sum("p_micro").alias("sum_p_micro"),
+            F.sum(
+                F.when(F.col("p_micro") < rare_micro, 1).otherwise(0)
+            ).cast("int").alias("rare_bigrams"),
+        )
+        .withColumn(
+            "mean_p_micro", F.col("sum_p_micro") / F.col("n_bigrams")
+        )
+    )
+
+
+def log_perplexity(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """True log2 bigram perplexity per document (float) — the library-side
+    companion of :func:`bigram_lm_score`; same model, log-domain score."""
+    scored = bigram_lm_score(df, id_col, text_col)
+    # recompute from micro-probs: -mean log2(p) ≈ log2(micro) - mean log2(p_micro)
+    return scored.withColumn(
+        "log2_ppl",
+        F.log2(F.lit(1_000_000.0)) - F.log2(F.col("mean_p_micro")),
+    )

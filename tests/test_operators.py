@@ -623,3 +623,39 @@ def test_duplicate_spans_merges_touching_intervals(spark):
     assert (1, 1, 8) in spans  # merged maximal span
     assert (2, 1, 4) in spans
     assert (3, 2, 5) in spans
+
+
+def test_bigram_lm_score_matches_python_twin(spark):
+    import re
+    from collections import Counter
+
+    from indra_db_spark.operators.text import bigram_lm_score
+
+    texts = {
+        1: "the cat sat on the mat",
+        2: "the cat ran",
+        3: "dogs bark loudly at the cat",
+        4: "zz",  # single word → no bigrams → no output row
+    }
+    docs = spark.createDataFrame(list(texts.items()), ["doc_id", "text"])
+
+    def words(t):
+        return [w for w in re.split(r"[^a-z0-9]+", t.lower()) if w]
+
+    bigrams = {i: list(zip(words(t), words(t)[1:])) for i, t in texts.items()}
+    cab = Counter(p for ps in bigrams.values() for p in ps)
+    ca = Counter(a for ps in bigrams.values() for a, _ in ps)
+    vocab = {w for ps in bigrams.values() for p in ps for w in p}
+    v = len(vocab)
+
+    def p_micro(a, b):
+        return (cab[(a, b)] + 1) * 1_000_000 // (ca[a] + v)
+
+    got = {r.doc_id: r for r in bigram_lm_score(docs).collect()}
+    assert 4 not in got
+    for i in (1, 2, 3):
+        ps = [p_micro(a, b) for a, b in bigrams[i]]
+        assert got[i].n_bigrams == len(ps)
+        assert got[i].sum_p_micro == sum(ps)
+        assert got[i].rare_bigrams == sum(1 for p in ps if p < 2000)
+        assert got[i].mean_p_micro == sum(ps) / len(ps)
