@@ -237,10 +237,30 @@ def make_handler(
             url = urlparse(self.path)
             qs = parse_qs(url.query)
             try:
-                if url.path == "/health":
+                if url.path in ("/health", "/healthcheck"):
+                    # reference exposes /healthcheck (api.py:194-197)
                     self._send(200, {"status": "ok"})
                     return
                 parts = url.path.strip("/").split("/")
+                # /metadata/<result_type>/<method> is an alias of the bare
+                # route in the reference (api.py:359-360 — same handler,
+                # different access-log tag)
+                if parts[0] == "metadata" and len(parts) >= 3:
+                    parts = parts[1:]
+                if parts == ["curation"]:
+                    # reference redirects /curation → /statements
+                    # (api.py:542-545); JSON service: describe instead
+                    self._send(
+                        200,
+                        {
+                            "routes": [
+                                "/curation/list",
+                                "/curation/list/<stmt_hash>[/<src_hash>]",
+                                "/curation/submit/<hash>",
+                            ]
+                        },
+                    )
+                    return
                 if parts[0] == "curation" and len(parts) >= 2 and parts[1] == "list":
                     self._curation_list(parts[2:])
                     return
@@ -353,11 +373,19 @@ def make_handler(
             n = int(self.headers.get("Content-Length", "0"))
             try:
                 body = json.loads(self.rfile.read(n) or b"{}")
-                if url.path == "/compile":
-                    fmt = qs.get("format", ["json"])[0]
+                parts = url.path.strip("/").split("/")
+                if parts[0] == "compile":
+                    # reference route is /compile/<fmt> (api.py:527);
+                    # ?format= kept as a fallback spelling
+                    fmt = (
+                        parts[1]
+                        if len(parts) == 2
+                        else qs.get("format", ["json"])[0]
+                    )
                     self._send(200, {"compiled": compile_query(body, fmt)})
                     return
-                parts = url.path.strip("/").split("/")
+                if parts[0] == "metadata" and len(parts) >= 3:
+                    parts = parts[1:]
                 if parts[0] == "curation" and len(parts) == 3 and parts[1] == "submit":
                     self._curation_submit(int(parts[2]), body)
                     return

@@ -510,6 +510,22 @@ def test_rest_route_parity(spark):
             raise AssertionError("expected 400")
         except HTTPError as e:
             assert e.code == 400
+
+        # reference aliases: /healthcheck (api.py:194), /metadata/<rt>/<m>
+        # (api.py:360 — same handler), /compile/<fmt> path param
+        # (api.py:527), bare /curation descriptor (api.py:542)
+        assert get("/healthcheck") == {"status": "ok"}
+        assert (
+            get("/metadata/hashes/from_agents?agent=MEK&limit=5")["results"]
+            == get("/hashes/from_agents?agent=MEK&limit=5")["results"]
+        )
+        meta_post = post("/metadata/statements/from_hashes", {"hashes": hashes[:1]})
+        assert set(meta_post["statements"]) == {str(hashes[0])}
+        comp = post(
+            "/compile/json", {"and": [{"class": "HasAgent", "agent_id": "MEK"}]}
+        )
+        assert comp["compiled"]["class"] == "HasAgent"
+        assert "/curation/submit/<hash>" in get("/curation")["routes"]
     finally:
         server.shutdown()
 
