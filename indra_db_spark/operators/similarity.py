@@ -39,6 +39,16 @@ def cosine(a, b) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def _pair_sim(va, vb, na, nb, sim_decimals: int | None) -> Column:
+    """cosine from PREcomputed norms — same arithmetic as :func:`cosine`
+    (dot / (norm·norm), so rounded values are identical), but each side's
+    norm is evaluated once per ROW instead of once per PAIR: in an
+    N-pairs-per-vector join that drops the array-aggregate count per pair
+    from three to one (~3× on the pair stage)."""
+    s = dot(va, vb) / (na * nb)
+    return F.round(s, sim_decimals) if sim_decimals is not None else s
+
+
 def _rank_topk(scored, k: int):
     """Shared ranking tail: per-query row_number over (sim desc, neighbor id)
     and keep the first k — ONE place for the tie-break/rounding contract."""
@@ -70,12 +80,18 @@ def brute_force_topk(
     from pyspark.sql import Window
 
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        norm(F.col(vec_col)).alias("nq"),
     )
-    c = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
-    sim = cosine(F.col("qvec"), F.col("cvec"))
-    if sim_decimals is not None:
-        sim = F.round(sim, sim_decimals)
+    c = emb.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        norm(F.col(vec_col)).alias("nc"),
+    )
+    sim = _pair_sim(
+        F.col("qvec"), F.col("cvec"), F.col("nq"), F.col("nc"), sim_decimals
+    )
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .withColumn("sim", sim)
@@ -95,11 +111,19 @@ def cosine_neardup_pairs(
     Exact all-pairs — quadratic, for modest corpora / within-bucket use.
     At scale, compose with ``srp_bucket`` to restrict pairs to one bucket.
     """
-    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
-    sim = cosine(F.col("va"), F.col("vb"))
-    if sim_decimals is not None:
-        sim = F.round(sim, sim_decimals)
+    a = emb.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        norm(F.col(vec_col)).alias("na"),
+    )
+    b = emb.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        norm(F.col(vec_col)).alias("nb"),
+    )
+    sim = _pair_sim(
+        F.col("va"), F.col("vb"), F.col("na"), F.col("nb"), sim_decimals
+    )
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .withColumn("sim", sim)
@@ -136,13 +160,20 @@ def srp_neardup_pairs(
     hashed = emb.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
+        norm(F.col(vec_col)).alias("n"),
         srp_bucket(F.col(vec_col), planes).alias("bucket"),
     )
-    a = hashed.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "bucket")
-    b = hashed.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "bucket")
-    sim = cosine(F.col("va"), F.col("vb"))
-    if sim_decimals is not None:
-        sim = F.round(sim, sim_decimals)
+    a = hashed.select(
+        F.col("id").alias("id_a"), F.col("v").alias("va"),
+        F.col("n").alias("na"), "bucket",
+    )
+    b = hashed.select(
+        F.col("id").alias("id_b"), F.col("v").alias("vb"),
+        F.col("n").alias("nb"), "bucket",
+    )
+    sim = _pair_sim(
+        F.col("va"), F.col("vb"), F.col("na"), F.col("nb"), sim_decimals
+    )
     return (
         a.join(b, "bucket")
         .filter(F.col("id_a") < F.col("id_b"))
@@ -172,16 +203,18 @@ def srp_topk(
     c = emb.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),
+        norm(F.col(vec_col)).alias("nc"),
         srp_bucket(F.col(vec_col), planes).alias("bucket"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
+        norm(F.col(vec_col)).alias("nq"),
         srp_bucket(F.col(vec_col), planes).alias("bucket"),
     )
-    sim = cosine(F.col("qvec"), F.col("cvec"))
-    if sim_decimals is not None:
-        sim = F.round(sim, sim_decimals)
+    sim = _pair_sim(
+        F.col("qvec"), F.col("cvec"), F.col("nq"), F.col("nc"), sim_decimals
+    )
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -279,15 +312,18 @@ def ivf_probe(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
+        norm(F.col(vec_col)).alias("nq"),
         F.explode(
             _ranked_cells(F.col(vec_col), centers, nprobe, dist_decimals)
         ).alias("cell"),
     )
-    sim = cosine(F.col("qvec"), F.col("cvec"))
-    if sim_decimals is not None:
-        sim = F.round(sim, sim_decimals)
+    c = corpus.withColumn("nc", F.col("_nrm") if "_nrm" in corpus.columns
+                          else norm(F.col("cvec")))
+    sim = _pair_sim(
+        F.col("qvec"), F.col("cvec"), F.col("nq"), F.col("nc"), sim_decimals
+    )
     scored = (
-        corpus.join(F.broadcast(q), "cell")
+        c.join(F.broadcast(q), "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("sim", sim)
     )
@@ -321,16 +357,42 @@ def semantic_dedup(
     nlist grows with the corpus so per-cell pair volume stays bounded —
     the corpus-level all-pairs join never happens.
     """
-    index = ivf_build_index(
-        emb, centers, id_col=id_col, vec_col=vec_col, dist_decimals=dist_decimals
+    from indra_db_spark.operators.dedup import _materialize
+
+    # norms once per VECTOR, not per pair (identical arithmetic, so the
+    # rounded sims are unchanged — the pair expression drops from three
+    # array-aggregates to one); materialize the assignment, which feeds
+    # both join sides and the keeper base — without it each use re-derives
+    # the corpus scan + center ranking
+    index = _materialize(
+        ivf_build_index(
+            emb, centers, id_col=id_col, vec_col=vec_col,
+            dist_decimals=dist_decimals,
+        ).withColumn("_nrm", norm(F.col("cvec")))
     )
     a = index.select(
-        F.col("neighbor_id").alias("id_a"), F.col("cvec").alias("va"), "cell"
+        F.col("neighbor_id").alias("id_a"),
+        F.col("cvec").alias("va"),
+        F.col("_nrm").alias("na"),
+        "cell",
     )
     b = index.select(
-        F.col("neighbor_id").alias("id_b"), F.col("cvec").alias("vb"), "cell"
+        F.col("neighbor_id").alias("id_b"),
+        F.col("cvec").alias("vb"),
+        F.col("_nrm").alias("nb"),
+        "cell",
     )
-    sim = cosine(F.col("va"), F.col("vb"))
+    # parallelism spreader, size-gated like operators/graph.py: a small
+    # index (few cells << cores) would otherwise run the whole pair stage
+    # in one or eight tasks — broadcast the b side and round-robin the a
+    # side across the cluster.  A big index skips this (broadcast would
+    # not fit; nlist grows with the corpus, so the per-cell shuffle join
+    # parallelizes naturally and AQE splits any skewed cell).
+    small_max = 200_000
+    if index.limit(small_max + 1).count() <= small_max:
+        a = a.repartition(emb.sparkSession.sparkContext.defaultParallelism)
+        b = F.broadcast(b)
+    sim = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     if sim_decimals is not None:
         sim = F.round(sim, sim_decimals)
     dups = (
