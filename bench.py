@@ -50,6 +50,11 @@ HEADLINE = [
     "doc_vocab",
     # round 5: SemDeDup semantic pruning — quantize + per-cell leader rule
     "emb_semantic_dedup",
+    # round 5: substring-level dedup, bigram-LM quality scoring, and the
+    # pinned-tokenizer BPE application (distinct-word segmentation join)
+    "doc_dup_spans",
+    "doc_lm_score",
+    "doc_bpe_tokens",
 ]
 
 

@@ -1284,3 +1284,56 @@ def doc_lm_score(spark, sf):
     tables are vocabulary-bounded → broadcastable at scale
     (operators/text.py:bigram_lm_score)."""
     return X.bigram_lm_score(T(spark, sf, "documents"))
+
+
+@register(
+    "doc_dedup_rewrite",
+    f"""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    g AS (
+      SELECT doc_id, i AS pos,
+             md5(array_to_string(ws[i:i+{_SPAN_K - 1}], ' ')) AS g
+      FROM w, UNNEST(range(1, len(ws) - {_SPAN_K} + 2)) AS t(i)
+      WHERE len(ws) >= {_SPAN_K}
+    ),
+    dupg AS (
+      SELECT g FROM g GROUP BY g HAVING count(DISTINCT doc_id) >= 2
+    ),
+    hits AS (
+      SELECT doc_id, pos,
+             row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) = 1
+               AS is_canon
+      FROM g WHERE g IN (SELECT g FROM dupg)
+    ),
+    cov AS (
+      SELECT doc_id, pos + j AS wi, is_canon
+      FROM hits, UNNEST(range(0, {_SPAN_K})) AS t(j)
+    ),
+    rem AS (
+      SELECT doc_id, wi FROM cov GROUP BY doc_id, wi
+      HAVING max(CASE WHEN is_canon THEN 1 ELSE 0 END) = 0
+    ),
+    wpos AS (
+      SELECT doc_id, i AS wi, ws[i] AS word, len(ws) AS n
+      FROM w, UNNEST(range(1, len(ws) + 1)) AS t(i)
+    ),
+    kept AS (
+      SELECT wp.doc_id, wp.wi, wp.word, wp.n
+      FROM wpos wp ANTI JOIN rem r
+        ON wp.doc_id = r.doc_id AND wp.wi = r.wi
+    )
+    SELECT doc_id,
+           string_agg(word, ' ' ORDER BY wi) AS clean_text,
+           CAST(any_value(n) - count(*) AS INT) AS n_removed_words
+    FROM kept GROUP BY doc_id
+    """,
+)
+def doc_dedup_rewrite(spark, sf):
+    """Keep-one-copy substring dedup (Lee et al. 2022, apply step):
+    documents rewritten with duplicate spans cut, the corpus-min
+    occurrence surviving.  Per-gram argmin replaces a corpus window;
+    covered-index explode is bounded by the duplicated surface × k
+    (operators/dedup.py:remove_duplicate_spans)."""
+    return D.remove_duplicate_spans(T(spark, sf, "documents"), k=_SPAN_K)

@@ -441,3 +441,91 @@ def duplicate_spans(
         )
         .drop("_grp")
     )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    k: int = 4,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Rewrite each document with cross-document duplicate spans REMOVED,
+    keeping one canonical copy corpus-wide → (id, clean_text,
+    n_removed_words) — the "apply" half of :func:`duplicate_spans`
+    (Lee et al. 2022 keep-one-copy substring dedup).
+
+    Semantics: for every duplicated k-gram the canonical occurrence is the
+    one with the smallest (doc_id, pos).  A word is removed iff some
+    duplicate-gram instance covers it and NO canonical instance does —
+    so the first copy of a duplicated passage survives verbatim and later
+    copies are cut, including additional copies inside the canonical
+    document itself.
+
+    Distributed shape: gram shuffle (as ``duplicate_spans``) → per-gram
+    argmin (one partial-agg shuffle, no window over the corpus) → covered
+    word indices exploded only for the DUPLICATED surface (≤ k rows per
+    hit, not per corpus word) → set-subtract removable indices from the
+    word list per doc → ordered reassembly with one groupBy(id).  Word
+    order is restored by sorting on position inside a collect_list — no
+    global sort.
+    """
+    words = df.select(
+        F.col(id_col).alias("id"), F.split(F.col(text_col), " ").alias("_ws")
+    )
+    grams = _materialize(positional_grams(df, k, id_col, text_col))
+    dup = (
+        grams.groupBy("g")
+        .agg(
+            F.count_distinct("id").alias("_nd"),
+            F.min(F.struct("id", "pos")).alias("_canon"),
+        )
+        .filter(F.col("_nd") >= min_docs)
+        .select("g", "_canon")
+    )
+    hits = grams.join(dup, "g").select(
+        "id",
+        "pos",
+        (
+            (F.col("_canon.id") == F.col("id"))
+            & (F.col("_canon.pos") == F.col("pos"))
+        ).alias("is_canon"),
+    )
+    covered = hits.select(
+        "id",
+        F.explode(F.sequence(F.col("pos"), F.col("pos") + (k - 1))).alias("w"),
+        "is_canon",
+    )
+    removable = (
+        covered.groupBy("id", "w")
+        .agg(F.max(F.col("is_canon").cast("int")).alias("_anyc"))
+        .filter(F.col("_anyc") == 0)
+        .select("id", "w")
+    )
+    kept = (
+        words.select("id", F.posexplode("_ws").alias("p0", "word"))
+        .withColumn("w", F.col("p0") + 1)
+        .join(removable, ["id", "w"], "left_anti")
+    )
+    total = words.select("id", F.size("_ws").alias("_n"))
+    return (
+        kept.groupBy("id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("w"), F.col("word")))
+                    ),
+                    lambda s: s["word"],
+                ),
+            ).alias("clean_text"),
+            F.count(F.lit(1)).alias("_kept"),
+        )
+        .join(total, "id")
+        .select(
+            F.col("id").alias(id_col),
+            "clean_text",
+            (F.col("_n") - F.col("_kept")).cast("int").alias("n_removed_words"),
+        )
+    )

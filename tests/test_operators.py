@@ -659,3 +659,46 @@ def test_bigram_lm_score_matches_python_twin(spark):
         assert got[i].sum_p_micro == sum(ps)
         assert got[i].rare_bigrams == sum(1 for p in ps if p < 2000)
         assert got[i].mean_p_micro == sum(ps) / len(ps)
+
+
+def test_remove_duplicate_spans_keeps_canonical_copy(spark):
+    from indra_db_spark.operators.dedup import remove_duplicate_spans
+
+    shared = "alpha beta gamma delta epsilon"
+    docs = spark.createDataFrame(
+        [
+            (1, "one two " + shared + " tail words here"),
+            (2, shared + " xx yy " + shared),
+            (3, "qq ww ee rr tt zz uu ii oo pp"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in remove_duplicate_spans(docs, k=4).collect()}
+    # canonical copy (corpus-min (doc_id, pos)) survives in doc 1
+    assert out[1].clean_text == "one two " + shared + " tail words here"
+    assert out[1].n_removed_words == 0
+    # BOTH copies in doc 2 are cut (canonical lives in doc 1)
+    assert out[2].clean_text == "xx yy"
+    assert out[2].n_removed_words == 10
+    # untouched doc passes through
+    assert out[3].n_removed_words == 0
+
+
+def test_remove_duplicate_spans_within_canonical_doc(spark):
+    from indra_db_spark.operators.dedup import remove_duplicate_spans
+
+    shared = "s1 s2 s3 s4"
+    docs = spark.createDataFrame(
+        [
+            # doc 1 holds the canonical copy AND a second internal copy —
+            # the internal repeat is cut too
+            (1, shared + " mid1 mid2 mid3 mid4 mid5 " + shared),
+            (2, "pre1 pre2 " + shared + " post1 post2"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in remove_duplicate_spans(docs, k=4).collect()}
+    assert out[1].clean_text == shared + " mid1 mid2 mid3 mid4 mid5"
+    assert out[1].n_removed_words == 4
+    assert out[2].clean_text == "pre1 pre2 post1 post2"
+    assert out[2].n_removed_words == 4
