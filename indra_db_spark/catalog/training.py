@@ -1337,3 +1337,67 @@ def doc_dedup_rewrite(spark, sf):
     covered-index explode is bounded by the duplicated surface × k
     (operators/dedup.py:remove_duplicate_spans)."""
     return D.remove_duplicate_spans(T(spark, sf, "documents"), k=_SPAN_K)
+
+
+_KW_TERMS = ["query", "window", "stream"]
+_KW_K = 10
+
+
+def _kw_oracle(terms: list[str], k: int) -> str:
+    """DuckDB mirror of operators/text.py:keyword_search — the same
+    fixed-point BM25 formula with `div` spelled `//`; every integer
+    division appears in the identical order so scores match exactly."""
+    C, MICRO, MILLI, K1, B = 1000, 1_000_000, 1000, 1200, 750
+    ws = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+    tf_cols = ",\n        ".join(
+        f"CAST(len(list_filter({ws}, x -> x = '{t}')) AS BIGINT) AS _tf{i}"
+        for i, t in enumerate(terms)
+    )
+    df_cols = ",\n        ".join(
+        f"sum(CASE WHEN _tf{i} > 0 THEN 1 ELSE 0 END) AS _df{i}"
+        for i in range(len(terms))
+    )
+    avgdl = f"(sum_dl * {C}) // n_docs"
+    lnorm = f"(({C} - {B}) + ({B} * dl * {C}) // ({avgdl}))"
+    score_terms = []
+    for i in range(len(terms)):
+        tfsat = (
+            f"(_tf{i} * {K1 + C} * {MICRO}) // "
+            f"(_tf{i} * {C} + ({K1} * {lnorm}) // {C})"
+        )
+        idf = f"((2 * (n_docs - _df{i}) + 1) * {MILLI}) // (2 * _df{i} + 1)"
+        score_terms.append(
+            f"CASE WHEN _tf{i} > 0 THEN ((({idf}) * ({tfsat})) // {MILLI}) "
+            "ELSE 0 END"
+        )
+    score = " + ".join(score_terms)
+    return f"""
+    WITH w AS (
+      SELECT doc_id AS id,
+        CAST(len({ws}) AS BIGINT) AS dl,
+        {tf_cols}
+      FROM documents
+    ),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(dl) AS BIGINT) AS sum_dl,
+        {df_cols}
+      FROM w
+    ),
+    s AS (SELECT id, CAST({score} AS BIGINT) AS score_micro FROM w, stats)
+    SELECT id AS doc_id, score_micro,
+           CAST(row_number() OVER (ORDER BY score_micro DESC, id) AS INT)
+             AS rank
+    FROM s WHERE score_micro > 0
+    ORDER BY score_micro DESC, id LIMIT {k}
+    """
+
+
+@register("doc_keyword_search", _kw_oracle(_KW_TERMS, _KW_K))
+def doc_keyword_search(spark, sf):
+    """Bag-of-terms corpus search, BM25-shaped integer-exact ranking:
+    per-term tf + doc length fused into ONE corpus scan (array expressions,
+    no explode), a single-row broadcast stats frame, and a
+    TakeOrderedAndProject top-k — no full sort, no per-term shuffle
+    (operators/text.py:keyword_search)."""
+    return X.keyword_search(T(spark, sf, "documents"), _KW_TERMS, k=_KW_K)

@@ -485,3 +485,90 @@ def log_perplexity(df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
         "log2_ppl",
         F.log2(F.lit(1_000_000.0)) - F.log2(F.col("mean_p_micro")),
     )
+
+
+# ----------------------------------------------------------- keyword search
+
+
+def keyword_search(
+    df: DataFrame,
+    terms: list[str],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1_c: int = 1200,
+    b_c: int = 750,
+) -> DataFrame:
+    """Bag-of-terms document search with a BM25-shaped, integer-exact
+    ranking → top-``k`` (id, score_micro, rank).
+
+    The score is classic BM25 with the log dropped from the IDF — the
+    rational Robertson-Sparck-Jones weight ``(N - df + 0.5)/(df + 0.5)``
+    is monotone in df, so the RANKING is the familiar one, while every
+    intermediate stays an integer (micro/milli fixed-point, integer
+    division) — bit-reproducible in any engine, no transcendentals.
+    ``k1_c``/``b_c`` are k1 and b in thousandths (1200/750 = the standard
+    1.2/0.75).
+
+    100 TB shape: per-term tf and doc length are computed INSIDE one
+    corpus scan as array expressions over the split — no explode, no
+    per-term shuffle.  The only aggregations are a single-row stats frame
+    (N, Σdl, per-term df — broadcast back) and the global top-k
+    (TakeOrderedAndProject: per-partition heaps of k rows, never a full
+    sort).  Score granularity is 1e-6; ties break on id, so results are
+    partition-independent.
+    """
+    C, MICRO, MILLI = 1000, 1_000_000, 1000
+    ws = F.filter(
+        F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"), lambda w: w != ""
+    )
+    def _eq(term):
+        # closure, not a default arg: a two-parameter lambda would make
+        # F.filter pass (element, index) and clobber the term
+        return lambda w: w == F.lit(term)
+
+    tf_cols = [
+        F.size(F.filter(ws, _eq(t))).cast("long").alias(f"_tf{i}")
+        for i, t in enumerate(terms)
+    ]
+    wide = df.select(
+        F.col(id_col).alias("id"),
+        F.size(ws).cast("long").alias("dl"),
+        *tf_cols,
+    )
+    stats = wide.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.sum((F.col(f"_tf{i}") > 0).cast("long")).alias(f"_df{i}")
+            for i in range(len(terms))
+        ],
+    )
+    scored = wide.crossJoin(F.broadcast(stats))
+    # integer fixed-point BM25 (k1, b in thousandths; tfsat in micro,
+    # idf in milli; each `div` mirrored verbatim in the SQL oracle)
+    avgdl = f"(sum_dl * {C}) div n_docs"
+    lnorm = f"(({C} - {b_c}) + ({b_c} * dl * {C}) div ({avgdl}))"
+    score_terms = []
+    for i in range(len(terms)):
+        tfsat = (
+            f"(_tf{i} * {k1_c + C} * {MICRO}) div "
+            f"(_tf{i} * {C} + ({k1_c} * {lnorm}) div {C})"
+        )
+        idf = f"((2 * (n_docs - _df{i}) + 1) * {MILLI}) div (2 * _df{i} + 1)"
+        score_terms.append(
+            f"CASE WHEN _tf{i} > 0 THEN (({idf}) * ({tfsat})) div {MILLI} "
+            "ELSE 0 END"
+        )
+    scored = scored.withColumn(
+        "score_micro", F.expr(" + ".join(score_terms)).cast("long")
+    ).filter(F.col("score_micro") > 0)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("score_micro"), F.asc("id"))
+    return (
+        scored.orderBy(F.desc("score_micro"), F.asc("id"))
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .select(F.col("id").alias(id_col), "score_micro", "rank")
+    )

@@ -702,3 +702,52 @@ def test_remove_duplicate_spans_within_canonical_doc(spark):
     assert out[1].n_removed_words == 4
     assert out[2].clean_text == "pre1 pre2 post1 post2"
     assert out[2].n_removed_words == 4
+
+
+def test_keyword_search_matches_python_twin(spark):
+    import re
+
+    from indra_db_spark.operators.text import keyword_search
+
+    texts = {
+        1: "spark query engine with window functions and a stream",
+        2: "query query query short",
+        3: "nothing relevant here at all",
+        4: "window window stream stream stream query plus filler words "
+           "to make this document much longer than the others " * 3,
+    }
+    terms = ["query", "window", "stream"]
+    docs = spark.createDataFrame(list(texts.items()), ["doc_id", "text"])
+
+    C, MICRO, MILLI, K1, B = 1000, 1_000_000, 1000, 1200, 750
+
+    def words(t):
+        return [w for w in re.split(r"[^a-z0-9]+", t.lower()) if w]
+
+    dls = {i: len(words(t)) for i, t in texts.items()}
+    n_docs, sum_dl = len(texts), sum(dls.values())
+    tf = {(i, t): words(x).count(t) for i, x in texts.items() for t in terms}
+    dfc = {t: sum(1 for i in texts if tf[(i, t)] > 0) for t in terms}
+
+    def score(i):
+        avgdl = (sum_dl * C) // n_docs
+        lnorm = (C - B) + (B * dls[i] * C) // avgdl
+        s = 0
+        for t in terms:
+            f = tf[(i, t)]
+            if f == 0:
+                continue
+            tfsat = (f * (K1 + C) * MICRO) // (f * C + (K1 * lnorm) // C)
+            idf = ((2 * (n_docs - dfc[t]) + 1) * MILLI) // (2 * dfc[t] + 1)
+            s += (idf * tfsat) // MILLI
+        return s
+
+    want = sorted(
+        ((score(i), i) for i in texts if score(i) > 0),
+        key=lambda x: (-x[0], x[1]),
+    )
+    got = keyword_search(docs, terms, k=10).collect()
+    assert [(r.score_micro, r.doc_id) for r in got] == want
+    assert [r.rank for r in got] == list(range(1, len(want) + 1))
+    # doc 3 has no hits; doc 4 is long → per-occurrence weight dampened
+    assert all(r.doc_id != 3 for r in got)
