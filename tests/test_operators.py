@@ -751,3 +751,60 @@ def test_keyword_search_matches_python_twin(spark):
     assert [r.rank for r in got] == list(range(1, len(want) + 1))
     # doc 3 has no hits; doc 4 is long → per-occurrence weight dampened
     assert all(r.doc_id != 3 for r in got)
+
+
+def test_duplicate_spans_random_differential(spark):
+    """Randomized corpora vs a brute-force Python twin of the span
+    semantics (cross-doc k-grams → interval merge at gap ≤ k)."""
+    import random
+
+    from indra_db_spark.operators.dedup import duplicate_spans
+
+    k = 3
+    for seed in (0, 1, 2):
+        rng = random.Random(seed)
+        vocab = [f"w{j}" for j in range(12)]
+        frags = [
+            [rng.choice(vocab) for _ in range(rng.randint(3, 6))]
+            for _ in range(4)
+        ]
+        docs = []
+        for i in range(12):
+            words = []
+            for _ in range(rng.randint(1, 4)):
+                if rng.random() < 0.5:
+                    words += rng.choice(frags)
+                else:
+                    words += [rng.choice(vocab) for _ in range(rng.randint(2, 5))]
+            docs.append((i, " ".join(words)))
+
+        # python twin
+        grams: dict[tuple, set] = {}
+        for i, t in docs:
+            ws = t.split(" ")
+            for p in range(len(ws) - k + 1):
+                grams.setdefault(tuple(ws[p : p + k]), set()).add(i)
+        dup = {g for g, ids in grams.items() if len(ids) >= 2}
+        want = set()
+        for i, t in docs:
+            ws = t.split(" ")
+            hits = [
+                p + 1
+                for p in range(len(ws) - k + 1)
+                if tuple(ws[p : p + k]) in dup
+            ]
+            spans = []
+            for p in hits:
+                if spans and p - spans[-1][1] <= k:
+                    spans[-1][1] = p
+                else:
+                    spans.append([p, p])
+            for s, e in spans:
+                want.add((i, s, e + k - 1, e + k - s))
+
+        sdf = spark.createDataFrame(docs, ["doc_id", "text"])
+        got = {
+            (r.doc_id, r.span_start, r.span_end, r.n_words)
+            for r in duplicate_spans(sdf, k=k).collect()
+        }
+        assert got == want, f"seed {seed}"

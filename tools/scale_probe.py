@@ -36,7 +36,14 @@ CACHE = os.path.join(ROOT, ".scale_data")
 def _amplified(spark, table: str, factor: int, build):
     path = os.path.join(CACHE, f"{table}_x{factor}.parquet")
     if not os.path.exists(path):
-        build(spark, factor).write.mode("overwrite").parquet(path)
+        # write MANY files: the amplification plan ends at 1-2 partitions,
+        # and a 1-2-file parquet caps every scan-bound op at 1-2 tasks —
+        # the probe would then measure file layout, not the operator (a
+        # real amplified corpus arrives as many files)
+        par = spark.sparkContext.defaultParallelism
+        build(spark, factor).repartition(par).write.mode(
+            "overwrite"
+        ).parquet(path)
     return spark.read.parquet(path)
 
 
@@ -100,6 +107,7 @@ def _tree_edges(spark, factor: int):
 def _ops(spark, docs, emb, edges, ivf_index, ivf_centers):
     from pyspark.sql import functions as F
 
+    from indra_db_spark.operators import bpe as B
     from indra_db_spark.operators import dedup as D
     from indra_db_spark.operators import graph as G
     from indra_db_spark.operators import sampling as SM
@@ -138,6 +146,15 @@ def _ops(spark, docs, emb, edges, ivf_index, ivf_centers):
         "closure_dist": lambda: G.transitive_closure(
             edges, driver_max_edges=0
         ),
+        # round-5 additions: substring-span dedup (detect + rewrite), the
+        # bigram-LM scorer, fused keyword search, pinned-tokenizer BPE
+        "dup_spans": lambda: D.duplicate_spans(docs, k=4),
+        "dedup_rewrite": lambda: D.remove_duplicate_spans(docs, k=4),
+        "lm_score": lambda: X.bigram_lm_score(docs),
+        "keyword_search": lambda: X.keyword_search(
+            docs, ["query", "window", "stream"], k=10
+        ),
+        "bpe_tokens": lambda: B.bpe_token_counts(docs, B.PINNED_MERGES_V1),
     }
 
 
