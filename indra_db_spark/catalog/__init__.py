@@ -33,6 +33,7 @@ def register(name: str, oracle: str | None = None):
 # importing the modules populates REGISTRY
 from indra_db_spark.catalog import relational  # noqa: E402,F401
 from indra_db_spark.catalog import training  # noqa: E402,F401
+from indra_db_spark.catalog import temporal  # noqa: E402,F401
 
 # The correctness gate checks the first 50 entries in registration order, so
 # the order is chosen deliberately rather than left to module text order:

@@ -1,0 +1,87 @@
+"""Temporal-join catalog entries: as-of join and banded range join over the
+``events`` table.  Registered AFTER the relational + training families so
+the driver's 50-entry window stays pinned (see catalog/__init__.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from indra_db_spark.catalog import register
+from indra_db_spark.operators.temporal import (
+    asof_join,
+    band_join,
+    latest_per_key_ts,
+)
+from indra_db_spark.sources.lake import load_table as T
+
+
+def _typed(spark, sf, event_type: str):
+    return (
+        T(spark, sf, "events")
+        .filter(F.col("event_type") == event_type)
+        .select("event_id", "ts", "user_id", "value")
+    )
+
+
+@register(
+    "events_asof_join",
+    """
+    WITH p AS (
+      SELECT event_id, ts, user_id, value FROM events
+      WHERE event_type = 'purchase'
+    ),
+    c0 AS (
+      SELECT event_id, ts, user_id, value FROM events
+      WHERE event_type = 'click'
+    ),
+    c AS (
+      SELECT event_id, ts, user_id, value FROM (
+        SELECT c0.*, row_number() OVER (
+          PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        FROM c0
+      ) WHERE rn = 1
+    )
+    SELECT p.event_id, p.ts, p.user_id, p.value,
+           c.ts AS r_ts, c.event_id AS r_event_id, c.value AS r_value
+    FROM p ASOF LEFT JOIN c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def events_asof_join(spark, sf):
+    """Backward as-of join (operators/temporal.py): each purchase picks the
+    user's latest click at-or-before it.  One shuffle on the key + one
+    per-key ordered window — the union-merge formulation of pandas
+    merge_asof; DuckDB's native ASOF JOIN is the oracle."""
+    purchases = _typed(spark, sf, "purchase")
+    clicks = latest_per_key_ts(
+        _typed(spark, sf, "click"), "user_id", "ts", "event_id"
+    )
+    return asof_join(purchases, clicks, on="user_id")
+
+
+_BAND_S = 900  # ±15 min
+
+
+@register(
+    "events_band_join",
+    f"""
+    SELECT a.event_id AS a_event_id, a.ts AS a_ts,
+           a.user_id AS a_user_id, a.value AS a_value,
+           b.event_id AS b_event_id, b.ts AS b_ts,
+           b.user_id AS b_user_id, b.value AS b_value
+    FROM (SELECT event_id, ts, user_id, value FROM events
+          WHERE event_type = 'error') a
+    JOIN (SELECT event_id, ts, user_id, value FROM events
+          WHERE event_type = 'click') b
+      ON a.user_id = b.user_id
+     AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= {_BAND_S} * 1000000
+    """,
+)
+def events_band_join(spark, sf):
+    """Banded range join (operators/temporal.py): error events paired with
+    same-user clicks within ±{15} minutes via time-cell bucketing (explode
+    factor 3, equi-join on (key, cell)) — the cross product never
+    materializes; the oracle is the plain inequality join."""
+    errors = _typed(spark, sf, "error")
+    clicks = _typed(spark, sf, "click")
+    return band_join(errors, clicks, on="user_id", band_seconds=_BAND_S)

@@ -1,0 +1,181 @@
+"""Temporal join operators Spark lacks as built-ins: as-of join and
+banded range join.
+
+The reference has no time-series joins (its only temporal logic is dated
+batch update filtering, e.g. indra_db/cli/knowledgebase.py update runs and
+xdd day ledgers); these are beyond-reference operators for the 100-TB
+event-log side of a data platform, expressed with one shuffle each —
+no per-row loops, no UDFs, no driver state.
+
+Scale design:
+
+- ``asof_join`` is ONE shuffle on the join key + one ordered window per
+  key partition.  This is the classic union-merge formulation: tag both
+  sides, sort by (time, side-tag), and carry the last right row forward
+  with ``last(ignorenulls=True)``.  Compare pandas ``merge_asof`` (single
+  node) — here partitions are per-key, so a 100-TB event log distributes
+  evenly as long as no single key dominates (salt the hot key and keep
+  per-salt results if one does).
+- ``band_join`` buckets time into ``band``-wide cells: each left row
+  explodes into its cell and the two adjacent cells, the right side keeps
+  its own cell, and the equi-join on (key, cell) + exact predicate does
+  the rest.  Pair volume is O(matches), never O(left × right); the
+  explode factor is a constant 3.  This is the standard range-join
+  optimization (Databricks' range-join hint and DuckDB's IEJoin solve the
+  same problem engine-side).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _epoch_us(c: Column) -> Column:
+    """Epoch microseconds as a LONG — integer-exact time arithmetic that
+    works for TIMESTAMP and TIMESTAMP_NTZ alike (the lake session runs
+    UTC, so the ltz cast is deterministic)."""
+    return F.unix_micros(c.cast("timestamp_ltz"))
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_prefix: str = "r_",
+    tolerance_seconds: float | None = None,
+) -> DataFrame:
+    """Backward as-of join: every left row picks the LATEST right row with
+    the same key and ``right_ts <= left_ts`` (inclusive) — left outer, so
+    unmatched left rows keep nulls.  Right columns come back prefixed.
+
+    Determinism: equal-timestamp right rows within a key would make "the
+    latest" ambiguous, so callers should dedup the right side to one row
+    per (key, ts) first (see ``latest_per_key_ts``); equal left/right
+    timestamps match (right sorts before left at the same instant).
+
+    ``tolerance_seconds`` turns matches older than the window into nulls
+    (pandas merge_asof semantics) — applied AFTER the match, so it does
+    not change which row would have matched.
+    """
+    rcols = [c for c in right.columns if c not in (on, right_ts)]
+    r = right.select(
+        F.col(on).alias("_k"),
+        F.col(right_ts).alias("_t"),
+        F.lit(0).alias("_tag"),
+        F.struct(
+            F.col(right_ts).alias(f"{right_prefix}{right_ts}"),
+            *[F.col(c).alias(f"{right_prefix}{c}") for c in rcols],
+        ).alias("_r"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(f"_l_{c}")
+          for c in left.columns],
+    )
+    l = left.select(
+        F.col(on).alias("_k"),
+        F.col(left_ts).alias("_t"),
+        F.lit(1).alias("_tag"),
+        F.lit(None)
+        .cast(
+            r.schema["_r"].dataType
+        )
+        .alias("_r"),
+        *[F.col(c).alias(f"_l_{c}") for c in left.columns],
+    )
+    u = r.unionByName(l)
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(F.asc("_t"), F.asc("_tag"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    matched = u.withColumn("_m", F.last("_r", ignorenulls=True).over(w)).filter(
+        F.col("_tag") == 1
+    )
+    if tolerance_seconds is not None:
+        too_old = (
+            _epoch_us(F.col("_t"))
+            - _epoch_us(F.col(f"_m.{right_prefix}{right_ts}"))
+        ) > int(tolerance_seconds * 1_000_000)
+        matched = matched.withColumn(
+            "_m", F.when(too_old, F.lit(None)).otherwise(F.col("_m"))
+        )
+    out_cols = [F.col(f"_l_{c}").alias(c) for c in left.columns]
+    out_cols += [
+        F.col(f"_m.{right_prefix}{right_ts}").alias(f"{right_prefix}{right_ts}")
+    ]
+    out_cols += [
+        F.col(f"_m.{right_prefix}{c}").alias(f"{right_prefix}{c}") for c in rcols
+    ]
+    return matched.select(*out_cols)
+
+
+def latest_per_key_ts(
+    df: DataFrame, on: str, ts: str = "ts", order_col: str | None = None
+) -> DataFrame:
+    """One row per (key, ts): the row with the greatest ``order_col``
+    (default: the first column) — the deterministic right-side dedup an
+    as-of join wants."""
+    oc = order_col or df.columns[0]
+    w = Window.partitionBy(on, ts).orderBy(F.desc(oc))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def band_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    band_seconds: int,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    left_prefix: str = "a_",
+    right_prefix: str = "b_",
+) -> DataFrame:
+    """Banded range join: all (left, right) pairs with the same key and
+    ``|left_ts - right_ts| <= band_seconds`` — via time-cell bucketing, so
+    the cross product never materializes.
+
+    Each left row lands in its cell plus both neighbors (explode factor
+    3); the right side keeps one cell; the (key, cell) equi-join plus the
+    exact band predicate yields each qualifying pair exactly once (the
+    right row's single cell is covered by exactly one of the left row's
+    three).  The 3× explode is the whole overhead — pair volume is
+    output-bound, the classic bucketed range-join shape.
+    """
+    band_us = band_seconds * 1_000_000
+    cell = lambda c: F.expr(  # noqa: E731
+        f"unix_micros(cast({c} as timestamp_ltz)) div {band_us}"
+    )
+    lv = left.select(
+        F.col(on).alias("_k"),
+        F.col(left_ts).alias("_lt"),
+        F.struct(*[F.col(c).alias(f"{left_prefix}{c}") for c in left.columns]).alias(
+            "_l"
+        ),
+        F.explode(
+            F.array(
+                cell(left_ts) - 1, cell(left_ts), cell(left_ts) + 1
+            )
+        ).alias("_cell"),
+    )
+    rv = right.select(
+        F.col(on).alias("_k"),
+        F.col(right_ts).alias("_rt"),
+        F.struct(
+            *[F.col(c).alias(f"{right_prefix}{c}") for c in right.columns]
+        ).alias("_r"),
+        cell(right_ts).alias("_cell"),
+    )
+    pairs = lv.join(rv, ["_k", "_cell"]).filter(
+        F.abs(_epoch_us(F.col("_lt")) - _epoch_us(F.col("_rt"))) <= band_us
+    )
+    lcols = [F.col(f"_l.{left_prefix}{c}").alias(f"{left_prefix}{c}")
+             for c in left.columns]
+    rcols = [F.col(f"_r.{right_prefix}{c}").alias(f"{right_prefix}{c}")
+             for c in right.columns]
+    return pairs.select(*lcols, *rcols)

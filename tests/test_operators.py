@@ -808,3 +808,75 @@ def test_duplicate_spans_random_differential(spark):
             for r in duplicate_spans(sdf, k=k).collect()
         }
         assert got == want, f"seed {seed}"
+
+
+def test_asof_join_semantics(spark):
+    from datetime import datetime
+
+    from indra_db_spark.operators.temporal import asof_join, latest_per_key_ts
+
+    T = datetime
+    left = spark.createDataFrame(
+        [
+            (1, T(2024, 1, 1, 10, 0), 7),
+            (2, T(2024, 1, 1, 12, 0), 7),
+            (3, T(2024, 1, 1, 9, 0), 8),   # before any right row
+            (4, T(2024, 1, 1, 11, 0), 9),  # key with no right rows
+        ],
+        ["event_id", "ts", "user_id"],
+    )
+    right = spark.createDataFrame(
+        [
+            (101, T(2024, 1, 1, 9, 30), 7, 1.0),
+            (102, T(2024, 1, 1, 10, 0), 7, 2.0),   # equal ts -> matches
+            (103, T(2024, 1, 1, 11, 59), 7, 3.0),
+            (104, T(2024, 1, 1, 10, 0), 8, 4.0),
+        ],
+        ["event_id", "ts", "user_id", "value"],
+    )
+    out = {r.event_id: r for r in asof_join(left, right, on="user_id").collect()}
+    assert out[1].r_event_id == 102  # inclusive: equal timestamps match
+    assert out[2].r_event_id == 103  # latest at-or-before wins
+    assert out[3].r_event_id is None  # nothing earlier
+    assert out[4].r_event_id is None  # key absent from right
+    # tolerance nulls out stale matches without changing the chosen row
+    tol = {
+        r.event_id: r
+        for r in asof_join(
+            left, right, on="user_id", tolerance_seconds=60
+        ).collect()
+    }
+    assert tol[1].r_event_id == 102 and tol[2].r_event_id == 103
+    assert len(out) == 4
+
+    # right-side dedup keeps the highest order_col per (key, ts)
+    dups = spark.createDataFrame(
+        [(1, T(2024, 1, 1), 7), (2, T(2024, 1, 1), 7), (3, T(2024, 1, 2), 7)],
+        ["event_id", "ts", "user_id"],
+    )
+    kept = latest_per_key_ts(dups, "user_id", "ts", "event_id").collect()
+    assert {r.event_id for r in kept} == {2, 3}
+
+
+def test_band_join_boundaries_and_uniqueness(spark):
+    from datetime import datetime, timedelta
+
+    from indra_db_spark.operators.temporal import band_join
+
+    base = datetime(2024, 1, 1, 12, 0, 0)
+    left = spark.createDataFrame(
+        [(1, base, 7)], ["event_id", "ts", "user_id"]
+    )
+    right = spark.createDataFrame(
+        [
+            (11, base - timedelta(seconds=900), 7),   # exactly on the band
+            (12, base + timedelta(seconds=900), 7),   # exactly on the band
+            (13, base + timedelta(seconds=901), 7),   # just outside
+            (14, base, 8),                            # other key
+            (15, base + timedelta(seconds=100), 7),   # same cell
+        ],
+        ["event_id", "ts", "user_id"],
+    )
+    out = band_join(left, right, on="user_id", band_seconds=900).collect()
+    got = sorted(r.b_event_id for r in out)
+    assert got == [11, 12, 15]  # inclusive band, no duplicates, key-scoped
