@@ -85,3 +85,38 @@ def events_band_join(spark, sf):
     errors = _typed(spark, sf, "error")
     clicks = _typed(spark, sf, "click")
     return band_join(errors, clicks, on="user_id", band_seconds=_BAND_S)
+
+
+@register(
+    "events_hier_rollup",
+    """
+    SELECT event_type,
+           date_trunc('hour', ts) AS hour,
+           CAST(GROUPING(event_type) * 2 + GROUPING(date_trunc('hour', ts))
+                AS INT) AS gid,
+           count(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY ROLLUP (event_type, date_trunc('hour', ts))
+    """,
+)
+def events_hier_rollup(spark, sf):
+    """Hierarchical rollup (the hypertable continuous-aggregate shape):
+    (type, hour) → (type) → grand total in ONE pass via GROUP BY ROLLUP —
+    Spark expands grouping sets inside a single shuffle with partial
+    aggregation, so the coarser resolutions are free riders on the finest
+    one; gid (grouping_id) disambiguates subtotal rows from real NULLs.
+    Decimal-exact sums keep the result partition-order independent."""
+    ev = T(spark, sf, "events")
+    return (
+        ev.withColumn("hour", F.date_trunc("hour", "ts"))
+        .rollup("event_type", "hour")
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select("event_type", "hour", "gid", "n", "sum_value")
+    )
