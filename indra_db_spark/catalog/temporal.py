@@ -120,3 +120,78 @@ def events_hier_rollup(spark, sf):
         )
         .select("event_type", "hour", "gid", "n", "sum_value")
     )
+
+
+_KMV_K = 64
+_KMV_NHEX = 13  # 52 bits
+_kmv_val = " + ".join(
+    f"(strpos('0123456789abcdef', substr(_h, {i + 1}, 1)) - 1) "
+    f"* CAST({16 ** (_KMV_NHEX - 1 - i)} AS BIGINT)"
+    for i in range(_KMV_NHEX)
+)
+
+
+@register(
+    "events_kmv_distinct",
+    f"""
+    WITH h AS (
+      SELECT DISTINCT event_type,
+             substr(md5(CAST(user_id AS VARCHAR)), 1, {_KMV_NHEX}) AS _h
+      FROM events
+    ),
+    r AS (
+      SELECT event_type, _h,
+             row_number() OVER (PARTITION BY event_type ORDER BY _h) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM h
+    ),
+    kth AS (
+      SELECT event_type, _h, n FROM r
+      WHERE rn = {_KMV_K} OR (n < {_KMV_K} AND rn = n)
+    )
+    SELECT event_type,
+           CAST({_kmv_val} AS BIGINT) AS kth_min,
+           CAST(CASE WHEN n < {_KMV_K} THEN n
+                ELSE ({_KMV_K - 1} * CAST({2 ** 52} AS BIGINT))
+                     // ({_kmv_val}) END AS BIGINT) AS est_distinct
+    FROM kth
+    """,
+)
+def events_kmv_distinct(spark, sf):
+    """Deterministic K-minimum-values distinct sketch: estimated distinct
+    users per event type from the 64 smallest md5 hashes — the
+    oracle-checkable member of the approx-distinct family (HLL state is
+    engine-private; KMV's estimate is a pure function of the data).
+    Mergeable: store each group's minima, union + re-min
+    (operators/topk.py:kmv_distinct)."""
+    from indra_db_spark.operators.topk import kmv_distinct
+
+    return kmv_distinct(
+        T(spark, sf, "events"), ["event_type"], "user_id", k=_KMV_K
+    )
+
+
+@register(
+    "events_group_quantiles",
+    """
+    WITH r AS (
+      SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    )
+    SELECT event_type, max(n) AS n,
+           max(CASE WHEN rn = CAST(ceil(0.25 * n) AS BIGINT) THEN value END) AS p25,
+           max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN value END) AS median,
+           max(CASE WHEN rn = CAST(ceil(0.75 * n) AS BIGINT) THEN value END) AS p75
+    FROM r GROUP BY event_type
+    """,
+)
+def events_group_quantiles(spark, sf):
+    """Exact discrete per-group quantiles: the ELEMENT at rank ceil(p·n)
+    — no interpolation, so any engine reproduces the value bit-for-bit
+    (interpolating percentiles differ formula-by-formula across engines)
+    (operators/topk.py:discrete_quantiles)."""
+    from indra_db_spark.operators.topk import discrete_quantiles
+
+    return discrete_quantiles(T(spark, sf, "events"), ["event_type"], "value")

@@ -60,3 +60,94 @@ def argmax_per_group(df: DataFrame, partition_by, order_by) -> DataFrame:
     """Single best row per group (the reference's 'distill' reader-dedup
     shape, reference: readonly_dumping/export_assembly.py:174-233)."""
     return grouped_topn(df, partition_by, order_by, 1, keep_rank=False)
+
+
+def kmv_distinct(
+    df,
+    group_cols: list[str],
+    value_col: str,
+    k: int = 64,
+    bits: int = 52,
+):
+    """K-minimum-values distinct-count sketch per group →
+    (*group_cols, kth_min, est_distinct) — the deterministic cousin of
+    HyperLogLog: hash every value with md5, keep the k smallest hashes
+    per group, and estimate |distinct| = (k-1) · 2^bits / kth_min.
+
+    Deterministic end to end (md5, integer division) so an external SQL
+    oracle reproduces the ESTIMATE bit-for-bit — unlike
+    approx_count_distinct, whose HLL state is engine-private.  Exact when
+    a group has < k distinct values (falls back to the true count).
+
+    Shape: dedup (group, hash) with one partial-agg shuffle, then a
+    per-group window over the distinct hashes.  The window input is
+    O(distinct) — for genuinely unbounded-cardinality production use,
+    swap in approx_count_distinct (bounded state, non-deterministic);
+    this operator is the oracle-checkable member of the family and the
+    shape you reuse for mergeable sketch tables (store each group's k
+    minima, union + re-min to merge).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    nhex = bits // 4
+    h = F.substring(F.md5(F.col(value_col).cast("string")), 1, nhex)
+    hashed = df.select(*group_cols, h.alias("_h")).distinct()
+    w = Window.partitionBy(*group_cols).orderBy("_h")
+    kth = (
+        hashed.withColumn("_rn", F.row_number().over(w))
+        .withColumn(
+            "_n", F.count(F.lit(1)).over(Window.partitionBy(*group_cols))
+        )
+        .filter(
+            (F.col("_rn") == k) | ((F.col("_n") < k) & (F.col("_rn") == F.col("_n")))
+        )
+        .withColumn("kth_min", F.conv(F.col("_h"), 16, 10).cast("long"))
+    )
+    exact = F.col("_n") < k
+    est = F.when(exact, F.col("_n").cast("long")).otherwise(
+        F.expr(f"({k} - 1) * cast({2**bits} as bigint) div kth_min")
+    )
+    return kth.select(
+        *group_cols,
+        "kth_min",
+        est.alias("est_distinct"),
+    )
+
+
+def discrete_quantiles(
+    df,
+    group_cols: list[str],
+    value_col: str,
+    probs: dict[str, float] | None = None,
+):
+    """Exact discrete quantiles per group (type-7-free: the element at
+    rank ceil(p·n), no interpolation) → (*group_cols, n, <one col per
+    prob>).  Discrete ranks make the result a pure function of the data —
+    interpolating percentile implementations differ across engines, the
+    rank-selected ELEMENT cannot.
+
+    One window per group partition + one groupBy — the input shuffles
+    once on the group key.  For unbounded groups at extreme scale,
+    replace with approx_percentile and give up oracle-exactness.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    probs = probs or {"p25": 0.25, "median": 0.5, "p75": 0.75}
+    w = Window.partitionBy(*group_cols).orderBy(value_col)
+    wn = Window.partitionBy(*group_cols)
+    r = (
+        df.select(*group_cols, value_col)
+        .withColumn("_rn", F.row_number().over(w))
+        .withColumn("_n", F.count(F.lit(1)).over(wn))
+    )
+    aggs = [F.max("_n").alias("n")]
+    for name, p in probs.items():
+        rank = F.ceil(F.lit(p) * F.col("_n")).cast("long")
+        aggs.append(
+            F.max(
+                F.when(F.col("_rn") == rank, F.col(value_col))
+            ).alias(name)
+        )
+    return r.groupBy(*group_cols).agg(*aggs)

@@ -880,3 +880,42 @@ def test_band_join_boundaries_and_uniqueness(spark):
     out = band_join(left, right, on="user_id", band_seconds=900).collect()
     got = sorted(r.b_event_id for r in out)
     assert got == [11, 12, 15]  # inclusive band, no duplicates, key-scoped
+
+
+def test_kmv_distinct_estimate_quality(spark):
+    from pyspark.sql import functions as F
+
+    from indra_db_spark.operators.topk import kmv_distinct
+
+    # 1000 distinct values in one group, 10 in another (exact fallback)
+    df = spark.range(1000).select(
+        F.lit("big").alias("g"), F.col("id").alias("v")
+    ).unionAll(
+        spark.range(10).select(F.lit("small").alias("g"), F.col("id").alias("v"))
+    )
+    out = {r.g: r for r in kmv_distinct(df, ["g"], "v", k=64).collect()}
+    # small group: fewer than k distinct -> exact
+    assert out["small"].est_distinct == 10
+    # big group: KMV with k=64 has ~1/sqrt(64) = 12.5% relative error
+    assert abs(out["big"].est_distinct - 1000) / 1000 < 0.4
+    # determinism: rerun gives the identical estimate
+    again = {r.g: r for r in kmv_distinct(df, ["g"], "v", k=64).collect()}
+    assert again["big"].est_distinct == out["big"].est_distinct
+
+
+def test_discrete_quantiles_small_groups(spark):
+    from indra_db_spark.operators.topk import discrete_quantiles
+
+    df = spark.createDataFrame(
+        [("a", v) for v in [5.0, 1.0, 3.0, 2.0, 4.0]]  # n=5
+        + [("b", v) for v in [10.0, 20.0]]              # n=2
+        + [("c", 7.0)],                                  # n=1
+        ["g", "value"],
+    )
+    out = {r.g: r for r in discrete_quantiles(df, ["g"], "value").collect()}
+    # n=5: ranks ceil(1.25)=2, ceil(2.5)=3, ceil(3.75)=4 -> 2,3,4
+    assert (out["a"].p25, out["a"].median, out["a"].p75) == (2.0, 3.0, 4.0)
+    # n=2: ranks 1, 1, 2
+    assert (out["b"].p25, out["b"].median, out["b"].p75) == (10.0, 10.0, 20.0)
+    # n=1: all ranks 1
+    assert (out["c"].p25, out["c"].median, out["c"].p75) == (7.0, 7.0, 7.0)
