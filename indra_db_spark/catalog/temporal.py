@@ -195,3 +195,75 @@ def events_group_quantiles(spark, sf):
     from indra_db_spark.operators.topk import discrete_quantiles
 
     return discrete_quantiles(T(spark, sf, "events"), ["event_type"], "value")
+
+
+_PR_ITERS = 5
+_PR_TOTAL = 1_000_000_000_000
+_PR_D = 850
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled fixed-iteration PageRank: the DuckDB twin of
+    operators/graph.py:pagerank with every integer division in the same
+    order (a recursive CTE with aggregation is non-portable; a fixed
+    iteration count unrolls cleanly)."""
+    base = f"({_PR_TOTAL} * {1000 - _PR_D} // 1000)"
+    ctes = [
+        """e AS (
+      SELECT p_partkey AS src, p_partkey // 2 AS dst FROM part
+      WHERE p_partkey >= 2
+      UNION
+      SELECT p_partkey AS src, p_partkey // 3 AS dst FROM part
+      WHERE p_partkey >= 3
+    )""",
+        "nodes AS (SELECT src AS id FROM e UNION SELECT dst AS id FROM e)",
+        "nn AS (SELECT count(*) AS n FROM nodes)",
+        "deg AS (SELECT src, count(*) AS d FROM e GROUP BY src)",
+        f"pr0 AS (SELECT id, CAST({_PR_TOTAL} // n AS BIGINT) AS v "
+        "FROM nodes, nn)",
+    ]
+    for i in range(1, _PR_ITERS + 1):
+        ctes.append(
+            f"""c{i} AS (
+      SELECT e.dst AS id, SUM(p.v // deg.d) AS s
+      FROM pr{i - 1} p
+      JOIN e ON e.src = p.id
+      JOIN deg ON deg.src = e.src
+      GROUP BY e.dst
+    )"""
+        )
+        ctes.append(
+            f"""pr{i} AS (
+      SELECT n.id,
+             CAST({base} // nn.n
+                  + {_PR_D} * COALESCE(c.s, 0) // 1000 AS BIGINT) AS v
+      FROM nodes n LEFT JOIN c{i} c ON c.id = n.id, nn
+    )"""
+        )
+    return (
+        "WITH " + ",\n    ".join(ctes)
+        + f"\n    SELECT id, v AS pr FROM pr{_PR_ITERS}"
+    )
+
+
+@register("graph_pagerank", _pagerank_oracle())
+def graph_pagerank(spark, sf):
+    """Fixed-point integer PageRank over the part-derived DAG (div-2 and
+    div-3 edges): an ITERATIVE algorithm with a full value oracle —
+    integer mass units make every round a pure function of the graph, so
+    the DuckDB unrolled twin hash-matches what float PageRank never could
+    (operators/graph.py:pagerank)."""
+    from indra_db_spark.operators.graph import pagerank
+
+    p = T(spark, sf, "part")
+    e1 = p.filter(F.col("p_partkey") >= 2).select(
+        F.col("p_partkey").alias("src"),
+        F.expr("p_partkey div 2").alias("dst"),
+    )
+    e2 = p.filter(F.col("p_partkey") >= 3).select(
+        F.col("p_partkey").alias("src"),
+        F.expr("p_partkey div 3").alias("dst"),
+    )
+    edges = e1.union(e2).distinct()
+    return pagerank(edges, iterations=_PR_ITERS, damping_milli=_PR_D,
+                    total=_PR_TOTAL)

@@ -340,3 +340,66 @@ def connected_components(
         return labels
     finally:
         spark.conf.set(conf_key, prev)
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 5,
+    damping_milli: int = 850,
+    total: int = 1_000_000_000_000,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Fixed-point integer PageRank → (id, pr): ``iterations`` rounds of
+    power iteration with damping ``damping_milli``/1000, all mass in
+    integer units summing to ~``total``.
+
+    Every step is integer arithmetic (contribution = pr div out-degree,
+    damped sum = d·Σ div 1000), so the result is a PURE function of the
+    graph — reproducible across engines, partitionings and runs, which is
+    what lets an iterative algorithm carry a full value oracle (the DuckDB
+    side unrolls the same ``iterations`` rounds; float PageRank could
+    never hash-match across engines because distributed float sums are
+    order-dependent, while integer sums commute).  Dangling-node mass is
+    dropped, the common simplification.
+
+    Scale shape: per round, ONE join of the rank vector against the edge
+    list on src (both shuffle-partitioned on the same key, so AQE reuses
+    the exchange across rounds) + one partial-agg groupBy on dst; the
+    rank vector is O(nodes), never materialized on the driver.  Round
+    count is a constant — at 100 TB the cost is ``iterations`` × (edge
+    shuffle), the canonical distributed PageRank plan.
+    """
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    ed = e.join(deg, "src").localCheckpoint(eager=False)
+    n = nodes.count()
+    base = (total * (1000 - damping_milli) // 1000) // n
+    pr = nodes.withColumn("v", F.lit(total // n).cast("long"))
+    for _ in range(iterations):
+        contrib = (
+            pr.join(ed, pr["id"] == ed["src"])
+            .select(F.col("dst").alias("id"), F.expr("v div d").alias("c"))
+            .groupBy("id")
+            .agg(F.sum("c").alias("s"))
+        )
+        pr = (
+            nodes.join(contrib, "id", "left")
+            .select(
+                "id",
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"{damping_milli} * coalesce(s, 0) div 1000"
+                    )
+                ).cast("long").alias("v"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return pr.select("id", F.col("v").alias("pr"))

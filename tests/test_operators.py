@@ -919,3 +919,30 @@ def test_discrete_quantiles_small_groups(spark):
     assert (out["b"].p25, out["b"].median, out["b"].p75) == (10.0, 10.0, 20.0)
     # n=1: all ranks 1
     assert (out["c"].p25, out["c"].median, out["c"].p75) == (7.0, 7.0, 7.0)
+
+
+def test_pagerank_matches_python_twin(spark):
+    from indra_db_spark.operators.graph import pagerank
+
+    edges = [(2, 1), (3, 1), (4, 2), (5, 2), (5, 1), (6, 3)]
+    sdf = spark.createDataFrame(edges, ["src", "dst"])
+
+    # pure-Python twin with the identical integer arithmetic
+    TOTAL, D, ITERS = 1_000_000_000_000, 850, 5
+    nodes = sorted({x for e in edges for x in e})
+    n = len(nodes)
+    deg: dict[int, int] = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    base = (TOTAL * (1000 - D) // 1000) // n
+    pr = {v: TOTAL // n for v in nodes}
+    for _ in range(ITERS):
+        s: dict[int, int] = {v: 0 for v in nodes}
+        for u, v in edges:
+            s[v] += pr[u] // deg[u]
+        pr = {v: base + D * s[v] // 1000 for v in nodes}
+
+    got = {r.id: r.pr for r in pagerank(sdf, iterations=ITERS).collect()}
+    assert got == pr
+    # sink node 1 accumulates the most rank
+    assert max(got, key=got.get) == 1
