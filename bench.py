@@ -55,6 +55,9 @@ HEADLINE = [
     "doc_dup_spans",
     "doc_lm_score",
     "doc_bpe_tokens",
+    # round 5: temporal joins + iterative integer PageRank
+    "events_asof_join",
+    "graph_pagerank",
 ]
 
 
