@@ -62,6 +62,11 @@ def asof_join(
     not change which row would have matched.
     """
     rcols = [c for c in right.columns if c not in (on, right_ts)]
+    # null keys/timestamps cannot participate in an ordered merge — drop
+    # them explicitly (pandas merge_asof rejects NaN keys for the same
+    # reason) instead of letting NULLS FIRST place them nondeterministically
+    left = left.filter(F.col(on).isNotNull() & F.col(left_ts).isNotNull())
+    right = right.filter(F.col(on).isNotNull() & F.col(right_ts).isNotNull())
     r = right.select(
         F.col(on).alias("_k"),
         F.col(right_ts).alias("_t"),
@@ -147,6 +152,10 @@ def band_join(
     three).  The 3× explode is the whole overhead — pair volume is
     output-bound, the classic bucketed range-join shape.
     """
+    left = left.filter(F.col(on).isNotNull() & F.col(left_ts).isNotNull())
+    right = right.filter(
+        F.col(on).isNotNull() & F.col(right_ts).isNotNull()
+    )
     band_us = band_seconds * 1_000_000
     cell = lambda c: F.expr(  # noqa: E731
         f"unix_micros(cast({c} as timestamp_ltz)) div {band_us}"

@@ -518,6 +518,8 @@ def keyword_search(
     sort).  Score granularity is 1e-6; ties break on id, so results are
     partition-independent.
     """
+    if not terms:
+        raise ValueError("keyword_search needs at least one term")
     C, MICRO, MILLI = 1000, 1_000_000, 1000
     ws = F.filter(
         F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"), lambda w: w != ""

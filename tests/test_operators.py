@@ -946,3 +946,34 @@ def test_pagerank_matches_python_twin(spark):
     assert got == pr
     # sink node 1 accumulates the most rank
     assert max(got, key=got.get) == 1
+
+
+def test_temporal_joins_drop_null_keys_and_ts(spark):
+    from datetime import datetime
+
+    from indra_db_spark.operators.temporal import asof_join, band_join
+
+    T = datetime
+    left = spark.createDataFrame(
+        [(1, T(2024, 1, 1), 7), (2, None, 7), (3, T(2024, 1, 1), None)],
+        "event_id long, ts timestamp, user_id long",
+    )
+    right = spark.createDataFrame(
+        [(11, T(2023, 12, 31), 7), (12, None, 7)],
+        "event_id long, ts timestamp, user_id long",
+    )
+    out = asof_join(left, right, on="user_id").collect()
+    assert {r.event_id for r in out} == {1}
+    assert out[0].r_event_id == 11
+    bj = band_join(left, right, on="user_id", band_seconds=10**9).collect()
+    assert [(r.a_event_id, r.b_event_id) for r in bj] == [(1, 11)]
+
+
+def test_keyword_search_rejects_empty_terms(spark):
+    import pytest as _pytest
+
+    from indra_db_spark.operators.text import keyword_search
+
+    docs = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+    with _pytest.raises(ValueError):
+        keyword_search(docs, [])
