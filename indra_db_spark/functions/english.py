@@ -17,7 +17,11 @@ EnglishAssembler surface for the types in ``schemas.TYPE_REGISTRY``:
 - Complex:                 "A binds B[, C, and D]."
 - Autophosphorylation:     "A phosphorylates itself."
 - Translocation:           "A translocates."
-- ActiveForm:              "A is active." / "A is not active."
+- ActiveForm:              "A is active."  (interaction rows carry only
+  (type, agents) — no is_active flag — so the negative form is not
+  renderable at this grain; the reference's typed path has the same
+  limitation, since call_handlers.py builds the statement from
+  type + agents via stmt_from_interaction)
 - Gef / Gap:               "A is a GEF for B." / "A is a GAP for B."
 
 and the type-less meta fallback mirrors ``_make_english_from_meta``

@@ -380,6 +380,9 @@ def pagerank(
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
     ed = e.join(deg, "src").localCheckpoint(eager=False)
     n = nodes.count()
+    if n == 0:
+        # empty graph → empty (id, pr), like the other graph operators
+        return nodes.withColumn("pr", F.lit(0).cast("long")).select("id", "pr")
     base = (total * (1000 - damping_milli) // 1000) // n
     pr = nodes.withColumn("v", F.lit(total // n).cast("long"))
     for _ in range(iterations):

@@ -154,6 +154,16 @@ def importance_sample(
     Shape: scan-fused projection + filter — no shuffle, no RNG state, and
     the filter pushes below any downstream exchange.
     """
+    # the draw and clamped weight are part of the output contract (the
+    # audit trail of the sampling decision) — but silently overwriting a
+    # caller's existing u/weight column would corrupt their data, so
+    # collide loudly instead
+    taken = {"u", "weight"} & set(df.columns)
+    if taken:
+        raise ValueError(
+            f"importance_sample writes columns {sorted(taken)} which "
+            "already exist on the input — rename or drop them first"
+        )
     m = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
     u = F.conv(F.substring(m, 1, 4), 16, 10).cast("double") / F.lit(65536.0)
     w = F.least(F.greatest(weight, F.lit(0.0)), F.lit(1.0))

@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from indra_db_spark.operators.bpe import WORD_SPLIT
 from indra_db_spark.operators.dedup import normalize_text
 
 # tiny per-language stopword marker sets (n-gram-heuristic language ID);
@@ -404,6 +405,7 @@ def bigram_lm_score(
     text_col: str = "text",
     micro: int = 1_000_000,
     rare_micro: int = 2_000,
+    _per_bigram: bool = False,
 ) -> DataFrame:
     """CCNet-style language-model quality signal: score each document by
     how familiar its word bigrams are under an add-one-smoothed bigram
@@ -429,7 +431,7 @@ def bigram_lm_score(
     words = df.select(
         F.col(id_col).alias("id"),
         F.filter(
-            F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"),
+            F.split(F.lower(F.col(text_col)), WORD_SPLIT),
             lambda w: w != "",
         ).alias("_ws"),
     )
@@ -461,6 +463,8 @@ def bigram_lm_score(
             F.expr(f"(c_ab + 1) * {micro} div (c_a + v)"),
         )
     )
+    if _per_bigram:
+        return scored.select("id", "p_micro")
     return (
         scored.groupBy(F.col("id").alias(id_col))
         .agg(
@@ -478,12 +482,19 @@ def bigram_lm_score(
 
 def log_perplexity(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """True log2 bigram perplexity per document (float) — the library-side
-    companion of :func:`bigram_lm_score`; same model, log-domain score."""
-    scored = bigram_lm_score(df, id_col, text_col)
-    # recompute from micro-probs: -mean log2(p) ≈ log2(micro) - mean log2(p_micro)
-    return scored.withColumn(
-        "log2_ppl",
-        F.log2(F.lit(1_000_000.0)) - F.log2(F.col("mean_p_micro")),
+    companion of :func:`bigram_lm_score`: the MEAN of the per-bigram
+    -log2(p) (cross-entropy), aggregated from the per-bigram probability
+    frame.  log2(mean p) is NOT perplexity — the log of a mean and the
+    mean of logs diverge badly on heavy-tailed probabilities — so this
+    aggregates log-domain per bigram.  Float (transcendental), hence
+    library-side only; the oracle-gated integer signals live in
+    bigram_lm_score."""
+    per = bigram_lm_score(df, id_col, text_col, _per_bigram=True)
+    return per.groupBy(F.col("id").alias(id_col)).agg(
+        (
+            F.log2(F.lit(1_000_000.0))
+            - F.avg(F.log2(F.col("p_micro").cast("double")))
+        ).alias("log2_ppl")
     )
 
 
@@ -522,7 +533,7 @@ def keyword_search(
         raise ValueError("keyword_search needs at least one term")
     C, MICRO, MILLI = 1000, 1_000_000, 1000
     ws = F.filter(
-        F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"), lambda w: w != ""
+        F.split(F.lower(F.col(text_col)), WORD_SPLIT), lambda w: w != ""
     )
     def _eq(term):
         # closure, not a default arg: a two-parameter lambda would make

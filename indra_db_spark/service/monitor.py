@@ -180,8 +180,9 @@ def digest_store(store: LocalStageStore) -> tuple[list, dict]:
     (data_gatherer.py:182-260):
 
     - ``runtimes``: per day, per stage/flavor, ``[start_h, end_h]`` pairs
-      in hours since 5:00 UTC offset — runs that cross midnight carry
-      ``[0, end]`` segments into the following days (the DayStack logic);
+      in hours since UTC midnight of the blob's day — runs that cross
+      midnight carry ``[0, end]`` segments into the following days (the
+      DayStack logic);
     - per-stage count digests: ``{field: {flavor|total: [[day_ts, n]...]}}``.
 
     Writes ``runtimes.json`` and ``<stage>.json`` back to the store and
@@ -198,7 +199,22 @@ def digest_store(store: LocalStageStore) -> tuple[list, dict]:
     stage_counts: dict = defaultdict(  # stage -> field -> flavor -> day -> n
         lambda: defaultdict(lambda: defaultdict(lambda: defaultdict(int)))
     )
-    for day in sorted(days):
+    # iterate EVERY calendar day between the first and last blob day — the
+    # carry is keyed by days-in-future, so skipping blob-less days would
+    # land a midnight-crossing run's overflow segment on the next day that
+    # happens to have blobs (possibly a week late) instead of its real day
+    if days:
+        from datetime import timedelta
+
+        first = datetime.strptime(min(days), DAY_FMT)
+        last = datetime.strptime(max(days), DAY_FMT)
+        all_days = [
+            (first + timedelta(days=i)).strftime(DAY_FMT)
+            for i in range((last - first).days + 1)
+        ]
+    else:
+        all_days = []
+    for day in all_days:
         day_obj = datetime.strptime(day, DAY_FMT).replace(tzinfo=timezone.utc)
         day_ts = day_obj.timestamp() * 1000
         times: dict = defaultdict(lambda: defaultdict(list))
@@ -209,7 +225,7 @@ def digest_store(store: LocalStageStore) -> tuple[list, dict]:
             times[stage]["all"].append(pair)
         carry = defaultdict(list, {k - 1: v for k, v in carry.items() if k > 0})
 
-        for key in days[day]:
+        for key in days.get(day, []):
             m = _KEY_PATT.match(key)
             if not m:
                 continue
@@ -218,8 +234,14 @@ def digest_store(store: LocalStageStore) -> tuple[list, dict]:
             if not stage:
                 stage, flavor = flavor, None
             div = 3600 * 1000
-            start = (data["timing"]["start"] - day_ts) / div + 5
-            end = (data["timing"]["end"] - day_ts) / div + 5
+            # hours since UTC midnight of the blob's day.  The reference
+            # adds +5 here (data_gatherer.py:232-233) to compensate for
+            # keying blobs by a HOST-LOCAL (US/Eastern) day while timing
+            # in UTC; this port keys and times in UTC end-to-end, so the
+            # offset would shift post-19:00-UTC runs past the 24 h carry
+            # threshold and render inverted bars
+            start = (data["timing"]["start"] - day_ts) / div
+            end = (data["timing"]["end"] - day_ts) / div
             n_days_future = int(end // 24)
             for fut in range(n_days_future - 1):
                 carry[fut].append((stage, flavor, [0.0, 24.0]))
@@ -240,13 +262,14 @@ def digest_store(store: LocalStageStore) -> tuple[list, dict]:
             if flavor:
                 stage_counts[stage]["jobs"][flavor][day_ts] += 1
 
-        runtime_data.append(
-            {
-                "day_str": day_obj.strftime("%b %d %Y"),
-                "day_ts": day_ts,
-                "times": {s: dict(fv) for s, fv in times.items()},
-            }
-        )
+        if times:  # blob-less days only appear if a carry landed on them
+            runtime_data.append(
+                {
+                    "day_str": day_obj.strftime("%b %d %Y"),
+                    "day_ts": day_ts,
+                    "times": {s: dict(fv) for s, fv in times.items()},
+                }
+            )
 
     digests = {
         stage: {

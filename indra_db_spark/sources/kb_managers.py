@@ -70,7 +70,11 @@ BEL_RELATIONS = {
     "directlyIncreases": "Activation",
     "decreases": "Inhibition",
     "directlyDecreases": "Inhibition",
-    "regulates": "Regulation",
+    # NB: bare "regulates" is deliberately absent — it maps to INDRA's
+    # abstract Regulation class, which is not a concrete statement type
+    # (schemas.TYPE_REGISTRY) and would surface as a NULL type_num
+    # downstream; like the INDRA PyBEL processor, ambiguous-polarity
+    # edges are skipped
     "association": "Complex",
     "hasComponent": "Complex",
 }
@@ -388,7 +392,10 @@ class HPRDManager(FileKnowledgebaseManager):
                 }
 
         # POST_TRANSLATIONAL_MODIFICATIONS.txt: sub_hprd, sub_sym, sub_iso,
-        # sub_refseq, site, residue, enz_sym, enz_hprd, mod_type, ..., pmids
+        # sub_refseq, site, residue, enz_sym, enz_hprd, mod_type,
+        # experiment_type, reference_id (comma-joined PMIDs) — the PMIDs
+        # live at column 10; column 9 is the experiment type ("in vivo"/
+        # "in vitro"), NOT a reference
         for row in self._rows("POST_TRANSLATIONAL_MODIFICATIONS.txt"):
             if len(row) < 9:
                 continue
@@ -400,7 +407,7 @@ class HPRDManager(FileKnowledgebaseManager):
             if not sub or not enz:
                 continue
             ev = {"source_api": "hprd"}
-            pmids = row[9].split(",") if len(row) > 9 else []
+            pmids = row[10].split(",") if len(row) > 10 else []
             ann: dict = {}
             if row[5].strip():
                 ann["residue"] = row[5].strip()

@@ -261,9 +261,19 @@ def _statement_rows(
     evidence[0].get_source_hash(), cli/knowledgebase.py:73)."""
     from indra_db_spark.assembly.preprocess import compute_mk_hash
 
+    from indra_db_spark.schemas import TYPE_NUMS
+
     sid = start_sid
     seen: set[tuple[int, int]] = set()
     for stmt in mgr.get_statements():
+        # every manager's type values come from a static relation map, so
+        # an unregistered type is a DEV error (it would surface as a NULL
+        # type_num downstream, invisible to HasType) — fail loudly here
+        if stmt.get("type") not in TYPE_NUMS:
+            raise ValueError(
+                f"{mgr.short_name} emitted unregistered statement type "
+                f"{stmt.get('type')!r} (not in schemas.TYPE_REGISTRY)"
+            )
         ev = stmt.get("evidence") or {}
         # per-manager exact dedup on (mk_hash, source_hash) — the
         # reference's extract_duplicates(KeyFunc.mk_and_one_ev_src) applied

@@ -281,7 +281,7 @@ def _hprd_fixture(tmp_path):
         "TP53\t00002\tNM_000546\tMDM2\t00003\tNM_002392\tin vivo\t111,222\n"
     )
     (d / "POST_TRANSLATIONAL_MODIFICATIONS.txt").write_text(
-        "00002\tTP53\t1\tNM_000546\t15\tS\tATM\t00004\tPhosphorylation\t-\t333\n"
+        "00002\tTP53\t1\tNM_000546\t15\tS\tATM\t00004\tPhosphorylation\tin vivo\t333\n"
         "00002\tTP53\t1\tNM_000546\t-\t-\tFOO\t00005\tWeirdification\t-\t444\n"
     )
     (d / "PROTEIN_COMPLEXES.txt").write_text(
@@ -305,6 +305,9 @@ def test_hprd_flat_files(tmp_path):
     assert ptm[0]["evidence"]["annotations"] == {
         "residue": "S", "position": "15"
     }
+    # PMIDs come from column 10 (reference_id); column 9 is the experiment
+    # type and must never leak into the pmid field
+    assert ptm[0]["evidence"]["pmid"] == "333"
     comp = [s for s in stmts
             if "complex_id" in (s["evidence"].get("annotations") or {})]
     assert len(comp) == 1 and comp[0]["agents"] == ["TP53", "MDM2"]

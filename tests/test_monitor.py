@@ -94,11 +94,11 @@ def _put_run(store, day, label, sub, start_h, dur_h, counts):
     store.put(
         key,
         {
-            # digest offsets hours by +5 (data_gatherer.py:231-233); bake
-            # the -5 in so start lands at start_h on the monitor axis
+            # UTC end-to-end: blob day key and timing share the same
+            # epoch, so start_h is directly hours since UTC midnight
             "timing": {
-                "start": day_ts + (start_h - 5) * ms,
-                "end": day_ts + (start_h - 5 + dur_h) * ms,
+                "start": day_ts + start_h * ms,
+                "end": day_ts + (start_h + dur_h) * ms,
                 "dur": dur_h * ms,
             },
             "counts": counts,
@@ -339,3 +339,31 @@ def test_monitor_routes_unmounted_503(spark):
             assert e.value.code == 503
     finally:
         server.shutdown()
+
+
+def test_digest_store_late_evening_run_stays_on_its_day(tmp_path):
+    # a 22:00-22:30 UTC run must render as [22.0, 22.5] on its own day —
+    # no inverted bar, no phantom next-day segment (the reference's +5
+    # offset, correct for its US/Eastern keying, would push this past the
+    # 24 h carry threshold under UTC keying)
+    store = LocalStageStore(str(tmp_path))
+    _put_run(store, "20260810", "reading", "sparser", 22.0, 0.5, {"refs": 1})
+    runtimes, _ = digest_store(store)
+    (day,) = runtimes
+    (pair,) = day["times"]["reading"]["sparser"]
+    assert pair == [22.0, 22.5]
+    assert len(runtimes) == 1  # nothing carried to a following day
+
+
+def test_digest_store_carry_lands_on_real_day_across_gaps(tmp_path):
+    # run on day 1 crosses midnight; days 2-6 have no blobs; day 7 has one.
+    # The overflow must appear on day 2 (its real day), not day 7.
+    store = LocalStageStore(str(tmp_path))
+    _put_run(store, "20260810", "reading", None, 23.0, 2.0, {"refs": 1})
+    _put_run(store, "20260816", "preassembly", None, 9.0, 1.0, {"stmts": 1})
+    runtimes, _ = digest_store(store)
+    by_day = {d["day_str"]: d["times"] for d in runtimes}
+    assert by_day["Aug 10 2026"]["reading"]["all"] == [[23.0, 24.0]]
+    assert by_day["Aug 11 2026"]["reading"]["all"] == [[0.0, 1.0]]
+    assert "reading" not in by_day["Aug 16 2026"]
+    assert set(by_day) == {"Aug 10 2026", "Aug 11 2026", "Aug 16 2026"}

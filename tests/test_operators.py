@@ -977,3 +977,22 @@ def test_keyword_search_rejects_empty_terms(spark):
     docs = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
     with _pytest.raises(ValueError):
         keyword_search(docs, [])
+
+
+def test_log_perplexity_is_mean_of_logs(spark):
+    import math
+    from collections import defaultdict
+
+    from indra_db_spark.operators.text import bigram_lm_score, log_perplexity
+
+    docs = spark.createDataFrame(
+        [(1, "the cat sat on the mat the cat sat"), (2, "a b a b a c")],
+        ["doc_id", "text"],
+    )
+    per = defaultdict(list)
+    for r in bigram_lm_score(docs, _per_bigram=True).collect():
+        per[r.id].append(r.p_micro)
+    got = {r.doc_id: r.log2_ppl for r in log_perplexity(docs).collect()}
+    for i, ps in per.items():
+        want = math.log2(1e6) - sum(math.log2(p) for p in ps) / len(ps)
+        assert abs(got[i] - want) < 1e-9

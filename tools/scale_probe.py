@@ -235,10 +235,14 @@ def main() -> None:
         if k.rsplit("@x", 1)[0] not in results.get(k.rsplit("@x", 1)[1], {})
     }
 
+    # slopes are recomputed from the MERGED timings (not just this run's
+    # factors), so a single-factor partial re-run updates estimates instead
+    # of wiping the previously recorded slopes
     slopes = {}
-    if len(factors) >= 2:
-        lo, hi = str(min(factors)), str(max(factors))
-        ratio = math.log(max(factors) / min(factors))
+    merged_factors = sorted(int(f) for f in results if results.get(f))
+    if len(merged_factors) >= 2:
+        lo, hi = str(min(merged_factors)), str(max(merged_factors))
+        ratio = math.log(max(merged_factors) / min(merged_factors))
         for op in results[lo]:
             if op not in results.get(hi, {}):
                 continue
@@ -250,7 +254,7 @@ def main() -> None:
     payload = {
         "metric": "scale_probe",
         "sf_dir": SF_DIR,
-        "factors": factors,
+        "factors": merged_factors or factors,
         "timings_s": results,
         "loglog_slope": slopes,
     }
