@@ -113,3 +113,60 @@ def test_lsh_self_join_reads_materialized_buckets(spark, sf_dir):
             f"{name}: self-join recomputes source lineage instead of "
             f"reading the materialized frame"
         )
+
+
+def test_keyword_search_is_one_fused_scan(spark, sf_dir):
+    # per-term tf + dl computed inside the scan projection: no explode, no
+    # per-term shuffle; the stats side is a broadcast; the tail is a
+    # TakeOrderedAndProject, never a global Sort+Exchange
+    plan = _plan(spark, sf_dir, "doc_keyword_search")
+    assert "Generate explode" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row stats frame
+    assert "PythonUDF" not in plan
+
+
+def test_asof_join_single_key_shuffle(spark, sf_dir):
+    # the union-merge as-of join: ONE exchange on the key for the merge
+    # window (plus the right-side dedup's own); no sort-merge join, no
+    # cartesian anywhere
+    plan = _plan(spark, sf_dir, "events_asof_join")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "Window" in plan
+
+
+def test_band_join_is_an_equijoin(spark, sf_dir):
+    # bucketed range join: equi-join on (key, cell) — the inequality only
+    # appears as a post-join filter, never as a nested-loop condition
+    plan = _plan(spark, sf_dir, "events_band_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_hier_rollup_single_pass(spark, sf_dir):
+    # GROUP BY ROLLUP expands grouping sets inside one aggregation: a
+    # single Expand + one exchange, not one scan per resolution
+    plan = _plan(spark, sf_dir, "events_hier_rollup")
+    assert plan.count("Scan parquet") == 1
+    assert "Expand" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_dup_spans_window_reuses_partitioning(spark, sf_dir):
+    # the interval-merge windows and the final span aggregate all run on
+    # the per-document partitioning established once for the hit surface
+    plan = _plan(spark, sf_dir, "doc_dup_spans")
+    # two logical windows (lag + running sum) share one sort+exchange
+    assert plan.count("Exchange hashpartitioning(id") <= 1
+    assert "PythonUDF" not in plan
+
+
+def test_lm_score_count_joins_after_materialized_bigrams(spark, sf_dir):
+    # the corpus-scale bigram frame is materialized once (Scan ExistingRDD)
+    # and feeds the count joins; the vocabulary-size side broadcasts
+    plan = _plan(spark, sf_dir, "doc_lm_score")
+    assert "Scan ExistingRDD" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row V frame
+    assert "PythonUDF" not in plan
