@@ -428,24 +428,9 @@ def bigram_lm_score(
     VOCABULARY-bounded (Zipf), so the count joins broadcast at scale —
     plus one final groupBy(id).  No Python UDFs anywhere.
     """
-    words = df.select(
-        F.col(id_col).alias("id"),
-        F.filter(
-            F.split(F.lower(F.col(text_col)), WORD_SPLIT),
-            lambda w: w != "",
-        ).alias("_ws"),
-    )
-    n1 = F.greatest(F.size("_ws") - 1, F.lit(0))
-    pairs = F.arrays_zip(
-        F.slice(F.col("_ws"), F.lit(1), n1).alias("a"),
-        F.slice(F.col("_ws"), F.lit(2), n1).alias("b"),
-    )
-    big = words.select("id", F.explode(pairs).alias("p")).select(
-        "id", F.col("p.a").alias("a"), F.col("p.b").alias("b")
-    )
     from indra_db_spark.operators.dedup import _materialize
 
-    big = _materialize(big)
+    big = _materialize(_doc_bigrams(df, id_col, text_col))
 
     vocab = big.select(F.col("a").alias("w")).union(
         big.select(F.col("b").alias("w"))
@@ -584,4 +569,101 @@ def keyword_search(
         .limit(k)
         .withColumn("rank", F.row_number().over(w).cast("int"))
         .select(F.col("id").alias(id_col), "score_micro", "rank")
+    )
+
+
+class BigramLmModel:
+    """Batch-trained bigram LM artifact for stream-side scoring: two count
+    frames (bigram and prefix counts) + the vocabulary size, produced by
+    :func:`train_bigram_lm` and consumed by :func:`score_docs_with_lm`.
+    The frames are vocabulary-bounded (Zipf), so at scale they broadcast;
+    ``v`` is a plain int so the scoring expression needs no cross join
+    (stream-static cross joins are awkward; a literal is free)."""
+
+    def __init__(self, cab: DataFrame, ca: DataFrame, v: int):
+        self.cab, self.ca, self.v = cab, ca, v
+
+
+def train_bigram_lm(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> BigramLmModel:
+    """Train the add-one bigram model on a STATIC corpus — the batch half
+    of the train-once / score-stream deployment."""
+    from indra_db_spark.operators.dedup import _materialize
+
+    big = _materialize(_doc_bigrams(df, id_col, text_col))
+    vocab = big.select(F.col("a").alias("w")).union(
+        big.select(F.col("b").alias("w"))
+    )
+    v = int(vocab.agg(F.count_distinct("w").alias("v")).collect()[0].v)
+    cab = big.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
+    ca = big.groupBy("a").agg(F.count(F.lit(1)).alias("c_a"))
+    return BigramLmModel(cab, ca, v)
+
+
+def score_docs_with_lm(
+    docs: DataFrame,
+    model: BigramLmModel,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    micro: int = 1_000_000,
+    rare_micro: int = 2_000,
+) -> DataFrame:
+    """Score documents (batch OR readStream) against a batch-trained
+    :class:`BigramLmModel` — the CCNet deployment shape: perplexity model
+    trained offline, applied to the incoming crawl.
+
+    Stateless per row until the final per-doc aggregate: bigram explode +
+    two stream-static LEFT joins against the (broadcastable) count frames;
+    unseen bigrams smooth to (0+1)/(0+v) exactly like the training-side
+    formula, so scoring the training corpus itself reproduces
+    :func:`bigram_lm_score` bit-for-bit.  On a stream, the groupBy(id)
+    aggregate needs complete/update mode (or a watermark on an ingest-time
+    column for append) — the joins themselves are stream-static and
+    unconditionally supported.
+    """
+    big = _doc_bigrams(docs, id_col, text_col)
+    scored = (
+        big.join(F.broadcast(model.cab), ["a", "b"], "left")
+        .join(F.broadcast(model.ca), "a", "left")
+        .withColumn(
+            "p_micro",
+            F.expr(
+                f"(coalesce(c_ab, 0) + 1) * {micro} "
+                f"div (coalesce(c_a, 0) + {model.v})"
+            ),
+        )
+    )
+    return (
+        scored.groupBy(F.col("id").alias(id_col))
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_bigrams"),
+            F.sum("p_micro").alias("sum_p_micro"),
+            F.sum(
+                F.when(F.col("p_micro") < rare_micro, 1).otherwise(0)
+            ).cast("int").alias("rare_bigrams"),
+        )
+        .withColumn(
+            "mean_p_micro", F.col("sum_p_micro") / F.col("n_bigrams")
+        )
+    )
+
+
+def _doc_bigrams(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, a, b) word-bigram frame — shared by the self-trained scorer and
+    the train/score split."""
+    words = df.select(
+        F.col(id_col).alias("id"),
+        F.filter(
+            F.split(F.lower(F.col(text_col)), WORD_SPLIT),
+            lambda w: w != "",
+        ).alias("_ws"),
+    )
+    n1 = F.greatest(F.size("_ws") - 1, F.lit(0))
+    pairs = F.arrays_zip(
+        F.slice(F.col("_ws"), F.lit(1), n1).alias("a"),
+        F.slice(F.col("_ws"), F.lit(2), n1).alias("b"),
+    )
+    return words.select("id", F.explode(pairs).alias("p")).select(
+        "id", F.col("p.a").alias("a"), F.col("p.b").alias("b")
     )

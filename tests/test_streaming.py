@@ -180,3 +180,43 @@ def test_incremental_new_docs_stream_matches_batch(spark, tmp_path):
     got_s = sorted(r.text for r in stream_out.collect())
     assert got_b == ["fresh-a", "fresh-b", "fresh-c"]
     assert got_s == got_b
+
+
+def test_lm_scoring_stream_matches_batch(spark, tmp_path_factory):
+    """Train the bigram LM in batch, score a readStream of documents
+    against it — the CCNet train-offline / score-the-crawl deployment.
+    Integer micro-units make stream and batch results identical, and
+    scoring the training corpus itself must reproduce the self-trained
+    bigram_lm_score bit-for-bit."""
+    from indra_db_spark.operators.text import (
+        bigram_lm_score,
+        score_docs_with_lm,
+        train_bigram_lm,
+    )
+
+    path = str(tmp_path_factory.mktemp("docs_lm_stream"))
+    batch = load_table(spark, "/root/testdata/sf0.001", "documents")
+    batch.coalesce(2).write.mode("overwrite").parquet(path)
+    static = spark.read.parquet(path)
+
+    model = train_bigram_lm(static)
+    want = {
+        r.doc_id: (r.n_bigrams, r.sum_p_micro, r.rare_bigrams)
+        for r in bigram_lm_score(static).collect()
+    }
+    # batch scoring against the trained model == self-trained scoring
+    got_batch = {
+        r.doc_id: (r.n_bigrams, r.sum_p_micro, r.rare_bigrams)
+        for r in score_docs_with_lm(static, model).collect()
+    }
+    assert got_batch == want
+
+    # stream scoring == batch scoring (complete mode: per-doc aggregate)
+    stream = read_stream(spark, path, static.schema)
+    got_stream = {
+        r.doc_id: (r.n_bigrams, r.sum_p_micro, r.rare_bigrams)
+        for r in run_to_memory_sink(
+            score_docs_with_lm(stream, model), "lm_stream", "complete"
+        ).collect()
+    }
+    assert got_stream == want
