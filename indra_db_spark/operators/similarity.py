@@ -105,12 +105,26 @@ def cosine_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     sim_decimals: int | None = 6,
+    max_rows: int | None = 100_000,
 ) -> DataFrame:
     """Embedding near-duplicate pairs: cosine ≥ threshold, id_a < id_b.
 
-    Exact all-pairs — quadratic, for modest corpora / within-bucket use.
-    At scale, compose with ``srp_bucket`` to restrict pairs to one bucket.
+    Exact all-pairs — QUADRATIC, kept as the verification baseline and the
+    within-bucket verifier.  ``max_rows`` is a guard rail: the corpus size
+    is probed with a bounded count and the call fails fast with a pointer
+    to :func:`srp_neardup_pairs` (the at-scale path) instead of launching
+    a 10¹⁰-pair join; pass ``max_rows=None`` to run it anyway (e.g. inside
+    an LSH bucket, where the input is already small by construction).
     """
+    if max_rows is not None:
+        over = emb.limit(max_rows + 1).count() > max_rows
+        if over:
+            raise ValueError(
+                f"cosine_neardup_pairs is exact all-pairs (quadratic) and "
+                f"the input exceeds max_rows={max_rows}; use "
+                "srp_neardup_pairs (bucketed) at this scale, or pass "
+                "max_rows=None to force the exact join"
+            )
     a = emb.select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("va"),

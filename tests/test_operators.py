@@ -996,3 +996,21 @@ def test_log_perplexity_is_mean_of_logs(spark):
     for i, ps in per.items():
         want = math.log2(1e6) - sum(math.log2(p) for p in ps) / len(ps)
         assert abs(got[i] - want) < 1e-9
+
+
+def test_cosine_neardup_guard_rail(spark):
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from indra_db_spark.operators.similarity import cosine_neardup_pairs
+
+    emb = spark.range(50).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.col("id").cast("double")).alias("embedding"),
+    )
+    # over the cap -> fail fast with the scale-path pointer
+    with pytest.raises(ValueError, match="srp_neardup_pairs"):
+        cosine_neardup_pairs(emb, max_rows=10)
+    # under the cap (or explicitly unguarded) -> runs
+    assert cosine_neardup_pairs(emb, threshold=0.99, max_rows=None).count() >= 0
