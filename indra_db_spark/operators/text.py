@@ -667,3 +667,102 @@ def _doc_bigrams(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return words.select("id", F.explode(pairs).alias("p")).select(
         "id", F.col("p.a").alias("a"), F.col("p.b").alias("b")
     )
+
+
+class SearchStats:
+    """Frozen corpus statistics for the BM25-shaped scorer: doc count,
+    total length, per-term document frequencies — plain ints, so stream-side
+    scoring is a pure per-row expression (no stream-static join at all)."""
+
+    def __init__(self, n_docs: int, sum_dl: int, dfs: list[int]):
+        self.n_docs, self.sum_dl, self.dfs = n_docs, sum_dl, dfs
+
+
+def corpus_search_stats(
+    df: DataFrame, terms: list[str], text_col: str = "text"
+) -> SearchStats:
+    """One aggregation over the static corpus → :class:`SearchStats` —
+    the batch half of index-once / score-the-stream keyword search."""
+    if not terms:
+        raise ValueError("corpus_search_stats needs at least one term")
+    ws = F.filter(
+        F.split(F.lower(F.col(text_col)), WORD_SPLIT), lambda w: w != ""
+    )
+
+    def _eq(term):
+        return lambda w: w == F.lit(term)
+
+    row = df.select(
+        F.size(ws).cast("long").alias("dl"),
+        *[
+            F.size(F.filter(ws, _eq(t))).cast("long").alias(f"_tf{i}")
+            for i, t in enumerate(terms)
+        ],
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.sum((F.col(f"_tf{i}") > 0).cast("long")).alias(f"_df{i}")
+            for i in range(len(terms))
+        ],
+    ).collect()[0]
+    return SearchStats(
+        int(row.n_docs),
+        int(row.sum_dl),
+        [int(row[f"_df{i}"]) for i in range(len(terms))],
+    )
+
+
+def keyword_score(
+    docs: DataFrame,
+    terms: list[str],
+    stats: SearchStats,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1_c: int = 1200,
+    b_c: int = 750,
+) -> DataFrame:
+    """Score documents (batch OR readStream) against frozen
+    :class:`SearchStats` → (id, score_micro), hits only — completely
+    stateless (every statistic is a literal in the expression), so it runs
+    unchanged on a readStream in append mode.  The same fixed-point BM25
+    formula as :func:`keyword_search`; scoring the stats corpus itself
+    reproduces its scores exactly (minus the top-k cut)."""
+    if not terms:
+        raise ValueError("keyword_score needs at least one term")
+    C, MICRO, MILLI = 1000, 1_000_000, 1000
+    ws = F.filter(
+        F.split(F.lower(F.col(text_col)), WORD_SPLIT), lambda w: w != ""
+    )
+
+    def _eq(term):
+        return lambda w: w == F.lit(term)
+
+    wide = docs.select(
+        F.col(id_col).alias("id"),
+        F.size(ws).cast("long").alias("dl"),
+        *[
+            F.size(F.filter(ws, _eq(t))).cast("long").alias(f"_tf{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    avgdl = (stats.sum_dl * C) // stats.n_docs
+    lnorm = f"(({C} - {b_c}) + ({b_c} * dl * {C}) div {avgdl})"
+    score_terms = []
+    for i, df_t in enumerate(stats.dfs):
+        tfsat = (
+            f"(_tf{i} * {k1_c + C} * {MICRO}) div "
+            f"(_tf{i} * {C} + ({k1_c} * {lnorm}) div {C})"
+        )
+        idf = ((2 * (stats.n_docs - df_t) + 1) * MILLI) // (2 * df_t + 1)
+        score_terms.append(
+            f"CASE WHEN _tf{i} > 0 THEN (({idf}) * ({tfsat})) div {MILLI} "
+            "ELSE 0 END"
+        )
+    return (
+        wide.withColumn(
+            "score_micro", F.expr(" + ".join(score_terms)).cast("long")
+        )
+        .filter(F.col("score_micro") > 0)
+        .select(F.col("id").alias(id_col), "score_micro")
+    )

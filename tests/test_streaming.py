@@ -220,3 +220,37 @@ def test_lm_scoring_stream_matches_batch(spark, tmp_path_factory):
         ).collect()
     }
     assert got_stream == want
+
+
+def test_keyword_scoring_stream_matches_batch(spark, tmp_path_factory):
+    """Index-once / score-the-stream keyword search: frozen corpus stats
+    baked into a pure per-row expression (no stream-static join), append
+    mode.  Batch scoring must reproduce keyword_search's scores."""
+    from indra_db_spark.operators.text import (
+        corpus_search_stats,
+        keyword_score,
+        keyword_search,
+    )
+
+    terms = ["query", "window", "stream"]
+    path = str(tmp_path_factory.mktemp("docs_kw_stream"))
+    batch = load_table(spark, "/root/testdata/sf0.001", "documents")
+    batch.coalesce(2).write.mode("overwrite").parquet(path)
+    static = spark.read.parquet(path)
+
+    stats = corpus_search_stats(static, terms)
+    want = {
+        r.doc_id: r.score_micro for r in keyword_score(static, terms, stats).collect()
+    }
+    # parity with the self-contained entry (same scores, top-k cut aside)
+    topk = keyword_search(static, terms, k=10).collect()
+    assert all(want[r.doc_id] == r.score_micro for r in topk)
+
+    stream = read_stream(spark, path, static.schema)
+    got = {
+        r.doc_id: r.score_micro
+        for r in run_to_memory_sink(
+            keyword_score(stream, terms, stats), "kw_stream"
+        ).collect()
+    }
+    assert got == want and got
