@@ -111,3 +111,70 @@ class ReadonlyLake:
             schema = READONLY_SCHEMAS[name]
             tables[name] = spark.createDataFrame(rows, schema)
         return cls(tables)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_file_mb: int = 128,
+    sort_within: list[str] | None = None,
+) -> dict:
+    """Small-file compaction for an append-heavy parquet table: rewrite
+    ``path`` into ~``target_file_mb`` files, preserving rows exactly →
+    stats dict (files before/after, bytes, rows).
+
+    The lake's incremental paths (xdd day drops, stream sinks, KB update
+    batches) append small files per run; scan parallelism then tracks file
+    COUNT instead of data size and footer-read overhead dominates.
+    Compaction is the standard maintenance job (what OPTIMIZE does in
+    table formats).
+
+    Mechanics: size the output from the Hadoop content summary (works for
+    any FS scheme, not just file:), repartition to ceil(bytes/target),
+    optionally sort within partitions (restores row-group min/max locality
+    for ranked tables — see ``write_optimized``), write to a sibling tmp
+    dir, then swap via rename.  Rename is atomic on HDFS/local; on object
+    stores it is copy+delete, so production object-store lakes should
+    layer a table format (Delta/Iceberg) over this — documented trade, the
+    job itself is format-agnostic.
+    """
+    jvm = spark.sparkContext._jvm
+    jsc = spark.sparkContext._jsc
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(jsc.hadoopConfiguration())
+    summary = fs.getContentSummary(hpath)
+    total_bytes = summary.getLength()
+    files_before = sum(
+        1
+        for f in fs.listStatus(hpath)
+        if f.getPath().getName().endswith(".parquet")
+    )
+    n_out = max(1, -(-int(total_bytes) // (target_file_mb * 1024 * 1024)))
+
+    df = spark.read.parquet(path)
+    rows = df.count()
+    out = df.repartition(n_out)
+    if sort_within:
+        out = out.sortWithinPartitions(*sort_within)
+    tmp = path.rstrip("/") + ".compact-tmp"
+    out.write.mode("overwrite").parquet(tmp)
+    # verify the rewrite BEFORE the swap — a failed job must never eat data
+    rows_after = spark.read.parquet(tmp).count()
+    if rows_after != rows:
+        raise RuntimeError(
+            f"compaction row mismatch ({rows} -> {rows_after}); "
+            f"original left untouched, rewrite kept at {tmp}"
+        )
+    fs.delete(hpath, True)
+    fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), hpath)
+    files_after = sum(
+        1
+        for f in fs.listStatus(hpath)
+        if f.getPath().getName().endswith(".parquet")
+    )
+    return {
+        "files_before": files_before,
+        "files_after": files_after,
+        "bytes": int(total_bytes),
+        "rows": rows,
+    }
