@@ -267,3 +267,67 @@ def graph_pagerank(spark, sf):
     edges = e1.union(e2).distinct()
     return pagerank(edges, iterations=_PR_ITERS, damping_milli=_PR_D,
                     total=_PR_TOTAL)
+
+
+@register(
+    "events_funnel",
+    """
+    WITH b AS (
+      SELECT user_id AS u, ts AS t, event_type AS et FROM events
+      WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    ),
+    s1 AS (SELECT u, min(t) AS s1_ts FROM b WHERE et = 'signup' GROUP BY u),
+    s2 AS (
+      SELECT s1.u, s1.s1_ts,
+             min(CASE WHEN c.t > s1.s1_ts THEN c.t END) AS s2_ts
+      FROM s1 LEFT JOIN b c ON c.u = s1.u AND c.et = 'click'
+      GROUP BY s1.u, s1.s1_ts
+    ),
+    s3 AS (
+      SELECT s2.u, s2.s1_ts, s2.s2_ts,
+             min(CASE WHEN p.t > s2.s2_ts THEN p.t END) AS s3_ts
+      FROM s2 LEFT JOIN b p ON p.u = s2.u AND p.et = 'purchase'
+      GROUP BY s2.u, s2.s1_ts, s2.s2_ts
+    )
+    SELECT u AS user_id, s1_ts, s2_ts, s3_ts,
+           CAST(CAST(s1_ts IS NOT NULL AS INT)
+                + CAST(s2_ts IS NOT NULL AS INT)
+                + CAST(s3_ts IS NOT NULL AS INT) AS INT) AS n_steps
+    FROM s3
+    """,
+)
+def events_funnel(spark, sf):
+    """Ordered conversion funnel signup → click → purchase: earliest
+    completion of each step strictly after the previous one (greedy is
+    optimal), one per-user aggregate + join per step — per-user state is a
+    timestamp per step, never the event list
+    (operators/analytics.py:funnel)."""
+    from indra_db_spark.operators.analytics import funnel
+
+    return funnel(
+        T(spark, sf, "events"), ["signup", "click", "purchase"]
+    )
+
+
+@register(
+    "events_cohort_retention",
+    """
+    WITH b AS (
+      SELECT user_id AS u, date_trunc('day', ts) AS p FROM events
+      WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    ),
+    f AS (SELECT u, min(p) AS cohort FROM b GROUP BY u)
+    SELECT cohort,
+           CAST(date_diff('day', cohort, p) AS INT) AS period_offset,
+           CAST(count(DISTINCT u) AS BIGINT) AS n_users
+    FROM b JOIN f USING (u)
+    GROUP BY cohort, period_offset
+    """,
+)
+def events_cohort_retention(spark, sf):
+    """Cohort retention triangle: users grouped by first-activity day,
+    distinct-counted per day offset — two partial-agg shuffles
+    (operators/analytics.py:cohort_retention)."""
+    from indra_db_spark.operators.analytics import cohort_retention
+
+    return cohort_retention(T(spark, sf, "events"))

@@ -1,0 +1,141 @@
+"""Event-analytics operators: ordered funnels and cohort retention.
+
+Beyond-reference (the reference has no event analytics); these are the
+standard product-analytics queries a 100-TB event log serves, expressed as
+plain joins/aggregations so Catalyst handles them like any other relational
+plan.
+
+Scale notes: every stage shuffles on ``user_id`` (or the cohort key) with
+map-side partial aggregation; funnel steps chain per-step aggregates so the
+peak state per user is one timestamp per step, never the event list.  A
+single hot user (bot) concentrates one partition — the standard salting
+escape (operators/skew.py) applies if profiling shows it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered conversion funnel: for each user, the earliest time each
+    step in ``steps`` was completed STRICTLY AFTER the previous step →
+    (user, s1_ts, s2_ts, ..., n_steps).
+
+    Earliest-completion semantics (the standard greedy funnel): step k's
+    timestamp is the minimum event time of type ``steps[k]`` after step
+    k-1's timestamp.  Greedy is optimal here — taking the earliest
+    possible completion of each step never forecloses a later step.
+
+    One aggregate + one join per step, all keyed on the user: per-step
+    state is a single timestamp per user, so memory is O(users × steps)
+    regardless of event volume.
+    """
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    base = events.select(
+        F.col(user_col).alias("u"),
+        F.col(ts_col).alias("t"),
+        F.col(type_col).alias("et"),
+    ).filter(F.col("t").isNotNull() & F.col("u").isNotNull())
+
+    cur = (
+        base.filter(F.col("et") == steps[0])
+        .groupBy("u")
+        .agg(F.min("t").alias("s1_ts"))
+    )
+    for k, step in enumerate(steps[1:], start=2):
+        nxt = base.filter(F.col("et") == step).select(
+            "u", F.col("t").alias("_cand")
+        )
+        # conditional min INSIDE the aggregate (not a pre-filter): a user
+        # whose candidate events all precede the previous step must keep
+        # their row with a NULL step time, not silently drop out
+        cur = (
+            cur.join(nxt, "u", "left")
+            .groupBy("u", *[f"s{j}_ts" for j in range(1, k)])
+            .agg(
+                F.min(
+                    F.when(
+                        F.col("_cand") > F.col(f"s{k - 1}_ts"),
+                        F.col("_cand"),
+                    )
+                ).alias(f"s{k}_ts")
+            )
+        )
+    n_steps = sum(
+        F.when(F.col(f"s{k}_ts").isNotNull(), 1).otherwise(0)
+        for k in range(1, len(steps) + 1)
+    )
+    return cur.select(
+        F.col("u").alias(user_col),
+        *[f"s{k}_ts" for k in range(1, len(steps) + 1)],
+        n_steps.cast("int").alias("n_steps"),
+    )
+
+
+def funnel_counts(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Funnel summary: users reaching at least step k, per k →
+    (step, step_name, n_users) — the conversion-rate table."""
+    f = funnel(events, steps, user_col, ts_col, type_col)
+    rows = [
+        f.filter(F.col(f"s{k}_ts").isNotNull()).agg(
+            F.lit(k).alias("step"),
+            F.lit(steps[k - 1]).alias("step_name"),
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+        )
+        for k in range(1, len(steps) + 1)
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period: str = "day",
+) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-activity period,
+    counted per offset from their cohort →
+    (cohort, period_offset, n_users).
+
+    Two shuffles: first-seen per user (partial-agg min), then a distinct
+    count per (cohort, offset).  ``period`` is any ``date_trunc`` unit.
+    Offsets are exact date diffs in the chosen unit, so the result is a
+    pure function of the data (oracle-portable).
+    """
+    base = events.select(
+        F.col(user_col).alias("u"),
+        F.date_trunc(period, F.col(ts_col)).alias("p"),
+    ).filter(F.col("p").isNotNull() & F.col("u").isNotNull())
+    first = base.groupBy("u").agg(F.min("p").alias("cohort"))
+    joined = base.join(first, "u")
+    offset = F.datediff(F.col("p"), F.col("cohort"))
+    if period == "week":
+        offset = (offset / 7).cast("int")
+    elif period == "month":
+        offset = (
+            (F.year("p") - F.year("cohort")) * 12
+            + (F.month("p") - F.month("cohort"))
+        ).cast("int")
+    return (
+        joined.withColumn("period_offset", offset.cast("int"))
+        .groupBy("cohort", "period_offset")
+        .agg(F.count_distinct("u").cast("long").alias("n_users"))
+    )

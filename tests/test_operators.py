@@ -1014,3 +1014,67 @@ def test_cosine_neardup_guard_rail(spark):
         cosine_neardup_pairs(emb, max_rows=10)
     # under the cap (or explicitly unguarded) -> runs
     assert cosine_neardup_pairs(emb, threshold=0.99, max_rows=None).count() >= 0
+
+
+def test_funnel_semantics(spark):
+    from datetime import datetime
+
+    from indra_db_spark.operators.analytics import funnel, funnel_counts
+
+    T = datetime
+    ev = spark.createDataFrame(
+        [
+            # user 1: full ordered funnel
+            (1, T(2024, 1, 1, 9), "signup"),
+            (1, T(2024, 1, 1, 10), "click"),
+            (1, T(2024, 1, 1, 11), "purchase"),
+            # user 2: purchase BEFORE click -> stops at click... actually
+            # click after signup, purchase only before click -> 2 steps
+            (2, T(2024, 1, 1, 9), "signup"),
+            (2, T(2024, 1, 1, 9, 30), "purchase"),
+            (2, T(2024, 1, 1, 10), "click"),
+            # user 3: clicked but never signed up -> not in funnel at all
+            (3, T(2024, 1, 1, 9), "click"),
+            # user 4: signup only; clicks exist but all BEFORE signup
+            (4, T(2024, 1, 1, 9), "click"),
+            (4, T(2024, 1, 1, 10), "signup"),
+            # user 5: equal timestamps do NOT advance (strictly after)
+            (5, T(2024, 1, 1, 9), "signup"),
+            (5, T(2024, 1, 1, 9), "click"),
+        ],
+        ["user_id", "ts", "event_type"],
+    )
+    steps = ["signup", "click", "purchase"]
+    out = {r.user_id: r for r in funnel(ev, steps).collect()}
+    assert set(out) == {1, 2, 4, 5}
+    assert out[1].n_steps == 3
+    assert out[2].n_steps == 2 and out[2].s3_ts is None
+    assert out[4].n_steps == 1 and out[4].s2_ts is None
+    assert out[5].n_steps == 1  # strict ordering: ties don't advance
+    counts = {r.step: r.n_users for r in funnel_counts(ev, steps).collect()}
+    assert counts == {1: 4, 2: 2, 3: 1}
+
+
+def test_cohort_retention_semantics(spark):
+    from datetime import datetime
+
+    from indra_db_spark.operators.analytics import cohort_retention
+
+    T = datetime
+    ev = spark.createDataFrame(
+        [
+            (1, T(2024, 1, 1, 5)), (1, T(2024, 1, 3, 9)),
+            (2, T(2024, 1, 1, 23)), (2, T(2024, 1, 1, 23, 30)),
+            (3, T(2024, 1, 3, 1)),
+        ],
+        ["user_id", "ts"],
+    )
+    out = {
+        (r.cohort.day, r.period_offset): r.n_users
+        for r in cohort_retention(ev, ts_col="ts").collect()
+    }
+    # cohort Jan 1: 2 users at offset 0, 1 user returns at offset 2
+    assert out[(1, 0)] == 2 and out[(1, 2)] == 1
+    # cohort Jan 3: 1 user at offset 0
+    assert out[(3, 0)] == 1
+    assert len(out) == 3
