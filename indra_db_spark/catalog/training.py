@@ -523,7 +523,13 @@ def emb_topk(spark, sf):
     """,
 )
 def emb_neardup(spark, sf):
-    return S.cosine_neardup_pairs(T(spark, sf, "embeddings"), threshold=0.35)
+    # max_rows=None: this entry IS the documented quadratic baseline
+    # (emb_srp_neardup is the scale path); the library-default guard
+    # would otherwise launch an eager probe at plan-build time and refuse
+    # amplified corpora the baseline is deliberately run against
+    return S.cosine_neardup_pairs(
+        T(spark, sf, "embeddings"), threshold=0.35, max_rows=None
+    )
 
 
 _SRP_PLANES = 6
@@ -1344,11 +1350,13 @@ _KW_K = 10
 
 
 def _kw_oracle(terms: list[str], k: int) -> str:
-    """DuckDB mirror of operators/text.py:keyword_search — the same
-    fixed-point BM25 formula with `div` spelled `//`; every integer
-    division appears in the identical order so scores match exactly."""
-    C, MICRO, MILLI, K1, B = 1000, 1_000_000, 1000, 1200, 750
-    ws = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+    """DuckDB mirror of operators/text.py:keyword_search, generated from
+    the SAME formula builder (_bm25_sql) with `div` respelled `//` — the
+    two engines cannot drift because there is one copy of the formula."""
+    from indra_db_spark.operators.text import _bm25_sql
+
+    ws = ("list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), "
+          "x -> x <> '')")
     tf_cols = ",\n        ".join(
         f"CAST(len(list_filter({ws}, x -> x = '{t}')) AS BIGINT) AS _tf{i}"
         for i, t in enumerate(terms)
@@ -1357,20 +1365,14 @@ def _kw_oracle(terms: list[str], k: int) -> str:
         f"sum(CASE WHEN _tf{i} > 0 THEN 1 ELSE 0 END) AS _df{i}"
         for i in range(len(terms))
     )
-    avgdl = f"(sum_dl * {C}) // n_docs"
-    lnorm = f"(({C} - {B}) + ({B} * dl * {C}) // ({avgdl}))"
-    score_terms = []
-    for i in range(len(terms)):
-        tfsat = (
-            f"(_tf{i} * {K1 + C} * {MICRO}) // "
-            f"(_tf{i} * {C} + ({K1} * {lnorm}) // {C})"
-        )
-        idf = f"((2 * (n_docs - _df{i}) + 1) * {MILLI}) // (2 * _df{i} + 1)"
-        score_terms.append(
-            f"CASE WHEN _tf{i} > 0 THEN ((({idf}) * ({tfsat})) // {MILLI}) "
-            "ELSE 0 END"
-        )
-    score = " + ".join(score_terms)
+    score = _bm25_sql(
+        len(terms),
+        "n_docs",
+        "(sum_dl * 1000) div n_docs",
+        [f"_df{i}" for i in range(len(terms))],
+        1200,
+        750,
+    ).replace(" div ", " // ")
     return f"""
     WITH w AS (
       SELECT doc_id AS id,

@@ -91,18 +91,23 @@ def funnel_counts(
     """Funnel summary: users reaching at least step k, per k →
     (step, step_name, n_users) — the conversion-rate table."""
     f = funnel(events, steps, user_col, ts_col, type_col)
-    rows = [
-        f.filter(F.col(f"s{k}_ts").isNotNull()).agg(
-            F.lit(k).alias("step"),
-            F.lit(steps[k - 1]).alias("step_name"),
-            F.count(F.lit(1)).cast("long").alias("n_users"),
-        )
-        for k in range(1, len(steps) + 1)
-    ]
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
-    return out
+    # ONE pass over the funnel frame (k conditional sums), reshaped to
+    # rows with stack() — k separate filter+agg branches would re-execute
+    # the whole per-step join lineage k times
+    wide = f.agg(
+        *[
+            F.sum(
+                F.when(F.col(f"s{k}_ts").isNotNull(), 1).otherwise(0)
+            ).cast("long").alias(f"n{k}")
+            for k in range(1, len(steps) + 1)
+        ]
+    )
+    stack_args = ", ".join(
+        f"{k}, '{steps[k - 1]}', n{k}" for k in range(1, len(steps) + 1)
+    )
+    return wide.selectExpr(
+        f"stack({len(steps)}, {stack_args}) AS (step, step_name, n_users)"
+    )
 
 
 def cohort_retention(
@@ -116,10 +121,14 @@ def cohort_retention(
     (cohort, period_offset, n_users).
 
     Two shuffles: first-seen per user (partial-agg min), then a distinct
-    count per (cohort, offset).  ``period`` is any ``date_trunc`` unit.
-    Offsets are exact date diffs in the chosen unit, so the result is a
-    pure function of the data (oracle-portable).
+    count per (cohort, offset).  ``period`` ∈ {day, week, month} — the
+    units whose offset arithmetic is implemented exactly; anything else
+    raises rather than silently returning day-based offsets.
     """
+    if period not in ("day", "week", "month"):
+        raise ValueError(
+            f"cohort_retention supports day/week/month, got {period!r}"
+        )
     base = events.select(
         F.col(user_col).alias("u"),
         F.date_trunc(period, F.col(ts_col)).alias("p"),

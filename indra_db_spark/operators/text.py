@@ -399,6 +399,22 @@ def line_dedup(
 # --------------------------------------------------------- n-gram LM scoring
 
 
+def _bigram_model_frames(df, id_col, text_col):
+    """(big, cab, ca, v_frame) — materialized per-doc bigram frame plus
+    the count frames of the add-one model; the ONE copy of the model
+    construction shared by the self-trained scorer and train_bigram_lm."""
+    from indra_db_spark.operators.dedup import _materialize
+
+    big = _materialize(_doc_bigrams(df, id_col, text_col))
+    vocab = big.select(F.col("a").alias("w")).union(
+        big.select(F.col("b").alias("w"))
+    )
+    v = vocab.agg(F.count_distinct("w").alias("v"))
+    cab = big.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
+    ca = big.groupBy("a").agg(F.count(F.lit(1)).alias("c_a"))
+    return big, cab, ca, v
+
+
 def bigram_lm_score(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -428,16 +444,7 @@ def bigram_lm_score(
     VOCABULARY-bounded (Zipf), so the count joins broadcast at scale —
     plus one final groupBy(id).  No Python UDFs anywhere.
     """
-    from indra_db_spark.operators.dedup import _materialize
-
-    big = _materialize(_doc_bigrams(df, id_col, text_col))
-
-    vocab = big.select(F.col("a").alias("w")).union(
-        big.select(F.col("b").alias("w"))
-    )
-    v = vocab.agg(F.count_distinct("w").alias("v"))
-    cab = big.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
-    ca = big.groupBy("a").agg(F.count(F.lit(1)).alias("c_a"))
+    big, cab, ca, v = _bigram_model_frames(df, id_col, text_col)
 
     scored = (
         big.join(cab, ["a", "b"])
@@ -486,6 +493,63 @@ def log_perplexity(df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 # ----------------------------------------------------------- keyword search
 
 
+def _kw_wide(df, terms, text_col, lead_cols):
+    """(…lead_cols, dl, _tf0.._tfN) — per-term term frequencies + doc
+    length computed inside ONE scan projection (array expressions, no
+    explode); shared by keyword_search / corpus_search_stats /
+    keyword_score so the three can never drift apart."""
+    ws = F.filter(
+        F.split(F.lower(F.col(text_col)), WORD_SPLIT), lambda w: w != ""
+    )
+
+    def _eq(term):
+        # closure, not a default arg: a two-parameter lambda would make
+        # F.filter pass (element, index) and clobber the term
+        return lambda w: w == F.lit(term)
+
+    return df.select(
+        *lead_cols,
+        F.size(ws).cast("long").alias("dl"),
+        *[
+            F.size(F.filter(ws, _eq(t))).cast("long").alias(f"_tf{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+
+
+def _bm25_sql(
+    n_terms: int,
+    n_docs: str,
+    avgdl: str,
+    dfs: list,
+    k1_c: int,
+    b_c: int,
+) -> str:
+    """The ONE copy of the fixed-point BM25 formula (k1/b in thousandths,
+    tfsat in micro, idf in milli, every step integer division).  Operands
+    arrive as SQL strings — column references for the self-contained
+    entry, integer literals for frozen-stats scoring — and the DuckDB
+    oracle derives from the same text with ``div`` respelled ``//``, so
+    all consumers stay bit-identical by construction."""
+    C, MICRO, MILLI = 1000, 1_000_000, 1000
+    lnorm = f"(({C} - {b_c}) + ({b_c} * dl * {C}) div ({avgdl}))"
+    parts = []
+    for i in range(n_terms):
+        tfsat = (
+            f"(_tf{i} * {k1_c + C} * {MICRO}) div "
+            f"(_tf{i} * {C} + ({k1_c} * {lnorm}) div {C})"
+        )
+        idf = (
+            f"((2 * ({n_docs} - {dfs[i]}) + 1) * {MILLI}) "
+            f"div (2 * {dfs[i]} + 1)"
+        )
+        parts.append(
+            f"CASE WHEN _tf{i} > 0 THEN ((({idf}) * ({tfsat})) div {MILLI}) "
+            "ELSE 0 END"
+        )
+    return " + ".join(parts)
+
+
 def keyword_search(
     df: DataFrame,
     terms: list[str],
@@ -516,24 +580,7 @@ def keyword_search(
     """
     if not terms:
         raise ValueError("keyword_search needs at least one term")
-    C, MICRO, MILLI = 1000, 1_000_000, 1000
-    ws = F.filter(
-        F.split(F.lower(F.col(text_col)), WORD_SPLIT), lambda w: w != ""
-    )
-    def _eq(term):
-        # closure, not a default arg: a two-parameter lambda would make
-        # F.filter pass (element, index) and clobber the term
-        return lambda w: w == F.lit(term)
-
-    tf_cols = [
-        F.size(F.filter(ws, _eq(t))).cast("long").alias(f"_tf{i}")
-        for i, t in enumerate(terms)
-    ]
-    wide = df.select(
-        F.col(id_col).alias("id"),
-        F.size(ws).cast("long").alias("dl"),
-        *tf_cols,
-    )
+    wide = _kw_wide(df, terms, text_col, [F.col(id_col).alias("id")])
     stats = wide.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("dl").alias("sum_dl"),
@@ -543,23 +590,16 @@ def keyword_search(
         ],
     )
     scored = wide.crossJoin(F.broadcast(stats))
-    # integer fixed-point BM25 (k1, b in thousandths; tfsat in micro,
-    # idf in milli; each `div` mirrored verbatim in the SQL oracle)
-    avgdl = f"(sum_dl * {C}) div n_docs"
-    lnorm = f"(({C} - {b_c}) + ({b_c} * dl * {C}) div ({avgdl}))"
-    score_terms = []
-    for i in range(len(terms)):
-        tfsat = (
-            f"(_tf{i} * {k1_c + C} * {MICRO}) div "
-            f"(_tf{i} * {C} + ({k1_c} * {lnorm}) div {C})"
-        )
-        idf = f"((2 * (n_docs - _df{i}) + 1) * {MILLI}) div (2 * _df{i} + 1)"
-        score_terms.append(
-            f"CASE WHEN _tf{i} > 0 THEN (({idf}) * ({tfsat})) div {MILLI} "
-            "ELSE 0 END"
-        )
+    expr = _bm25_sql(
+        len(terms),
+        "n_docs",
+        "(sum_dl * 1000) div n_docs",
+        [f"_df{i}" for i in range(len(terms))],
+        k1_c,
+        b_c,
+    )
     scored = scored.withColumn(
-        "score_micro", F.expr(" + ".join(score_terms)).cast("long")
+        "score_micro", F.expr(expr).cast("long")
     ).filter(F.col("score_micro") > 0)
     from pyspark.sql import Window
 
@@ -589,16 +629,8 @@ def train_bigram_lm(
 ) -> BigramLmModel:
     """Train the add-one bigram model on a STATIC corpus — the batch half
     of the train-once / score-stream deployment."""
-    from indra_db_spark.operators.dedup import _materialize
-
-    big = _materialize(_doc_bigrams(df, id_col, text_col))
-    vocab = big.select(F.col("a").alias("w")).union(
-        big.select(F.col("b").alias("w"))
-    )
-    v = int(vocab.agg(F.count_distinct("w").alias("v")).collect()[0].v)
-    cab = big.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
-    ca = big.groupBy("a").agg(F.count(F.lit(1)).alias("c_a"))
-    return BigramLmModel(cab, ca, v)
+    _, cab, ca, v_frame = _bigram_model_frames(df, id_col, text_col)
+    return BigramLmModel(cab, ca, int(v_frame.collect()[0].v))
 
 
 def score_docs_with_lm(
@@ -685,20 +717,7 @@ def corpus_search_stats(
     the batch half of index-once / score-the-stream keyword search."""
     if not terms:
         raise ValueError("corpus_search_stats needs at least one term")
-    ws = F.filter(
-        F.split(F.lower(F.col(text_col)), WORD_SPLIT), lambda w: w != ""
-    )
-
-    def _eq(term):
-        return lambda w: w == F.lit(term)
-
-    row = df.select(
-        F.size(ws).cast("long").alias("dl"),
-        *[
-            F.size(F.filter(ws, _eq(t))).cast("long").alias(f"_tf{i}")
-            for i, t in enumerate(terms)
-        ],
-    ).agg(
+    row = _kw_wide(df, terms, text_col, []).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("dl").alias("sum_dl"),
         *[
@@ -706,6 +725,11 @@ def corpus_search_stats(
             for i in range(len(terms))
         ],
     ).collect()[0]
+    if not row.n_docs:
+        raise ValueError(
+            "corpus_search_stats: the statistics corpus is empty — "
+            "train the index on a non-empty static corpus"
+        )
     return SearchStats(
         int(row.n_docs),
         int(row.sum_dl),
@@ -730,39 +754,25 @@ def keyword_score(
     reproduces its scores exactly (minus the top-k cut)."""
     if not terms:
         raise ValueError("keyword_score needs at least one term")
-    C, MICRO, MILLI = 1000, 1_000_000, 1000
-    ws = F.filter(
-        F.split(F.lower(F.col(text_col)), WORD_SPLIT), lambda w: w != ""
-    )
-
-    def _eq(term):
-        return lambda w: w == F.lit(term)
-
-    wide = docs.select(
-        F.col(id_col).alias("id"),
-        F.size(ws).cast("long").alias("dl"),
-        *[
-            F.size(F.filter(ws, _eq(t))).cast("long").alias(f"_tf{i}")
-            for i, t in enumerate(terms)
-        ],
-    )
-    avgdl = (stats.sum_dl * C) // stats.n_docs
-    lnorm = f"(({C} - {b_c}) + ({b_c} * dl * {C}) div {avgdl})"
-    score_terms = []
-    for i, df_t in enumerate(stats.dfs):
-        tfsat = (
-            f"(_tf{i} * {k1_c + C} * {MICRO}) div "
-            f"(_tf{i} * {C} + ({k1_c} * {lnorm}) div {C})"
+    if len(stats.dfs) != len(terms):
+        raise ValueError(
+            f"stats carry {len(stats.dfs)} document frequencies but "
+            f"{len(terms)} terms were given — build SearchStats with the "
+            "same term list"
         )
-        idf = ((2 * (stats.n_docs - df_t) + 1) * MILLI) // (2 * df_t + 1)
-        score_terms.append(
-            f"CASE WHEN _tf{i} > 0 THEN (({idf}) * ({tfsat})) div {MILLI} "
-            "ELSE 0 END"
-        )
+    if stats.n_docs <= 0:
+        raise ValueError("keyword_score: stats.n_docs must be positive")
+    wide = _kw_wide(docs, terms, text_col, [F.col(id_col).alias("id")])
+    expr = _bm25_sql(
+        len(terms),
+        str(stats.n_docs),
+        str((stats.sum_dl * 1000) // stats.n_docs),
+        [str(d) for d in stats.dfs],
+        k1_c,
+        b_c,
+    )
     return (
-        wide.withColumn(
-            "score_micro", F.expr(" + ".join(score_terms)).cast("long")
-        )
+        wide.withColumn("score_micro", F.expr(expr).cast("long"))
         .filter(F.col("score_micro") > 0)
         .select(F.col("id").alias(id_col), "score_micro")
     )

@@ -142,13 +142,26 @@ def compact_parquet(
     jsc = spark.sparkContext._jsc
     hpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = hpath.getFileSystem(jsc.hadoopConfiguration())
-    summary = fs.getContentSummary(hpath)
-    total_bytes = summary.getLength()
-    files_before = sum(
-        1
-        for f in fs.listStatus(hpath)
-        if f.getPath().getName().endswith(".parquet")
-    )
+
+    def _listing():
+        out = {}
+        for f in fs.listStatus(hpath):
+            name = f.getPath().getName()
+            if f.isDirectory() and not name.startswith((".", "_")):
+                # hive-partitioned layout: a flat rewrite would embed the
+                # partition column into data files and silently destroy
+                # partition pruning for every reader
+                raise ValueError(
+                    f"{path} contains subdirectory {name!r} — "
+                    "compact_parquet only handles flat parquet dirs; "
+                    "compact hive-partitioned tables per partition"
+                )
+            if name.endswith(".parquet"):
+                out[name] = (f.getLen(), f.getModificationTime())
+        return out
+
+    before = _listing()
+    total_bytes = sum(sz for sz, _ in before.values())
     n_out = max(1, -(-int(total_bytes) // (target_file_mb * 1024 * 1024)))
 
     df = spark.read.parquet(path)
@@ -165,15 +178,30 @@ def compact_parquet(
             f"compaction row mismatch ({rows} -> {rows_after}); "
             f"original left untouched, rewrite kept at {tmp}"
         )
-    fs.delete(hpath, True)
-    fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), hpath)
+    # concurrent-writer fence: if ANY file appeared/changed since the
+    # snapshot we compacted, deleting the dir would eat the new data —
+    # abort with the original intact.  (Not fully atomic: a writer landing
+    # between this check and the delete still loses; run compaction in the
+    # maintenance window that owns the table, as table-format OPTIMIZE
+    # does via its transaction log.)
+    if _listing() != before:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(tmp), True)
+        raise RuntimeError(
+            f"{path} changed during compaction (concurrent writer?); "
+            "original left untouched — rerun inside a maintenance window"
+        )
+    if not fs.delete(hpath, True):
+        raise RuntimeError(f"failed to delete {path}; rewrite kept at {tmp}")
+    if not fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), hpath):
+        raise RuntimeError(
+            f"rename {tmp} -> {path} failed; the ONLY copy of the data "
+            f"is at {tmp} — restore it manually before serving reads"
+        )
     files_after = sum(
-        1
-        for f in fs.listStatus(hpath)
-        if f.getPath().getName().endswith(".parquet")
+        1 for n in _listing()
     )
     return {
-        "files_before": files_before,
+        "files_before": len(before),
         "files_after": files_after,
         "bytes": int(total_bytes),
         "rows": rows,

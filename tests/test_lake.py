@@ -31,3 +31,18 @@ def test_compact_parquet_sort_within_restores_locality(spark, tmp_path):
     compact_parquet(spark, path, target_file_mb=128, sort_within=["k"])
     got = spark.read.parquet(path)
     assert got.count() == 1000
+
+
+def test_compact_parquet_rejects_partitioned_layout(spark, tmp_path):
+    import pytest
+
+    from indra_db_spark.plans.lake import compact_parquet
+
+    path = str(tmp_path / "part_table")
+    spark.range(100).selectExpr("id", "id % 3 AS day").write.partitionBy(
+        "day"
+    ).parquet(path)
+    with pytest.raises(ValueError, match="per partition"):
+        compact_parquet(spark, path)
+    # original untouched
+    assert spark.read.parquet(path).count() == 100
