@@ -1403,3 +1403,107 @@ def doc_keyword_search(spark, sf):
     TakeOrderedAndProject top-k — no full sort, no per-term shuffle
     (operators/text.py:keyword_search)."""
     return X.keyword_search(T(spark, sf, "documents"), _KW_TERMS, k=_KW_K)
+
+
+_MMR_K, _MMR_POOL, _MMR_L = 3, 8, 700
+
+
+def _mmr_oracle() -> str:
+    """Unrolled greedy MMR: k selection rounds as chained CTEs, each an
+    argmax with (score desc, id) tie-break over the remaining pool —
+    integer milli·micro scores, no division, so Spark and DuckDB agree on
+    every round of the greedy trajectory."""
+    cos = (
+        "CAST(round(list_cosine_similarity(CAST({a} AS DOUBLE[]), "
+        "CAST({b} AS DOUBLE[])) * 1000000, 0) AS BIGINT)"
+    )
+    parts = [
+        "q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings "
+        f"WHERE vec_id < 10)",
+        "c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings)",
+        f"""rel0 AS (
+      SELECT q.query_id, c.neighbor_id, c.cv,
+             {cos.format(a='q.qv', b='c.cv')} AS rel_micro
+      FROM q JOIN c ON q.query_id <> c.neighbor_id
+    )""",
+        f"""cand AS (
+      SELECT query_id, neighbor_id, rel_micro, cv FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY rel_micro DESC, neighbor_id) AS rn
+        FROM rel0
+      ) WHERE rn <= {_MMR_POOL}
+    )""",
+        f"""psim AS (
+      SELECT a.query_id, a.neighbor_id AS id_a, b.neighbor_id AS id_b,
+             {cos.format(a='a.cv', b='b.cv')} AS sim_micro
+      FROM cand a JOIN cand b
+        ON a.query_id = b.query_id AND a.neighbor_id <> b.neighbor_id
+    )""",
+        """sel1 AS (
+      SELECT query_id, neighbor_id, 1 AS rank, rel_micro FROM (
+        SELECT query_id, neighbor_id, rel_micro, row_number() OVER (
+          PARTITION BY query_id ORDER BY rel_micro DESC, neighbor_id) AS rn
+        FROM cand
+      ) WHERE rn = 1
+    )""",
+        "selall1 AS (SELECT * FROM sel1)",
+    ]
+    for r in range(2, _MMR_K + 1):
+        parts.append(
+            f"""rem{r} AS (
+      SELECT c.query_id, c.neighbor_id, c.rel_micro FROM cand c
+      ANTI JOIN selall{r - 1} s
+        ON s.query_id = c.query_id AND s.neighbor_id = c.neighbor_id
+    )"""
+        )
+        parts.append(
+            f"""div{r} AS (
+      SELECT r.query_id, r.neighbor_id, max(p.sim_micro) AS d
+      FROM rem{r} r
+      JOIN selall{r - 1} s ON s.query_id = r.query_id
+      JOIN psim p ON p.query_id = r.query_id
+        AND p.id_a = r.neighbor_id AND p.id_b = s.neighbor_id
+      GROUP BY r.query_id, r.neighbor_id
+    )"""
+        )
+        parts.append(
+            f"""sel{r} AS (
+      SELECT query_id, neighbor_id, {r} AS rank, rel_micro FROM (
+        SELECT r.query_id, r.neighbor_id, r.rel_micro,
+               row_number() OVER (PARTITION BY r.query_id ORDER BY
+                 {_MMR_L} * r.rel_micro
+                 - {1000 - _MMR_L} * COALESCE(d.d, 0) DESC,
+                 r.neighbor_id) AS rn
+        FROM rem{r} r LEFT JOIN div{r} d
+          ON d.query_id = r.query_id AND d.neighbor_id = r.neighbor_id
+      ) WHERE rn = 1
+    )"""
+        )
+        parts.append(
+            f"selall{r} AS (SELECT * FROM selall{r - 1} "
+            f"UNION ALL SELECT * FROM sel{r})"
+        )
+    return (
+        "WITH " + ",\n    ".join(parts)
+        + f"""
+    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, rel_micro
+    FROM selall{_MMR_K}
+    """
+    )
+
+
+@register("emb_mmr_topk", _mmr_oracle())
+def emb_mmr_topk(spark, sf):
+    """MMR-diversified retrieval: greedy λ·relevance − (1−λ)·redundancy
+    selection over a bounded candidate pool — an iterative rerank whose
+    integer fixed-point trajectory carries a full unrolled SQL oracle;
+    rerank cost is corpus-size-independent
+    (operators/similarity.py:mmr_topk)."""
+    emb = T(spark, sf, "embeddings")
+    return S.mmr_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 10),
+        k=_MMR_K,
+        pool=_MMR_POOL,
+        lambda_milli=_MMR_L,
+    )

@@ -449,3 +449,152 @@ def ivf_topk(
         corpus, centers, queries, k=k, nprobe=nprobe, id_col=id_col,
         vec_col=vec_col, sim_decimals=sim_decimals,
     )
+
+
+def mmr_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    pool: int = 10,
+    lambda_milli: int = 700,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal-marginal-relevance diversified top-k (Carbonell & Goldstein
+    1998): per query, greedily select ``k`` of the ``pool`` most relevant
+    candidates, each round maximizing
+    ``λ·relevance − (1−λ)·max_similarity_to_selected`` →
+    (query_id, neighbor_id, rank, rel_micro).
+
+    Everything after the cosine is integer micro-unit arithmetic with
+    deterministic (score desc, id) tie-breaks, so the greedy trajectory is
+    a pure function of the data — which is what lets an ITERATIVE rerank
+    carry a full unrolled SQL oracle (catalog ``emb_mmr_topk``).
+
+    Scale shape: the candidate pool is the only corpus-scale stage (one
+    brute-force or ANN pass); the per-query pool (≤ ``pool`` rows) and its
+    pairwise sims (≤ pool² rows per query) are bounded by construction,
+    and each of the ``k`` selection rounds is a join + window keyed on
+    query_id — rerank cost is independent of corpus size, the defining
+    property of a rerank stage.
+    """
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        norm(F.col(vec_col)).alias("nq"),
+    )
+    c = emb.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        norm(F.col(vec_col)).alias("nc"),
+    )
+    sim = dot(F.col("qvec"), F.col("cvec")) / (F.col("nq") * F.col("nc"))
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "rel_micro",
+            F.round(sim * 1_000_000, 0).cast("long"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("rel_micro"), F.asc("neighbor_id")
+    )
+    cand = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= pool)
+        .select("query_id", "neighbor_id", "cvec", "nc", "rel_micro")
+        .localCheckpoint(eager=False)
+    )
+    a = cand.select(
+        "query_id",
+        F.col("neighbor_id").alias("id_a"),
+        F.col("cvec").alias("va"),
+        F.col("nc").alias("na"),
+    )
+    b = cand.select(
+        "query_id",
+        F.col("neighbor_id").alias("id_b"),
+        F.col("cvec").alias("vb"),
+        F.col("nc").alias("nb"),
+    )
+    psim = (
+        a.join(b, "query_id")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .withColumn(
+            "sim_micro",
+            F.round(
+                dot(F.col("va"), F.col("vb"))
+                / (F.col("na") * F.col("nb"))
+                * 1_000_000,
+                0,
+            ).cast("long"),
+        )
+        .select("query_id", "id_a", "id_b", "sim_micro")
+        .localCheckpoint(eager=False)
+    )
+    rel = cand.select("query_id", "neighbor_id", "rel_micro")
+
+    selected = None  # (query_id, neighbor_id, rank, rel_micro)
+    remaining = rel
+    for r in range(1, k + 1):
+        if r == 1:
+            score = F.col("rel_micro")
+            pick_base = remaining
+        else:
+            p2 = psim.select(
+                F.col("query_id").alias("_pq"),
+                "id_a",
+                "id_b",
+                "sim_micro",
+            )
+            div = (
+                remaining.join(
+                    selected.select(
+                        "query_id", F.col("neighbor_id").alias("_sel")
+                    ),
+                    "query_id",
+                )
+                .join(
+                    p2,
+                    (F.col("_pq") == F.col("query_id"))
+                    & (F.col("id_a") == F.col("neighbor_id"))
+                    & (F.col("id_b") == F.col("_sel")),
+                )
+                .groupBy("query_id", "neighbor_id")
+                .agg(F.max("sim_micro").alias("_div"))
+            )
+            pick_base = remaining.join(
+                div, ["query_id", "neighbor_id"], "left"
+            ).withColumn("_div", F.coalesce(F.col("_div"), F.lit(0)))
+            # NO trailing div: dividing by the constant 1000 is monotone
+            # (ranking-invariant) and integer division of NEGATIVE scores
+            # is where engines disagree (Spark `div` truncates toward
+            # zero, SQL `//` floors) — keep the score in milli·micro units
+            score = F.expr(
+                f"{lambda_milli} * rel_micro - "
+                f"{1000 - lambda_milli} * _div"
+            )
+        ws = Window.partitionBy("query_id").orderBy(
+            F.desc("_mmr"), F.asc("neighbor_id")
+        )
+        pick = (
+            pick_base.withColumn("_mmr", score)
+            .withColumn("_prn", F.row_number().over(ws))
+            .filter(F.col("_prn") == 1)
+            .select(
+                "query_id",
+                "neighbor_id",
+                F.lit(r).cast("int").alias("rank"),
+                "rel_micro",
+            )
+        )
+        selected = pick if selected is None else selected.unionByName(pick)
+        selected = selected.localCheckpoint(eager=False)
+        remaining = remaining.join(
+            selected.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+            "left_anti",
+        )
+    return selected

@@ -1078,3 +1078,35 @@ def test_cohort_retention_semantics(spark):
     # cohort Jan 3: 1 user at offset 0
     assert out[(3, 0)] == 1
     assert len(out) == 3
+
+
+def test_mmr_topk_diversifies(spark):
+    from pyspark.sql import functions as F
+
+    from indra_db_spark.operators.similarity import mmr_topk
+
+    # corpus: two tight clusters + one outlier; query near cluster A.
+    # Pure relevance would pick the three cluster-A members; MMR must
+    # swap in a diverse pick after the first A member.
+    rows = [
+        (0, [1.0, 0.0, 0.0]),        # query
+        (1, [0.99, 0.1, 0.0]),       # A1 (most relevant)
+        (2, [0.98, 0.12, 0.0]),      # A2 (near-dup of A1)
+        (3, [0.97, 0.14, 0.0]),      # A3 (near-dup of A1)
+        (4, [0.5, 0.5, 0.7]),        # B (less relevant, diverse)
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = emb.filter(F.col("vec_id") == 0)
+    out = {
+        r.rank: r.neighbor_id
+        for r in mmr_topk(emb, q, k=3, pool=4, lambda_milli=300).collect()
+    }
+    assert out[1] == 1            # highest relevance first
+    assert out[2] == 4            # diversity beats the A near-dups
+    assert out[3] in (2, 3)
+    # pure-relevance ordering for contrast: lambda=1000 disables diversity
+    rel_only = {
+        r.rank: r.neighbor_id
+        for r in mmr_topk(emb, q, k=3, pool=4, lambda_milli=1000).collect()
+    }
+    assert rel_only == {1: 1, 2: 2, 3: 3}
