@@ -55,9 +55,11 @@ HEADLINE = [
     "doc_dup_spans",
     "doc_lm_score",
     "doc_bpe_tokens",
-    # round 5: temporal joins + iterative integer PageRank
+    # round 5: temporal joins + iterative integer PageRank + analytics
     "events_asof_join",
     "graph_pagerank",
+    "events_funnel",
+    "emb_mmr_topk",
 ]
 
 
