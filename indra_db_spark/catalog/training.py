@@ -1507,3 +1507,42 @@ def emb_mmr_topk(spark, sf):
         pool=_MMR_POOL,
         lambda_milli=_MMR_L,
     )
+
+
+@register(
+    "doc_domain_terms",
+    """
+    WITH words AS (
+      SELECT source AS domain, t.word
+      FROM documents, UNNEST(list_filter(
+        regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        x -> x <> '')) AS t(word)
+    ),
+    sw AS (SELECT domain, word, CAST(count(*) AS BIGINT) AS tf
+           FROM words GROUP BY domain, word),
+    wtot AS (SELECT word, sum(tf) AS tf_w FROM sw GROUP BY word),
+    stot AS (SELECT domain, sum(tf) AS total_s FROM sw GROUP BY domain),
+    grand AS (SELECT sum(tf) AS t_all FROM sw),
+    scored AS (
+      SELECT sw.domain, sw.word, sw.tf,
+             (sw.tf * (g.t_all - st.total_s) * 1000000)
+               // ((wt.tf_w - sw.tf + 1) * st.total_s) AS score_micro
+      FROM sw JOIN wtot wt USING (word)
+              JOIN stot st USING (domain), grand g
+    )
+    SELECT domain AS source, word, tf,
+           CAST(score_micro AS BIGINT) AS score_micro,
+           CAST(rank AS INT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY domain ORDER BY score_micro DESC, word) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def doc_domain_terms(spark, sf):
+    """Distinctive per-domain vocabulary (Fightin'-Words odds ratio in
+    integer micro-units): one explode + one (domain, word) partial-agg
+    shuffle; totals are vocabulary/domain-bounded broadcasts
+    (operators/text.py:domain_terms)."""
+    return X.domain_terms(T(spark, sf, "documents"), k=5)

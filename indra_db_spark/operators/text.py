@@ -776,3 +776,73 @@ def keyword_score(
         .filter(F.col("score_micro") > 0)
         .select(F.col("id").alias(id_col), "score_micro")
     )
+
+
+def domain_terms(
+    df: DataFrame,
+    k: int = 5,
+    domain_col: str = "source",
+    text_col: str = "text",
+    micro: int = 1_000_000,
+) -> DataFrame:
+    """Distinctive vocabulary per domain: the ``k`` words most
+    over-represented in each domain vs the rest of the corpus →
+    (domain, word, tf, score_micro, rank) — the monitoring/mixture view
+    of what makes each source different (the log-odds-ratio idea of
+    Monroe et al.'s "Fightin' Words", kept in integer micro-units).
+
+    score = (rate in domain) / (rate elsewhere), add-one smoothed in the
+    denominator, as exact integer arithmetic:
+    ``tf_sw · (T − total_s) · micro div ((tf_w − tf_sw + 1) · total_s)``
+    — dropping the log keeps the RANKING (log is monotone) and keeps the
+    result engine-reproducible.
+
+    Shape: one explode → one (domain, word) partial-agg shuffle; word and
+    domain totals derive from it (vocabulary/domain-bounded, broadcast at
+    scale); top-k per domain is a WindowGroupLimit window.
+    """
+    words = df.select(
+        F.col(domain_col).alias("domain"),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), WORD_SPLIT),
+                lambda w: w != "",
+            )
+        ).alias("word"),
+    )
+    from indra_db_spark.operators.dedup import _materialize
+
+    sw = _materialize(
+        words.groupBy("domain", "word").agg(F.count(F.lit(1)).alias("tf"))
+    )
+    wtot = sw.groupBy("word").agg(F.sum("tf").alias("tf_w"))
+    stot = sw.groupBy("domain").agg(F.sum("tf").alias("total_s"))
+    grand = sw.agg(F.sum("tf").alias("t_all"))
+    scored = (
+        sw.join(F.broadcast(wtot), "word")
+        .join(F.broadcast(stot), "domain")
+        .crossJoin(F.broadcast(grand))
+        .withColumn(
+            "score_micro",
+            F.expr(
+                f"tf * (t_all - total_s) * {micro} "
+                "div ((tf_w - tf + 1) * total_s)"
+            ),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("domain").orderBy(
+        F.desc("score_micro"), F.asc("word")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("domain").alias(domain_col),
+            "word",
+            "tf",
+            "score_micro",
+            "rank",
+        )
+    )

@@ -1110,3 +1110,25 @@ def test_mmr_topk_diversifies(spark):
         for r in mmr_topk(emb, q, k=3, pool=4, lambda_milli=1000).collect()
     }
     assert rel_only == {1: 1, 2: 2, 3: 3}
+
+
+def test_domain_terms_surfaces_distinctive_words(spark):
+    from indra_db_spark.operators.text import domain_terms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha alpha alpha shared shared", "sA"),
+            (2, "alpha shared shared common", "sA"),
+            (3, "beta beta shared shared common", "sB"),
+            (4, "beta shared common common", "sB"),
+        ],
+        ["doc_id", "text", "source"],
+    )
+    out = domain_terms(docs, k=2)
+    top = {
+        (r.source, r.rank): r.word for r in out.collect()
+    }
+    # each domain's hallmark word ranks first; 'shared' never does
+    assert top[("sA", 1)] == "alpha"
+    assert top[("sB", 1)] == "beta"
+    assert "shared" not in (top[("sA", 1)], top[("sB", 1)])
