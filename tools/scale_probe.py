@@ -89,6 +89,27 @@ def _emb_x(spark, factor: int):
     )
 
 
+def _events_x(spark, factor: int):
+    """Amplified event log: each copy shifts user_id and event_id into its
+    own range — growth = MORE USERS at constant per-user volume (what a
+    real 100x event log looks like), so per-key window/join partitions
+    stay bounded while totals scale."""
+    from pyspark.sql import functions as F
+
+    base = spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
+    copies = F.explode(F.sequence(F.lit(0), F.lit(factor - 1))).alias("k")
+    out = base.select("*", copies)
+    k = F.col("k").cast("long")  # int k * 1e8 overflows 32-bit at x100
+    return out.select(
+        (F.col("event_id") + k * F.lit(100_000_000)).alias("event_id"),
+        "ts",
+        (F.col("user_id") + k * F.lit(10_000_000)).alias("user_id"),
+        "event_type",
+        "value",
+        "props",
+    )
+
+
 def _tree_edges(spark, factor: int):
     """Amplified binary-tree hierarchy (same shape as the closure catalog
     entries' part-derived edges: child i -> parent i//2): N scales with the
@@ -104,11 +125,14 @@ def _tree_edges(spark, factor: int):
     )
 
 
-def _ops(spark, docs, emb, edges, ivf_index, ivf_centers):
+def _ops(spark, docs, emb, edges, ivf_index, ivf_centers, events):
     from pyspark.sql import functions as F
 
+    from indra_db_spark.operators import analytics as AN
     from indra_db_spark.operators import bpe as B
     from indra_db_spark.operators import dedup as D
+    from indra_db_spark.operators import temporal as TP
+    from indra_db_spark.operators import topk as TK
     from indra_db_spark.operators import graph as G
     from indra_db_spark.operators import sampling as SM
     from indra_db_spark.operators import similarity as S
@@ -155,6 +179,45 @@ def _ops(spark, docs, emb, edges, ivf_index, ivf_centers):
             docs, ["query", "window", "stream"], k=10
         ),
         "bpe_tokens": lambda: B.bpe_token_counts(docs, B.PINNED_MERGES_V1),
+        # events family: temporal joins, funnel, retention, statistics —
+        # amplified as more users (per-key partitions stay bounded)
+        "asof_join": lambda: TP.asof_join(
+            events.filter(F.col("event_type") == "purchase").select(
+                "event_id", "ts", "user_id", "value"
+            ),
+            TP.latest_per_key_ts(
+                events.filter(F.col("event_type") == "click").select(
+                    "event_id", "ts", "user_id", "value"
+                ),
+                "user_id", "ts", "event_id",
+            ),
+            on="user_id",
+        ),
+        "band_join": lambda: TP.band_join(
+            events.filter(F.col("event_type") == "error").select(
+                "event_id", "ts", "user_id"
+            ),
+            events.filter(F.col("event_type") == "click").select(
+                "event_id", "ts", "user_id"
+            ),
+            on="user_id", band_seconds=900,
+        ),
+        "funnel": lambda: AN.funnel(
+            events, ["signup", "click", "purchase"]
+        ),
+        "cohort_retention": lambda: AN.cohort_retention(events),
+        "hier_rollup": lambda: events.withColumn(
+            "hour", F.date_trunc("hour", "ts")
+        ).rollup("event_type", "hour").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("sv"),
+        ),
+        "kmv_distinct": lambda: TK.kmv_distinct(
+            events, ["event_type"], "user_id", k=64
+        ),
+        "group_quantiles": lambda: TK.discrete_quantiles(
+            events, ["event_type"], "value"
+        ),
     }
 
 
@@ -176,7 +239,8 @@ def main() -> None:
     for factor in factors:
         docs = _amplified(spark, "documents", factor, _docs_x)
         emb = _amplified(spark, "embeddings", factor, _emb_x)
-        docs.count(), emb.count()  # warm footers
+        events = _amplified(spark, "events", factor, _events_x)
+        docs.count(), emb.count(), events.count()  # warm footers
         edges = _tree_edges(spark, factor).localCheckpoint(eager=True)
         # IVF index built ONCE per corpus (untimed: index construction is a
         # build-time cost; the probe is what runs per query batch)
@@ -187,7 +251,7 @@ def main() -> None:
         only = {
             s for s in os.environ.get("SPARK_GRAFT_PROBE_OPS", "").split(",") if s
         }
-        for name, build in _ops(spark, docs, emb, edges, index, centers).items():
+        for name, build in _ops(spark, docs, emb, edges, index, centers, events).items():
             if only and name not in only:
                 continue
             # one op blowing up at high amplification (e.g. an executor OOM)
