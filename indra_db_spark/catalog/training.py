@@ -1525,17 +1525,18 @@ def emb_mmr_topk(spark, sf):
     grand AS (SELECT sum(tf) AS t_all FROM sw),
     scored AS (
       SELECT sw.domain, sw.word, sw.tf,
-             (sw.tf * (g.t_all - st.total_s) * 1000000)
-               // ((wt.tf_w - sw.tf + 1) * st.total_s) AS score_micro
+             round(CAST(sw.tf AS DOUBLE)
+                   * CAST(g.t_all - st.total_s AS DOUBLE)
+                   / (CAST(wt.tf_w - sw.tf + 1 AS DOUBLE)
+                      * CAST(st.total_s AS DOUBLE)), 6) AS score
       FROM sw JOIN wtot wt USING (word)
               JOIN stot st USING (domain), grand g
     )
-    SELECT domain AS source, word, tf,
-           CAST(score_micro AS BIGINT) AS score_micro,
+    SELECT domain AS source, word, tf, score,
            CAST(rank AS INT) AS rank
     FROM (
       SELECT *, row_number() OVER (
-        PARTITION BY domain ORDER BY score_micro DESC, word) AS rank
+        PARTITION BY domain ORDER BY score DESC, word) AS rank
       FROM scored
     ) WHERE rank <= 5
     """,

@@ -501,11 +501,12 @@ def mmr_topk(
     w = Window.partitionBy("query_id").orderBy(
         F.desc("rel_micro"), F.asc("neighbor_id")
     )
-    cand = (
+    from indra_db_spark.operators.dedup import _materialize
+
+    cand = _materialize(
         scored.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= pool)
         .select("query_id", "neighbor_id", "cvec", "nc", "rel_micro")
-        .localCheckpoint(eager=False)
     )
     a = cand.select(
         "query_id",
@@ -532,8 +533,8 @@ def mmr_topk(
             ).cast("long"),
         )
         .select("query_id", "id_a", "id_b", "sim_micro")
-        .localCheckpoint(eager=False)
     )
+    psim = _materialize(psim)
     rel = cand.select("query_id", "neighbor_id", "rel_micro")
 
     selected = None  # (query_id, neighbor_id, rank, rel_micro)
@@ -590,10 +591,12 @@ def mmr_topk(
                 "rel_micro",
             )
         )
+        pick = _materialize(pick)
         selected = pick if selected is None else selected.unionByName(pick)
-        selected = selected.localCheckpoint(eager=False)
+        # only THIS round's pick can still be present in `remaining` —
+        # earlier picks were removed in earlier rounds
         remaining = remaining.join(
-            selected.select("query_id", "neighbor_id"),
+            pick.select("query_id", "neighbor_id"),
             ["query_id", "neighbor_id"],
             "left_anti",
         )

@@ -783,7 +783,6 @@ def domain_terms(
     k: int = 5,
     domain_col: str = "source",
     text_col: str = "text",
-    micro: int = 1_000_000,
 ) -> DataFrame:
     """Distinctive vocabulary per domain: the ``k`` words most
     over-represented in each domain vs the rest of the corpus →
@@ -792,10 +791,15 @@ def domain_terms(
     Monroe et al.'s "Fightin' Words", kept in integer micro-units).
 
     score = (rate in domain) / (rate elsewhere), add-one smoothed in the
-    denominator, as exact integer arithmetic:
-    ``tf_sw · (T − total_s) · micro div ((tf_w − tf_sw + 1) · total_s)``
-    — dropping the log keeps the RANKING (log is monotone) and keeps the
-    result engine-reproducible.
+    denominator:
+    ``tf_sw · (T − total_s) / ((tf_w − tf_sw + 1) · total_s)``, computed
+    in DOUBLE with an identical operation order in every engine and
+    rounded to 6 decimals.  Per-ROW float arithmetic is deterministic
+    (there is no sum whose order could differ — the trap is distributed
+    float AGGREGATION); integer micro-units would overflow int64 here
+    (tf·(T−total_s)·1e6 exceeds 2⁶³ at ~1e10 corpus tokens), which is the
+    scale this operator is for.  Dropping the log keeps the RANKING
+    (log is monotone).
 
     Shape: one explode → one (domain, word) partial-agg shuffle; word and
     domain totals derive from it (vocabulary/domain-bounded, broadcast at
@@ -823,17 +827,21 @@ def domain_terms(
         .join(F.broadcast(stot), "domain")
         .crossJoin(F.broadcast(grand))
         .withColumn(
-            "score_micro",
-            F.expr(
-                f"tf * (t_all - total_s) * {micro} "
-                "div ((tf_w - tf + 1) * total_s)"
+            "score",
+            F.round(
+                F.expr(
+                    "cast(tf as double) * cast(t_all - total_s as double) "
+                    "/ (cast(tf_w - tf + 1 as double) "
+                    "* cast(total_s as double))"
+                ),
+                6,
             ),
         )
     )
     from pyspark.sql import Window
 
     w = Window.partitionBy("domain").orderBy(
-        F.desc("score_micro"), F.asc("word")
+        F.desc("score"), F.asc("word")
     )
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
@@ -842,7 +850,7 @@ def domain_terms(
             F.col("domain").alias(domain_col),
             "word",
             "tf",
-            "score_micro",
+            "score",
             "rank",
         )
     )

@@ -96,7 +96,12 @@ def _events_x(spark, factor: int):
     stay bounded while totals scale."""
     from pyspark.sql import functions as F
 
-    base = spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
+    from indra_db_spark.sources.lake import load_table
+
+    # load_table, not raw read: events.ts may be TIMESTAMP(NANOS) and the
+    # lake loader rebuilds it — a raw read would hand the time-based probe
+    # ops epoch-nanos longs and they would time semantically empty queries
+    base = load_table(spark, SF_DIR, "events")
     copies = F.explode(F.sequence(F.lit(0), F.lit(factor - 1))).alias("k")
     out = base.select("*", copies)
     k = F.col("k").cast("long")  # int k * 1e8 overflows 32-bit at x100
