@@ -786,7 +786,7 @@ def domain_terms(
 ) -> DataFrame:
     """Distinctive vocabulary per domain: the ``k`` words most
     over-represented in each domain vs the rest of the corpus →
-    (domain, word, tf, score_micro, rank) — the monitoring/mixture view
+    (domain, word, tf, score, rank) — the monitoring/mixture view
     of what makes each source different (the log-odds-ratio idea of
     Monroe et al.'s "Fightin' Words", kept in integer micro-units).
 
