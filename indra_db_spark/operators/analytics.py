@@ -24,6 +24,7 @@ def funnel(
     user_col: str = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",
+    within_seconds: int | None = None,
 ) -> DataFrame:
     """Ordered conversion funnel: for each user, the earliest time each
     step in ``steps`` was completed STRICTLY AFTER the previous step →
@@ -33,6 +34,11 @@ def funnel(
     timestamp is the minimum event time of type ``steps[k]`` after step
     k-1's timestamp.  Greedy is optimal here — taking the earliest
     possible completion of each step never forecloses a later step.
+
+    ``within_seconds`` adds the standard conversion-window constraint:
+    every step must complete within that horizon of step 1 (candidates
+    beyond the window don't count, so a user can stall at step k even
+    with later qualifying events).
 
     One aggregate + one join per step, all keyed on the user: per-step
     state is a single timestamp per user, so memory is O(users × steps)
@@ -64,7 +70,21 @@ def funnel(
             .agg(
                 F.min(
                     F.when(
-                        F.col("_cand") > F.col(f"s{k - 1}_ts"),
+                        (F.col("_cand") > F.col(f"s{k - 1}_ts"))
+                        & (
+                            F.lit(within_seconds is None)
+                            | (
+                                F.unix_micros(
+                                    F.col("_cand").cast("timestamp_ltz")
+                                )
+                                - F.unix_micros(
+                                    F.col("s1_ts").cast("timestamp_ltz")
+                                )
+                                <= F.lit(
+                                    (within_seconds or 0) * 1_000_000
+                                )
+                            )
+                        ),
                         F.col("_cand"),
                     )
                 ).alias(f"s{k}_ts")

@@ -1132,3 +1132,32 @@ def test_domain_terms_surfaces_distinctive_words(spark):
     assert top[("sA", 1)] == "alpha"
     assert top[("sB", 1)] == "beta"
     assert "shared" not in (top[("sA", 1)], top[("sB", 1)])
+
+
+def test_funnel_conversion_window(spark):
+    from datetime import datetime, timedelta
+
+    from indra_db_spark.operators.analytics import funnel
+
+    base = datetime(2024, 1, 1, 9)
+    ev = spark.createDataFrame(
+        [
+            (1, base, "signup"),
+            (1, base + timedelta(minutes=5), "click"),      # inside window
+            (1, base + timedelta(hours=2), "purchase"),     # outside window
+            (2, base, "signup"),
+            (2, base + timedelta(minutes=10), "click"),
+            (2, base + timedelta(minutes=20), "purchase"),  # all inside
+        ],
+        ["user_id", "ts", "event_type"],
+    )
+    steps = ["signup", "click", "purchase"]
+    out = {
+        r.user_id: r
+        for r in funnel(ev, steps, within_seconds=3600).collect()
+    }
+    assert out[1].n_steps == 2 and out[1].s3_ts is None  # purchase too late
+    assert out[2].n_steps == 3
+    # without the window both users convert fully
+    free = {r.user_id: r.n_steps for r in funnel(ev, steps).collect()}
+    assert free == {1: 3, 2: 3}
