@@ -39,6 +39,85 @@ def _ckpt_level(big: bool):
     return StorageLevel.MEMORY_AND_DISK if big else StorageLevel.MEMORY_AND_DISK_DESER
 
 
+#: serialized-checkpoint byte gate for the iterative loops: if the FIRST
+#: checkpointed piece (the edge set) caches more than this many bytes, the
+#: retained per-round deltas are stored serialized.  ~10 bytes/pair
+#: serialized (measured: 20k long-pairs → 192 KB), so 1 MiB ≈ the
+#: 100k-edge DRIVER_MAX_EDGES gate expressed in the unit that actually
+#: OOMs (the r5 scale probe found deserialized blocks dying near ~40M
+#: retained closure pairs on an 8g heap).
+CKPT_SER_BYTES = 1 << 20
+
+
+def _sized_ckpt(project):
+    """Checkpoint callback whose storage level is sized off the FIRST
+    checkpointed frame's own cached footprint instead of a separate
+    bounded scan job: the first piece (the edge set — always materialized
+    anyway) is stored serialized, which is safe at any size, and its
+    block-manager byte total — a driver-side metadata read
+    (``getRDDStorageInfo``), no job at all — picks the level for every
+    later round's delta.  Replaces the r5 pre-count (`limit(N+1).count()`),
+    a full extra scan per execution that cost the forced-distributed
+    closure ~10% at sf0.1 (the BENCH r4→r5 regression), and even beats a
+    count over the cached blocks (0.14 s/job on local[32] scheduling vs
+    9 ms for the metadata call).
+
+    ``project`` re-projects the frame before checkpointing (a fresh
+    Project gives the checkpoint a clean attribute set; checkpointing a
+    bare Union of prior checkpoints trips Spark's constraint-rewrite on
+    reused expression ids).
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    holder: dict = {"level": None}
+
+    def _ckpt(df: DataFrame) -> DataFrame:
+        first = holder["level"] is None
+        if first:
+            # the first piece's own level comes from Catalyst's free
+            # driver-side size estimate (~2.5 B/row for a parquet-derived
+            # edge frame, so the 1 MiB gate ≈ 400k edges — deserialized
+            # that is tens of MB of heap even at a 10× misestimate, safe);
+            # stat-less plans report huge sizeInBytes and land serialized,
+            # the safe side.  Keeping the first piece deserialized on
+            # small graphs matters: it is re-read every round and paying
+            # per-access deserialization cost it ~7% at sf0.1.
+            try:
+                est = int(
+                    df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+                )
+            except Exception:
+                est = CKPT_SER_BYTES + 1
+            lvl = _ckpt_level(est > CKPT_SER_BYTES)
+            try:
+                jsc = df.sparkSession.sparkContext._jsc.sc()
+                before = {r.id() for r in jsc.getRDDStorageInfo()}
+            except Exception:
+                jsc = None
+        else:
+            lvl = holder["level"]
+        out = project(df).localCheckpoint(eager=True, storageLevel=lvl)
+        if first:
+            if jsc is not None:
+                new_bytes = sum(
+                    r.memSize() + r.diskSize()
+                    for r in jsc.getRDDStorageInfo()
+                    if r.id() not in before
+                )
+                # deserialized blocks inflate ~8.7× over serialized
+                # (measured: 20k long-pairs → 1.67 MB deser vs 192 KB
+                # ser), so the measured gate scales with how the first
+                # piece was actually stored
+                gate = CKPT_SER_BYTES * (8 if lvl.deserialized else 1)
+                big = new_bytes > gate
+            else:  # metadata API unavailable: one cheap cached-block count
+                big = out.count() > DRIVER_MAX_EDGES
+            holder["level"] = _ckpt_level(big)
+        return out
+
+    return _ckpt
+
+
 def _driver_closure(rows) -> list | None:
     """Memoized reverse-topological closure on the driver; returns None on a
     cycle (caller falls back to the distributed loop — the reference instead
@@ -107,11 +186,9 @@ def transitive_closure(
     raw = edges.select(
         F.col(child_col).alias("child"), F.col(parent_col).alias("anc")
     )
-    big = True
     if driver_max_edges > 0:
         probe = raw.limit(driver_max_edges + 1).toPandas()
-        big = len(probe) > driver_max_edges
-        if not big:
+        if len(probe) <= driver_max_edges:
             pairs = _driver_closure(
                 zip(probe["child"].tolist(), probe["anc"].tolist())
             )
@@ -120,20 +197,11 @@ def transitive_closure(
 
                 pdf = pd.DataFrame(pairs, columns=["child", "anc"])
                 return spark.createDataFrame(pdf, e.schema)
-    else:
-        # forced-distributed callers skip the Arrow probe; a JVM-side
-        # bounded count still sizes the checkpoint storage choice
-        big = raw.limit(DRIVER_MAX_EDGES + 1).count() > DRIVER_MAX_EDGES
 
-    level = _ckpt_level(big)
-
-    def _ckpt(df: DataFrame) -> DataFrame:
-        # the fresh Project gives the checkpoint a clean attribute set
-        # (checkpointing a bare Union of prior checkpoints trips Spark's
-        # constraint-rewrite on reused expression ids)
-        return df.select("child", "anc").localCheckpoint(
-            eager=True, storageLevel=level
-        )
+    # distributed path (probe exceeded, cycle fallback, or forced): the
+    # checkpoint storage level is sized off the first checkpointed piece's
+    # cached count — no separate pre-count scan job (see _sized_ckpt)
+    _ckpt = _sized_ckpt(lambda df: df.select("child", "anc"))
 
     # Spark's constraint rewrite chokes on iterative plans over checkpointed
     # RDDs (NoSuchElementException on reused expr ids); constraints buy
@@ -256,11 +324,9 @@ def connected_components(
     raw = edges.select(
         F.col(left_col).alias("a"), F.col(right_col).alias("b")
     )
-    big = True
     if driver_max_edges > 0:
         probe = raw.limit(driver_max_edges + 1).toPandas()
-        big = len(probe) > driver_max_edges
-        if not big:
+        if len(probe) <= driver_max_edges:
             import pandas as pd
 
             out = _driver_components(
@@ -271,13 +337,10 @@ def connected_components(
                 pd.DataFrame(out, columns=["node", "component"]),
                 f"node {t}, component {t}",
             )
-    else:
-        big = raw.limit(DRIVER_MAX_EDGES + 1).count() > DRIVER_MAX_EDGES
 
-    level = _ckpt_level(big)
-
-    def _ckpt(df):
-        return df.localCheckpoint(eager=True, storageLevel=level)
+    # distributed path: first checkpoint (the symmetrized edge set, the
+    # largest frame in the loop) sizes the level for the label rounds
+    _ckpt = _sized_ckpt(lambda df: df)
 
     conf_key = "spark.sql.constraintPropagation.enabled"
     prev = spark.conf.get(conf_key, "true")
