@@ -1252,7 +1252,7 @@ def doc_dup_spans(spark, sf):
 
 @register(
     "doc_lm_score",
-    """
+    f"""
     WITH w AS (
       SELECT doc_id, list_filter(
         regexp_split_to_array(lower(text), '[^a-z0-9]+'),
@@ -1271,7 +1271,7 @@ def doc_dup_spans(spark, sf):
     cab AS (SELECT a, b, count(*) AS c_ab FROM big GROUP BY a, b),
     ca AS (SELECT a, count(*) AS c_a FROM big GROUP BY a),
     s AS (
-      SELECT big.doc_id, ((c_ab + 1) * 1000000) // (c_a + v) AS p_micro
+      SELECT big.doc_id, {X._p_micro_sql("c_ab", "c_a", "v")} AS p_micro
       FROM big JOIN cab USING (a, b) JOIN ca USING (a), v
     )
     SELECT doc_id,

@@ -433,6 +433,17 @@ def pagerank(
     count is a constant — at 100 TB the cost is ``iterations`` × (edge
     shuffle), the canonical distributed PageRank plan.
     """
+    # int64 bound: per-node mass ≤ total (mass is only ever split and
+    # damped), so the largest intermediate is damping_milli · Σ(contrib)
+    # ≤ damping_milli · total — graph-size-INDEPENDENT.  The default
+    # total=1e12 peaks at 8.5e14; the gate below rejects configurations
+    # that could overflow at any graph (the sf-passes-then-explodes
+    # class of bug caught by tests/test_overflow_bounds.py).
+    if damping_milli * total >= 2**63:
+        raise ValueError(
+            f"pagerank: damping_milli*total = {damping_milli * total} "
+            "overflows int64; lower `total`"
+        )
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
     nodes = (
         e.select(F.col("src").alias("id"))

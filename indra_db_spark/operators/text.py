@@ -415,6 +415,27 @@ def _bigram_model_frames(df, id_col, text_col):
     return big, cab, ca, v
 
 
+def _p_micro_sql(c_ab: str, c_a: str, v, micro: int = 1_000_000) -> str:
+    """The ONE copy of the add-one bigram probability in micro units:
+    floor((c_ab + 1) · micro / (c_a + V)) — emitted as engine-neutral SQL
+    (no ``div``) so Spark and the DuckDB oracle evaluate the identical
+    text.
+
+    The multiply is a PER-ROW DOUBLE, not int64: at production magnitudes
+    (≥ ~9.2e12 occurrences of one bigram — reachable in a 1e13+-token
+    corpus) ``(c_ab + 1) * 1_000_000`` overflows int64, and the engines
+    then DIVERGE rather than both failing (DuckDB widens BIGINT sums and
+    products to HUGEINT; Spark wraps or raises under ANSI).  A double is
+    deterministically rounded by both engines (same IEEE ops, same
+    order), FLOOR pins the result back to an exact integer, and the
+    per-document SUM of those integers stays order-independent.
+    """
+    return (
+        f"CAST(FLOOR((({c_ab} + 1) * CAST({micro} AS DOUBLE)) / "
+        f"(({c_a}) + {v})) AS BIGINT)"
+    )
+
+
 def bigram_lm_score(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -430,9 +451,10 @@ def bigram_lm_score(
 
     P(b|a) = (c(a,b) + 1) / (c(a·) + V), where c(a·) counts ``a`` as a
     bigram prefix and V is the corpus vocabulary size.  Probabilities are
-    kept in exact integer micro-units (``(c_ab+1)*micro div (c_a+V)`` —
-    integer division, bit-reproducible in any engine) so the per-document
-    SUM is order-independent; ``mean_p_micro`` is the one trailing IEEE
+    kept in integer micro-units via :func:`_p_micro_sql` (per-row double
+    multiply + FLOOR — overflow-safe past 9.2e12-count bigrams and still
+    bit-reproducible in any engine) so the per-document SUM is
+    order-independent; ``mean_p_micro`` is the one trailing IEEE
     division.  ``rare_bigrams`` counts bigrams below ``rare_micro`` — the
     out-of-distribution surface CCNet's perplexity filter targets.  For a
     true log-domain perplexity use :func:`log_perplexity` (float,
@@ -452,7 +474,7 @@ def bigram_lm_score(
         .crossJoin(F.broadcast(v))
         .withColumn(
             "p_micro",
-            F.expr(f"(c_ab + 1) * {micro} div (c_a + v)"),
+            F.expr(_p_micro_sql("c_ab", "c_a", "v", micro)),
         )
     )
     if _per_bigram:
@@ -526,26 +548,53 @@ def _bm25_sql(
     b_c: int,
 ) -> str:
     """The ONE copy of the fixed-point BM25 formula (k1/b in thousandths,
-    tfsat in micro, idf in milli, every step integer division).  Operands
-    arrive as SQL strings — column references for the self-contained
-    entry, integer literals for frozen-stats scoring — and the DuckDB
-    oracle derives from the same text with ``div`` respelled ``//``, so
-    all consumers stay bit-identical by construction."""
+    tfsat in micro, idf in milli).  Operands arrive as SQL strings —
+    column references for the self-contained entry, integer literals for
+    frozen-stats scoring — and the DuckDB oracle derives from the same
+    text with ``div`` respelled ``//``, so all consumers stay
+    bit-identical by construction.
+
+    Int64 bounds at production magnitudes (audited for the
+    sf-passes-but-1e13-tokens-explodes class of bug):
+
+    - ``tfsat`` numerator ``tf·(k1+1000)·1e6`` — exact int64 while
+      tf < 4.1e9 (a single 16 GB document; dl shares the bound).
+    - ``idf`` numerator ``(2N+1)·1000`` — exact int64 to N ≈ 4.6e15 docs.
+    - ``avgdl`` operand ``Σdl·1000`` — exact int64 to 9.2e15 corpus words.
+    - ``idf · tfsat`` — the one term that genuinely overflowed: int64
+      dies at N ≈ 6.3e9 documents (a 100 TB corpus at 10 KB/doc is 1e10),
+      so it is computed as a PER-ROW DOUBLE (``1.0 * idf * tfsat`` —
+      deterministically identical in Spark and DuckDB: same IEEE ops,
+      same order) and FLOOR pins the micro score back to an exact
+      integer, valid to N ≈ 6e12 docs where the score itself outgrows
+      int64.
+    """
     C, MICRO, MILLI = 1000, 1_000_000, 1000
-    lnorm = f"(({C} - {b_c}) + ({b_c} * dl * {C}) div ({avgdl}))"
+    # stats operands are forced to BIGINT: on the frozen-stats path they
+    # arrive as INTEGER literals, and `2 * (n_docs - df)` in int32 dies at
+    # n_docs > ~1.07e9 under ANSI — the column path was immune only
+    # because the columns happen to be long
+    nd = f"CAST({n_docs} AS BIGINT)"
+    ad = f"CAST({avgdl} AS BIGINT)"
+    lnorm = f"(({C} - {b_c}) + ({b_c} * dl * {C}) div ({ad}))"
     parts = []
     for i in range(n_terms):
+        dfi = f"CAST({dfs[i]} AS BIGINT)"
         tfsat = (
             f"(_tf{i} * {k1_c + C} * {MICRO}) div "
             f"(_tf{i} * {C} + ({k1_c} * {lnorm}) div {C})"
         )
         idf = (
-            f"((2 * ({n_docs} - {dfs[i]}) + 1) * {MILLI}) "
-            f"div (2 * {dfs[i]} + 1)"
+            f"((2 * ({nd} - {dfi}) + 1) * {MILLI}) "
+            f"div (2 * {dfi} + 1)"
         )
         parts.append(
-            f"CASE WHEN _tf{i} > 0 THEN ((({idf}) * ({tfsat})) div {MILLI}) "
-            "ELSE 0 END"
+            # CAST AS DOUBLE, not a `1.0 *` promotion: both engines parse
+            # 1.0 as DECIMAL and their decimal division semantics differ
+            # by 1 ulp; an explicit double is IEEE-identical in both
+            f"CASE WHEN _tf{i} > 0 THEN "
+            f"CAST(FLOOR((CAST(({idf}) AS DOUBLE) * ({tfsat})) / {MILLI}) "
+            "AS BIGINT) ELSE 0 END"
         )
     return " + ".join(parts)
 
@@ -661,8 +710,9 @@ def score_docs_with_lm(
         .withColumn(
             "p_micro",
             F.expr(
-                f"(coalesce(c_ab, 0) + 1) * {micro} "
-                f"div (coalesce(c_a, 0) + {model.v})"
+                _p_micro_sql(
+                    "coalesce(c_ab, 0)", "coalesce(c_a, 0)", model.v, micro
+                )
             ),
         )
     )

@@ -90,6 +90,15 @@ def kmv_distinct(
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
 
+    # int64 bound: the estimator numerator (k-1)·2^bits must fit — at the
+    # default bits=52 that caps k at 2048 (2048·2^52 = 2^63).  Checked
+    # eagerly so a bad configuration fails at plan time, not as an
+    # engine-dependent overflow mid-job.
+    if (k - 1) * (1 << bits) >= 2**63:
+        raise ValueError(
+            f"kmv_distinct: (k-1)*2^bits with k={k}, bits={bits} "
+            "overflows int64; lower k or bits"
+        )
     nhex = bits // 4
     h = F.substring(F.md5(F.col(value_col).cast("string")), 1, nhex)
     hashed = df.select(*group_cols, h.alias("_h")).distinct()
