@@ -1345,6 +1345,175 @@ def doc_dedup_rewrite(spark, sf):
     return D.remove_duplicate_spans(T(spark, sf, "documents"), k=_SPAN_K)
 
 
+#: v2 pipeline LM familiarity gate, in micro-probability units: keep a doc
+#: iff its mean add-one bigram probability ≥ this (≈ the corpus median at
+#: the test SFs, so the gate provably filters in both directions)
+_V2_LM_GATE = 34_000
+_V2_PACK_BUDGET = 512
+
+
+@register(
+    "doc_corpus_pipeline_v2",
+    f"""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    g AS (
+      SELECT doc_id, i AS pos,
+             md5(array_to_string(ws[i:i+{_SPAN_K - 1}], ' ')) AS g
+      FROM w, UNNEST(range(1, len(ws) - {_SPAN_K} + 2)) AS t(i)
+      WHERE len(ws) >= {_SPAN_K}
+    ),
+    dupg AS (
+      SELECT g FROM g GROUP BY g HAVING count(DISTINCT doc_id) >= 2
+    ),
+    hits AS (
+      SELECT doc_id, pos,
+             row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) = 1
+               AS is_canon
+      FROM g WHERE g IN (SELECT g FROM dupg)
+    ),
+    cov AS (
+      SELECT doc_id, pos + j AS wi, is_canon
+      FROM hits, UNNEST(range(0, {_SPAN_K})) AS t(j)
+    ),
+    rem AS (
+      SELECT doc_id, wi FROM cov GROUP BY doc_id, wi
+      HAVING max(CASE WHEN is_canon THEN 1 ELSE 0 END) = 0
+    ),
+    wpos AS (
+      SELECT doc_id, i AS wi, ws[i] AS word, len(ws) AS n
+      FROM w, UNNEST(range(1, len(ws) + 1)) AS t(i)
+    ),
+    kept AS (
+      SELECT wp.doc_id, wp.wi, wp.word, wp.n
+      FROM wpos wp ANTI JOIN rem r
+        ON wp.doc_id = r.doc_id AND wp.wi = r.wi
+    ),
+    rw AS (
+      SELECT doc_id,
+             string_agg(word, ' ' ORDER BY wi) AS clean_text,
+             CAST(any_value(n) - count(*) AS INT) AS n_removed_words
+      FROM kept GROUP BY doc_id
+    ),
+    lw AS (
+      SELECT doc_id, list_filter(
+        regexp_split_to_array(lower(clean_text), '[^a-z0-9]+'),
+        x -> x <> '') AS ws
+      FROM rw
+    ),
+    lbig AS (
+      SELECT doc_id, ws[i] AS a, ws[i+1] AS b
+      FROM lw, UNNEST(range(1, len(ws))) AS t(i)
+      WHERE len(ws) >= 2
+    ),
+    v AS (
+      SELECT count(DISTINCT x) AS v
+      FROM (SELECT a AS x FROM lbig UNION ALL SELECT b FROM lbig)
+    ),
+    cab AS (SELECT a, b, count(*) AS c_ab FROM lbig GROUP BY a, b),
+    ca AS (SELECT a, count(*) AS c_a FROM lbig GROUP BY a),
+    lmkeep AS (
+      SELECT lbig.doc_id
+      FROM lbig JOIN cab USING (a, b) JOIN ca USING (a), v
+      GROUP BY lbig.doc_id
+      HAVING sum({X._p_micro_sql("c_ab", "c_a", "v")})
+               >= {_V2_LM_GATE} * count(*)
+    ),
+    surv0 AS (
+      SELECT rw.* FROM rw JOIN lmkeep USING (doc_id)
+      WHERE doc_id % 41 <> 0
+    ),
+    trw AS (SELECT doc_id AS id, string_split(clean_text, ' ') AS ws
+            FROM surv0),
+    trsh AS (
+      SELECT DISTINCT id, array_to_string(ws[i:i+2], ' ') AS shingle
+      FROM trw, UNNEST(range(1, greatest(len(ws) - 1, 1))) AS t(i)
+    ),
+    tew AS (SELECT doc_id AS id, string_split(text, ' ') AS ws
+            FROM documents WHERE doc_id % 41 = 0),
+    tesh AS (
+      SELECT DISTINCT array_to_string(ws[i:i+2], ' ') AS shingle
+      FROM tew, UNNEST(range(1, greatest(len(ws) - 1, 1))) AS t(i)
+    ),
+    contam AS (
+      SELECT id FROM trsh JOIN tesh USING (shingle)
+      GROUP BY id HAVING count(DISTINCT shingle) >= 2
+    ),
+    sv AS (
+      SELECT s.doc_id, s.n_removed_words,
+             CAST(len(string_split(s.clean_text, ' ')) AS INT) AS n_tokens
+      FROM surv0 s ANTI JOIN contam c ON s.doc_id = c.id
+    ),
+    st AS (
+      SELECT doc_id, n_removed_words, n_tokens,
+             md5(CAST(doc_id AS VARCHAR)) AS h,
+             CAST((strpos('0123456789abcdef',
+                          substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1)
+                  * 16 +
+                  (strpos('0123456789abcdef',
+                          substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)
+               AS INT) % 8 AS stream
+      FROM sv
+    ),
+    pk AS (
+      SELECT doc_id, n_removed_words, n_tokens, stream,
+        CAST(COALESCE(SUM(n_tokens) OVER (
+          PARTITION BY stream ORDER BY h, doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+        ), 0) AS BIGINT) AS cum_before
+      FROM st
+    )
+    SELECT doc_id, n_removed_words, n_tokens, stream, cum_before,
+           CAST(floor(cum_before / {_V2_PACK_BUDGET}.0) AS INT) AS pack
+    FROM pk
+    """,
+)
+def doc_corpus_pipeline_v2(spark, sf):
+    """The FULL training-corpus pipeline, r5 operators composed end to end
+    the way a real pre-training run chains them (the pipeline-of-stages
+    shape of the reference's export assembly,
+    readonly_dumping/export_assembly.py:888-1025): substring-span dedup
+    REWRITE (Lee et al. 2022 keep-one-copy) → self-trained bigram-LM
+    familiarity gate (CCNet-style, integer-exact: Σp_micro ≥ gate ·
+    n_bigrams, so no float boundary) → benchmark decontamination of the
+    rewritten text against the held-out slice (doc_id % 41) → fixed-budget
+    sequence packing of the survivors.
+
+    100 TB shape: each stage keeps its proven plan (positional-gram
+    shuffle bounded by the duplicated surface; vocabulary-bounded LM count
+    joins; broadcast benchmark shingles so the corpus never shuffles for
+    decontamination; ONE stream-hash window for packing) and the stages
+    hand off by doc_id joins — Catalyst pipelines them into one job, no
+    driver round-trips between stages."""
+    docs = T(spark, sf, "documents")
+    rw = D.remove_duplicate_spans(docs, k=_SPAN_K)
+    lm = X.bigram_lm_score(rw, id_col="doc_id", text_col="clean_text")
+    lmkeep = lm.filter(
+        F.col("sum_p_micro")
+        >= F.lit(_V2_LM_GATE).cast("long") * F.col("n_bigrams")
+    ).select("doc_id")
+    surv0 = rw.join(lmkeep, "doc_id").filter(F.col("doc_id") % 41 != 0)
+    contam = SM.decontaminate(
+        surv0.select("doc_id", F.col("clean_text").alias("text")),
+        docs.filter(F.col("doc_id") % 41 == 0),
+        min_overlap=2,
+    )
+    sv = surv0.join(
+        contam.select(F.col("id").alias("doc_id")), "doc_id", "left_anti"
+    ).select(
+        "doc_id",
+        "n_removed_words",
+        F.size(F.split("clean_text", " ")).cast("int").alias("n_tokens"),
+    )
+    return SM.pack_sequences(
+        sv, budget=_V2_PACK_BUDGET, size_col="n_tokens"
+    ).select(
+        "doc_id", "n_removed_words", "n_tokens", "stream",
+        F.col("cum_before").cast("long").alias("cum_before"), "pack",
+    )
+
+
 _KW_TERMS = ["query", "window", "stream"]
 _KW_K = 10
 
