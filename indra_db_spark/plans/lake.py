@@ -113,63 +113,118 @@ class ReadonlyLake:
         return cls(tables)
 
 
-def compact_parquet(
-    spark: SparkSession,
-    path: str,
-    target_file_mb: int = 128,
-    sort_within: list[str] | None = None,
-) -> dict:
-    """Small-file compaction for an append-heavy parquet table: rewrite
-    ``path`` into ~``target_file_mb`` files, preserving rows exactly →
-    stats dict (files before/after, bytes, rows).
+#: name of the two-phase-commit record a swap leaves in the table dir
+#: while files move; starts with '_' so every parquet reader ignores it
+MANIFEST_NAME = "_compact_manifest.json"
 
-    The lake's incremental paths (xdd day drops, stream sinks, KB update
-    batches) append small files per run; scan parallelism then tracks file
-    COUNT instead of data size and footer-read overhead dominates.
-    Compaction is the standard maintenance job (what OPTIMIZE does in
-    table formats).
+#: test seam: called with the leaf path at the last instant before the
+#: concurrent-writer fence re-lists the directory, so tests can land a
+#: racing write exactly where the fence must catch it
+_pre_fence_hook = None
 
-    Mechanics: size the output from the Hadoop content summary (works for
-    any FS scheme, not just file:), repartition to ceil(bytes/target),
-    optionally sort within partitions (restores row-group min/max locality
-    for ranked tables — see ``write_optimized``), write to a sibling tmp
-    dir, then swap via rename.  Rename is atomic on HDFS/local; on object
-    stores it is copy+delete, so production object-store lakes should
-    layer a table format (Delta/Iceberg) over this — documented trade, the
-    job itself is format-agnostic.
+
+def _jpath(jvm, *parts):
+    p = jvm.org.apache.hadoop.fs.Path(parts[0])
+    for more in parts[1:]:
+        p = jvm.org.apache.hadoop.fs.Path(p, more)
+    return p
+
+
+def _write_manifest(fs, jvm, dpath, manifest: dict) -> None:
+    import json
+
+    out = fs.create(_jpath(jvm, dpath, MANIFEST_NAME), True)
+    out.write(bytearray(json.dumps(manifest).encode("utf-8")))
+    out.close()
+
+
+def _read_manifest(fs, jvm, dpath) -> dict | None:
+    import json
+
+    mpath = _jpath(jvm, dpath, MANIFEST_NAME)
+    if not fs.exists(mpath):
+        return None
+    stream = fs.open(mpath)
+    try:
+        text = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()
+    return json.loads(text)
+
+
+def _recover_swap(fs, jvm, dpath: str) -> str | None:
+    """Finish or undo an interrupted two-phase swap in ``dpath``.
+
+    The manifest lists ``add`` (compacted files being moved in) and
+    ``remove`` (superseded files).  If every ``add`` file made it into the
+    dir the swap ROLLS FORWARD (delete the leftovers in ``remove``);
+    otherwise it ROLLS BACK (delete whichever ``add`` files landed) — in
+    both cases the dir ends holding exactly one complete copy of the
+    data, which is the invariant the manifest exists to protect.
     """
-    jvm = spark.sparkContext._jvm
-    jsc = spark.sparkContext._jsc
-    hpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = hpath.getFileSystem(jsc.hadoopConfiguration())
+    manifest = _read_manifest(fs, jvm, dpath)
+    if manifest is None:
+        return None
+    adds, removes = manifest["add"], manifest["remove"]
+    have_all = all(fs.exists(_jpath(jvm, dpath, n)) for n in adds)
+    victims = removes if have_all else adds
+    for name in victims:
+        p = _jpath(jvm, dpath, name)
+        if fs.exists(p):
+            fs.delete(p, False)
+    fs.delete(_jpath(jvm, dpath, MANIFEST_NAME), False)
+    return "rolled_forward" if have_all else "rolled_back"
+
+
+def _compact_leaf(
+    spark: SparkSession,
+    fs,
+    jvm,
+    dpath: str,
+    target_file_mb: int,
+    sort_within: list[str] | None,
+) -> dict:
+    """Compact one FLAT parquet directory via a manifest two-phase swap.
+
+    Unlike delete-dir-then-rename-tmp (which leaves a window where the
+    table's only copy lives at a tmp path), the swap here moves the
+    compacted files INTO the live dir under their fresh unique names and
+    only then deletes the superseded files, with a manifest written first
+    as the commit record.  A crash at any point leaves the dir with at
+    least one complete copy — worst case duplicates plus a manifest that
+    :func:`_recover_swap` rolls forward or back deterministically.  The
+    per-file moves are renames (atomic on HDFS/local, copy+delete on bare
+    object stores — where a real deployment layers a table format's
+    transaction log; the manifest is the single-writer version of exactly
+    that log).
+    """
+    recovered = _recover_swap(fs, jvm, dpath)
+    if recovered:
+        raise RuntimeError(
+            f"{dpath} held an interrupted compaction swap ({recovered}); "
+            "the directory is consistent again — rerun compaction"
+        )
 
     def _listing():
         out = {}
-        for f in fs.listStatus(hpath):
+        for f in fs.listStatus(_jpath(jvm, dpath)):
             name = f.getPath().getName()
-            if f.isDirectory() and not name.startswith((".", "_")):
-                # hive-partitioned layout: a flat rewrite would embed the
-                # partition column into data files and silently destroy
-                # partition pruning for every reader
-                raise ValueError(
-                    f"{path} contains subdirectory {name!r} — "
-                    "compact_parquet only handles flat parquet dirs; "
-                    "compact hive-partitioned tables per partition"
-                )
-            if name.endswith(".parquet"):
+            if not f.isDirectory() and name.endswith(".parquet"):
                 out[name] = (f.getLen(), f.getModificationTime())
         return out
 
     before = _listing()
+    if not before:
+        return {"files_before": 0, "files_after": 0, "bytes": 0, "rows": 0}
     total_bytes = sum(sz for sz, _ in before.values())
     n_out = max(1, -(-int(total_bytes) // (target_file_mb * 1024 * 1024)))
 
-    df = spark.read.parquet(path)
+    df = spark.read.parquet(dpath)
     rows = df.count()
     out = df.repartition(n_out)
     if sort_within:
         out = out.sortWithinPartitions(*sort_within)
-    tmp = path.rstrip("/") + ".compact-tmp"
+    tmp = dpath.rstrip("/") + ".compact-tmp"
     out.write.mode("overwrite").parquet(tmp)
     # verify the rewrite BEFORE the swap — a failed job must never eat data
     rows_after = spark.read.parquet(tmp).count()
@@ -178,31 +233,122 @@ def compact_parquet(
             f"compaction row mismatch ({rows} -> {rows_after}); "
             f"original left untouched, rewrite kept at {tmp}"
         )
+    new_names = [
+        f.getPath().getName()
+        for f in fs.listStatus(_jpath(jvm, tmp))
+        if f.getPath().getName().endswith(".parquet")
+    ]
+    # Spark part-file names embed a fresh job UUID, so collisions with the
+    # live dir can't happen in practice — but the swap's correctness
+    # depends on it, so check rather than assume
+    clash = set(new_names) & set(before)
+    if clash:
+        fs.delete(_jpath(jvm, tmp), True)
+        raise RuntimeError(f"compacted file names collide with live dir: {clash}")
+    if _pre_fence_hook is not None:  # test seam: the TOCTOU instant
+        _pre_fence_hook(dpath)
     # concurrent-writer fence: if ANY file appeared/changed since the
-    # snapshot we compacted, deleting the dir would eat the new data —
-    # abort with the original intact.  (Not fully atomic: a writer landing
-    # between this check and the delete still loses; run compaction in the
-    # maintenance window that owns the table, as table-format OPTIMIZE
-    # does via its transaction log.)
+    # snapshot we compacted, the swap would eat the new data — abort with
+    # the original intact.  The manifest shrinks the remaining TOCTOU
+    # window to the per-file moves below (a crash there is recoverable,
+    # a concurrent append there can still be superseded — run compaction
+    # in the maintenance window that owns the table, as table-format
+    # OPTIMIZE does via its transaction log).
     if _listing() != before:
-        fs.delete(jvm.org.apache.hadoop.fs.Path(tmp), True)
+        fs.delete(_jpath(jvm, tmp), True)
         raise RuntimeError(
-            f"{path} changed during compaction (concurrent writer?); "
+            f"{dpath} changed during compaction (concurrent writer?); "
             "original left untouched — rerun inside a maintenance window"
         )
-    if not fs.delete(hpath, True):
-        raise RuntimeError(f"failed to delete {path}; rewrite kept at {tmp}")
-    if not fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), hpath):
-        raise RuntimeError(
-            f"rename {tmp} -> {path} failed; the ONLY copy of the data "
-            f"is at {tmp} — restore it manually before serving reads"
-        )
-    files_after = sum(
-        1 for n in _listing()
+    # phase 1: commit record, then move the compacted files in
+    _write_manifest(
+        fs, jvm, dpath, {"add": new_names, "remove": sorted(before)}
     )
+    for name in new_names:
+        if not fs.rename(_jpath(jvm, tmp, name), _jpath(jvm, dpath, name)):
+            raise RuntimeError(
+                f"move {name} into {dpath} failed mid-swap; run "
+                "compaction recovery (re-invoking compact_parquet rolls "
+                "the manifest back)"
+            )
+    # phase 2: retire the superseded files, then the commit record
+    for name in before:
+        fs.delete(_jpath(jvm, dpath, name), False)
+    fs.delete(_jpath(jvm, dpath, MANIFEST_NAME), False)
+    fs.delete(_jpath(jvm, tmp), True)
     return {
         "files_before": len(before),
-        "files_after": files_after,
+        "files_after": len(_listing()),
         "bytes": int(total_bytes),
         "rows": rows,
     }
+
+
+def _partition_leaves(fs, jvm, dpath: str) -> list[str] | None:
+    """None for a flat dir; else the hive-partition LEAF directories
+    (recursing through multi-level ``col=value`` nesting)."""
+    subs = [
+        f.getPath()
+        for f in fs.listStatus(_jpath(jvm, dpath))
+        if f.isDirectory()
+        and not f.getPath().getName().startswith((".", "_"))
+        and not f.getPath().getName().endswith(".compact-tmp")
+    ]
+    if not subs:
+        return None
+    bad = [p.getName() for p in subs if "=" not in p.getName()]
+    if bad:
+        raise ValueError(
+            f"{dpath} contains non-hive subdirectory {bad[0]!r} — "
+            "not a parquet table layout compact_parquet understands"
+        )
+    leaves: list[str] = []
+    for p in subs:
+        nested = _partition_leaves(fs, jvm, p.toString())
+        leaves.extend(nested if nested is not None else [p.toString()])
+    return leaves
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_file_mb: int = 128,
+    sort_within: list[str] | None = None,
+) -> dict:
+    """Small-file compaction for an append-heavy parquet table: rewrite
+    ``path`` into ~``target_file_mb`` files, preserving rows exactly →
+    stats dict (files before/after, bytes, rows, partitions).
+
+    The lake's incremental paths (xdd day drops, stream sinks, KB update
+    batches) append small files per run; scan parallelism then tracks file
+    COUNT instead of data size and footer-read overhead dominates.
+    Compaction is the standard maintenance job (what OPTIMIZE does in
+    table formats).
+
+    Hive-partitioned tables are compacted PER LEAF PARTITION: each
+    ``col=value`` leaf is rewritten in place, so the directory shape —
+    and with it partition pruning (``PartitionFilters`` in every reader's
+    scan) — is preserved by construction, partitions stay independently
+    recoverable units, and the job parallelizes over partitions on a
+    cluster.  Each leaf swap is the manifest-based two-phase commit of
+    :func:`_compact_leaf`: the live dir always holds a complete copy of
+    the data, and an interrupted swap is rolled forward/back from its
+    manifest on the next invocation.
+    """
+    jvm = spark.sparkContext._jvm
+    jsc = spark.sparkContext._jsc
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(jsc.hadoopConfiguration())
+
+    leaves = _partition_leaves(fs, jvm, path)
+    if leaves is None:
+        stats = _compact_leaf(spark, fs, jvm, path, target_file_mb, sort_within)
+        stats["partitions"] = 0
+        return stats
+    agg = {"files_before": 0, "files_after": 0, "bytes": 0, "rows": 0,
+           "partitions": len(leaves)}
+    for leaf in sorted(leaves):
+        s = _compact_leaf(spark, fs, jvm, leaf, target_file_mb, sort_within)
+        for k in ("files_before", "files_after", "bytes", "rows"):
+            agg[k] += s[k]
+    return agg
