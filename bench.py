@@ -9,11 +9,14 @@ not driver-side collection.
 
 Timing is STEADY-STATE: each query executes once untimed (absorbing
 whole-stage-codegen compilation and JIT for that plan shape — a per-process
-constant of 1-7 s that amortizes to zero over a 100 TB run) and the MINIMUM
-of two timed executions is reported — min-of-N is the standard noise
-estimator for a deterministic workload on a shared machine (any excess over
-the true cost is contention, so the minimum is the least-contended
-observation; round-3's driver numbers doubled purely from machine load).
+constant of 1-7 s that amortizes to zero over a 100 TB run), then
+``N_STEADY`` timed executions are summarized as MIN (the headline:
+min-of-N is the standard noise estimator for a deterministic workload on
+a shared machine — any excess over the true cost is contention; round-3's
+driver numbers doubled purely from machine load), MEAN and population σ
+(``queries_mean``/``queries_sigma`` — the reference's benchmarker
+persists mean/σ per test for cross-stack comparison, and σ is what lets
+``tools/bench_compare.py`` separate a real regression from run noise).
 Shuffles are not reused across executions (noop sink), so every timed run
 pays the full data path: scan, exchange, aggregate.
 """
@@ -27,6 +30,9 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+#: steady-state executions per query (after the untimed cold run)
+N_STEADY = 3
 
 HEADLINE = [
     "agg_rollup",
@@ -60,6 +66,10 @@ HEADLINE = [
     "graph_pagerank",
     "events_funnel",
     "emb_mmr_topk",
+    # round 6: the end-to-end corpus pipeline (span rewrite → LM gate →
+    # decontaminate → pack) — the composed number a training run cares
+    # about, not just its stages
+    "doc_corpus_pipeline_v2",
 ]
 
 
@@ -90,7 +100,15 @@ def main() -> None:
         F.broadcast(warm.limit(10).select("k")), "k"
     ).write.mode("overwrite").format("noop").save()
 
+    # the JVM's benign local[32] log noise (e.g. DAGScheduler accumulator-
+    # update traces) must not be able to masquerade as a failure in the
+    # recorded bench tail — a REAL failure still surfaces as a Python
+    # exception and a nonzero exit code regardless of JVM log level
+    spark.sparkContext.setLogLevel("FATAL")
+
     timings: dict[str, float] = {}
+    means: dict[str, float] = {}
+    sigmas: dict[str, float] = {}
     cold_timings: dict[str, float] = {}
     for name in HEADLINE:
         fn, _ = catalog.REGISTRY[name]
@@ -101,12 +119,17 @@ def main() -> None:
         t0 = time.monotonic()
         fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
         cold_timings[name] = round(time.monotonic() - t0, 3)
-        best = float("inf")
-        for _ in range(2):
+        runs = []
+        for _ in range(N_STEADY):
             t0 = time.monotonic()
             fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-            best = min(best, time.monotonic() - t0)
-        timings[name] = round(best, 3)
+            runs.append(time.monotonic() - t0)
+        timings[name] = round(min(runs), 3)
+        mean = sum(runs) / len(runs)
+        means[name] = round(mean, 3)
+        sigmas[name] = round(
+            (sum((r - mean) ** 2 for r in runs) / len(runs)) ** 0.5, 3
+        )
 
     total = round(sum(timings.values()), 3)
     print(
@@ -116,6 +139,9 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_mean": means,
+                "queries_sigma": sigmas,
+                "n_steady": N_STEADY,
                 "queries_cold": cold_timings,
                 "value_cold": round(sum(cold_timings.values()), 3),
                 "sf": sf,

@@ -1,0 +1,99 @@
+"""Compare two bench.py result files and flag per-query regressions.
+
+Usage::
+
+    python tools/bench_compare.py BENCH_r05.json BENCH_r06.json
+    python tools/bench_compare.py --threshold 1.15 old.json new.json
+
+The reference's benchmarker persists per-test timing summaries and
+compares stacks run-over-run (reference: benchmarker/util.py:21-146,
+mean/σ per corpus test); this is that comparison for the headline-query
+bench.  A query is flagged as a REGRESSION when both hold:
+
+- ratio: new_min / old_min > threshold (default 1.2 — inside the band
+  shared-machine noise routinely produces, see BENCH_r03 vs r04), and
+- significance: the slowdown exceeds 2σ of the new run's steady-state
+  spread, when σ is recorded (older BENCH files lack it — then the ratio
+  alone decides, which is exactly the ambiguity σ was added to remove).
+
+Prints one JSON line: per-query ratios, flagged regressions and
+improvements, and totals over the SHARED query set (round-over-round
+totals are meaningless when the headline list grew).  Exits 1 if any
+regression is flagged, so the compare can gate CI.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def compare(old: dict, new: dict, threshold: float = 1.2) -> dict:
+    oq, nq = old.get("queries", {}), new.get("queries", {})
+    nsig = new.get("queries_sigma", {})
+    shared = sorted(set(oq) & set(nq))
+    ratios: dict[str, float] = {}
+    regressions: list[dict] = []
+    improvements: list[dict] = []
+    for name in shared:
+        o, n = oq[name], nq[name]
+        if not o:
+            continue
+        r = round(n / o, 3)
+        ratios[name] = r
+        sig = nsig.get(name)
+        significant = sig is None or (n - o) > 2 * sig
+        if r > threshold and significant:
+            regressions.append(
+                {"query": name, "old": o, "new": n, "ratio": r, "sigma": sig}
+            )
+        elif r < 1 / threshold:
+            improvements.append(
+                {"query": name, "old": o, "new": n, "ratio": r}
+            )
+    tot_old = round(sum(oq[n] for n in shared), 3)
+    tot_new = round(sum(nq[n] for n in shared), 3)
+    return {
+        "shared_queries": len(shared),
+        "only_old": sorted(set(oq) - set(nq)),
+        "only_new": sorted(set(nq) - set(oq)),
+        "total_old": tot_old,
+        "total_new": tot_new,
+        "total_ratio": round(tot_new / tot_old, 3) if tot_old else None,
+        "threshold": threshold,
+        "ratios": ratios,
+        "regressions": regressions,
+        "improvements": improvements,
+    }
+
+
+def load_bench(path: str) -> dict:
+    """Accept either bench.py's raw JSON line or the driver's BENCH_r{N}
+    wrapper ({rc, tail, ...} with the metrics line embedded in `tail`)."""
+    with open(path) as f:
+        doc = json.load(f)
+    if "queries" in doc:
+        return doc
+    for line in reversed(doc.get("tail", "").splitlines()):
+        line = line.strip()
+        if line.startswith("{") and '"queries"' in line:
+            return json.loads(line)
+    raise SystemExit(f"{path}: no bench metrics line found")
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("old")
+    ap.add_argument("new")
+    ap.add_argument("--threshold", type=float, default=1.2)
+    args = ap.parse_args()
+    old = load_bench(args.old)
+    new = load_bench(args.new)
+    out = compare(old, new, args.threshold)
+    print(json.dumps(out))
+    return 1 if out["regressions"] else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
