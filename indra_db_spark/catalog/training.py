@@ -539,11 +539,18 @@ _srp_bucket_sql = " + ".join(
 )
 
 
+#: multi-probe masks for hamming=1 at _SRP_PLANES planes: the query's own
+#: bucket plus every one-bit flip
+_SRP_MASKS = [0] + [2**j for j in range(_SRP_PLANES)]
+
+
 @register(
     "emb_srp_topk",
     f"""
     WITH e AS (SELECT vec_id, embedding, {_srp_bucket_sql} AS bucket FROM embeddings),
-    q AS (SELECT vec_id AS query_id, embedding AS qvec, bucket FROM e WHERE vec_id < 10),
+    q0 AS (SELECT vec_id AS query_id, embedding AS qvec, bucket FROM e WHERE vec_id < 10),
+    q AS (SELECT query_id, qvec, xor(bucket, m) AS bucket
+          FROM q0, UNNEST([{", ".join(str(m) for m in _SRP_MASKS)}]) AS t(m)),
     c AS (SELECT vec_id AS neighbor_id, embedding AS cvec, bucket FROM e),
     s AS (
       SELECT query_id, neighbor_id, {_COS} AS sim

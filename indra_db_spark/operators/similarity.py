@@ -205,15 +205,32 @@ def srp_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     sim_decimals: int | None = 6,
+    hamming: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: brute force restricted to the query's SRP bucket.
+    """Approximate top-k: brute force restricted to the query's SRP bucket
+    and (multi-probe) the buckets within Hamming distance ``hamming``.
 
-    The corpus is hashed once (narrow map); the join key is (bucket), so the
-    scan per query shrinks by ~2^planes.  Exactly the IVF pattern with SRP
-    cells instead of k-means cells.
+    The corpus is hashed once (narrow map); the join key is (bucket), so
+    the scan per query shrinks by ~2^planes / probes.  Exactly the IVF
+    pattern with SRP cells instead of k-means cells.
+
+    ``hamming`` is the multi-probe knob (Lv et al. 2007, multi-probe
+    LSH): a true neighbor at angle θ lands in the SAME bucket only with
+    probability (1 − θ/π)^planes — at planes=6 and the θ≈60° typical of
+    a nearest neighbor that is ~9%, which is why single-bucket probing
+    measured recall@5 of 0.06 on the fixture corpus.  Probing the
+    ``planes`` one-bit-flip buckets too (hamming=1 → 7 probes) raises the
+    fixture recall to ≥0.3 at 7/64ths of the scan; hamming=2 (22 probes)
+    trades more scan for more recall.  The probe count multiplies the
+    CANDIDATE volume, not the corpus passes — the corpus is still hashed
+    and shuffled once.
     """
+    from itertools import combinations
+
     from pyspark.sql import Window
 
+    if hamming not in (0, 1, 2):
+        raise ValueError("srp_topk: hamming must be 0, 1 or 2")
     c = emb.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),
@@ -225,6 +242,17 @@ def srp_topk(
         F.col(vec_col).alias("qvec"),
         norm(F.col(vec_col)).alias("nq"),
         srp_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    masks = [0]
+    if hamming >= 1:
+        masks += [2**j for j in range(planes)]
+    if hamming >= 2:
+        masks += [2**i | 2**j for i, j in combinations(range(planes), 2)]
+    q = q.withColumn(
+        "bucket",
+        F.explode(
+            F.array(*[F.col("bucket").bitwiseXOR(F.lit(m)) for m in masks])
+        ),
     )
     sim = _pair_sim(
         F.col("qvec"), F.col("cvec"), F.col("nq"), F.col("nc"), sim_decimals

@@ -315,6 +315,32 @@ def test_ivf_build_once_probe_many_and_containment(spark, sf_dir):
         index.unpersist()
 
 
+def test_catalog_ann_recall_floors(spark, sf_dir):
+    """Recall@5 of the CHECKED catalog ANN entries vs the exact baseline,
+    at exactly the configurations the correctness gate runs — so a
+    quantizer/bucketing regression fails CI instead of silently shipping
+    (determinism alone would still hash-match a broken quantizer against
+    its own oracle).  Floors sit under the measured fixture recall
+    (IVF 0.90, SRP 0.24 at sf0.001) with margin for fixture drift:
+    IVF (nprobe=3, pinned seeds) is the production-quality path; SRP
+    multi-probe (planes=6, hamming=1) is the cheap sketch — 7/64ths of
+    the scan — whose floor documents exactly how approximate it is."""
+    from indra_db_spark import catalog
+
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in catalog.REGISTRY["emb_topk"][0](spark, sf_dir).collect()
+    }
+    floors = {"emb_ivf_topk": 0.7, "emb_srp_topk": 0.2}
+    for name, floor in floors.items():
+        approx = {
+            (r.query_id, r.neighbor_id)
+            for r in catalog.REGISTRY[name][0](spark, sf_dir).collect()
+        }
+        recall = len(approx & exact) / len(exact)
+        assert recall >= floor, (name, recall)
+
+
 def test_srp_neardup_subset_of_exact(spark, sf_dir):
     from indra_db_spark.operators.similarity import (
         cosine_neardup_pairs,
