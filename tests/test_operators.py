@@ -884,6 +884,53 @@ def test_asof_join_semantics(spark):
     assert {r.event_id for r in kept} == {2, 3}
 
 
+def test_asof_join_chunked_matches_plain_under_skew(spark, sf_dir):
+    """The segmented (chunk_seconds) hot-key escape returns bit-identical
+    rows to the single-window formulation — on the real events fixture
+    AND on a corpus where one bot user owns ~10% of all events — while
+    no (key, chunk) window partition holds the hot user's full history
+    (the mechanism that balances task times at scale)."""
+    from indra_db_spark.operators.temporal import asof_join, latest_per_key_ts
+    from indra_db_spark.sources.lake import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    # bot: ~10% of events re-assigned to one user id
+    ev = ev.withColumn(
+        "user_id",
+        F.when(F.col("event_id") % 10 == 0, F.lit(1)).otherwise(
+            F.col("user_id")
+        ),
+    )
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    right = latest_per_key_ts(
+        ev.filter(F.col("event_type") == "click").select(
+            "event_id", "ts", "user_id", "value"
+        ),
+        "user_id", "ts", "event_id",
+    )
+    plain = asof_join(left, right, on="user_id")
+    chunked = asof_join(left, right, on="user_id", chunk_seconds=3600)
+    assert sorted(plain.columns) == sorted(chunked.columns)
+    a = {tuple(r) for r in plain.collect()}
+    b = {tuple(r) for r in chunked.collect()}
+    assert a == b and len(a) == left.count()
+    # the skew actually spreads: the hot user's rows land in many
+    # (key, chunk) window partitions, each far smaller than its total
+    hot_total = ev.filter(F.col("user_id") == 1).count()
+    per_chunk = (
+        ev.filter(F.col("user_id") == 1)
+        .groupBy(F.floor(F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+                         / (3600 * 1_000_000)).alias("ck"))
+        .count()
+        .agg(F.max("count"), F.count(F.lit(1)))
+        .collect()[0]
+    )
+    assert per_chunk[1] > 8  # many chunks
+    assert per_chunk[0] < hot_total / 4  # no chunk holds the hot history
+
+
 def test_band_join_boundaries_and_uniqueness(spark):
     from datetime import datetime, timedelta
 

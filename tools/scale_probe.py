@@ -223,7 +223,54 @@ def _ops(spark, docs, emb, edges, ivf_index, ivf_centers, events):
         "group_quantiles": lambda: TK.discrete_quantiles(
             events, ["event_type"], "value"
         ),
+        # hot-key skew family: one bot user owns ~10% of ALL events (the
+        # share stays 10% at every amplification, so the skew cliff grows
+        # with the corpus).  asof_skew (single per-key window) vs
+        # asof_skew_chunked (segmented carry-forward) is the measured
+        # evidence for the chunk_seconds escape; funnel_skew demonstrates
+        # the per-step aggregates absorb the hot key map-side (partial
+        # aggregation) without any escape.
+        "asof_skew": lambda: TP.asof_join(
+            _skewed(events).filter(F.col("event_type") == "purchase").select(
+                "event_id", "ts", "user_id", "value"
+            ),
+            TP.latest_per_key_ts(
+                _skewed(events).filter(F.col("event_type") == "click").select(
+                    "event_id", "ts", "user_id", "value"
+                ),
+                "user_id", "ts", "event_id",
+            ),
+            on="user_id",
+        ),
+        "asof_skew_chunked": lambda: TP.asof_join(
+            _skewed(events).filter(F.col("event_type") == "purchase").select(
+                "event_id", "ts", "user_id", "value"
+            ),
+            TP.latest_per_key_ts(
+                _skewed(events).filter(F.col("event_type") == "click").select(
+                    "event_id", "ts", "user_id", "value"
+                ),
+                "user_id", "ts", "event_id",
+            ),
+            on="user_id",
+            chunk_seconds=3600,
+        ),
+        "funnel_skew": lambda: AN.funnel(
+            _skewed(events), ["signup", "click", "purchase"]
+        ),
     }
+
+
+def _skewed(events):
+    """~10% of events reassigned to one bot user (deterministic)."""
+    from pyspark.sql import functions as F
+
+    return events.withColumn(
+        "user_id",
+        F.when(F.col("event_id") % 10 == 0, F.lit(1)).otherwise(
+            F.col("user_id")
+        ),
+    )
 
 
 def main() -> None:
