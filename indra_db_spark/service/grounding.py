@@ -40,8 +40,16 @@ class LakeNameGrounder:
     with score = this grounding's share of the surface form's corpus
     occurrences (ties broken by (db, id) for determinism)."""
 
-    def __init__(self, index: dict[str, list[dict]]):
+    def __init__(
+        self,
+        index: dict[str, list[dict]],
+        totals: dict[str, int] | None = None,
+    ):
         self._index = index
+        #: per-surface corpus occurrence totals — the autocomplete rank
+        self._totals = totals or {}
+        #: sorted key list for prefix (autocomplete) scans via bisect
+        self._sorted = sorted(index)
 
     @classmethod
     def from_lake(
@@ -82,11 +90,16 @@ class LakeNameGrounder:
         ranked = (
             counts.withColumn("rn", F.row_number().over(w))
             .withColumn("share", F.col("n") / F.sum("n").over(total))
+            .withColumn("total_n", F.sum("n").over(total))
             .filter(F.col("rn") <= max_matches_per_term)
-            .select("surface", "db_name", "gid", "entry_name", "share", "rn")
+            .select(
+                "surface", "db_name", "gid", "entry_name", "share", "rn",
+                "total_n",
+            )
             .limit(max_terms * max_matches_per_term)
         )
         index: dict[str, list[dict]] = {}
+        totals: dict[str, int] = {}
         for r in ranked.collect():
             index.setdefault(r.surface, []).append(
                 {
@@ -98,9 +111,10 @@ class LakeNameGrounder:
                     "score": round(float(r.share), 6),
                 }
             )
+            totals[r.surface] = int(r.total_n)
         for matches in index.values():
             matches.sort(key=lambda m: (-m["score"], m["term"]["db"], m["term"]["id"]))
-        return cls(index)
+        return cls(index, totals)
 
     def __call__(self, text: str) -> list[dict]:
         key = _normalize(text)
@@ -113,6 +127,37 @@ class LakeNameGrounder:
         if len(words) > 1 and words[-1] in _STOP_SUFFIXES:
             return self._index.get(" ".join(words[:-1]), [])
         return []
+
+    def suggest(self, prefix: str, limit: int = 10) -> list[dict]:
+        """Agent-name autocomplete: surface forms starting with ``prefix``,
+        ranked by corpus occurrence count (the same frequency prior the
+        grounding uses) → ``[{"name", "n", "top": <top match term>}]``.
+
+        The backing store is the already-built in-memory index, so a
+        suggestion is a bisect prefix scan over the sorted key list —
+        O(log terms + hits), the latency shape an interactive search box
+        needs (the reference's search page resolves agent text through
+        the same grounding service this index stands in for)."""
+        from bisect import bisect_left
+
+        key = _normalize(prefix)
+        if not key:
+            return []
+        start = bisect_left(self._sorted, key)
+        hits = []
+        for surface in self._sorted[start:]:
+            if not surface.startswith(key):
+                break
+            hits.append(surface)
+        hits.sort(key=lambda s: (-self._totals.get(s, 0), s))
+        return [
+            {
+                "name": s,
+                "n": self._totals.get(s, 0),
+                "top": self._index[s][0]["term"],
+            }
+            for s in hits[:limit]
+        ]
 
     def as_seam(self):
         """Adapter for ``HasAgent.grounding_service``: text -> (ns, id) of

@@ -286,6 +286,47 @@ def make_handler(
                 if url.path == "/ground":
                     self._ground(qs)
                     return
+                if url.path == "/search/data":
+                    # the JSON data contract behind the reference's
+                    # /search page (api.py:206-246): the statement-type
+                    # vocabulary (biology classes incl. abstract parents,
+                    # the stmt_types_json the page embeds) and the source
+                    # groups (api.py:67 sources_dict shape)
+                    from indra_db_spark.schemas import (
+                        DB_SOURCES,
+                        READER_SOURCES,
+                        TYPE_REGISTRY,
+                        TYPE_SUBCLASSES,
+                    )
+
+                    self._send(
+                        200,
+                        {
+                            "stmt_types": sorted(
+                                TYPE_REGISTRY + sorted(TYPE_SUBCLASSES)
+                            ),
+                            "sources": {
+                                "reading": sorted(READER_SOURCES),
+                                "databases": sorted(DB_SOURCES),
+                            },
+                        },
+                    )
+                    return
+                if url.path == "/search/agents":
+                    # agent-name autocomplete over the grounder index —
+                    # the JSON behind the search box's agent field
+                    if grounder is None or not hasattr(grounder, "suggest"):
+                        self._send(503, {"error": "no grounder mounted"})
+                        return
+                    prefix = qs.get("prefix", [""])[0]
+                    if not prefix:
+                        raise WebQueryError("no prefix given")
+                    limit = int(qs.get("limit", ["10"])[0])
+                    self._send(
+                        200,
+                        {"suggestions": grounder.suggest(prefix, limit)},
+                    )
+                    return
                 if url.path == "/summary/data/stats":
                     # api.py:285-293 serves the pregenerated db_stats.json
                     if stats is None:

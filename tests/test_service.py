@@ -670,3 +670,54 @@ def test_lake_name_grounder(spark):
         assert got["results"] == matches
     finally:
         server.shutdown()
+
+
+def test_search_data_and_autocomplete_routes(spark):
+    """The /search page's JSON data contract (reference api.py:206-246:
+    stmt_types_json + sources_dict) and the agent autocomplete over the
+    grounder index — the last user-visible reference behavior that had
+    no JSON analog."""
+    import json
+    from urllib.error import HTTPError
+    from urllib.request import urlopen
+
+    from indra_db_spark.plans.fixtures import fixture_lake
+    from indra_db_spark.schemas import TYPE_REGISTRY, TYPE_SUBCLASSES
+    from indra_db_spark.service.grounding import LakeNameGrounder
+    from indra_db_spark.service.rest import serve
+
+    lake, stmts, _ = fixture_lake(spark)
+    grounder = LakeNameGrounder.from_lake(lake)
+
+    # suggest(): prefix scan, frequency-ranked, top grounding attached
+    sugg = grounder.suggest("me")
+    assert sugg and all(s["name"].startswith("me") for s in sugg)
+    assert [s["n"] for s in sugg] == sorted(
+        (s["n"] for s in sugg), reverse=True
+    )
+    assert all(s["top"]["db"] and s["top"]["id"] for s in sugg)
+    assert grounder.suggest("zzz-no-such-agent") == []
+
+    server = serve(lake, grounder=grounder)
+    host, port = server.server_address
+    base = f"http://{host}:{port}"
+    try:
+        data = json.load(urlopen(f"{base}/search/data"))
+        assert data["stmt_types"] == sorted(
+            TYPE_REGISTRY + sorted(TYPE_SUBCLASSES)
+        )
+        assert "Phosphorylation" in data["stmt_types"]
+        assert "Modification" in data["stmt_types"]  # abstract parents too
+        assert set(data["sources"]) == {"reading", "databases"}
+        assert "reach" in data["sources"]["reading"]
+
+        got = json.load(urlopen(f"{base}/search/agents?prefix=me&limit=3"))
+        assert got["suggestions"] == grounder.suggest("me", 3)
+
+        try:
+            urlopen(f"{base}/search/agents")
+            raise AssertionError("missing prefix must 400")
+        except HTTPError as e:
+            assert e.code == 400
+    finally:
+        server.shutdown()
