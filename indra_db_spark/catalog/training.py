@@ -1493,8 +1493,13 @@ def doc_corpus_pipeline_v2(spark, sf):
     decontamination; ONE stream-hash window for packing) and the stages
     hand off by doc_id joins — Catalyst pipelines them into one job, no
     driver round-trips between stages."""
+    from indra_db_spark.operators.dedup import _materialize
+
     docs = T(spark, sf, "documents")
-    rw = D.remove_duplicate_spans(docs, k=_SPAN_K)
+    # the rewrite output feeds THREE consumers (the LM model build, the
+    # survivor join, and the decontamination shingles) — materialize it
+    # once or Catalyst re-runs the whole span-dedup chain per branch
+    rw = _materialize(D.remove_duplicate_spans(docs, k=_SPAN_K))
     lm = X.bigram_lm_score(rw, id_col="doc_id", text_col="clean_text")
     lmkeep = lm.filter(
         F.col("sum_p_micro")

@@ -13,5 +13,13 @@ from indra_db_spark.streaming.ingest import (
     stream_dedup,
     windowed_counts,
 )
+from indra_db_spark.streaming.stateful import running_totals, streaming_funnel
 
-__all__ = ["read_stream", "sessionize", "stream_dedup", "windowed_counts"]
+__all__ = [
+    "read_stream",
+    "running_totals",
+    "sessionize",
+    "stream_dedup",
+    "streaming_funnel",
+    "windowed_counts",
+]

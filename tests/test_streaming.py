@@ -303,3 +303,76 @@ def test_stream_checkpoint_restart_resumes_exactly_once(spark, tmp_path):
     # a third restart with no new data writes nothing new
     run_once()
     assert spark.read.parquet(sink).count() == 150
+
+
+def test_streaming_funnel_matches_batch(spark, tmp_path):
+    """The applyInPandasWithState funnel replayed over time-ordered file
+    drops equals the batch funnel — per-user state machine parity,
+    including the conversion-window variant."""
+    import os
+    import time
+
+    from indra_db_spark.operators.analytics import funnel
+    from indra_db_spark.streaming.stateful import streaming_funnel
+
+    steps = ["signup", "click", "purchase"]
+    batch = (
+        load_table(spark, "/root/testdata/sf0.001", "events")
+        .filter(F.col("user_id") < 40)
+        .select("user_id", "ts", "event_type")
+    )
+    # three time-sliced drops with ascending mtimes: the file source
+    # processes them oldest-first, so per-user event order across
+    # micro-batches follows event time (the in-order contract)
+    us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    qs = batch.select(
+        F.percentile_approx(us, [0.33, 0.66]).alias("p")
+    ).collect()[0].p
+    cuts = [None, *qs, None]
+    path = str(tmp_path / "drops")
+    os.makedirs(path)
+    for i in range(3):
+        part = batch
+        if cuts[i] is not None:
+            part = part.filter(us > cuts[i])
+        if cuts[i + 1] is not None:
+            part = part.filter(us <= cuts[i + 1])
+        part.coalesce(1).write.mode("overwrite").parquet(f"{path}/d{i}")
+        # one file per drop dir -> move into the watched dir with mtimes
+        # in slice order
+        src = [f for f in os.listdir(f"{path}/d{i}") if f.endswith(".parquet")][0]
+        dst = f"{path}/slice{i}.parquet"
+        os.rename(f"{path}/d{i}/{src}", dst)
+        os.utime(dst, (time.time() - 300 + i * 60,) * 2)
+
+    for within in (None, 86400 * 3):
+        stream = (
+            spark.readStream.schema(batch.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(path)
+        )
+        name = f"funnel_sink_{within or 0}"
+        q = (
+            streaming_funnel(stream, steps, within_seconds=within)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # latest emission per user = most completed steps (monotone)
+        got = {}
+        for r in spark.table(name).collect():
+            if r.user not in got or r.n_steps >= got[r.user].n_steps:
+                got[r.user] = r
+        want = {
+            r.user_id: r
+            for r in funnel(batch, steps, within_seconds=within).collect()
+        }
+        assert set(got) == set(want)
+        for u, w in want.items():
+            g = got[u]
+            assert (g.s1_ts, g.s2_ts, g.s3_ts) == (
+                w.s1_ts, w.s2_ts, w.s3_ts,
+            ), (u, within)
