@@ -1352,6 +1352,44 @@ def doc_dedup_rewrite(spark, sf):
     return D.remove_duplicate_spans(T(spark, sf, "documents"), k=_SPAN_K)
 
 
+@register(
+    "doc_pmi_terms",
+    f"""
+    WITH lw AS (
+      SELECT doc_id, list_filter(
+        regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        x -> x <> '') AS ws
+      FROM documents
+    ),
+    big AS (
+      SELECT doc_id, ws[i] AS a, ws[i+1] AS b
+      FROM lw, UNNEST(range(1, len(ws))) AS t(i)
+      WHERE len(ws) >= 2
+    ),
+    cab AS (SELECT a, b, count(*) AS c_ab FROM big GROUP BY a, b),
+    ca AS (SELECT a, count(*) AS c_a FROM big GROUP BY a),
+    cb AS (SELECT b, count(*) AS c_b FROM big GROUP BY b),
+    n AS (SELECT count(*) AS n FROM big),
+    s AS (
+      SELECT a, b, c_ab,
+             {X._pmi_sql("c_ab", "c_a", "c_b", "n")} AS score_micro
+      FROM cab JOIN ca USING (a) JOIN cb USING (b), n
+      WHERE c_ab >= 5
+    )
+    SELECT a, b, CAST(c_ab AS INT) AS c_ab, score_micro,
+           CAST(row_number() OVER (ORDER BY score_micro DESC, a, b) AS INT)
+             AS rank
+    FROM s ORDER BY score_micro DESC, a, b LIMIT 20
+    """,
+)
+def doc_pmi_terms(spark, sf):
+    """Corpus collocations: top word pairs by integer-scaled PMI ratio
+    (Church & Hanks 1990) — one shared bigram shuffle, vocabulary-bounded
+    marginal joins, single-row total broadcast, TakeOrderedAndProject
+    top-k (operators/text.py:pmi_terms)."""
+    return X.pmi_terms(T(spark, sf, "documents"))
+
+
 #: v2 pipeline LM familiarity gate, in micro-probability units: keep a doc
 #: iff its mean add-one bigram probability ≥ this (≈ the corpus median at
 #: the test SFs, so the gate provably filters in both directions)

@@ -48,6 +48,13 @@ def _ckpt_level(big: bool):
 #: retained closure pairs on an 8g heap).
 CKPT_SER_BYTES = 1 << 20
 
+#: same gate in Catalyst-ESTIMATE units: plan statistics report ~2.5
+#: bytes/row for a parquet-derived long-pair frame (vs ~10 serialized), so
+#: 256 KiB estimated ≈ 100k edges — the measured ser/deser crossover
+#: (deser wins at 20k edges: 2.07 vs 2.27 s; ser already wins at 200k:
+#: 9.9 vs 11.5 s on the x10 probe)
+CKPT_SER_EST_BYTES = 256 << 10
+
 
 def _sized_ckpt(project):
     """Checkpoint callback whose storage level is sized off the FIRST
@@ -75,20 +82,19 @@ def _sized_ckpt(project):
         first = holder["level"] is None
         if first:
             # the first piece's own level comes from Catalyst's free
-            # driver-side size estimate (~2.5 B/row for a parquet-derived
-            # edge frame, so the 1 MiB gate ≈ 400k edges — deserialized
-            # that is tens of MB of heap even at a 10× misestimate, safe);
-            # stat-less plans report huge sizeInBytes and land serialized,
-            # the safe side.  Keeping the first piece deserialized on
-            # small graphs matters: it is re-read every round and paying
-            # per-access deserialization cost it ~7% at sf0.1.
+            # driver-side size estimate (CKPT_SER_EST_BYTES ≈ the 100k-edge
+            # crossover in estimate units); stat-less plans report huge
+            # sizeInBytes and land serialized, the safe side.  Keeping the
+            # first piece deserialized on small graphs matters: it is
+            # re-read every round and paying per-access deserialization
+            # cost it ~7% at sf0.1.
             try:
                 est = int(
                     df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
                 )
             except Exception:
-                est = CKPT_SER_BYTES + 1
-            lvl = _ckpt_level(est > CKPT_SER_BYTES)
+                est = CKPT_SER_EST_BYTES + 1
+            lvl = _ckpt_level(est > CKPT_SER_EST_BYTES)
             try:
                 jsc = df.sparkSession.sparkContext._jsc.sc()
                 before = {r.id() for r in jsc.getRDDStorageInfo()}

@@ -415,6 +415,78 @@ def _bigram_model_frames(df, id_col, text_col):
     return big, cab, ca, v
 
 
+def _pmi_sql(c_ab: str, c_a: str, c_b: str, n: str, micro: int = 1_000_000) -> str:
+    """The ONE copy of the PMI association ratio in micro units:
+    floor(c_ab · micro · N / (c_a · c_b)) — the exp of pointwise mutual
+    information, scaled to integers so it ranks identically in any engine
+    (log is monotone, so ranking by the ratio IS ranking by PMI, and the
+    transcendental stays out of the oracle gate).
+
+    Per-row double throughout: the denominator c_a·c_b reaches 1e26 at
+    1e13-token corpora (int64 dies at 9.2e18) and the numerator 1e32 —
+    both exact enough in double (deterministically rounded identically by
+    both engines), with FLOOR pinning the score to an exact integer.
+    """
+    return (
+        f"CAST(FLOOR((({c_ab}) * CAST({micro} AS DOUBLE) * ({n})) / "
+        f"(CAST({c_a} AS DOUBLE) * ({c_b}))) AS BIGINT)"
+    )
+
+
+def pmi_terms(
+    df: DataFrame,
+    k: int = 20,
+    min_count: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` most-associated adjacent word pairs corpus-wide, ranked
+    by pointwise mutual information → (a, b, c_ab, score_micro, rank) —
+    the collocation/phrase-mining view of a corpus (Church & Hanks 1990),
+    the standard first pass for multi-word-expression vocabularies.
+
+    PMI compares a bigram's probability to its marginals:
+    P(a,b)/(P(a,·)·P(·,b)) over the bigram distribution; the score column
+    is that ratio in integer micro units (:func:`_pmi_sql` — ranking by
+    the ratio is ranking by PMI).  ``min_count`` suppresses the hapax
+    pairs PMI notoriously over-ranks.
+
+    100 TB shape: ONE bigram shuffle (shared, materialized), then every
+    count frame is VOCABULARY-bounded (Zipf) so the marginal joins
+    broadcast at scale, the total is a single-row broadcast, and the
+    top-k is TakeOrderedAndProject — per-partition heaps, no global sort.
+    """
+    from pyspark.sql import Window
+
+    from indra_db_spark.operators.dedup import _materialize
+
+    big = _materialize(_doc_bigrams(df, id_col, text_col))
+    cab = big.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
+    ca = big.groupBy("a").agg(F.count(F.lit(1)).alias("c_a"))
+    cb = big.groupBy("b").agg(F.count(F.lit(1)).alias("c_b"))
+    n = big.agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        cab.filter(F.col("c_ab") >= min_count)
+        .join(ca, "a")
+        .join(cb, "b")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "score_micro", F.expr(_pmi_sql("c_ab", "c_a", "c_b", "n"))
+        )
+    )
+    w = Window.orderBy(F.desc("score_micro"), F.asc("a"), F.asc("b"))
+    return (
+        scored.orderBy(F.desc("score_micro"), "a", "b")
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .select(
+            "a", "b",
+            F.col("c_ab").cast("int").alias("c_ab"),
+            "score_micro", "rank",
+        )
+    )
+
+
 def _p_micro_sql(c_ab: str, c_a: str, v, micro: int = 1_000_000) -> str:
     """The ONE copy of the add-one bigram probability in micro units:
     floor((c_ab + 1) · micro / (c_a + V)) — emitted as engine-neutral SQL
