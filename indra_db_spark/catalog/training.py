@@ -1390,6 +1390,85 @@ def doc_pmi_terms(spark, sf):
     return X.pmi_terms(T(spark, sf, "documents"))
 
 
+@register(
+    "doc_top_terms",
+    """
+    WITH lw AS (
+      SELECT doc_id AS id, list_filter(
+        regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        x -> x <> '') AS ws
+      FROM documents
+    ),
+    wd AS (SELECT id, unnest(ws) AS word FROM lw),
+    tf AS (SELECT id, word, count(*) AS tf FROM wd GROUP BY id, word),
+    dc AS (SELECT word, count(*) AS dcount FROM tf GROUP BY word),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    s AS (
+      SELECT id, word, tf,
+             CAST(FLOOR((tf * CAST(1000000 AS DOUBLE) * n_docs) / dcount)
+                  AS BIGINT) AS score_micro
+      FROM tf JOIN dc USING (word), n
+    ),
+    r AS (
+      SELECT *, CAST(row_number() OVER (
+        PARTITION BY id ORDER BY score_micro DESC, word) AS INT) AS rank
+      FROM s
+    )
+    SELECT id AS doc_id, word, CAST(tf AS INT) AS tf, score_micro, rank
+    FROM r WHERE rank <= 3
+    """,
+)
+def doc_top_terms(spark, sf):
+    """Per-document keywords: tf · idf-ratio surrogate (log dropped, the
+    BM25-IDF trade), per-row double → exact integer scores; per-doc top-3
+    via WindowGroupLimit, document frequency joined from the
+    vocabulary-bounded tf frame (operators/text.py:top_terms_per_doc)."""
+    return X.top_terms_per_doc(T(spark, sf, "documents"), k=3)
+
+
+_CHUNK_W, _CHUNK_S = 64, 48
+
+
+@register(
+    "doc_chunks",
+    f"""
+    WITH w AS (
+      SELECT doc_id AS id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS ws
+      FROM documents
+    ),
+    sized AS (
+      SELECT id, ws, len(ws) AS n,
+             CASE WHEN len(ws) > {_CHUNK_W}
+               THEN 1 + (len(ws) - {_CHUNK_W} + {_CHUNK_S} - 1) // {_CHUNK_S}
+               ELSE 1 END AS n_chunks
+      FROM w WHERE len(ws) > 0
+    ),
+    c AS (
+      SELECT id, ws, CAST(i AS INT) AS chunk_idx,
+             CAST(i * {_CHUNK_S} + 1 AS INT) AS start_word
+      FROM sized, UNNEST(range(0, n_chunks)) AS t(i)
+    )
+    SELECT id AS doc_id, chunk_idx, start_word,
+           CAST(len(ws[start_word : start_word + {_CHUNK_W} - 1]) AS INT)
+             AS n_words,
+           array_to_string(ws[start_word : start_word + {_CHUNK_W} - 1], ' ')
+             AS chunk_text
+    FROM c
+    """,
+)
+def doc_chunks(spark, sf):
+    """Sliding-window chunking (width {w}, stride {s}): the context-window
+    prep of a long-document pipeline — scan-fused explode + array slice,
+    no shuffle; every word covered, chunk identity a pure function of the
+    document (operators/text.py:chunk_documents).""".format(
+        w=_CHUNK_W, s=_CHUNK_S
+    )
+    return X.chunk_documents(
+        T(spark, sf, "documents"), width=_CHUNK_W, stride=_CHUNK_S
+    )
+
+
 #: v2 pipeline LM familiarity gate, in micro-probability units: keep a doc
 #: iff its mean add-one bigram probability ≥ this (≈ the corpus median at
 #: the test SFs, so the gate provably filters in both directions)

@@ -332,6 +332,117 @@ def vocab_topk(
     )
 
 
+def top_terms_per_doc(
+    df: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document keyword extraction: the ``k`` terms most distinctive
+    of each document under a tf-idf-shaped score →
+    (id, word, tf, score_micro, rank).
+
+    The score is the rational surrogate ``floor(tf · 1e6 · N / df)`` —
+    tf times the inverse document frequency RATIO with the log dropped
+    (the same trade :func:`keyword_search` makes for BM25's IDF): every
+    intermediate is an exact integer from a per-row double, so the result
+    is engine-reproducible, at the cost of weighting rare terms more
+    aggressively than the log form.  Ties break on word ascending.
+
+    Shape: ONE explode→(id, word) partial-agg shuffle for tf; document
+    frequency aggregates from the tf frame (already distinct per doc) and
+    is VOCABULARY-bounded → broadcastable; N is a single-row broadcast;
+    the per-doc top-k is a WindowGroupLimit (rank ≤ k pushed into the
+    window sort) — no global sort anywhere.
+    """
+    from pyspark.sql import Window
+
+    words = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), WORD_SPLIT),
+                lambda w: w != "",
+            )
+        ).alias("word"),
+    )
+    tf = words.groupBy("id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    dcount = tf.groupBy("word").agg(F.count(F.lit(1)).alias("dcount"))
+    n = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dcount, "word")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "score_micro",
+            F.expr(
+                "CAST(FLOOR((tf * CAST(1000000 AS DOUBLE) * n_docs) "
+                "/ dcount) AS BIGINT)"
+            ),
+        )
+    )
+    w = Window.partitionBy("id").orderBy(
+        F.desc("score_micro"), F.asc("word")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("id").alias(id_col), "word",
+            F.col("tf").cast("int").alias("tf"), "score_micro", "rank",
+        )
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    width: int = 64,
+    stride: int = 48,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sliding-window document chunking → (id, chunk_idx, start_word,
+    n_words, chunk_text): the context-window preparation step of a
+    long-document training pipeline (overlapping word windows of
+    ``width``, advancing by ``stride``; the standard striding tokenizers
+    apply before packing).
+
+    Every document yields at least one chunk; the last chunk starts at
+    the final stride position that still covers new words, so every word
+    lands in ≥1 chunk and no chunk is empty.  Chunk identity is a pure
+    function of (id, word positions) — stable across engines and runs.
+
+    Shape: a single projection computes the chunk count per doc, one
+    explode produces O(words/stride) rows per doc, and each chunk slices
+    the already-split word array — no shuffle at all until whatever
+    consumes the chunks: the operator is scan-fused and embarrassingly
+    parallel.
+    """
+    if width <= 0 or stride <= 0:
+        raise ValueError("chunk_documents: width and stride must be > 0")
+    ws = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+    words = df.select(
+        F.col(id_col).alias("id"), ws.alias("_ws"), F.size(ws).alias("_n")
+    ).filter(F.col("_n") > 0)
+    n_chunks = F.expr(
+        f"CASE WHEN _n > {width} "
+        f"THEN 1 + (_n - {width} + {stride} - 1) div {stride} "
+        "ELSE 1 END"
+    )
+    out = words.select(
+        "id", "_ws", "_n",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+    )
+    start = F.col("chunk_idx") * stride + 1
+    piece = F.slice("_ws", start, width)
+    return out.select(
+        F.col("id").alias(id_col),
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        start.cast("int").alias("start_word"),
+        F.size(piece).cast("int").alias("n_words"),
+        F.concat_ws(" ", piece).alias("chunk_text"),
+    )
+
+
 def line_dedup(
     df: DataFrame,
     id_col: str = "doc_id",

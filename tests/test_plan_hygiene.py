@@ -170,3 +170,30 @@ def test_lm_score_count_joins_after_materialized_bigrams(spark, sf_dir):
     assert "Scan ExistingRDD" in plan
     assert "BroadcastNestedLoopJoin" in plan  # 1-row V frame
     assert "PythonUDF" not in plan
+
+
+def test_chunking_is_shuffle_free(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "doc_chunks")
+    assert "Exchange" not in plan  # scan-fused explode + slice
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    read_schema = plan.split("ReadSchema:")[1].split("\n")[0]
+    assert "lang" not in read_schema  # only doc_id + text scanned
+
+
+def test_pmi_and_top_terms_take_ordered_and_partial_agg(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "doc_pmi_terms")
+    assert "TakeOrderedAndProject" in plan  # global top-k, no full sort
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert plan.count("HashAggregate") >= 4  # partial + final per count
+    plan2 = _plan(spark, sf_dir, "doc_top_terms")
+    assert "WindowGroupLimit" in plan2  # per-doc rank<=k pushdown
+    assert "BatchEvalPython" not in plan2 and "ArrowEvalPython" not in plan2
+
+
+def test_corpus_pipeline_v2_plan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "doc_corpus_pipeline_v2")
+    # decontamination's benchmark shingle set must broadcast, and the
+    # whole composition must stay JVM-side
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
