@@ -138,6 +138,14 @@ def make_handler(
             self.end_headers()
             self.wfile.write(body)
 
+        def _send_html(self, html: str) -> None:
+            body = html.encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html; charset=utf-8")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
         def _page_args(self, qs) -> dict:
             limit = min(int(qs.get("limit", [str(MAX_STMTS)])[0]), MAX_STMTS)
             return {
@@ -285,6 +293,18 @@ def make_handler(
                     return
                 if url.path == "/ground":
                     self._ground(qs)
+                    return
+                if url.path in ("/search", "/monitor"):
+                    # tiny dependency-free HTML consumers of the JSON API
+                    # (the reference serves template pages here,
+                    # api.py:206-246 and :300-338)
+                    from indra_db_spark.service import pages
+
+                    self._send_html(
+                        pages.SEARCH_HTML
+                        if url.path == "/search"
+                        else pages.MONITOR_HTML
+                    )
                     return
                 if url.path == "/search/data":
                     # the JSON data contract behind the reference's

@@ -721,3 +721,31 @@ def test_search_data_and_autocomplete_routes(spark):
             assert e.code == 400
     finally:
         server.shutdown()
+
+
+def test_html_pages_served(spark):
+    """/search and /monitor serve the dependency-free HTML consumers of
+    the JSON API (the reference's template pages, api.py:206-246)."""
+    from urllib.request import urlopen
+
+    from indra_db_spark.plans.fixtures import fixture_lake
+    from indra_db_spark.service.rest import serve
+
+    lake, _, _ = fixture_lake(spark)
+    server = serve(lake)
+    host, port = server.server_address
+    base = f"http://{host}:{port}"
+    try:
+        r = urlopen(f"{base}/search")
+        assert r.headers.get_content_type() == "text/html"
+        body = r.read().decode()
+        # the page must consume exactly the public JSON routes
+        for route in ("/search/data", "/search/agents",
+                      "/statements/from_agents"):
+            assert route in body
+        r2 = urlopen(f"{base}/monitor")
+        body2 = r2.read().decode()
+        assert "/monitor/data/runtime" in body2
+        assert "/summary/data/stats" in body2
+    finally:
+        server.shutdown()

@@ -28,7 +28,10 @@ def main() -> None:
 
         lake, _ = load_release(spark, src)
 
-    server = serve(lake, host="127.0.0.1", port=port)
+    from indra_db_spark.service.grounding import LakeNameGrounder
+
+    grounder = LakeNameGrounder.from_lake(lake)
+    server = serve(lake, host="127.0.0.1", port=port, grounder=grounder)
     host, bound = server.server_address
     print(f"serving on http://{host}:{bound} (ctrl-c to stop)")
     try:
