@@ -331,3 +331,35 @@ def events_cohort_retention(spark, sf):
     from indra_db_spark.operators.analytics import cohort_retention
 
     return cohort_retention(T(spark, sf, "events"))
+
+
+@register(
+    "events_paths",
+    """
+    WITH s AS (
+      SELECT event_type AS e1,
+             lead(event_type, 1) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS e2,
+             lead(event_type, 2) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS e3
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ),
+    c AS (
+      SELECT e1, e2, e3, CAST(count(*) AS BIGINT) AS n_paths
+      FROM s WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+      GROUP BY e1, e2, e3
+    )
+    SELECT e1, e2, e3, n_paths,
+           CAST(row_number() OVER
+             (ORDER BY n_paths DESC, e1, e2, e3) AS INT) AS rank
+    FROM c ORDER BY n_paths DESC, e1, e2, e3 LIMIT 20
+    """,
+)
+def events_paths(spark, sf):
+    """Path analysis: top 3-step event-type sequences in per-user
+    (ts, event_id) order — one per-user window shuffle for the lead
+    lookahead, partial-agg sequence counts, TakeOrderedAndProject top-k
+    (operators/analytics.py:event_paths)."""
+    from indra_db_spark.operators.analytics import event_paths
+
+    return event_paths(T(spark, sf, "events"), n=3, k=20)

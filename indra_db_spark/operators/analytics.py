@@ -168,3 +168,55 @@ def cohort_retention(
         .groupBy("cohort", "period_offset")
         .agg(F.count_distinct("u").cast("long").alias("n_users"))
     )
+
+
+def event_paths(
+    events: DataFrame,
+    n: int = 3,
+    k: int = 20,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Top-``k`` most common ``n``-step event-type sequences across users
+    → (e1 … eN, n_paths, rank) — the path-analysis view of an event log
+    (what flows actually happen, vs the flows a funnel presupposes).
+
+    Sequences are consecutive events per user in (ts, event_id) order —
+    the id breaks timestamp ties so the result is a total-order pure
+    function of the log.  One shuffle partitions each user's history for
+    the ``lead`` window, then the sequence counts partial-aggregate
+    (Zipfian — the hot path arrives at the reducer as one partial count
+    per task) and the global top-k is TakeOrderedAndProject.  The
+    per-user window has the same bot-user skew surface as any per-key
+    window (SCALING.md §6d); sequence formation only needs n-1 lookahead,
+    so a chunked escape would carry (n-1)-row overlap if one key ever
+    dominates.
+    """
+    if n < 2:
+        raise ValueError("event_paths needs n >= 2")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("u").orderBy("t", "i")
+    base = events.select(
+        F.col(user_col).alias("u"),
+        F.col(ts_col).alias("t"),
+        F.col(id_col).alias("i"),
+        F.col(type_col).alias("e1"),
+    ).filter(F.col("u").isNotNull() & F.col("t").isNotNull())
+    cols = ["e1"]
+    for j in range(2, n + 1):
+        base = base.withColumn(f"e{j}", F.lead("e1", j - 1).over(w))
+        cols.append(f"e{j}")
+    counted = (
+        base.filter(F.col(f"e{n}").isNotNull())
+        .groupBy(*cols)
+        .agg(F.count(F.lit(1)).alias("n_paths"))
+    )
+    rank_w = Window.orderBy(F.desc("n_paths"), *[F.asc(c) for c in cols])
+    return (
+        counted.orderBy(F.desc("n_paths"), *cols)
+        .limit(k)
+        .withColumn("rank", F.row_number().over(rank_w).cast("int"))
+    )
