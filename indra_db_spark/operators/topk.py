@@ -124,6 +124,85 @@ def kmv_distinct(
     )
 
 
+def kmv_state(
+    df,
+    group_cols: list[str],
+    value_col: str,
+    k: int = 64,
+    bits: int = 52,
+):
+    """Mergeable KMV sketch STATE per group → (*group_cols, minima) where
+    ``minima`` is the sorted array of the group's ≤ k smallest value
+    hashes — the persistable/mergeable half of :func:`kmv_distinct`
+    (store each shard's state, union states with :func:`kmv_merge`,
+    read the estimate with :func:`kmv_estimate`).
+
+    Mergeability is exact, not approximate: the k minima of a union are
+    a subset of the union of the per-shard k minima, so merge-then-
+    estimate equals estimate-over-everything bit-for-bit (pinned in
+    tests).  That is the property that lets a 100 TB job sketch per
+    partition/day and fold the states, never re-scanning history.
+
+    State is bounded: the per-group window keeps ≤ k rows before the
+    collect, so no executor ever holds a group's full distinct set.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    if (k - 1) * (1 << bits) >= 2**63:
+        raise ValueError(
+            f"kmv_state: (k-1)*2^bits with k={k}, bits={bits} "
+            "overflows int64; lower k or bits"
+        )
+    nhex = bits // 4
+    h = F.substring(F.md5(F.col(value_col).cast("string")), 1, nhex)
+    hashed = df.select(*group_cols, h.alias("_h")).distinct()
+    w = Window.partitionBy(*group_cols).orderBy("_h")
+    return (
+        hashed.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .groupBy(*group_cols)
+        .agg(F.array_sort(F.collect_list("_h")).alias("minima"))
+    )
+
+
+def kmv_merge(states, group_cols: list[str], k: int = 64):
+    """Fold several KMV states (same k/bits) into one: union the minima
+    arrays per group, dedup, keep the k smallest.  One partial-agg
+    shuffle over rows of ≤ k hashes each — merging N shards' sketches
+    costs O(N·k) regardless of the data they summarized."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    u = reduce(lambda a, b: a.unionByName(b), states)
+    return (
+        u.select(*group_cols, F.explode("minima").alias("_h"))
+        .groupBy(*group_cols)
+        .agg(
+            F.slice(
+                F.array_sort(F.collect_set("_h")), 1, k
+            ).alias("minima")
+        )
+    )
+
+
+def kmv_estimate(state, k: int = 64, bits: int = 52):
+    """Distinct-count estimate from a KMV state: exact when the group had
+    < k distinct values, else (k-1)·2^bits / kth_min — identical to
+    :func:`kmv_distinct`'s inline estimate."""
+    from pyspark.sql import functions as F
+
+    n = F.size("minima")
+    est = F.when(n < k, n.cast("long")).otherwise(
+        F.expr(
+            f"({k} - 1) * cast({2**bits} as bigint) div "
+            f"cast(conv(element_at(minima, {k}), 16, 10) as long)"
+        )
+    )
+    return state.withColumn("est_distinct", est).drop("minima")
+
+
 def discrete_quantiles(
     df,
     group_cols: list[str],

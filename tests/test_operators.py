@@ -1234,3 +1234,37 @@ def test_funnel_conversion_window(spark):
     # without the window both users convert fully
     free = {r.user_id: r.n_steps for r in funnel(ev, steps).collect()}
     assert free == {1: 3, 2: 3}
+
+
+def test_kmv_sketch_merges_exactly(spark, sf_dir):
+    """Merge-then-estimate equals estimate-over-everything: the k minima
+    of a union are recoverable from the per-shard k minima — the property
+    that lets sketches fold across shards/days without rescanning."""
+    from indra_db_spark.operators.topk import (
+        kmv_distinct,
+        kmv_estimate,
+        kmv_merge,
+        kmv_state,
+    )
+    from indra_db_spark.sources.lake import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    whole = {
+        r.event_type: r.est_distinct
+        for r in kmv_distinct(ev, ["event_type"], "user_id", k=16).collect()
+    }
+    shards = [
+        kmv_state(
+            ev.filter(F.col("event_id") % 3 == i),
+            ["event_type"], "user_id", k=16,
+        )
+        for i in range(3)
+    ]
+    merged = kmv_merge(shards, ["event_type"], k=16)
+    got = {
+        r.event_type: r.est_distinct
+        for r in kmv_estimate(merged, k=16).collect()
+    }
+    assert got == whole and whole
+    # and the state itself is bounded by k
+    assert all(len(r.minima) <= 16 for r in merged.collect())
