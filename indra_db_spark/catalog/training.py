@@ -1609,37 +1609,14 @@ def doc_corpus_pipeline_v2(spark, sf):
     joins; broadcast benchmark shingles so the corpus never shuffles for
     decontamination; ONE stream-hash window for packing) and the stages
     hand off by doc_id joins — Catalyst pipelines them into one job, no
-    driver round-trips between stages."""
-    from indra_db_spark.operators.dedup import _materialize
-
-    docs = T(spark, sf, "documents")
-    # the rewrite output feeds THREE consumers (the LM model build, the
-    # survivor join, and the decontamination shingles) — materialize it
-    # once or Catalyst re-runs the whole span-dedup chain per branch
-    rw = _materialize(D.remove_duplicate_spans(docs, k=_SPAN_K))
-    lm = X.bigram_lm_score(rw, id_col="doc_id", text_col="clean_text")
-    lmkeep = lm.filter(
-        F.col("sum_p_micro")
-        >= F.lit(_V2_LM_GATE).cast("long") * F.col("n_bigrams")
-    ).select("doc_id")
-    surv0 = rw.join(lmkeep, "doc_id").filter(F.col("doc_id") % 41 != 0)
-    contam = SM.decontaminate(
-        surv0.select("doc_id", F.col("clean_text").alias("text")),
-        docs.filter(F.col("doc_id") % 41 == 0),
-        min_overlap=2,
-    )
-    sv = surv0.join(
-        contam.select(F.col("id").alias("doc_id")), "doc_id", "left_anti"
-    ).select(
-        "doc_id",
-        "n_removed_words",
-        F.size(F.split("clean_text", " ")).cast("int").alias("n_tokens"),
-    )
-    return SM.pack_sequences(
-        sv, budget=_V2_PACK_BUDGET, size_col="n_tokens"
-    ).select(
-        "doc_id", "n_removed_words", "n_tokens", "stream",
-        F.col("cum_before").cast("long").alias("cum_before"), "pack",
+    driver round-trips between stages.  The composition lives in
+    operators/sampling.py:corpus_pipeline_v2, shared with the scale
+    probe: the thing proven correct is the thing measured."""
+    return SM.corpus_pipeline_v2(
+        T(spark, sf, "documents"),
+        span_k=_SPAN_K,
+        lm_gate_micro=_V2_LM_GATE,
+        pack_budget=_V2_PACK_BUDGET,
     )
 
 

@@ -241,3 +241,65 @@ def write_corpus_shards(
         .format(fmt)
         .save(path)
     )
+
+
+def corpus_pipeline_v2(
+    docs: DataFrame,
+    span_k: int = 4,
+    lm_gate_micro: int = 34_000,
+    pack_budget: int = 512,
+    test_mod: int = 41,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The composed training-corpus pipeline: substring-span dedup
+    REWRITE (Lee et al. 2022 keep-one-copy) → self-trained bigram-LM
+    familiarity gate (integer cross-multiply, no float boundary) →
+    benchmark decontamination of the rewritten text against the held-out
+    ``id % test_mod`` slice → fixed-budget sequence packing →
+    (id, n_removed_words, n_tokens, stream, cum_before, pack).
+
+    The ONE copy of the composition: the catalog entry
+    (``doc_corpus_pipeline_v2``, full DuckDB oracle) and the scale probe
+    both run this function, so the thing proven correct IS the thing
+    measured.  Each stage keeps its proven plan (positional-gram shuffle
+    bounded by the duplicated surface; vocabulary-bounded LM count
+    joins; broadcast benchmark shingles; one stream-hash pack window)
+    and stages hand off by id joins — Catalyst pipelines the whole
+    composition into one job.
+    """
+    from indra_db_spark.operators.dedup import (
+        _materialize,
+        remove_duplicate_spans,
+    )
+    from indra_db_spark.operators.text import bigram_lm_score
+
+    rw = _materialize(
+        remove_duplicate_spans(docs, k=span_k, id_col=id_col, text_col=text_col)
+    )
+    lm = bigram_lm_score(rw, id_col=id_col, text_col="clean_text")
+    lmkeep = lm.filter(
+        F.col("sum_p_micro")
+        >= F.lit(lm_gate_micro).cast("long") * F.col("n_bigrams")
+    ).select(id_col)
+    surv0 = rw.join(lmkeep, id_col).filter(F.col(id_col) % test_mod != 0)
+    contam = decontaminate(
+        surv0.select(id_col, F.col("clean_text").alias(text_col)),
+        docs.filter(F.col(id_col) % test_mod == 0),
+        id_col=id_col,
+        text_col=text_col,
+        min_overlap=2,
+    )
+    sv = surv0.join(
+        contam.select(F.col("id").alias(id_col)), id_col, "left_anti"
+    ).select(
+        id_col,
+        "n_removed_words",
+        F.size(F.split("clean_text", " ")).cast("int").alias("n_tokens"),
+    )
+    return pack_sequences(
+        sv, budget=pack_budget, size_col="n_tokens", id_col=id_col
+    ).select(
+        id_col, "n_removed_words", "n_tokens", "stream",
+        F.col("cum_before").cast("long").alias("cum_before"), "pack",
+    )

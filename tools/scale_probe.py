@@ -258,6 +258,11 @@ def _ops(spark, docs, emb, edges, ivf_index, ivf_centers, events):
         "funnel_skew": lambda: AN.funnel(
             _skewed(events), ["signup", "click", "purchase"]
         ),
+        # the composed corpus pipeline (span rewrite → LM gate →
+        # decontaminate → pack): the end-to-end number a nightly
+        # training-data run cares about — SAME function as the oracle-
+        # checked catalog entry, so the measured thing is the proven thing
+        "corpus_v2": lambda: SM.corpus_pipeline_v2(docs),
     }
 
 
