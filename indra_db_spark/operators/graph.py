@@ -486,3 +486,70 @@ def pagerank(
             .localCheckpoint(eager=False)
         )
     return pr.select("id", F.col("v").alias("pr"))
+
+
+def triangle_participation(
+    edges: DataFrame,
+    left_col: str = "a",
+    right_col: str = "b",
+) -> DataFrame:
+    """Exact per-node triangle counts → (id, n_triangles), undirected
+    edges (self-loops and duplicates tolerated) — the clustering-structure
+    measurement behind community/quality analysis of a similarity or
+    citation graph.
+
+    The scale trick is DEGREE ORIENTATION (the standard distributed
+    triangle algorithm): direct every edge from its (degree, id)-smaller
+    endpoint to the larger, which makes the oriented out-degree O(√E)
+    even on power-law graphs, so the wedge join — out-neighbors of the
+    same node, joined pairwise — generates O(E^1.5) wedges worst-case
+    instead of Σdeg² (a hub with degree 10⁶ would otherwise explode into
+    10¹² wedge pairs).  Each wedge closes against the oriented edge list
+    with one more equi-join; every triangle is found exactly once, then
+    exploded to its three corners for the per-node counts.
+
+    Three shuffles total (orient-degree agg, wedge join, closing join) —
+    all equi-joins Catalyst plans like any other; no iteration, no state.
+    """
+    e = (
+        edges.select(
+            F.least(left_col, right_col).alias("u"),
+            F.greatest(left_col, right_col).alias("v"),
+        )
+        .filter(F.col("u") < F.col("v"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("id"))
+        .unionByName(e.select(F.col("v").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    # orient by (degree, id): src is the smaller endpoint in that order
+    with_deg = (
+        e.join(deg.select(F.col("id").alias("u"), F.col("d").alias("du")), "u")
+        .join(deg.select(F.col("id").alias("v"), F.col("d").alias("dv")), "v")
+    )
+    fwd = F.struct("du", "u") < F.struct("dv", "v")
+    ku = F.struct(F.col("du").alias("d"), F.col("u").alias("n"))
+    kv = F.struct(F.col("dv").alias("d"), F.col("v").alias("n"))
+    oriented = with_deg.select(
+        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.when(fwd, kv).otherwise(ku).alias("_dk"),
+    )
+    e1 = oriented.select("src", F.col("dst").alias("b"), F.col("_dk").alias("kb"))
+    e2 = oriented.select("src", F.col("dst").alias("c"), F.col("_dk").alias("kc"))
+    wedges = e1.join(e2, "src").filter(F.col("kb") < F.col("kc")).select(
+        "src", "b", "c"
+    )
+    closing = oriented.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    tris = wedges.join(closing, ["b", "c"])
+    corners = (
+        tris.select(F.col("src").alias("id"))
+        .unionByName(tris.select(F.col("b").alias("id")))
+        .unionByName(tris.select(F.col("c").alias("id")))
+    )
+    return corners.groupBy("id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_triangles")
+    )

@@ -1268,3 +1268,18 @@ def test_kmv_sketch_merges_exactly(spark, sf_dir):
     assert got == whole and whole
     # and the state itself is bounded by k
     assert all(len(r.minima) <= 16 for r in merged.collect())
+
+
+def test_triangle_participation_known_graphs(spark):
+    from indra_db_spark.operators.graph import triangle_participation
+
+    # K4: 4 triangles, every node in 3; duplicate/reversed/self edges
+    # must not change the count
+    edges = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    edges += [(1, 0), (2, 2), (0, 1)]  # reversed dup + self loop + dup
+    e = spark.createDataFrame(edges, "a long, b long")
+    got = {r.id: r.n_triangles for r in triangle_participation(e).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+    # a 4-cycle has no triangles
+    sq = spark.createDataFrame([(0, 1), (1, 2), (2, 3), (3, 0)], "a long, b long")
+    assert triangle_participation(sq).count() == 0
