@@ -426,3 +426,53 @@ def graph_triangles(spark, sf):
         )
     )
     return G.triangle_participation(raw)
+
+
+@register(
+    "events_rate_anomaly",
+    """
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS period,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events WHERE ts IS NOT NULL
+      GROUP BY event_type, date_trunc('hour', ts)
+    ),
+    r1 AS (
+      SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY n) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS c
+      FROM hourly
+    ),
+    med AS (
+      SELECT event_type, n AS med FROM r1
+      WHERE rn = CAST(ceil(0.5 * c) AS BIGINT)
+    ),
+    d AS (
+      SELECT h.event_type, h.period, h.n, m.med,
+             abs(h.n - m.med) AS deviation
+      FROM hourly h JOIN med m USING (event_type)
+    ),
+    r2 AS (
+      SELECT *, row_number() OVER
+               (PARTITION BY event_type ORDER BY deviation) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS c
+      FROM d
+    ),
+    mad AS (
+      SELECT event_type, deviation AS mad FROM r2
+      WHERE rn = CAST(ceil(0.5 * c) AS BIGINT)
+    )
+    SELECT d.event_type, d.period, d.n, d.med, mad.mad, d.deviation
+    FROM d JOIN mad USING (event_type)
+    WHERE d.deviation * 1000 > 1500 * greatest(mad.mad, 1)
+    """,
+)
+def events_rate_anomaly(spark, sf):
+    """Robust rate-anomaly monitoring: (type, hour) buckets whose count
+    deviates from the type median by > 1.5x MAD — median/MAD via the
+    deterministic rank-selected quantiles so the alarm is oracle-exact
+    (sigma needs a sqrt no two engines round alike); raw events touched
+    once, the statistics run over the tiny bucket frame
+    (operators/analytics.py:rate_anomalies)."""
+    from indra_db_spark.operators.analytics import rate_anomalies
+
+    return rate_anomalies(T(spark, sf, "events"), k_milli=1500)

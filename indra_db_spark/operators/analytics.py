@@ -220,3 +220,60 @@ def event_paths(
         .limit(k)
         .withColumn("rank", F.row_number().over(rank_w).cast("int"))
     )
+
+
+def rate_anomalies(
+    events: DataFrame,
+    period: str = "hour",
+    k_milli: int = 3000,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Robust event-rate anomaly detection → the (event_type, period)
+    buckets whose event count deviates from that type's median by more
+    than ``k_milli``/1000 × MAD — the monitoring query a live event
+    pipeline alarms on.
+
+    Median/MAD instead of mean/σ for two reasons: robustness (one huge
+    outlier hour inflates σ and hides itself — the classic failure of
+    z-scores on rates) and DETERMINISM — the discrete rank-selected
+    median (:func:`operators.topk.discrete_quantiles`) is a pure element
+    of the data, while σ needs a sqrt no two engines round identically,
+    so this stays inside the exact oracle gate.  The test is the integer
+    cross-multiply ``dev · 1000 > k_milli · max(MAD, 1)`` (no division;
+    the max(·,1) keeps a degenerate all-equal-counts type from flagging
+    every bucket).
+
+    Shape: one partial-agg shuffle to the (type, period) counts — a frame
+    of O(types × periods) rows, tiny relative to the log — then two
+    rank-selection windows per type over that SMALL frame.  The raw event
+    volume is touched exactly once.
+    """
+    from indra_db_spark.operators.topk import discrete_quantiles
+
+    hourly = (
+        events.filter(F.col(ts_col).isNotNull())
+        .groupBy(
+            F.col(type_col).alias("event_type"),
+            F.date_trunc(period, F.col(ts_col)).alias("period"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    med = discrete_quantiles(
+        hourly, ["event_type"], "n", {"med": 0.5}
+    ).select("event_type", "med")
+    d = hourly.join(med, "event_type").withColumn(
+        "deviation", F.abs(F.col("n") - F.col("med"))
+    )
+    mad = discrete_quantiles(
+        d, ["event_type"], "deviation", {"mad": 0.5}
+    ).select("event_type", "mad")
+    return (
+        d.join(mad, "event_type")
+        .filter(
+            F.col("deviation") * 1000
+            > F.lit(k_milli) * F.greatest(F.col("mad"), F.lit(1))
+        )
+        .select("event_type", "period", "n", "med", "mad", "deviation")
+    )
