@@ -1822,3 +1822,39 @@ def doc_domain_terms(spark, sf):
     shuffle; totals are vocabulary/domain-bounded broadcasts
     (operators/text.py:domain_terms)."""
     return X.domain_terms(T(spark, sf, "documents"), k=5)
+
+
+@register(
+    "doc_corpus_diff",
+    """
+    WITH old AS (SELECT doc_id, text FROM documents WHERE doc_id % 19 <> 0),
+    new AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 17 = 0 THEN text || ' v2' ELSE text END AS text
+      FROM documents WHERE doc_id % 23 <> 0
+    ),
+    o AS (SELECT doc_id AS id, md5(text) AS fo FROM old),
+    n AS (SELECT doc_id AS id, md5(text) AS fn FROM new)
+    SELECT COALESCE(o.id, n.id) AS doc_id,
+           CASE WHEN o.id IS NULL THEN 'added'
+                WHEN n.id IS NULL THEN 'removed'
+                WHEN fo <> fn THEN 'changed' END AS status
+    FROM o FULL OUTER JOIN n ON o.id = n.id
+    WHERE (o.id IS NULL OR n.id IS NULL OR fo <> fn)
+    """,
+)
+def doc_corpus_diff(spark, sf):
+    """Release-to-release corpus diff (added/removed/changed by content
+    fingerprint): one fingerprint-projected full-outer join, output is
+    O(churn) not O(corpus).  The two 'versions' are deterministic slices
+    of the documents table so the oracle is self-contained
+    (operators/sampling.py:corpus_diff)."""
+    docs = T(spark, sf, "documents")
+    old = docs.filter(F.col("doc_id") % 19 != 0)
+    new = docs.filter(F.col("doc_id") % 23 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 17 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return SM.corpus_diff(old, new)

@@ -303,3 +303,40 @@ def corpus_pipeline_v2(
         id_col, "n_removed_words", "n_tokens", "stream",
         F.col("cum_before").cast("long").alias("cum_before"), "pack",
     )
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Version diff between two corpus snapshots → (id, status) for every
+    document that is ``added``, ``removed`` or ``changed`` (content
+    fingerprint differs) — the audit step between training-data releases
+    (what moved between v1 and v2, before anyone retrains on it).
+
+    Content identity is md5 of the text, so the diff is exact and
+    order-independent; unchanged documents produce NO row (the diff is
+    sparse — O(churn), not O(corpus), which is what makes it cheap to
+    materialize per release).  One full-outer join on the id, both sides
+    reduced to (id, fingerprint) projections first so the join never
+    carries document bodies.
+    """
+    o = old.select(
+        F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("_fo")
+    )
+    n = new.select(
+        F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("_fn")
+    )
+    j = o.join(n, "id", "full_outer")
+    status = (
+        F.when(F.col("_fo").isNull(), F.lit("added"))
+        .when(F.col("_fn").isNull(), F.lit("removed"))
+        .when(F.col("_fo") != F.col("_fn"), F.lit("changed"))
+    )
+    return (
+        j.withColumn("status", status)
+        .filter(F.col("status").isNotNull())
+        .select(F.col("id").alias(id_col), "status")
+    )
