@@ -1283,3 +1283,62 @@ def test_triangle_participation_known_graphs(spark):
     # a 4-cycle has no triangles
     sq = spark.createDataFrame([(0, 1), (1, 2), (2, 3), (3, 0)], "a long, b long")
     assert triangle_participation(sq).count() == 0
+
+
+def test_chunk_documents_coverage_properties(spark):
+    """Every word lands in >=1 chunk, no chunk is empty, starts advance
+    by exactly the stride, and stride-0... (width==stride) chunks
+    partition the document exactly — asserted over docs of every length
+    shape in one Spark pass."""
+    from indra_db_spark.operators.text import chunk_documents
+
+    rows = [
+        (i, " ".join(f"w{j}" for j in range(n)))
+        for i, n in enumerate([1, 2, 63, 64, 65, 100, 111, 112, 113, 200])
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    W, S = 64, 48
+    ch = chunk_documents(docs, width=W, stride=S).collect()
+    by_doc: dict = {}
+    for r in ch:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for i, n in enumerate([1, 2, 63, 64, 65, 100, 111, 112, 113, 200]):
+        got = sorted(by_doc[i], key=lambda r: r.chunk_idx)
+        # starts advance by the stride from 1
+        assert [r.start_word for r in got] == [
+            1 + j * S for j in range(len(got))
+        ]
+        # no empty chunk; sizes match the slice math
+        assert all(r.n_words >= 1 for r in got)
+        assert all(
+            r.n_words == min(W, n - (r.start_word - 1)) for r in got
+        )
+        # coverage: the last chunk reaches the last word
+        last = got[-1]
+        assert last.start_word - 1 + last.n_words == n
+        # reconstruction: concatenating width==stride chunks would tile;
+        # here check each chunk's text equals its slice of the doc
+        words = rows[i][1].split(" ")
+        for r in got:
+            assert r.chunk_text == " ".join(
+                words[r.start_word - 1 : r.start_word - 1 + W]
+            )
+
+
+def test_corpus_pipeline_v2_invariants(spark, sf_dir):
+    """Composition invariants at fixture scale: survivors exclude the
+    held-out slice, packs never split documents, and each non-tail pack's
+    cumulative start respects the greedy-fill bound."""
+    from indra_db_spark.operators.sampling import corpus_pipeline_v2
+    from indra_db_spark.sources.lake import load_table
+
+    out = corpus_pipeline_v2(load_table(spark, sf_dir, "documents"))
+    rows = out.collect()
+    assert rows
+    # the held-out slice never leaks into the training packs
+    assert all(r.doc_id % 41 != 0 for r in rows)
+    # pack assignment consistent with the exclusive running sum
+    assert all(r.pack == r.cum_before // 512 for r in rows)
+    # every doc appears exactly once (no splitting, no duplication)
+    ids = [r.doc_id for r in rows]
+    assert len(ids) == len(set(ids))
