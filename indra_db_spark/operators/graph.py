@@ -511,7 +511,12 @@ def triangle_participation(
     Three shuffles total (orient-degree agg, wedge join, closing join) —
     all equi-joins Catalyst plans like any other; no iteration, no state.
     """
-    e = (
+    from indra_db_spark.operators.dedup import _materialize
+
+    # the canonical edge set feeds the degree count AND both sides of the
+    # orientation join — materialize once or the dedup shuffle re-runs
+    # per consumer (same for the oriented list: wedge sides + closing)
+    e = _materialize(
         edges.select(
             F.least(left_col, right_col).alias("u"),
             F.greatest(left_col, right_col).alias("v"),
@@ -533,10 +538,12 @@ def triangle_participation(
     fwd = F.struct("du", "u") < F.struct("dv", "v")
     ku = F.struct(F.col("du").alias("d"), F.col("u").alias("n"))
     kv = F.struct(F.col("dv").alias("d"), F.col("v").alias("n"))
-    oriented = with_deg.select(
-        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("src"),
-        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("dst"),
-        F.when(fwd, kv).otherwise(ku).alias("_dk"),
+    oriented = _materialize(
+        with_deg.select(
+            F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("dst"),
+            F.when(fwd, kv).otherwise(ku).alias("_dk"),
+        )
     )
     e1 = oriented.select("src", F.col("dst").alias("b"), F.col("_dk").alias("kb"))
     e2 = oriented.select("src", F.col("dst").alias("c"), F.col("_dk").alias("kc"))

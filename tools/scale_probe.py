@@ -263,6 +263,28 @@ def _ops(spark, docs, emb, edges, ivf_index, ivf_centers, events):
         # training-data run cares about — SAME function as the oracle-
         # checked catalog entry, so the measured thing is the proven thing
         "corpus_v2": lambda: SM.corpus_pipeline_v2(docs),
+        # round-6 additions: degree-oriented triangles (tree + grandparent
+        # shortcuts derived from the same edge frame), per-user path
+        # n-grams, median/MAD anomaly buckets, PMI collocations, per-doc
+        # keywords, shuffle-free chunking, fingerprint corpus diff
+        "triangles": lambda: G.triangle_participation(
+            edges.unionByName(
+                edges.filter(F.col("child") >= 4).select(
+                    F.col("child"),
+                    F.expr("child div 4").alias("parent"),
+                )
+            ),
+            "child", "parent",
+        ),
+        "event_paths": lambda: AN.event_paths(events),
+        "rate_anomaly": lambda: AN.rate_anomalies(events),
+        "pmi_terms": lambda: X.pmi_terms(docs),
+        "top_terms": lambda: X.top_terms_per_doc(docs),
+        "chunks": lambda: X.chunk_documents(docs),
+        "corpus_diff": lambda: SM.corpus_diff(
+            docs.filter(F.col("doc_id") % 19 != 0),
+            docs.filter(F.col("doc_id") % 23 != 0),
+        ),
     }
 
 
