@@ -340,3 +340,84 @@ def corpus_diff(
         .filter(F.col("status").isNotNull())
         .select(F.col("id").alias(id_col), "status")
     )
+
+
+def curate_increment(
+    new_docs: DataFrame,
+    known_fingerprints: DataFrame,
+    lm_model,
+    benchmark: DataFrame,
+    lm_gate_micro: int = 34_000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental (daily-drop) corpus curation: the frozen-artifact twin
+    of :func:`corpus_pipeline_v2` for NEW documents arriving against an
+    existing corpus → surviving (id, text, n_tokens, split).
+
+    Stages, every one stateless against frozen state so the increment
+    never rescans history:
+
+    1. novelty — md5-fingerprint anti-join against the corpus's known
+       fingerprints plus in-batch dedup (`streaming/ingest.py:
+       incremental_new_docs` semantics, batch form);
+    2. quality — Gopher gates ∧ repetition gate (pure column exprs);
+    3. LM familiarity — scored against the BATCH-TRAINED
+       :class:`~indra_db_spark.operators.text.BigramLmModel` (CCNet
+       deployment shape: model trained offline, applied to the drop),
+       same integer cross-multiply gate as the batch pipeline;
+    4. decontamination — n-gram overlap against the frozen benchmark's
+       shingle set (broadcast);
+    5. split assignment — pure id-hash, so increments never reshuffle
+       earlier days' splits.
+
+    Scoring the training corpus itself against its own model reproduces
+    the batch gates exactly (score_docs_with_lm ≡ bigram_lm_score on the
+    training corpus), which is the parity the test pins.
+    """
+    from indra_db_spark.operators.text import (
+        gopher_rules,
+        repetition_features,
+        score_docs_with_lm,
+        split_assign,
+    )
+    from indra_db_spark.streaming.ingest import incremental_new_docs
+
+    fresh = incremental_new_docs(
+        new_docs, known_fingerprints, text_col=text_col
+    ).drop("fp")
+    g = (
+        gopher_rules(fresh, text_col=text_col, id_col=id_col)
+        .filter(F.col("passed") == 1)
+        .select(id_col)
+    )
+    r = (
+        repetition_features(fresh, text_col=text_col, id_col=id_col)
+        .filter(F.col("repetitive") == 0)
+        .select(id_col)
+    )
+    lm = score_docs_with_lm(fresh, lm_model, id_col=id_col, text_col=text_col)
+    lmkeep = lm.filter(
+        F.col("sum_p_micro")
+        >= F.lit(lm_gate_micro).cast("long") * F.col("n_bigrams")
+    ).select(id_col)
+    contam = decontaminate(
+        fresh, benchmark, id_col=id_col, text_col=text_col, min_overlap=2
+    )
+    kept = (
+        fresh.join(g, id_col)
+        .join(r, id_col)
+        .join(lmkeep, id_col)
+        .join(contam.select(F.col("id").alias(id_col)), id_col, "left_anti")
+    )
+    return (
+        kept.join(
+            split_assign(kept.select(id_col), id_col=id_col), id_col
+        )
+        .select(
+            id_col,
+            text_col,
+            F.size(F.split(text_col, " ")).cast("int").alias("n_tokens"),
+            "split",
+        )
+    )
