@@ -103,6 +103,41 @@ class ReadonlyLake:
                 out = df
             out.write.mode(mode).parquet(os.path.join(root, name))
 
+    def write_bucketed(
+        self,
+        spark: SparkSession,
+        database: str = "indra_lake",
+        buckets: int = 32,
+    ) -> list[str]:
+        """CO-LOCATED layout: every mk_hash-keyed table written as a
+        Spark BUCKETED table (``bucketBy(buckets, mk_hash)`` +
+        ``sortBy``), so joins between lake tables on the statement hash
+        need NO exchange at all — the bucket metadata proves both sides
+        share the partitioning, and the sorted buckets feed SortMergeJoin
+        without a sort.  This is the Spark-native replacement for the
+        reference's clustered btree indexes (readonly_schema.py:635-637),
+        and the step up from :meth:`write_optimized`'s hash-repartitioned
+        parquet, whose layout Spark cannot SEE at read time (a fresh scan
+        still plans an exchange; bucketing records it in the catalog).
+
+        The zero-exchange property is asserted in
+        tests/test_lake_storage.py, not just claimed.  Returns the
+        written table identifiers.
+        """
+        from indra_db_spark.sources.bucketed import write_bucketed
+
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS {database}")
+        written = []
+        for name, df in self._tables.items():
+            if "mk_hash" not in df.columns:
+                continue
+            ident = f"{database}.{name}"
+            write_bucketed(
+                df, ident, "mk_hash", buckets=buckets, sort_col="mk_hash"
+            )
+            written.append(ident)
+        return written
+
     @classmethod
     def from_rows(cls, spark: SparkSession, rows_by_table: dict[str, list]) -> "ReadonlyLake":
         """Build a lake from python row dicts (fixtures/tests)."""

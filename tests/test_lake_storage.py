@@ -117,3 +117,33 @@ def test_release_manifest_round_trip(lakes, tmp_path):
         os.remove(crc)
     with pytest.raises(ValueError, match="drift"):
         load_release(mem_lake.spark, root)
+
+
+def test_bucketed_lake_joins_without_exchange(spark):
+    """write_bucketed records the mk_hash partitioning in the catalog, so
+    a join between two lake tables plans with ZERO Exchange (the
+    co-location claim of SCALING.md §1, asserted not narrated) — while
+    the plain-parquet read of the same data must shuffle both sides."""
+    from indra_db_spark.plans.fixtures import fixture_lake
+
+    lake, _, _ = fixture_lake(spark)
+    written = lake.write_bucketed(spark, database="bktest", buckets=8)
+    assert any(t.endswith("name_meta") for t in written)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # disable broadcast so the planner must pick the co-located
+        # sort-merge path (at real scale these sides exceed any
+        # broadcast threshold anyway)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        a = spark.table("bktest.name_meta")
+        b = spark.table("bktest.other_meta")
+        joined = a.join(b, "mk_hash")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan
+        # and the data is intact
+        assert joined.count() > 0
+        assert a.count() == lake["name_meta"].count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP DATABASE IF EXISTS bktest CASCADE")
