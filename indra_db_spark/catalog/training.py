@@ -1620,6 +1620,142 @@ def doc_corpus_pipeline_v2(spark, sf):
     )
 
 
+@register(
+    "doc_curate_increment",
+    f"""
+    WITH day1 AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+    known AS (SELECT DISTINCT md5(text) AS fp FROM day1),
+    fp0 AS (
+      SELECT d.*, md5(d.text) AS fp FROM documents d
+      ANTI JOIN known k ON md5(d.text) = k.fp
+    ),
+    fresh AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        FROM fp0
+      ) WHERE rn = 1
+    ),
+    gop AS (
+      SELECT doc_id,
+        len(list_filter({_WS_SPLIT}, x -> x <> '')) AS n_words,
+        length(regexp_replace(text, '\\s', '', 'g')) AS n_nonspace,
+        len(list_filter({_WS_SPLIT_LC}, x -> x IN ({_GOPHER_STOP_IN}))) AS n_stop,
+        len(list_filter({_WS_SPLIT_LC}, x -> regexp_matches(x, '[a-z]'))) AS n_alpha
+      FROM fresh
+    ),
+    gkeep AS (
+      SELECT doc_id FROM gop
+      WHERE n_words BETWEEN {X.GOPHER_MIN_WORDS} AND {X.GOPHER_MAX_WORDS}
+        AND n_nonspace / n_words BETWEEN {X.GOPHER_MIN_MEAN_WORD_LEN} AND {X.GOPHER_MAX_MEAN_WORD_LEN}
+        AND n_stop >= {X.GOPHER_MIN_STOPWORDS}
+        AND n_alpha / n_words >= {X.GOPHER_MIN_ALPHA_RATIO}
+    ),
+    rw0 AS (SELECT doc_id AS id,
+                   list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+            FROM fresh),
+    rg1 AS (SELECT id, unnest(ws) AS g FROM rw0),
+    ru AS (SELECT id, max(c) AS max_uni, sum(c) AS n_w
+           FROM (SELECT id, g, count(*) AS c FROM rg1 GROUP BY id, g) GROUP BY id),
+    rg2 AS (SELECT id, array_to_string(ws[i:i+1], ' ') AS g
+            FROM rw0, UNNEST(range(1, greatest(len(ws), 1))) AS t(i)),
+    rb AS (SELECT id, max(c) AS max_big, sum(c) AS n_big
+           FROM (SELECT id, g, count(*) AS c FROM rg2 GROUP BY id, g) GROUP BY id),
+    rg3 AS (SELECT id, array_to_string(ws[i:i+2], ' ') AS g
+            FROM rw0, UNNEST(range(1, greatest(len(ws) - 1, 1))) AS t(i)),
+    rt AS (SELECT id, count(*) AS n_tri, count(DISTINCT g) AS d_tri
+           FROM rg3 GROUP BY id),
+    rkeep AS (
+      SELECT ru.id AS doc_id FROM ru
+      LEFT JOIN rb ON rb.id = ru.id
+      LEFT JOIN rt ON rt.id = ru.id
+      WHERE NOT (ru.max_uni / ru.n_w > {X.REP_MAX_TOP_UNIGRAM})
+        AND NOT (coalesce(rb.max_big / rb.n_big, 0) > {X.REP_MAX_TOP_BIGRAM})
+        AND NOT (coalesce(1 - CAST(rt.d_tri AS DOUBLE) / rt.n_tri, 0) > {X.REP_MAX_DUP_3GRAM})
+    ),
+    d1w AS (
+      SELECT doc_id, list_filter(
+        regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ws
+      FROM day1
+    ),
+    d1big AS (
+      SELECT ws[i] AS a, ws[i+1] AS b
+      FROM d1w, UNNEST(range(1, len(ws))) AS t(i) WHERE len(ws) >= 2
+    ),
+    v AS (SELECT count(DISTINCT x) AS v
+          FROM (SELECT a AS x FROM d1big UNION ALL SELECT b FROM d1big)),
+    cab AS (SELECT a, b, count(*) AS c_ab FROM d1big GROUP BY a, b),
+    ca AS (SELECT a, count(*) AS c_a FROM d1big GROUP BY a),
+    fw AS (
+      SELECT doc_id, list_filter(
+        regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ws
+      FROM fresh
+    ),
+    fbig AS (
+      SELECT doc_id, ws[i] AS a, ws[i+1] AS b
+      FROM fw, UNNEST(range(1, len(ws))) AS t(i) WHERE len(ws) >= 2
+    ),
+    lmkeep AS (
+      SELECT fbig.doc_id
+      FROM fbig LEFT JOIN cab USING (a, b) LEFT JOIN ca USING (a), v
+      GROUP BY fbig.doc_id
+      HAVING sum({X._p_micro_sql("coalesce(c_ab, 0)", "coalesce(c_a, 0)", "v")})
+               >= {_V2_LM_GATE} * count(*)
+    ),
+    besh AS (
+      SELECT DISTINCT array_to_string(ws[i:i+2], ' ') AS shingle
+      FROM (SELECT string_split(text, ' ') AS ws FROM documents
+            WHERE doc_id % 41 = 0) tw,
+           UNNEST(range(1, greatest(len(ws) - 1, 1))) AS t(i)
+    ),
+    frsh AS (
+      SELECT f.doc_id, array_to_string(fws.ws[i:i+2], ' ') AS shingle
+      FROM fresh f,
+           LATERAL (SELECT string_split(f.text, ' ') AS ws) fws,
+           UNNEST(range(1, greatest(len(fws.ws) - 1, 1))) AS t(i)
+    ),
+    contam AS (
+      SELECT doc_id FROM (SELECT DISTINCT doc_id, shingle FROM frsh) fr
+      JOIN besh USING (shingle)
+      GROUP BY doc_id HAVING count(DISTINCT shingle) >= 2
+    ),
+    kept AS (
+      SELECT f.doc_id, f.text FROM fresh f
+      JOIN gkeep USING (doc_id)
+      JOIN rkeep USING (doc_id)
+      JOIN lmkeep USING (doc_id)
+      ANTI JOIN contam c ON f.doc_id = c.doc_id
+    ),
+    m AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h FROM kept)
+    SELECT k.doc_id, k.text,
+      CAST(len(string_split(k.text, ' ')) AS INT) AS n_tokens,
+      CASE WHEN (strpos('0123456789abcdef', substr(m.h, 31, 1)) - 1) * 16 +
+                (strpos('0123456789abcdef', substr(m.h, 32, 1)) - 1) < {X.SPLIT_TRAIN_LT} THEN 'train'
+           WHEN (strpos('0123456789abcdef', substr(m.h, 31, 1)) - 1) * 16 +
+                (strpos('0123456789abcdef', substr(m.h, 32, 1)) - 1) < {X.SPLIT_VAL_LT} THEN 'val'
+           ELSE 'test' END AS split
+    FROM kept k JOIN m ON m.doc_id = k.doc_id
+    """,
+)
+def doc_curate_increment(spark, sf):
+    """Incremental daily-drop curation with a FULL cross-engine oracle:
+    the drop (the whole corpus, half of it already known) is reduced to
+    novel documents, gated (Gopher AND repetition AND frozen-LM
+    familiarity), decontaminated against the held-out slice, and split —
+    every stage stateless against frozen day-1 artifacts
+    (operators/sampling.py:curate_increment)."""
+    from indra_db_spark.operators.text import train_bigram_lm
+
+    docs = T(spark, sf, "documents")
+    day1 = docs.filter(F.col("doc_id") % 2 == 0)
+    return SM.curate_increment(
+        docs,
+        day1.select(F.md5("text").alias("fp")),
+        train_bigram_lm(day1),
+        docs.filter(F.col("doc_id") % 41 == 0),
+        lm_gate_micro=_V2_LM_GATE,
+    ).drop("bucket")
+
+
 _KW_TERMS = ["query", "window", "stream"]
 _KW_K = 10
 

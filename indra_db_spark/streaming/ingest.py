@@ -163,4 +163,17 @@ def incremental_new_docs(
     if ts_col is not None:
         out = _with_event_time(out, ts_col).withWatermark(ts_col, watermark)
         return out.dropDuplicates(["fp"])
-    return out.dropDuplicates(["fp"])
+    # batch path: DETERMINISTIC in-batch dedup — dropDuplicates keeps an
+    # arbitrary row per fingerprint (partitioning-dependent), so an
+    # external oracle could never agree on which duplicate survived; keep
+    # the row smallest in the leading column (conventionally the id).
+    # The streaming path above keeps arrival order, which is its own
+    # well-defined contract.
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("fp").orderBy(F.col(docs.columns[0]))
+    return (
+        out.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
