@@ -1376,7 +1376,7 @@ def doc_dedup_rewrite(spark, sf):
       FROM cab JOIN ca USING (a) JOIN cb USING (b), n
       WHERE c_ab >= 5
     )
-    SELECT a, b, CAST(c_ab AS INT) AS c_ab, score_micro,
+    SELECT a, b, CAST(c_ab AS BIGINT) AS c_ab, score_micro,
            CAST(row_number() OVER (ORDER BY score_micro DESC, a, b) AS INT)
              AS rank
     FROM s ORDER BY score_micro DESC, a, b LIMIT 20
@@ -1458,12 +1458,10 @@ _CHUNK_W, _CHUNK_S = 64, 48
     """,
 )
 def doc_chunks(spark, sf):
-    """Sliding-window chunking (width {w}, stride {s}): the context-window
-    prep of a long-document pipeline — scan-fused explode + array slice,
-    no shuffle; every word covered, chunk identity a pure function of the
-    document (operators/text.py:chunk_documents).""".format(
-        w=_CHUNK_W, s=_CHUNK_S
-    )
+    """Sliding-window chunking (width/stride from _CHUNK_W/_CHUNK_S): the
+    context-window prep of a long-document pipeline — scan-fused explode +
+    array slice, no shuffle; every word covered, chunk identity a pure
+    function of the document (operators/text.py:chunk_documents)."""
     return X.chunk_documents(
         T(spark, sf, "documents"), width=_CHUNK_W, stride=_CHUNK_S
     )

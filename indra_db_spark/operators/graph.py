@@ -60,10 +60,16 @@ def _sized_ckpt(project):
     """Checkpoint callback whose storage level is sized off the FIRST
     checkpointed frame's own cached footprint instead of a separate
     bounded scan job: the first piece (the edge set — always materialized
-    anyway) is stored serialized, which is safe at any size, and its
-    block-manager byte total — a driver-side metadata read
-    (``getRDDStorageInfo``), no job at all — picks the level for every
-    later round's delta.  Replaces the r5 pre-count (`limit(N+1).count()`),
+    anyway) gets its level from Catalyst's free driver-side size ESTIMATE
+    (small estimate → deserialized, large or stat-less or unavailable →
+    serialized, the safe side; stat-less plans report huge sizeInBytes so
+    they clamp serialized by construction), and its block-manager byte
+    total — a driver-side metadata read (``getRDDStorageInfo``), no job
+    at all — picks the level for every later round's delta.  The residual
+    risk is a stats UNDER-estimate landing a genuinely large first frame
+    deserialized; the measured-bytes gate corrects every subsequent
+    round, and the 8× deserialized-inflation factor keeps that gate
+    honest about how the first piece was actually stored.  Replaces the r5 pre-count (`limit(N+1).count()`),
     a full extra scan per execution that cost the forced-distributed
     closure ~10% at sf0.1 (the BENCH r4→r5 regression), and even beats a
     count over the cached blocks (0.14 s/job on local[32] scheduling vs

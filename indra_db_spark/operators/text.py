@@ -592,7 +592,10 @@ def pmi_terms(
         .withColumn("rank", F.row_number().over(w).cast("int"))
         .select(
             "a", "b",
-            F.col("c_ab").cast("int").alias("c_ab"),
+            # c_ab is a CORPUS-wide bigram count: at 1e13-token scale a top
+            # collocation exceeds int32 (~2.1e9), so it stays BIGINT (the
+            # per-doc tf columns elsewhere are genuinely doc-bounded)
+            F.col("c_ab").cast("long").alias("c_ab"),
             "score_micro", "rank",
         )
     )

@@ -162,7 +162,15 @@ def kmv_state(
         hashed.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= k)
         .groupBy(*group_cols)
-        .agg(F.array_sort(F.collect_list("_h")).alias("minima"))
+        .agg(
+            F.array_sort(F.collect_list("_h")).alias("minima"),
+            # bits travels WITH the state: merging states built with
+            # different bits mixes hex strings of different lengths, and
+            # the lexicographic kth-min silently stops being the true
+            # kth minimum — merge/estimate validate this column instead
+            # of trusting the caller's docstring discipline
+            F.lit(bits).cast("int").alias("bits"),
+        )
     )
 
 
@@ -170,37 +178,104 @@ def kmv_merge(states, group_cols: list[str], k: int = 64):
     """Fold several KMV states (same k/bits) into one: union the minima
     arrays per group, dedup, keep the k smallest.  One partial-agg
     shuffle over rows of ≤ k hashes each — merging N shards' sketches
-    costs O(N·k) regardless of the data they summarized."""
+    costs O(N·k) regardless of the data they summarized.
+
+    The ``bits`` column written by :func:`kmv_state` is validated across
+    every contributing state (a mixed-width merge would corrupt the
+    lexicographic kth-min silently) and carried through; states without
+    the column fall back to the hex width of their minima entries.
+    """
     from functools import reduce
 
     from pyspark.sql import functions as F
 
+    states = [_with_bits(s) for s in states]
     u = reduce(lambda a, b: a.unionByName(b), states)
-    return (
-        u.select(*group_cols, F.explode("minima").alias("_h"))
+    merged = (
+        u.select(*group_cols, "bits", F.explode("minima").alias("_h"))
         .groupBy(*group_cols)
         .agg(
             F.slice(
                 F.array_sort(F.collect_set("_h")), 1, k
-            ).alias("minima")
+            ).alias("minima"),
+            F.min("bits").alias("_bmin"),
+            F.max("bits").alias("_bmax"),
         )
     )
+    bits_ok = F.when(
+        F.col("_bmin") == F.col("_bmax"), F.col("_bmin")
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("kmv_merge: states built with different bits ("),
+                F.col("_bmin"), F.lit(" vs "), F.col("_bmax"),
+                F.lit(") cannot be merged"),
+            )
+        )
+    )
+    return merged.withColumn("bits", bits_ok).drop("_bmin", "_bmax")
 
 
-def kmv_estimate(state, k: int = 64, bits: int = 52):
-    """Distinct-count estimate from a KMV state: exact when the group had
-    < k distinct values, else (k-1)·2^bits / kth_min — identical to
-    :func:`kmv_distinct`'s inline estimate."""
+def _with_bits(state):
+    """Ensure a KMV state frame carries a ``bits`` column (hex width × 4
+    of its minima entries when absent — legacy states)."""
     from pyspark.sql import functions as F
 
+    if "bits" in state.columns:
+        return state
+    return state.withColumn(
+        "bits", (F.length(F.element_at("minima", 1)) * 4).cast("int")
+    )
+
+
+def kmv_estimate(state, k: int = 64, bits: int | None = None):
+    """Distinct-count estimate from a KMV state: exact when the group had
+    < k distinct values, else (k-1)·2^bits / kth_min — identical to
+    :func:`kmv_distinct`'s inline estimate.
+
+    ``bits`` is read from the state's own column (written by
+    :func:`kmv_state`, validated by :func:`kmv_merge`) so estimate and
+    state can never disagree; passing ``bits`` explicitly adds a runtime
+    cross-check that fails loudly on mismatch instead of estimating
+    garbage.
+    """
+    from pyspark.sql import functions as F
+
+    state = _with_bits(state)
+    b = F.col("bits")
+    if bits is not None and (k - 1) * (1 << bits) >= 2**63:
+        raise ValueError(
+            f"kmv_estimate: (k-1)*2^bits with k={k}, bits={bits} "
+            "overflows int64; lower k or bits"
+        )
+    if bits is not None:
+        b = F.when(F.col("bits") == bits, F.col("bits")).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"kmv_estimate: caller expected bits={bits} but "
+                          "state was built with bits="),
+                    F.col("bits"),
+                )
+            )
+        )
     n = F.size("minima")
-    est = F.when(n < k, n.cast("long")).otherwise(
-        F.expr(
-            f"({k} - 1) * cast({2**bits} as bigint) div "
-            f"cast(conv(element_at(minima, {k}), 16, 10) as long)"
+    out = (
+        state.withColumn("_bits", b)
+        .withColumn(
+            "_num",
+            F.expr(
+                f"cast({k - 1} as bigint) * shiftleft(cast(1 as bigint), _bits)"
+            ),
+        )
+        .withColumn(
+            "_den", F.conv(F.element_at("minima", k), 16, 10).cast("long")
+        )
+        .withColumn(
+            "est_distinct",
+            F.when(n < k, n.cast("long")).otherwise(F.expr("_num div _den")),
         )
     )
-    return state.withColumn("est_distinct", est).drop("minima")
+    return out.drop("minima", "bits", "_bits", "_num", "_den")
 
 
 def discrete_quantiles(

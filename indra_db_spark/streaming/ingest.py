@@ -137,6 +137,7 @@ def incremental_new_docs(
     text_col: str = "text",
     ts_col: str | None = None,
     watermark: str = "1 hour",
+    order_col: str | None = None,
 ) -> DataFrame:
     """Incremental corpus ingestion: keep only arriving documents that are
     (a) not already in the corpus — md5-fingerprint LEFT ANTI join against
@@ -166,12 +167,18 @@ def incremental_new_docs(
     # batch path: DETERMINISTIC in-batch dedup — dropDuplicates keeps an
     # arbitrary row per fingerprint (partitioning-dependent), so an
     # external oracle could never agree on which duplicate survived; keep
-    # the row smallest in the leading column (conventionally the id).
+    # the row smallest under (order_col, *rest-of-columns).  order_col
+    # defaults to the leading column (conventionally the id), but the
+    # remaining columns are ALWAYS appended as tie-breakers: if the chosen
+    # column is not unique per fingerprint, row_number over tied keys
+    # would be partitioning-dependent again.
     # The streaming path above keeps arrival order, which is its own
     # well-defined contract.
     from pyspark.sql.window import Window
 
-    w = Window.partitionBy("fp").orderBy(F.col(docs.columns[0]))
+    lead = order_col if order_col is not None else docs.columns[0]
+    ties = [c for c in docs.columns if c != lead]
+    w = Window.partitionBy("fp").orderBy(F.col(lead), *[F.col(c) for c in ties])
     return (
         out.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)

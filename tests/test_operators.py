@@ -1270,6 +1270,31 @@ def test_kmv_sketch_merges_exactly(spark, sf_dir):
     assert all(len(r.minima) <= 16 for r in merged.collect())
 
 
+def test_kmv_mixed_bits_rejected(spark, sf_dir):
+    """States built with different ``bits`` mix hex widths — the
+    lexicographic kth-min is then not the true kth minimum, so merge and
+    estimate must fail loudly instead of estimating garbage."""
+    import pytest
+
+    from indra_db_spark.operators.topk import (
+        kmv_estimate,
+        kmv_merge,
+        kmv_state,
+    )
+    from indra_db_spark.sources.lake import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    s52 = kmv_state(ev, ["event_type"], "user_id", k=16, bits=52)
+    s40 = kmv_state(ev, ["event_type"], "user_id", k=16, bits=40)
+    with pytest.raises(Exception, match="different bits"):
+        kmv_merge([s52, s40], ["event_type"], k=16).collect()
+    with pytest.raises(Exception, match="state was built with bits"):
+        kmv_estimate(s40, k=16, bits=52).collect()
+    # a legacy state without the bits column infers it from hex width
+    ok = kmv_estimate(s40.drop("bits"), k=16, bits=40)
+    assert ok.count() > 0
+
+
 def test_triangle_participation_known_graphs(spark):
     from indra_db_spark.operators.graph import triangle_participation
 
