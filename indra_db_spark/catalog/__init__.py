@@ -21,6 +21,13 @@ SparkQuery = Callable[[SparkSession, str], DataFrame]
 
 REGISTRY: dict[str, tuple[SparkQuery, str | None]] = {}
 
+#: Entries whose semantics genuinely permit an empty result at some scale
+#: factor.  Everything else HARD-FAILS verification on zero rows — two
+#: engines agreeing on an empty set verifies nothing, and scale-dependent
+#: selectivity collapse (a gate constant silently discarding an entire
+#: production drop) must never read as green again (r6 verdict #1).
+ALLOW_EMPTY: frozenset[str] = frozenset()
+
 
 def register(name: str, oracle: str | None = None):
     def deco(fn: SparkQuery) -> SparkQuery:
@@ -38,9 +45,16 @@ from indra_db_spark.catalog import temporal  # noqa: E402,F401
 # The correctness gate checks the first 50 entries in registration order, so
 # the order is chosen deliberately rather than left to module text order:
 # every SURVEY.md §2 family and every scale-path variant sits inside the
-# window.  Entries after the window fall in two groups, both verified by
-# the same DuckDB oracle locally (tools/verify_oracle.py, run at sf0.01 AND
-# sf0.1):
+# window.  Round 7 rotated the window toward the highest-value COMPOSITIONS
+# (r6 verdict #5): the end-to-end pipelines (doc_corpus_pipeline_v2,
+# doc_curate_increment) and the newest operator families (graph_triangles,
+# events_paths, events_rate_anomaly) displaced five subset/family-redundant
+# entries (doc_token_count ⊂ doc_gopher_quality, doc_langid / doc_quality ⊂
+# the quality family still covered by gopher+repetition, nullsafe_compare ⊂
+# only_source's null-safe path, first_per_key_dedup ≅ argmax_distill's
+# windowed-argmax shape).  Entries after the window fall in two groups, both
+# verified by the same DuckDB oracle locally (tools/verify_oracle.py
+# --all-sf sweeps EVERY entry at sf0.001/0.01/0.1 → ORACLE_SWEEP.json):
 # - redundant-by-construction variants kept for completeness: exact /
 #   quadratic baselines whose bucketed scale twin is the checked entry
 #   (emb_neardup vs emb_srp_neardup), strict subsets of a checked entry
@@ -80,7 +94,6 @@ WINDOW_ORDER = [
     "ranked_page",
     # §2.8 assembly shapes
     "argmax_distill",
-    "first_per_key_dedup",
     "priority_argmin",
     "closure_ancestors",
     "belief_ancestor_agg",
@@ -88,7 +101,6 @@ WINDOW_ORDER = [
     "curation_anonymize",
     # §2.7 scalar functions
     "scalar_strings",
-    "nullsafe_compare",
     "json_extract",
     # §2.11 streaming twin (batch form; sessionize stays past-window — the
     # session-window semantics are pinned by tests/test_streaming parity)
@@ -99,14 +111,17 @@ WINDOW_ORDER = [
     "doc_minhash_verified",
     "doc_simhash",
     "doc_dup_clusters",
-    # training-data: text analysis
-    "doc_langid",
-    "doc_quality",
+    # training-data: text analysis + end-to-end compositions
     "doc_repetition",
     "doc_gopher_quality",
-    "doc_token_count",
     "doc_fingerprint",
     "doc_corpus_pipeline",
+    "doc_corpus_pipeline_v2",
+    "doc_curate_increment",
+    # round-6 operator families (graph / event analytics)
+    "graph_triangles",
+    "events_paths",
+    "events_rate_anomaly",
     # training-data: similarity (bucketed scale paths checked)
     "emb_topk",
     "emb_srp_topk",

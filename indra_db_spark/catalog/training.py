@@ -596,16 +596,27 @@ def emb_srp_neardup(spark, sf):
     "multimodal_meta",
     """
     WITH b AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents)
-    SELECT doc_id, CAST(n AS INTEGER) AS n_bytes,
-           CAST(32 + n % 608 AS INTEGER) AS width,
-           CAST(32 + (n * 7) % 608 AS INTEGER) AS height,
-           CASE n % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS format
+    SELECT doc_id,
+           CAST(n + CASE doc_id % 3 WHEN 0 THEN 33 WHEN 1 THEN 21 ELSE 10 END
+                AS INTEGER) AS n_bytes,
+           CAST(1 + doc_id % 512 AS INTEGER) AS width,
+           CAST(1 + (7 * doc_id) % 512 AS INTEGER) AS height,
+           CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'gif'
+             END AS format
     FROM b
     """,
 )
 def multimodal_meta(spark, sf):
-    """Binary payload + Arrow-batched decode stub (mapInPandas)."""
-    return M.decode_image_meta(M.attach_binary(T(spark, sf, "documents")))
+    """Byte-exact minimal PNG/JPEG/GIF payloads (format cycling by id,
+    dimensions a pure function of the id, document bytes as stand-in
+    pixel data) decoded by the REAL struct-level header parser inside an
+    Arrow mapInPandas batch — the oracle predicts (n_bytes, width,
+    height, format) arithmetically, so the entry is green only if
+    parse_image_header truly extracts what the binary encodes
+    (operators/multimodal.py:parse_image_header)."""
+    return M.decode_image_meta(
+        M.attach_synthetic_images(T(spark, sf, "documents"))
+    )
 
 
 @register(
@@ -1676,13 +1687,29 @@ def doc_corpus_pipeline_v2(spark, sf):
       FROM day1
     ),
     d1big AS (
-      SELECT ws[i] AS a, ws[i+1] AS b
+      SELECT doc_id, ws[i] AS a, ws[i+1] AS b
       FROM d1w, UNNEST(range(1, len(ws))) AS t(i) WHERE len(ws) >= 2
     ),
     v AS (SELECT count(DISTINCT x) AS v
           FROM (SELECT a AS x FROM d1big UNION ALL SELECT b FROM d1big)),
     cab AS (SELECT a, b, count(*) AS c_ab FROM d1big GROUP BY a, b),
     ca AS (SELECT a, count(*) AS c_a FROM d1big GROUP BY a),
+    calsc AS (
+      SELECT d1big.doc_id,
+             sum({X._p_micro_sql("c_ab", "c_a", "v")}) // count(*) AS score
+      FROM d1big JOIN cab USING (a, b) JOIN ca USING (a), v
+      GROUP BY d1big.doc_id
+    ),
+    calhist AS (SELECT score, count(*) AS c FROM calsc GROUP BY score),
+    calcum AS (
+      SELECT score, sum(c) OVER (ORDER BY score) AS cum,
+             (SELECT count(*) FROM calsc) AS n
+      FROM calhist
+    ),
+    thr AS (
+      SELECT min(score) AS thr FROM calcum
+      WHERE cum >= CAST(ceil(0.5 * n) AS BIGINT)
+    ),
     fw AS (
       SELECT doc_id, list_filter(
         regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ws
@@ -1697,19 +1724,19 @@ def doc_corpus_pipeline_v2(spark, sf):
       FROM fbig LEFT JOIN cab USING (a, b) LEFT JOIN ca USING (a), v
       GROUP BY fbig.doc_id
       HAVING sum({X._p_micro_sql("coalesce(c_ab, 0)", "coalesce(c_a, 0)", "v")})
-               >= {_V2_LM_GATE} * count(*)
+               // count(*) >= (SELECT thr FROM thr)
     ),
     besh AS (
-      SELECT DISTINCT array_to_string(ws[i:i+2], ' ') AS shingle
+      SELECT DISTINCT array_to_string(ws[i:i+4], ' ') AS shingle
       FROM (SELECT string_split(text, ' ') AS ws FROM documents
             WHERE doc_id % 41 = 0) tw,
-           UNNEST(range(1, greatest(len(ws) - 1, 1))) AS t(i)
+           UNNEST(range(1, greatest(len(ws) - 3, 1))) AS t(i)
     ),
     frsh AS (
-      SELECT f.doc_id, array_to_string(fws.ws[i:i+2], ' ') AS shingle
+      SELECT f.doc_id, array_to_string(fws.ws[i:i+4], ' ') AS shingle
       FROM fresh f,
            LATERAL (SELECT string_split(f.text, ' ') AS ws) fws,
-           UNNEST(range(1, greatest(len(fws.ws) - 1, 1))) AS t(i)
+           UNNEST(range(1, greatest(len(fws.ws) - 3, 1))) AS t(i)
     ),
     contam AS (
       SELECT doc_id FROM (SELECT DISTINCT doc_id, shingle FROM frsh) fr
@@ -1740,7 +1767,11 @@ def doc_curate_increment(spark, sf):
     novel documents, gated (Gopher AND repetition AND frozen-LM
     familiarity), decontaminated against the held-out slice, and split —
     every stage stateless against frozen day-1 artifacts
-    (operators/sampling.py:curate_increment)."""
+    (operators/sampling.py:curate_increment).  The LM gate threshold is
+    the MEDIAN of day-1's own per-doc scores (rank-selected, so it stays
+    oracle-exact) rather than an absolute constant — the r6-verdict fix:
+    a fixed micro-threshold's selectivity collapses to zero as corpus
+    vocabulary grows (empty-at-sf0.1 was the symptom)."""
     from indra_db_spark.operators.text import train_bigram_lm
 
     docs = T(spark, sf, "documents")
@@ -1750,7 +1781,8 @@ def doc_curate_increment(spark, sf):
         day1.select(F.md5("text").alias("fp")),
         train_bigram_lm(day1),
         docs.filter(F.col("doc_id") % 41 == 0),
-        lm_gate_micro=_V2_LM_GATE,
+        calibration_docs=day1,
+        lm_gate_quantile=0.5,
     ).drop("bucket")
 
 

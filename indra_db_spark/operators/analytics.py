@@ -178,6 +178,7 @@ def event_paths(
     ts_col: str = "ts",
     type_col: str = "event_type",
     id_col: str = "event_id",
+    chunk_seconds: int | None = None,
 ) -> DataFrame:
     """Top-``k`` most common ``n``-step event-type sequences across users
     → (e1 … eN, n_paths, rank) — the path-analysis view of an event log
@@ -188,37 +189,112 @@ def event_paths(
     function of the log.  One shuffle partitions each user's history for
     the ``lead`` window, then the sequence counts partial-aggregate
     (Zipfian — the hot path arrives at the reducer as one partial count
-    per task) and the global top-k is TakeOrderedAndProject.  The
-    per-user window has the same bot-user skew surface as any per-key
-    window (SCALING.md §6d); sequence formation only needs n-1 lookahead,
-    so a chunked escape would carry (n-1)-row overlap if one key ever
-    dominates.
+    per task) and the global top-k is TakeOrderedAndProject.
+
+    The per-user window has the same bot-user skew surface as any per-key
+    window (SCALING.md §6d): a bot owning 10% of the log serializes 10%
+    of all rows through one window task.  ``chunk_seconds`` enables the
+    segmented escape — sequence formation only needs ``n-1`` lookahead,
+    so the history splits into time chunks processed in parallel
+    ((user, chunk) windows), and only the chunk-boundary n-grams are
+    recovered on a second, MUCH smaller frame:
+
+    - pass 1 counts sequences fully inside a chunk;
+    - pass 2 re-derives sequences that cross a boundary from just the
+      first/last ``n-1`` rows of every (user, chunk) — O(chunks·n) rows
+      per user regardless of event volume.  Any boundary-crossing n-gram
+      lives entirely in that frame (its members are a suffix of one
+      chunk followed by prefixes of following chunks, short chunks being
+      contained whole), and pass 2 keeps exactly the sequences whose
+      members span ≥ 2 chunks, so no n-gram is counted twice.
+
+    Exactness is pinned by a parity test against the plain single-window
+    path; the crossover economics mirror the as-of escape (SCALING.md
+    §6d): pay ~2 extra small shuffles to break the hot key's serial sort.
     """
     if n < 2:
         raise ValueError("event_paths needs n >= 2")
     from pyspark.sql.window import Window
 
-    w = Window.partitionBy("u").orderBy("t", "i")
     base = events.select(
         F.col(user_col).alias("u"),
         F.col(ts_col).alias("t"),
         F.col(id_col).alias("i"),
         F.col(type_col).alias("e1"),
     ).filter(F.col("u").isNotNull() & F.col("t").isNotNull())
-    cols = ["e1"]
-    for j in range(2, n + 1):
-        base = base.withColumn(f"e{j}", F.lead("e1", j - 1).over(w))
-        cols.append(f"e{j}")
-    counted = (
-        base.filter(F.col(f"e{n}").isNotNull())
-        .groupBy(*cols)
-        .agg(F.count(F.lit(1)).alias("n_paths"))
-    )
+    cols = ["e1"] + [f"e{j}" for j in range(2, n + 1)]
+
+    if chunk_seconds is None:
+        w = Window.partitionBy("u").orderBy("t", "i")
+        for j in range(2, n + 1):
+            base = base.withColumn(f"e{j}", F.lead("e1", j - 1).over(w))
+        counted = (
+            base.filter(F.col(f"e{n}").isNotNull())
+            .groupBy(*cols)
+            .agg(F.count(F.lit(1)).alias("n_paths"))
+        )
+    else:
+        counted = _chunked_path_counts(base, n, cols, chunk_seconds)
+
     rank_w = Window.orderBy(F.desc("n_paths"), *[F.asc(c) for c in cols])
     return (
         counted.orderBy(F.desc("n_paths"), *cols)
         .limit(k)
         .withColumn("rank", F.row_number().over(rank_w).cast("int"))
+    )
+
+
+def _chunked_path_counts(base, n: int, cols: list[str], chunk_seconds: int):
+    """Segmented (hot-key-immune) n-gram counting over (u, t, i, e1):
+    per-(user, chunk) windows + a boundary pass over first/last n-1 rows
+    of each chunk.  See :func:`event_paths`."""
+    from pyspark.sql.window import Window
+
+    from indra_db_spark.operators.dedup import _materialize
+
+    ck = F.floor(F.unix_timestamp("t") / chunk_seconds).cast("long")
+    wc = Window.partitionBy("u", "c").orderBy("t", "i")
+    tagged = base.withColumn("c", ck)
+    # forward/backward ranks inside the chunk, each a parallel window
+    tagged = _materialize(
+        tagged.withColumn("_fwd", F.row_number().over(wc)).withColumn(
+            "_rev",
+            F.row_number().over(
+                Window.partitionBy("u", "c").orderBy(F.desc("t"), F.desc("i"))
+            ),
+        )
+    )
+    inner = tagged
+    for j in range(2, n + 1):
+        inner = inner.withColumn(f"e{j}", F.lead("e1", j - 1).over(wc))
+    pass1 = (
+        inner.filter(F.col(f"e{n}").isNotNull())
+        .groupBy(*cols)
+        .agg(F.count(F.lit(1)).alias("n_paths"))
+    )
+    # boundary frame: first/last n-1 rows of every (u, chunk) — bounded by
+    # chunk COUNT, not event volume, so the hot user's window here is tiny
+    edge = tagged.filter((F.col("_fwd") <= n - 1) | (F.col("_rev") <= n - 1))
+    we = Window.partitionBy("u").orderBy("t", "i")
+    crossing = edge
+    for j in range(2, n + 1):
+        crossing = crossing.withColumn(f"e{j}", F.lead("e1", j - 1).over(we))
+    crossing = crossing.withColumn(f"c{n}", F.lead("c", n - 1).over(we))
+    # keep exactly the n-grams pass 1 could not see: start in a chunk tail
+    # (within n-1 of the end) and end in a LATER chunk
+    pass2 = (
+        crossing.filter(
+            F.col(f"e{n}").isNotNull()
+            & (F.col("_rev") <= n - 1)
+            & (F.col(f"c{n}") > F.col("c"))
+        )
+        .groupBy(*cols)
+        .agg(F.count(F.lit(1)).alias("n_paths"))
+    )
+    return (
+        pass1.unionByName(pass2)
+        .groupBy(*cols)
+        .agg(F.sum("n_paths").alias("n_paths"))
     )
 
 

@@ -347,7 +347,10 @@ def curate_increment(
     known_fingerprints: DataFrame,
     lm_model,
     benchmark: DataFrame,
-    lm_gate_micro: int = 34_000,
+    lm_gate_micro: int | None = None,
+    calibration_docs: DataFrame | None = None,
+    lm_gate_quantile: float = 0.5,
+    decontam_n: int = 5,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
@@ -364,16 +367,36 @@ def curate_increment(
     2. quality — Gopher gates ∧ repetition gate (pure column exprs);
     3. LM familiarity — scored against the BATCH-TRAINED
        :class:`~indra_db_spark.operators.text.BigramLmModel` (CCNet
-       deployment shape: model trained offline, applied to the drop),
-       same integer cross-multiply gate as the batch pipeline;
-    4. decontamination — n-gram overlap against the frozen benchmark's
-       shingle set (broadcast);
+       deployment shape: model trained offline, applied to the drop);
+       the gate threshold is CORPUS-DERIVED: the rank-selected
+       ``lm_gate_quantile`` of the calibration corpus's own per-doc
+       floored mean score (``sum_p_micro div n_bigrams``), computed by
+       :func:`~indra_db_spark.operators.topk.rank_quantile_value`.  An
+       ABSOLUTE ``lm_gate_micro`` is scale-dependent — vocabulary grows
+       with the corpus, per-bigram probabilities shrink, and a fixed
+       threshold's selectivity collapses to zero (a production daily
+       drop would be 100% discarded silently); the quantile gate keeps
+       "at least as familiar as the q-quantile training document"
+       meaningful at every corpus size.  Passing ``lm_gate_micro``
+       explicitly still selects the absolute gate (deployments that
+       calibrated the constant per-corpus).
+    4. decontamination — ``decontam_n``-gram overlap against the frozen
+       benchmark's shingle set (broadcast).  The default is 5 words, NOT
+       the 3 used by standalone :func:`decontaminate` demos: short
+       shingles false-positive at a rate that grows with benchmark size
+       (a 3-gram space saturates once the benchmark holds a few hundred
+       documents, flagging ~everything), which is why production
+       decontamination uses long n-grams (GPT-3 used 13-grams, Gopher
+       8-grams).  Real overlap — a document actually containing
+       benchmark text — still hits many long shingles;
     5. split assignment — pure id-hash, so increments never reshuffle
        earlier days' splits.
 
     Scoring the training corpus itself against its own model reproduces
     the batch gates exactly (score_docs_with_lm ≡ bigram_lm_score on the
-    training corpus), which is the parity the test pins.
+    training corpus), which is the parity the test pins — and is exactly
+    how the quantile threshold is calibrated (train-time artifact, like
+    the model itself).
     """
     from indra_db_spark.operators.text import (
         gopher_rules,
@@ -381,7 +404,14 @@ def curate_increment(
         score_docs_with_lm,
         split_assign,
     )
+    from indra_db_spark.operators.topk import rank_quantile_value
     from indra_db_spark.streaming.ingest import incremental_new_docs
+
+    if lm_gate_micro is None and calibration_docs is None:
+        raise ValueError(
+            "curate_increment: pass calibration_docs (quantile gate) or an "
+            "explicit lm_gate_micro (absolute gate)"
+        )
 
     fresh = incremental_new_docs(
         new_docs, known_fingerprints, text_col=text_col
@@ -397,12 +427,29 @@ def curate_increment(
         .select(id_col)
     )
     lm = score_docs_with_lm(fresh, lm_model, id_col=id_col, text_col=text_col)
-    lmkeep = lm.filter(
-        F.col("sum_p_micro")
-        >= F.lit(lm_gate_micro).cast("long") * F.col("n_bigrams")
-    ).select(id_col)
+    if lm_gate_micro is not None:
+        lmkeep = lm.filter(
+            F.col("sum_p_micro")
+            >= F.lit(lm_gate_micro).cast("long") * F.col("n_bigrams")
+        ).select(id_col)
+    else:
+        # floored mean keeps the gate integer-exact cross-engine (both
+        # operands non-negative, so Spark's truncating `div` and SQL `//`
+        # agree); the threshold joins as a broadcast single row — no
+        # driver round-trip, the calibration scan stays one job
+        cal = score_docs_with_lm(
+            calibration_docs, lm_model, id_col=id_col, text_col=text_col
+        ).withColumn("score", F.expr("sum_p_micro div n_bigrams"))
+        thr = rank_quantile_value(cal, "score", lm_gate_quantile)
+        lmkeep = (
+            lm.withColumn("score", F.expr("sum_p_micro div n_bigrams"))
+            .crossJoin(F.broadcast(thr))
+            .filter(F.col("score") >= F.col("thr"))
+            .select(id_col)
+        )
     contam = decontaminate(
-        fresh, benchmark, id_col=id_col, text_col=text_col, min_overlap=2
+        fresh, benchmark, id_col=id_col, text_col=text_col,
+        n=decontam_n, min_overlap=2,
     )
     kept = (
         fresh.join(g, id_col)

@@ -278,6 +278,42 @@ def kmv_estimate(state, k: int = 64, bits: int | None = None):
     return out.drop("minima", "bits", "_bits", "_num", "_den")
 
 
+def rank_quantile_value(df, value_col: str, q: float):
+    """Single-row frame ``(thr)``: the element at rank ceil(q·n) of
+    ``value_col`` ascending — the global (ungrouped) sibling of
+    :func:`discrete_quantiles`, computed via a VALUE histogram so it
+    scales with DISTINCT values, not row count.
+
+    Shape: one partial-agg shuffle builds the (value, count) histogram,
+    one single-partition window cumulates it (bounded by the value
+    domain — e.g. micro-unit scores have ≤ 1e6+1 distinct values
+    regardless of corpus size), and the threshold is the smallest value
+    whose cumulative count reaches the rank.  No single-partition window
+    ever sees the raw rows, which is what makes this the 100 TB-safe way
+    to calibrate a gate constant from the corpus instead of hard-coding
+    it (fixed thresholds on corpus-dependent scores are scale-dependent:
+    selectivity collapses as the corpus grows).
+
+    Rank-selected ELEMENT, no interpolation, so a SQL oracle reproduces
+    it bit-for-bit.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    hist = (
+        df.groupBy(F.col(value_col).alias("_v"))
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    w = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, 0)
+    n = hist.agg(F.sum("_c").alias("_n"))
+    cum = hist.withColumn("_cum", F.sum("_c").over(w)).crossJoin(
+        F.broadcast(n)
+    )
+    return cum.filter(
+        F.col("_cum") >= F.ceil(F.lit(q) * F.col("_n"))
+    ).agg(F.min("_v").alias("thr"))
+
+
 def discrete_quantiles(
     df,
     group_cols: list[str],

@@ -35,10 +35,19 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns), ignore_index=True)
 
 
-def compare_frames(sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
+def compare_frames(
+    sdf: pd.DataFrame, odf: pd.DataFrame, allow_empty: bool = False
+) -> list[str]:
     """Differences between a Spark result and an oracle result; [] if
     identical up to row order.  Floats must match bit-for-bit (all catalog
-    aggregates are decimal-exact or single-expression deterministic)."""
+    aggregates are decimal-exact or single-expression deterministic).
+
+    An EMPTY result is a hard failure by default: two engines agreeing on
+    zero rows verifies nothing, and a scale-dependent selectivity collapse
+    (the r6 ``doc_curate_increment`` incident — a fixed gate constant
+    whose survivor set shrank to zero as the corpus grew) then reads as
+    green.  Entries whose semantics genuinely permit an empty result at
+    some scale must opt in via ``allow_empty`` (catalog.ALLOW_EMPTY)."""
     problems: list[str] = []
     if sorted(sdf.columns) != sorted(odf.columns):
         return [
@@ -47,7 +56,9 @@ def compare_frames(sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
     if len(sdf) != len(odf):
         return [f"row count: spark={len(sdf)} oracle={len(odf)}"]
     if len(sdf) == 0:
-        return ["WARN: empty result (weak check)"]
+        if allow_empty:
+            return ["WARN: empty result (weak check; entry opted in)"]
+        return ["empty result (vacuous pass — no values were checked)"]
     s, o = canon(sdf), canon(odf)
     for c in s.columns:
         sv, ov = s[c], o[c]

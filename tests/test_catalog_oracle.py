@@ -25,7 +25,13 @@ def test_catalog_query_matches_oracle(name, spark, sf_dir, oracle):
         assert len(sdf) > 0 and list(sdf.columns)
         return
     odf = oracle.execute(sql).df()
-    problems = [p for p in compare_frames(sdf, odf) if not p.startswith("WARN")]
+    # empty results HARD-fail unless the entry opted into ALLOW_EMPTY —
+    # a vacuous empty-vs-empty agreement verifies nothing (r6 verdict #1)
+    problems = [
+        p
+        for p in compare_frames(sdf, odf, allow_empty=name in catalog.ALLOW_EMPTY)
+        if not p.startswith("WARN")
+    ]
     assert not problems, f"{name}: {problems}"
 
 
@@ -44,6 +50,13 @@ CRITICAL_IN_WINDOW = [
     "json_extract",
     "doc_corpus_pipeline",
     "doc_dup_clusters",
+    # round-7 rotation (r6 verdict #5): the end-to-end compositions and the
+    # newest operator families must sit inside the externally-enforced gate
+    "doc_corpus_pipeline_v2",
+    "doc_curate_increment",
+    "graph_triangles",
+    "events_paths",
+    "events_rate_anomaly",
 ]
 
 

@@ -1295,6 +1295,94 @@ def test_kmv_mixed_bits_rejected(spark, sf_dir):
     assert ok.count() > 0
 
 
+def test_event_paths_chunked_parity_under_skew(spark, sf_dir):
+    """The segmented (chunk_seconds) path-count escape is EXACT: identical
+    (path, count) sets as the single-window formulation on a skewed log
+    (one bot user owning 10% of events), across n and chunk sizes —
+    including 1-second chunks where nearly every n-gram crosses a
+    boundary and the recovery pass does all the work."""
+    from indra_db_spark.operators.analytics import event_paths
+    from indra_db_spark.sources.lake import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    sk = ev.withColumn(
+        "user_id",
+        F.when(F.col("event_id") % 10 == 0, F.lit(1)).otherwise(
+            F.col("user_id")
+        ),
+    )
+    for n, cs in [(2, 3600), (3, 3600), (3, 1), (4, 86400)]:
+        plain = {tuple(r) for r in event_paths(sk, n=n, k=1000).collect()}
+        chunked = {
+            tuple(r)
+            for r in event_paths(sk, n=n, k=1000, chunk_seconds=cs).collect()
+        }
+        assert chunked == plain and plain, (n, cs)
+
+
+def test_parse_image_header_real_structures():
+    """Struct-level header parse on byte-exact minimal images, including a
+    JPEG whose SOF sits behind APP0/DQT segments (the real file layout),
+    and graceful 'unknown' on garbage."""
+    from indra_db_spark.operators.multimodal import (
+        mk_gif,
+        mk_jpeg,
+        mk_png,
+        parse_image_header,
+    )
+
+    assert parse_image_header(mk_png(640, 480, b"xx")) == (35, 640, 480, "png")
+    assert parse_image_header(mk_jpeg(31, 17)) == (21, 31, 17, "jpeg")
+    assert parse_image_header(mk_gif(512, 1, b"y")) == (11, 512, 1, "gif")
+    # real-camera layout: SOI, APP0 (JFIF), DQT, then SOF0
+    app0 = b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00" + bytes(9)
+    dqt = b"\xff\xdb" + (67).to_bytes(2, "big") + bytes(65)
+    sof = mk_jpeg(1920, 1080)[2:]  # strip SOI, keep the SOF segment
+    jpg = b"\xff\xd8" + app0 + dqt + sof
+    n, w, h, fmt = parse_image_header(jpg)
+    assert (w, h, fmt) == (1920, 1080, "jpeg") and n == len(jpg)
+    # corrupt / non-image payloads quarantine as unknown, never raise
+    assert parse_image_header(b"not an image")[3] == "unknown"
+    assert parse_image_header(b"")[3] == "unknown"
+    assert parse_image_header(b"\x89PNG\r\n\x1a\nshort")[3] == "unknown"
+    # truncated JPEG with no SOF: format known, dims unknown
+    assert parse_image_header(b"\xff\xd8\xff\xe0\x00\x04\x00\x00") == (
+        8, None, None, "jpeg",
+    )
+
+
+def test_decode_image_meta_nullable_dims(spark):
+    """The Arrow batch path carries decoded dims as nullable ints: real
+    images round-trip their encoded dimensions, garbage rows yield nulls
+    instead of killing the batch."""
+    from indra_db_spark.operators.multimodal import (
+        decode_image_meta,
+        mk_png,
+    )
+
+    rows = [(1, mk_png(100, 200)), (2, b"garbage bytes")]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r.doc_id: r for r in decode_image_meta(df).collect()}
+    assert (got[1].width, got[1].height, got[1].format) == (100, 200, "png")
+    assert got[2].width is None and got[2].format == "unknown"
+
+
+def test_rank_quantile_value_known_cases(spark):
+    """Histogram rank-quantile = the element at rank ceil(q·n) ascending,
+    including ties and q at the boundaries."""
+    from indra_db_spark.operators.topk import rank_quantile_value
+
+    df = spark.createDataFrame([(v,) for v in [5, 1, 3, 3, 9, 7]], "v long")
+    # n=6: ranks → q=0.5 ⇒ rank 3 ⇒ sorted [1,3,3,5,7,9][2] = 3
+    assert rank_quantile_value(df, "v", 0.5).collect()[0].thr == 3
+    # q→1 ⇒ max; tiny q ⇒ min
+    assert rank_quantile_value(df, "v", 1.0).collect()[0].thr == 9
+    assert rank_quantile_value(df, "v", 0.01).collect()[0].thr == 1
+    # all-equal values: every quantile is that value
+    eq = spark.createDataFrame([(4,)] * 5, "v long")
+    assert rank_quantile_value(eq, "v", 0.75).collect()[0].thr == 4
+
+
 def test_triangle_participation_known_graphs(spark):
     from indra_db_spark.operators.graph import triangle_participation
 

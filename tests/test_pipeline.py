@@ -75,9 +75,20 @@ def test_curate_increment_daily_drop(spark):
     known = day1.select(F.md5("text").alias("fp"))
     # the drop contains yesterday's docs (must be rejected) + day2
     drop = docs
-    out = curate_increment(drop, known, model, benchmark)
+    out = curate_increment(drop, known, model, benchmark,
+                           calibration_docs=day1)
     rows = out.collect()
     assert rows
+    # the gate must filter in BOTH directions: some novel docs survive and
+    # some are rejected — an all-pass or all-reject gate verifies nothing
+    novel = drop.count() - day1.count()
+    assert 0 < len(rows) < novel
+    # neither gate mode may silently default: no calibration and no
+    # absolute threshold is a configuration error
+    import pytest
+
+    with pytest.raises(ValueError, match="calibration_docs"):
+        curate_increment(drop, known, model, benchmark)
     ids = {r.doc_id for r in rows}
     day1_ids = {r.doc_id for r in day1.select("doc_id").collect()}
     # novelty: no known document survives (identical text ⇒ same fp)
@@ -90,7 +101,7 @@ def test_curate_increment_daily_drop(spark):
     assert ids <= passed
     # deterministic: re-running produces the identical result
     again = {(r.doc_id, r.split) for r in curate_increment(
-        drop, known, model, benchmark).collect()}
+        drop, known, model, benchmark, calibration_docs=day1).collect()}
     assert again == {(r.doc_id, r.split) for r in rows}
     # the LM gate matches self-training semantics on the training slice:
     # scoring day1 against its own model ≡ bigram_lm_score(day1)

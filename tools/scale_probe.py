@@ -258,6 +258,15 @@ def _ops(spark, docs, emb, edges, ivf_index, ivf_centers, events):
         "funnel_skew": lambda: AN.funnel(
             _skewed(events), ["signup", "click", "purchase"]
         ),
+        # path analysis under the same 10%-bot skew: plain single-window
+        # vs the segmented (u, chunk) escape with (n-1)-row boundary
+        # recovery — the measured crossover evidence for event_paths'
+        # chunk_seconds parameter (parity is pinned by
+        # test_event_paths_chunked_parity_under_skew)
+        "paths_skew": lambda: AN.event_paths(_skewed(events)),
+        "paths_skew_chunked": lambda: AN.event_paths(
+            _skewed(events), chunk_seconds=3600
+        ),
         # the composed corpus pipeline (span rewrite → LM gate →
         # decontaminate → pack): the end-to-end number a nightly
         # training-data run cares about — SAME function as the oracle-
