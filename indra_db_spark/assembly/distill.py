@@ -78,6 +78,96 @@ def _version_rank(version_priority: dict[str, "list[str]"] | None) -> "F.Column"
     return expr
 
 
+#: Content-source preference for STATEMENT-level distillation, worst first
+#: (the legacy algorithm's text_content_sources list,
+#: util/distill_statements.py:129-137; iterated reversed = best first).
+STMT_SOURCE_PRIORITY = (
+    ("pubmed", "title"),
+    ("cord19_abstract", "abstract"),
+    ("pubmed", "abstract"),
+    ("cord19_pdf", "fulltext"),
+    ("elsevier", "fulltext"),
+    ("cord19_pmc_xml", "fulltext"),
+    ("manuscripts", "fulltext"),
+    ("pmc_oa", "fulltext"),
+)
+
+
+def distill_statements_level(
+    stmts: DataFrame,
+    version_priority: dict[str, "list[str]"] | None = None,
+) -> DataFrame:
+    """STATEMENT-level distillation — the reference's legacy in-DB
+    algorithm (util/distill_statements.py:140-228 get_filtered_rdg_stmts),
+    distinct from the modern reading-level :func:`distill_readings`: a
+    statement survives or dies individually, by hash, so an abstract-only
+    finding outlives a fulltext re-read that did not reproduce it.
+
+    Input columns: ``sid trid src text_type tcid reader rv rid mk_hash
+    text_hash linked`` (``linked`` = already included in a prior
+    preassembly — the reference's ``linked_sids``).  Output: every input
+    sid with ``status`` ∈:
+
+    - ``kept`` — the copy propagated to preassembly: per (text_ref,
+      reader, statement-hash), the one from the best-ranked content
+      source among newest-reader-version readings;
+    - ``bettered`` — superseded by a better alternative: either read by
+      an OLDER version of the same reader on the same content
+      (distill_statements.py:154-163), or a worse-source copy of a kept
+      hash that was already linked (:200-207 — the 'old' branch);
+    - ``dropped`` — a worse-source duplicate never yet linked: the
+      reference silently discards these (neither kept nor bettered).
+
+    Spark mapping: two window functions — a version argmax per
+    (trid, src, text_type, tcid, reader) and a source-priority argmin per
+    (trid, reader, mk_hash, text_hash) — so the whole pass is two
+    narrow-key shuffles with no Python, vs the reference's driver-side
+    NestedDict walk.  Golden parity with the reference's own curated
+    distillation set is pinned in tests/test_assembly_golden.py.
+    """
+    rank = {p: i for i, p in enumerate(STMT_SOURCE_PRIORITY)}
+    src_rank = F.lit(-1)
+    for (src, tt), i in rank.items():
+        src_rank = F.when(
+            (F.col("src") == src) & (F.col("text_type") == tt), F.lit(i)
+        ).otherwise(src_rank)
+
+    vrank = F.col("rv")
+    if version_priority:
+        vrank = F.concat(F.lit("0:"), F.col("rv"))
+        for reader, versions in version_priority.items():
+            for i, v in enumerate(versions):
+                vrank = F.when(
+                    (F.col("reader") == reader) & (F.col("rv") == v),
+                    F.lit(f"1:{i:06d}"),
+                ).otherwise(vrank)
+
+    w_ver = Window.partitionBy("trid", "src", "text_type", "tcid", "reader")
+    cand = stmts.withColumn("_vr", vrank).withColumn(
+        "_best_vr", F.max("_vr").over(w_ver)
+    )
+    old_version = F.col("_vr") != F.col("_best_vr")
+
+    w_hash = Window.partitionBy(
+        "trid", "reader", "mk_hash", "text_hash"
+    ).orderBy(
+        F.desc("_src_rank"), F.asc("tcid"), F.asc("rid"), F.asc("sid")
+    )
+    ranked = (
+        cand.filter(~old_version)
+        .withColumn("_src_rank", src_rank)
+        .withColumn("_rn", F.row_number().over(w_hash))
+    )
+    status_best = F.when(F.col("_rn") == 1, F.lit("kept")).otherwise(
+        F.when(F.col("linked"), F.lit("bettered")).otherwise(F.lit("dropped"))
+    )
+    best_rv = ranked.select("sid", status_best.alias("status"))
+    old_rv = cand.filter(old_version).select(
+        "sid", F.lit("bettered").alias("status")
+    )
+    return best_rv.unionByName(old_rv)
+
+
 def distill_readings(
     text_content: DataFrame,
     reading: DataFrame,

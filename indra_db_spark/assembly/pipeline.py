@@ -57,7 +57,9 @@ def extract_agent_rows(pa_statements: DataFrame) -> DataFrame:
                         role = ROLE_NUMS["OTHER"]
                     else:
                         role = -1 if i == 0 else 1
-                    for ns, db_id in g.items():
+                    # a None/absent agent slot (e.g. Phosphorylation with
+                    # unknown enzyme) contributes no grounding rows
+                    for ns, db_id in (g or {}).items():
                         out["stmt_mk_hash"].append(mk_hash)
                         out["ag_num"].append(i)
                         out["db_name"].append(ns)

@@ -92,11 +92,21 @@ def validate_statement_semantics(stmt: dict) -> bool:
 
 def compute_mk_hash(stmt: dict) -> int:
     """Deterministic matches-key surrogate over the canonical statement form
-    (the one place hashes are computed; fixture-identical)."""
+    (the one place hashes are computed; fixture-identical).
+
+    Modification detail (residue/position) joins the key only when present
+    — INDRA's matches-key distinguishes Phosphorylation(MEK, ERK, T, 124)
+    from Phosphorylation(MEK, ERK) (the reference's curated set depends on
+    it, tests/test_preassembly.py:548-563), while detail-free statements
+    keep the historical key so fixture hashes are unchanged."""
     names = ",".join(str(a) for a in stmt.get("agents", []))
-    return stable_hash(
-        f"{stmt['type']}:{names}:{stmt.get('activity')}:{bool(stmt.get('is_active'))}"
+    key = (
+        f"{stmt['type']}:{names}:{stmt.get('activity')}:"
+        f"{bool(stmt.get('is_active'))}"
     )
+    if stmt.get("residue") is not None or stmt.get("position") is not None:
+        key += f":{stmt.get('residue')}:{stmt.get('position')}"
+    return stable_hash(key)
 
 
 def preprocess_statements(

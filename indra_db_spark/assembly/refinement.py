@@ -40,7 +40,31 @@ def refinement_pairs(
     ``spec_hashes`` / ``gen_hashes`` (1-column ``mk_hash`` DataFrames)
     restrict either side BEFORE the join — the incremental-supplement path
     shuffles only the restricted slice, never the whole corpus.
+
+    Modification detail refines like agents do (INDRA refinement over
+    Modification statements; exercised by the reference's curated set,
+    tests/test_preassembly.py:548-563): Phosphorylation(MEK, ERK, T, 124)
+    refines Phosphorylation(MEK, ERK) — the general side must have each
+    of residue/position either absent or equal, and a pair with NO proper
+    agent-ancestor step still links when it adds detail the general side
+    lacks.
     """
+    if "json" in pa_statements.columns:
+        detail = pa_statements.select(
+            "mk_hash",
+            F.get_json_object(
+                F.col("json").cast("string"), "$.residue"
+            ).alias("_res"),
+            F.get_json_object(
+                F.col("json").cast("string"), "$.position"
+            ).alias("_pos"),
+        )
+    else:  # callers passing only (mk_hash, type): agent-level rules apply
+        detail = pa_statements.select(
+            "mk_hash",
+            F.lit(None).cast("string").alias("_res"),
+            F.lit(None).cast("string").alias("_pos"),
+        )
     types = pa_statements.select(
         F.col("mk_hash"), F.col("type").alias("_type")
     )
@@ -112,6 +136,30 @@ def refinement_pairs(
     gen_arity = gen_agents.groupBy("stmt_mk_hash").agg(
         F.countDistinct("ag_num").alias("_gen_arity")
     )
+    spec_detail = detail.select(
+        F.col("mk_hash").alias("spec_hash"),
+        F.col("_res").alias("_sres"),
+        F.col("_pos").alias("_spos"),
+    )
+    gen_detail = detail.select(
+        F.col("mk_hash").alias("gen_hash"),
+        F.col("_res").alias("_gres"),
+        F.col("_pos").alias("_gpos"),
+    )
+    # general side must not contradict the specific side's detail; a
+    # strictly-added detail counts as a proper refinement step even when
+    # every agent matches exactly.  The detail joins key on mk_hash —
+    # equi-joins against the (already small relative to the pair
+    # explosion) matched set; no broadcast hint, the pa frame is
+    # corpus-sized at scale
+    detail_compatible = (
+        (F.col("_gres").isNull() | (F.col("_gres") == F.col("_sres")))
+        & (F.col("_gpos").isNull() | (F.col("_gpos") == F.col("_spos")))
+    )
+    detail_added = (
+        (F.col("_gres").isNull() & F.col("_sres").isNotNull())
+        | (F.col("_gpos").isNull() & F.col("_spos").isNotNull())
+    )
     return (
         matched.join(
             arity.withColumnRenamed("stmt_mk_hash", "spec_hash"), "spec_hash"
@@ -119,12 +167,15 @@ def refinement_pairs(
         .join(
             gen_arity.withColumnRenamed("stmt_mk_hash", "gen_hash"), "gen_hash"
         )
+        .join(spec_detail, "spec_hash")
+        .join(gen_detail, "gen_hash")
         # every position of BOTH statements must match — without the gen
         # side check a 2-ary statement could "refine" a 3-ary one
         .filter(
             (F.col("_n") == F.col("_arity"))
             & (F.col("_n") == F.col("_gen_arity"))
-            & (F.col("_any_proper") == 1)
+            & detail_compatible
+            & ((F.col("_any_proper") == 1) | detail_added)
         )
         .select(
             F.col("spec_hash").alias("supporting_mk_hash"),

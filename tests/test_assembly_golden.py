@@ -1,0 +1,362 @@
+"""Golden assembly parity against the reference's own curated sample set.
+
+Two fixtures ported verbatim from the reference's test corpus (the closest
+public stand-in for real data, since the INDRA dependency is unavailable):
+
+1. the curated DISTILLATION tuple set
+   (reference indra_db/tests/test_preassembly.py:127-155
+   make_raw_statement_set_for_distillation) with its hand-marked expected
+   classes — run through the new statement-level distillation
+   (assembly/distill.py:distill_statements_level);
+
+2. the curated PREASSEMBLY corpus
+   (reference indra_db/tests/test_preassembly.py:405-455
+   _get_db_no_pa_stmts): real statement-JSON shapes — MEK/ERK/RAF family
+   agents with FPLX/HGNC/CHEBI groundings, modification detail (T, 124),
+   a None-enzyme statement, reader/content layout, and three database
+   sources — run through the FULL assembly DAG (distill → preprocess →
+   dedup → refine → belief) with golden expectations derived by hand from
+   the reference's semantics.
+
+Declared divergences from INDRA (deterministic-seam substitutions,
+documented since round 1): hashes come from the md5 surrogate, and
+refinement is arity-strict, so Phosphorylation(None, ERK) does NOT link to
+Phosphorylation(MEK, ERK) here although INDRA's refinement would link them.
+Everything else — survivor sets, dedup groups, evidence counts, the
+modification-detail refinement edge — matches the reference's curated
+expectations.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from indra_db_spark.plans.fixtures import stable_hash
+from indra_db_spark.schemas import PRINCIPAL_SCHEMAS
+
+#: reference indra_db/databases.py:128-137 (public registry)
+READER_VERSIONS = {
+    "sparser": ["sept14-linux\n", "sept14-linux", "June2018-linux",
+                "October2018-linux", "February2020-linux", "April2020-linux"],
+    "reach": ["61059a-biores-e9ee36", "1.3.3-61059a-biores-", "1.6.1",
+              "1.6.3-e48717"],
+    "trips": ["STATIC", "2019Nov14", "2021Jan26"],
+    "isi": ["20180503"],
+    "eidos": ["0.2.3-SNAPSHOT", "1.7.1-SNAPSHOT"],
+}
+
+# --------------------------------------------------------------------------
+# 1. statement-level distillation golden set
+# --------------------------------------------------------------------------
+
+# (trid, (src, text_type), tcid, reader, rv_idx, rid, a, b, ev_num,
+#  class, linked) — reference test_preassembly.py:128-152, classes:
+# 'bet' -> bettered, 'inc' -> kept, 'ign' -> silently dropped.
+DISTILL_TUPLES = [
+    (1, ("pubmed", "abstract"), 1, "reach", 0, 1, "A0", "B0", 1, "bet", False),
+    (1, ("pubmed", "abstract"), 1, "reach", 0, 1, "A1", "B1", 1, "bet", False),
+    (1, ("pubmed", "abstract"), 1, "reach", 0, 1, "A1", "B1", 2, "bet", False),
+    (1, ("pubmed", "abstract"), 1, "reach", 1, 2, "A0", "B0", 1, "bet", True),
+    (1, ("pubmed", "abstract"), 1, "reach", 1, 2, "A1", "B1", 2, "inc", False),
+    (1, ("pubmed", "abstract"), 1, "reach", 1, 2, "A1", "B1", 4, "inc", False),
+    (1, ("pubmed", "abstract"), 1, "sparser", 0, 3, "A1", "B1", 1, "ign", False),
+    (1, ("pubmed", "abstract"), 1, "sparser", 0, 3, "A1", "B2", 1, "bet", True),
+    (1, ("pubmed", "abstract"), 1, "sparser", 0, 3, "A1", "B3", 1, "inc", False),
+    (1, ("pmc_oa", "fulltext"), 2, "reach", 0, 4, "A0", "B0", 1, "bet", False),
+    (1, ("pmc_oa", "fulltext"), 2, "reach", 1, 5, "A0", "B0", 1, "inc", False),
+    (1, ("pmc_oa", "fulltext"), 2, "reach", 1, 5, "A1", "B2", 2, "inc", False),
+    (1, ("pmc_oa", "fulltext"), 2, "reach", 1, 5, "A1", "B1", 1, "inc", False),
+    (1, ("pmc_oa", "fulltext"), 2, "reach", 1, 5, "A1", "B1", 3, "inc", False),
+    (1, ("pmc_oa", "fulltext"), 2, "reach", 1, 5, "A1", "B2", 3, "inc", True),
+    (1, ("pmc_oa", "fulltext"), 2, "sparser", 1, 6, "A1", "B1", 1, "inc", True),
+    (1, ("pmc_oa", "fulltext"), 2, "sparser", 1, 6, "A1", "B2", 1, "inc", True),
+    (1, ("pmc_oa", "fulltext"), 2, "sparser", 1, 6, "A3", "B3", 1, "inc", False),
+    (1, ("pmc_oa", "fulltext"), 2, "sparser", 1, 6, "A1", "B1", 4, "inc", False),
+    (2, ("pmc_oa", "fulltext"), 3, "reach", 1, 7, "A4", "B4", 1, "inc", False),
+    (2, ("pmc_oa", "fulltext"), 3, "reach", 1, 7, "A1", "B1", 1, "inc", False),
+    (2, ("manuscripts", "fulltext"), 4, "reach", 1, 8, "A3", "B3", 1, "inc", False),
+    (2, ("manuscripts", "fulltext"), 4, "reach", 1, 8, "A1", "B1", 1, "ign", False),
+]
+
+
+def test_statement_level_distillation_golden(spark):
+    """Port of the reference's test_distillation_on_curated_set: the kept /
+    bettered / dropped classes of every curated statement, reproduced
+    exactly by the two-window Spark formulation."""
+    from indra_db_spark.assembly.distill import distill_statements_level
+
+    rows = []
+    for sid, (trid, (src, tt), tcid, reader, rv_idx, rid, a, b, ev,
+              _cls, linked) in enumerate(DISTILL_TUPLES):
+        rows.append(
+            (
+                sid, trid, src, tt, tcid, reader,
+                READER_VERSIONS[reader][rv_idx], rid,
+                # mk_hash ~ the statement matches-key (agents); text_hash ~
+                # the evidence text (ev_num): two tuples share BOTH iff the
+                # reference's deep hash collides (stable_hash, not Python's
+                # per-process-salted hash(), keeps the fixture deterministic)
+                stable_hash(f"{a}:{b}") % (1 << 40),
+                stable_hash(f"{a}:{b}:{ev}") % (1 << 40),
+                linked,
+            )
+        )
+    df = spark.createDataFrame(
+        rows,
+        "sid long, trid long, src string, text_type string, tcid long, "
+        "reader string, rv string, rid long, mk_hash long, text_hash long, "
+        "linked boolean",
+    )
+    got = {
+        r.sid: r.status
+        for r in distill_statements_level(
+            df, version_priority=READER_VERSIONS
+        ).collect()
+    }
+    want = {
+        sid: {"bet": "bettered", "inc": "kept", "ign": "dropped"}[t[9]]
+        for sid, t in enumerate(DISTILL_TUPLES)
+    }
+    assert got == want
+    # and the derived aggregates the reference test asserts directly
+    assert {s for s, st in got.items() if st == "kept"} == {
+        4, 5, 8, 10, 11, 12, 13, 14, 15, 16, 17, 18, 19, 20, 21
+    }
+    assert {s for s, st in got.items() if st == "bettered"} == {
+        0, 1, 2, 3, 7, 9
+    }
+
+
+# --------------------------------------------------------------------------
+# 2. curated preassembly corpus through the full DAG
+# --------------------------------------------------------------------------
+
+# agents: reference test_preassembly.py:391-402 (public groundings)
+MEK = {"NAME": "MEK", "FPLX": "MEK", "TEXT": "MEK"}
+MAP2K1 = {"NAME": "MAP2K1", "HGNC": "6840", "TEXT": "MAP2K1"}
+MAP2K1_MG = {"NAME": "MAP2K1", "HGNC": "6840", "TEXT": "MEK1/2"}
+ERK = {"NAME": "ERK", "FPLX": "ERK", "TEXT": "mapk"}
+MAPK1 = {"NAME": "MAPK1", "HGNC": "6871", "TEXT": "mapk1"}
+RAF = {"NAME": "RAF", "FPLX": "RAF", "TEXT": "raf"}
+RAS = {"NAME": "RAS", "FPLX": "RAS", "TEXT": "RAS"}
+SIMVA = {"NAME": "simvastatin", "CHEBI": "CHEBI:9150", "TEXT": "simvastatin"}
+SIMVA_NG = {"NAME": "simvastatin", "TEXT": "simvastatin"}
+
+
+def _stmt(stype, agents, residue=None, position=None):
+    d = {
+        "type": stype,
+        "agents": [a["NAME"] if a else None for a in agents],
+        "agent_groundings": [dict(a) if a else {} for a in agents],
+    }
+    if residue is not None:
+        d["residue"] = residue
+    if position is not None:
+        d["position"] = position
+    return json.dumps(d).encode()
+
+
+@pytest.fixture(scope="module")
+def curated_assembly(spark):
+    from indra_db_spark.assembly.pipeline import run_assembly
+
+    text_ref = [
+        {"trid": 1, "pmid": "12345", "pmcid": "PMC54321"},
+        {"trid": 2, "pmid": "24680", "pmcid": "PMC08642"},
+        {"trid": 3, "pmid": "97531"},
+    ]
+    # reference layout: ref1 = title/abstract/pmc_oa, ref2 = abstract +
+    # manuscript, ref3 = title/abstract
+    tc = [
+        (1, 1, "pubmed", "title"), (2, 1, "pubmed", "abstract"),
+        (3, 1, "pmc_oa", "fulltext"),
+        (4, 2, "pubmed", "abstract"), (5, 2, "manuscripts", "fulltext"),
+        (6, 3, "pubmed", "title"), (7, 3, "pubmed", "abstract"),
+    ]
+    text_content = [
+        {"tcid": t, "text_ref_id": tr, "source": s, "format": "xml",
+         "text_type": tt} for t, tr, s, tt in tc
+    ]
+    rd = [
+        (1, 1, "reach"), (2, 1, "trips"),
+        (3, 2, "reach"), (4, 2, "sparser"),
+        (5, 3, "reach"), (6, 3, "isi"),
+        (7, 4, "sparser"),
+        (8, 5, "reach"), (9, 5, "sparser"),
+        (10, 6, "sparser"), (11, 6, "trips"), (12, 6, "reach"),
+        (13, 7, "reach"), (14, 7, "eidos"),
+    ]
+    reading = [
+        {"rid": r, "text_content_id": t, "reader": rdr,
+         "reader_version": READER_VERSIONS[rdr][-1], "batch_id": 1}
+        for r, t, rdr in rd
+    ]
+    db_info = [
+        {"id": 1, "db_name": "biopax", "db_full_name": "BioPax",
+         "source_api": "biopax"},
+        {"id": 2, "db_name": "tas", "db_full_name": "TAS",
+         "source_api": "tas"},
+        {"id": 3, "db_name": "bel", "db_full_name": "BEL",
+         "source_api": "bel"},
+    ]
+    # (reading_id, db_info_id, json) — reference :421-455
+    raws = [
+        (1, None, _stmt("Phosphorylation", [MEK, ERK])),
+        (2, None, _stmt("Phosphorylation", [MEK, ERK], "T", "124")),
+        (3, None, _stmt("Phosphorylation", [MEK, ERK])),
+        (3, None, _stmt("Inhibition", [ERK, RAS])),
+        (3, None, _stmt("Phosphorylation", [MEK, ERK])),  # 'in the body'
+        (4, None, _stmt("Complex", [MEK, ERK])),
+        (4, None, _stmt("Complex", [ERK, RAS])),
+        (4, None, _stmt("Phosphorylation", [None, ERK])),
+        (7, None, _stmt("Phosphorylation", [MAP2K1, MAPK1])),
+        (10, None, _stmt("Inhibition", [SIMVA_NG, RAF])),
+        (10, None, _stmt("Activation", [MAP2K1_MG, ERK])),
+        (None, 1, _stmt("Activation", [MEK, RAF])),
+        (None, 1, _stmt("Inhibition", [ERK, RAS])),
+        (None, 1, _stmt("Phosphorylation", [MEK, ERK])),
+        (None, 2, _stmt("Inhibition", [SIMVA, RAF])),
+        (None, 3, _stmt("Phosphorylation", [MEK, ERK], "T", "124")),
+    ]
+    raw_statements = [
+        {"sid": i + 1, "uuid": f"u{i + 1}", "batch_id": 1, "mk_hash": 0,
+         "source_hash": i + 1, "reading_id": rid, "db_info_id": dbid,
+         "type": json.loads(js)["type"], "json": js}
+        for i, (rid, dbid, js) in enumerate(raws)
+    ]
+    principal = {
+        "text_ref": spark.createDataFrame(
+            text_ref, PRINCIPAL_SCHEMAS["text_ref"]
+        ),
+        "text_content": spark.createDataFrame(
+            text_content, PRINCIPAL_SCHEMAS["text_content"]
+        ),
+        "reading": spark.createDataFrame(
+            reading, PRINCIPAL_SCHEMAS["reading"]
+        ),
+        "db_info": spark.createDataFrame(
+            db_info, PRINCIPAL_SCHEMAS["db_info"]
+        ),
+        "raw_statements": spark.createDataFrame(
+            raw_statements, PRINCIPAL_SCHEMAS["raw_statements"]
+        ),
+        "mesh_ref_annotations": spark.createDataFrame(
+            [], PRINCIPAL_SCHEMAS["mesh_ref_annotations"]
+        ),
+        "curation": spark.createDataFrame(
+            [], PRINCIPAL_SCHEMAS["curation"]
+        ),
+    }
+    # NAME-space family edges (public INDRA/FamPlex is-a relations)
+    ontology = spark.createDataFrame(
+        [("MAP2K1", "MEK"), ("MAPK1", "ERK"), ("BRAF", "RAF"),
+         ("KRAS", "RAS")],
+        "child string, parent string",
+    )
+    out = run_assembly(
+        principal, ontology_edges=ontology,
+        version_priority=READER_VERSIONS, persist=False,
+    )
+    return out
+
+
+def _key(js: bytes) -> tuple:
+    d = json.loads(bytes(js).decode())
+    return (
+        d["type"], tuple(d["agents"]), d.get("residue"), d.get("position")
+    )
+
+
+def test_curated_corpus_distill_and_dedup_golden(curated_assembly):
+    """Reading-level distillation + dedup on the reference's curated
+    corpus: REACH's empty full-text re-read supersedes its abstract/title
+    statements (so Phosphorylation(MEK, ERK) survives only through
+    BioPax), SPARSER's manuscript read supersedes the ref-2 abstract
+    (dropping Phosphorylation(MAP2K1, MAPK1)), and the surviving raws
+    dedup to exactly the 9 expected pa statements."""
+    out = curated_assembly
+    pa = {
+        _key(r.json): r.mk_hash
+        for r in out["pa_statements"].select("mk_hash", "json").collect()
+    }
+    expected = {
+        ("Phosphorylation", ("MEK", "ERK"), None, None),
+        ("Phosphorylation", ("MEK", "ERK"), "T", "124"),
+        ("Phosphorylation", (None, "ERK"), None, None),
+        ("Activation", ("MEK", "RAF"), None, None),
+        ("Activation", ("MAP2K1", "ERK"), None, None),
+        ("Inhibition", ("ERK", "RAS"), None, None),
+        ("Inhibition", ("simvastatin", "RAF"), None, None),
+        ("Complex", ("MEK", "ERK"), None, None),
+        ("Complex", ("ERK", "RAS"), None, None),
+    }
+    assert set(pa) == expected
+    # the modification-detail statement and its general form are DISTINCT
+    assert (
+        pa[("Phosphorylation", ("MEK", "ERK"), "T", "124")]
+        != pa[("Phosphorylation", ("MEK", "ERK"), None, None)]
+    )
+
+
+def test_curated_corpus_evidence_counts_golden(curated_assembly):
+    """Per-statement evidence counts after distillation: dual-sourced
+    statements (TRIPS+BEL, SPARSER+TAS) count 2, everything else 1 — and
+    the REACH abstract duplicates of Phosphorylation(MEK, ERK) contribute
+    NOTHING (their readings were superseded by the empty full-text)."""
+    out = curated_assembly
+    pa = {
+        _key(r.json): r.mk_hash
+        for r in out["pa_statements"].select("mk_hash", "json").collect()
+    }
+    counts = {
+        r.mk_hash: r.ev_count for r in out["evidence_counts"].collect()
+    }
+    expect = {
+        ("Phosphorylation", ("MEK", "ERK"), None, None): 1,  # biopax only
+        ("Phosphorylation", ("MEK", "ERK"), "T", "124"): 2,  # trips + bel
+        ("Phosphorylation", (None, "ERK"), None, None): 1,
+        ("Activation", ("MEK", "RAF"), None, None): 1,
+        ("Activation", ("MAP2K1", "ERK"), None, None): 1,
+        ("Inhibition", ("ERK", "RAS"), None, None): 1,
+        ("Inhibition", ("simvastatin", "RAF"), None, None): 2,  # sparser+tas
+        ("Complex", ("MEK", "ERK"), None, None): 1,
+        ("Complex", ("ERK", "RAS"), None, None): 1,
+    }
+    got = {k: counts[h] for k, h in pa.items()}
+    assert got == expect
+
+
+def test_curated_corpus_refinement_and_belief_golden(curated_assembly):
+    """Refinement: exactly the modification-detail edge
+    Phosphorylation(MEK, ERK, T, 124) -> Phosphorylation(MEK, ERK)
+    (the reference's curated pa expectations pair these two,
+    test_preassembly.py:548-550); the None-enzyme link INDRA would add is
+    a declared arity-strict divergence.  Belief: the supported statement
+    accumulates its refiner's evidence and outranks single-evidence
+    statements."""
+    out = curated_assembly
+    pa = {
+        _key(r.json): r.mk_hash
+        for r in out["pa_statements"].select("mk_hash", "json").collect()
+    }
+    links = {
+        (r.supporting_mk_hash, r.supported_mk_hash)
+        for r in out["pa_support_links"].collect()
+    }
+    spec = pa[("Phosphorylation", ("MEK", "ERK"), "T", "124")]
+    gen = pa[("Phosphorylation", ("MEK", "ERK"), None, None)]
+    assert links == {(spec, gen)}
+
+    belief = {
+        r.mk_hash: r.belief
+        for r in out["source_meta"].select("mk_hash", "belief").collect()
+    }
+    assert all(0.0 < b < 1.0 for b in belief.values())
+    # gen inherits spec's 2 evidences on top of its own 1 -> strictly more
+    # believed than a lone single-evidence statement
+    lone = pa[("Activation", ("MEK", "RAF"), None, None)]
+    assert belief[gen] > belief[lone]
+    assert belief[spec] > belief[lone]  # 2 evidences vs 1
