@@ -60,6 +60,27 @@ class ReadonlyLake:
             df.createOrReplaceTempView(f"{prefix}{name}")
 
     @classmethod
+    def from_bucketed(
+        cls,
+        spark: SparkSession,
+        database: str = "indra_lake",
+        extra: dict[str, DataFrame] | None = None,
+    ) -> "ReadonlyLake":
+        """Serve the query algebra FROM the bucketed catalog tables written
+        by :meth:`write_bucketed` — every mk_hash join between lake tables
+        then plans with zero Exchange (the catalog carries the bucket
+        spec; a plain-parquet read of the same bytes cannot prove
+        co-location and must shuffle).  ``extra`` supplies the
+        non-mk_hash-keyed tables (raw_stmt_src, reading_ref_link, …) that
+        :meth:`write_bucketed` skips, when the algebra surface needs
+        them."""
+        tables: dict[str, DataFrame] = dict(extra or {})
+        for t in spark.catalog.listTables(database):
+            if t.name in READONLY_SCHEMAS:
+                tables[t.name] = spark.table(f"{database}.{t.name}")
+        return cls(tables)
+
+    @classmethod
     def from_parquet(cls, spark: SparkSession, root: str) -> "ReadonlyLake":
         tables = {}
         for name in READONLY_SCHEMAS:

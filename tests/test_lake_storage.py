@@ -119,6 +119,49 @@ def test_release_manifest_round_trip(lakes, tmp_path):
         load_release(mem_lake.spark, root)
 
 
+def test_algebra_served_from_bucketed_lake(spark):
+    """The query algebra runs FROM the bucketed catalog tables
+    (ReadonlyLake.from_bucketed) with results identical to the in-memory
+    lake, and its mk_hash joins plan with FEWER exchanges than the same
+    algebra over plain parquet — the co-location is load-bearing for the
+    actual query surface (§2.2-§2.6), not just a standalone join demo."""
+    from indra_db_spark.plans.fixtures import fixture_lake
+    from indra_db_spark.plans.queries import (
+        HasAgent,
+        HasEvidenceBound,
+        HasType,
+    )
+
+    mem_lake, _, _ = fixture_lake(spark)
+    mem_lake.write_bucketed(spark, database="bkalg", buckets=8)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        bk_lake = ReadonlyLake.from_bucketed(spark, "bkalg")
+        queries = {
+            "agent_and_type": HasAgent("MEK", role="SUBJECT")
+            & HasType(["Phosphorylation"]),
+            "union": HasAgent("ERK") | HasAgent("RAF"),
+            "minus": HasType(["Phosphorylation", "Activation"])
+            & ~HasAgent("RAF"),
+            "intrusive": HasAgent("MEK") & HasEvidenceBound([">= 1"]),
+        }
+        for name, q in queries.items():
+            want = {r.mk_hash for r in get_hashes(q, mem_lake).collect()}
+            got_df = get_hashes(q, bk_lake)
+            got = {r.mk_hash for r in got_df.collect()}
+            assert got == want and got, name
+        # exchange economics on the join-heavy conjunction: bucketed scan
+        # sides arrive pre-partitioned on mk_hash
+        q = queries["agent_and_type"]
+        n_bk = get_hashes(q, bk_lake)._jdf.queryExecution().executedPlan().toString().count("Exchange")
+        n_mem = get_hashes(q, mem_lake)._jdf.queryExecution().executedPlan().toString().count("Exchange")
+        assert n_bk < n_mem, (n_bk, n_mem)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP DATABASE IF EXISTS bkalg CASCADE")
+
+
 def test_bucketed_lake_joins_without_exchange(spark):
     """write_bucketed records the mk_hash partitioning in the catalog, so
     a join between two lake tables plans with ZERO Exchange (the
