@@ -252,7 +252,10 @@ def _compact_leaf(
     per-file moves are renames (atomic on HDFS/local, copy+delete on bare
     object stores — where a real deployment layers a table format's
     transaction log; the manifest is the single-writer version of exactly
-    that log).
+    that log).  For tables with genuinely CONCURRENT writers, use
+    :class:`plans.txlog.TxTable`, whose versioned log makes compaction an
+    optimistic commit that rebases over concurrent appends instead of
+    aborting on them.
     """
     recovered = _recover_swap(fs, jvm, dpath)
     if recovered:

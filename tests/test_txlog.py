@@ -1,0 +1,158 @@
+"""Multi-writer transaction log: optimistic commits, snapshot isolation,
+rebase-over-append compaction, conflict detection, crash invisibility,
+vacuum safety.  Closes the single-writer gap documented at
+plans/lake.py:306-318 — the reference has no analog (its readonly store
+is rebuilt wholesale per release, readonly_dumping/)."""
+
+from __future__ import annotations
+
+import threading
+
+import pytest
+from pyspark.sql import functions as F
+
+from indra_db_spark.plans import txlog
+from indra_db_spark.plans.txlog import CommitConflict, TxTable
+
+
+def _df(spark, lo, hi, tag="w"):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("k"), F.lit(tag).alias("src")
+    )
+
+
+@pytest.fixture(autouse=True)
+def _no_hook():
+    txlog._pre_commit_hook = None
+    yield
+    txlog._pre_commit_hook = None
+
+
+def test_append_read_round_trip(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    assert t.append(_df(spark, 0, 10)) == 1
+    assert t.append(_df(spark, 10, 15)) == 2
+    assert t.read().count() == 15
+    assert {r.k for r in t.read().collect()} == set(range(15))
+
+
+def test_snapshot_isolation_across_commits(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, 0, 10))
+    v1, _ = t.snapshot()
+    pinned = t.read(v1)
+    t.append(_df(spark, 10, 20))
+    # the pinned snapshot still reads the version-1 file set; latest moved on
+    assert pinned.count() == 10
+    assert t.read().count() == 20
+    assert t.read(v1).count() == 10
+
+
+def test_concurrent_appends_all_commit(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    errs = []
+
+    def worker(i):
+        try:
+            TxTable(spark, str(tmp_path / "t")).append(
+                _df(spark, i * 100, i * 100 + 10, tag=f"w{i}")
+            )
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(4)]
+    [th.start() for th in threads]
+    [th.join() for th in threads]
+    assert not errs
+    v, files = t.snapshot()
+    assert v == 4  # every commit holds a distinct version number
+    assert t.read().count() == 40
+    assert t.read().select("src").distinct().count() == 4
+
+
+def test_append_retries_through_lost_race(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, 0, 5))
+    fired = {"done": False}
+
+    def racer(_table):
+        if fired["done"]:
+            return
+        fired["done"] = True
+        other = TxTable(spark, str(tmp_path / "t"))
+        txlog._pre_commit_hook = None  # the racer itself must not recurse
+        other.append(_df(spark, 100, 105, tag="racer"))
+
+    txlog._pre_commit_hook = racer
+    v = t.append(_df(spark, 5, 10, tag="loser"))
+    assert v == 3  # racer took v2 inside the window; append rebased to v3
+    assert t.read().count() == 15
+
+
+def test_compact_rebases_over_concurrent_append(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    for i in range(3):
+        t.append(_df(spark, i * 10, i * 10 + 10))
+    fired = {"done": False}
+
+    def racer(_table):
+        if fired["done"]:
+            return
+        fired["done"] = True
+        txlog._pre_commit_hook = None
+        TxTable(spark, str(tmp_path / "t")).append(
+            _df(spark, 900, 910, tag="late")
+        )
+
+    txlog._pre_commit_hook = racer
+    v = t.compact(target_file_mb=128)
+    assert v == 5  # 3 appends + racer(v4) + compact(v5)
+    # the racer's rows survived the swap; the 3 compacted appends collapsed
+    assert t.read().count() == 40
+    _, files = t.snapshot()
+    assert any("late" == r.src for r in t.read().collect())
+
+
+def test_compact_conflict_aborts_cleanly(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    for i in range(2):
+        t.append(_df(spark, i * 10, i * 10 + 10))
+    fired = {"done": False}
+
+    def racer(_table):
+        if fired["done"]:
+            return
+        fired["done"] = True
+        txlog._pre_commit_hook = None
+        TxTable(spark, str(tmp_path / "t")).compact()
+
+    txlog._pre_commit_hook = racer
+    with pytest.raises(CommitConflict):
+        t.compact()
+    # the winning compaction's snapshot is intact; loser staged invisible
+    # garbage only
+    assert t.read().count() == 20
+    reclaimed = t.vacuum(keep_versions=1)
+    assert reclaimed  # the aborted rewrite's files existed and were removed
+    assert t.read().count() == 20
+
+
+def test_crashed_writer_is_invisible_and_vacuumed(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, 0, 10))
+    # a writer that staged files and died before claiming a version
+    t._stage(_df(spark, 500, 600, tag="crash"))
+    assert t.read().count() == 10
+    removed = t.vacuum(keep_versions=2)
+    assert removed and t.read().count() == 10
+
+
+def test_vacuum_keeps_retained_versions_readable(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, 0, 10))
+    t.append(_df(spark, 10, 20))
+    t.compact()  # v3 rewrites; v1's files now only referenced by old log
+    t.vacuum(keep_versions=1)
+    assert t.read().count() == 20
+    with pytest.raises(Exception):
+        t.read(version=1)  # pruned log entry is gone
