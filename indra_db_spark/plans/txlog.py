@@ -110,16 +110,31 @@ class TxTable:
     def snapshot(self) -> tuple[int, list[str]]:
         """(version, live file names) of the latest committed version;
         (0, []) for an empty table."""
+        v, files, _ = self._snapshot_full()
+        return v, files
+
+    def _snapshot_full(self) -> tuple[int, list[str], dict]:
         vs = self._versions()
         if not vs:
-            return 0, []
+            return 0, [], {}
         v = vs[-1]
-        return v, self._read_version(v)["files"]
+        body = self._read_version(v)
+        return v, body["files"], body.get("txns", {})
 
-    def _try_claim(self, version: int, files: list[str], action: str) -> bool:
+    def _try_claim(
+        self,
+        version: int,
+        files: list[str],
+        action: str,
+        txns: dict | None = None,
+    ) -> bool:
         """Atomically create the version file; False if somebody else
         already holds that version number (the optimistic-concurrency
-        point: create(overwrite=false) is the claim)."""
+        point: create(overwrite=false) is the claim).  ``txns`` is the
+        carried-forward {writer_app_id: last_batch_id} watermark map —
+        every manifest holds the complete map (like the file list, each
+        version is its own checkpoint), so idempotent-writer recovery
+        reads ONE manifest, never a log chain."""
         p = _jpath(
             self._jvm, self.root, LOG_DIR, f"v{version:012d}.json"
         )
@@ -128,6 +143,8 @@ class TxTable:
         except Exception:  # FileAlreadyExistsException — lost the race
             return False
         body = {"version": version, "action": action, "files": sorted(files)}
+        if txns:
+            body["txns"] = txns
         out.write(bytearray(json.dumps(body).encode("utf-8")))
         out.close()
         return True
@@ -166,10 +183,44 @@ class TxTable:
         if _pre_commit_hook is not None:
             _pre_commit_hook(self)
         for _ in range(max_retries):
-            base, files = self.snapshot()
-            if self._try_claim(base + 1, files + staged, "append"):
+            base, files, txns = self._snapshot_full()
+            if self._try_claim(base + 1, files + staged, "append", txns):
                 return base + 1
         raise RuntimeError(f"append lost {max_retries} commit races")
+
+    def append_batch(
+        self,
+        df: DataFrame,
+        app_id: str,
+        batch_id: int,
+        max_retries: int = 20,
+    ) -> int | None:
+        """Idempotent append for an EXACTLY-ONCE writer (a Structured
+        Streaming ``foreachBatch`` sink): the manifest carries the
+        highest committed ``batch_id`` per ``app_id``, so a batch
+        replayed after a crash-between-commit-and-checkpoint is
+        recognized and skipped instead of duplicated — at-least-once
+        delivery + idempotent commit = exactly-once table contents (the
+        public table formats' txn/SetTransaction pattern).  Returns the
+        new version, or None if this (app_id, batch_id) was already
+        committed.  The idempotency check re-runs inside the retry loop:
+        losing a race to ONESELF (a zombie retry of the same writer) is
+        detected on the rebase."""
+        base, files, txns = self._snapshot_full()
+        if txns.get(app_id, -1) >= batch_id:
+            return None
+        staged = self._stage(df)
+        if _pre_commit_hook is not None:
+            _pre_commit_hook(self)
+        for _ in range(max_retries):
+            base, files, txns = self._snapshot_full()
+            if txns.get(app_id, -1) >= batch_id:
+                return None  # a concurrent replay committed this batch
+            merged = dict(txns)
+            merged[app_id] = batch_id
+            if self._try_claim(base + 1, files + staged, "append", merged):
+                return base + 1
+        raise RuntimeError(f"append_batch lost {max_retries} commit races")
 
     def compact(
         self, target_file_mb: int = 128, max_retries: int = 20
@@ -207,7 +258,7 @@ class TxTable:
         if _pre_commit_hook is not None:
             _pre_commit_hook(self)
         for _ in range(max_retries):
-            cur, cur_files = self.snapshot()
+            cur, cur_files, txns = self._snapshot_full()
             cur_set = set(cur_files)
             if not rewritten <= cur_set:
                 raise CommitConflict(
@@ -215,7 +266,7 @@ class TxTable:
                     "rewrote; staged rewrite abandoned (vacuum reclaims it)"
                 )
             merged = sorted((cur_set - rewritten) | set(staged))
-            if self._try_claim(cur + 1, merged, "compact"):
+            if self._try_claim(cur + 1, merged, "compact", txns):
                 return cur + 1
         raise RuntimeError(f"compaction lost {max_retries} commit races")
 

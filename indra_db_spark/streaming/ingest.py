@@ -184,3 +184,49 @@ def incremental_new_docs(
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+def write_stream_txlog(
+    stream_df: DataFrame,
+    table_root: str,
+    checkpoint_dir: str,
+    app_id: str | None = None,
+    available_now: bool = True,
+):
+    """Exactly-once streaming sink into a :class:`plans.txlog.TxTable`.
+
+    Structured Streaming's ``foreachBatch`` gives AT-LEAST-ONCE batch
+    delivery (a crash between the sink write and the checkpoint commit
+    replays the batch); :meth:`TxTable.append_batch` makes the write
+    IDEMPOTENT by recording the highest committed batch id per writer in
+    the version manifest, so the replayed batch is recognized and
+    skipped — the composition is exactly-once table contents, readable
+    with snapshot isolation while the stream keeps committing.  This is
+    the missing half of the lake's ingestion story: `incremental_new_docs`
+    decides WHAT enters the corpus, this sink makes the landing itself
+    transactional (concurrent compaction/vacuum of the same table rebase
+    around the appends via the txlog's optimistic protocol).
+
+    ``app_id`` defaults to the checkpoint dir, which already names the
+    logical writer across restarts.  Returns the finished (available-now)
+    or running StreamingQuery.
+    """
+    from indra_db_spark.plans.txlog import TxTable
+
+    writer_id = app_id or checkpoint_dir
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        TxTable(batch_df.sparkSession, table_root).append_batch(
+            batch_df, writer_id, batch_id
+        )
+
+    writer = (
+        stream_df.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.start()
