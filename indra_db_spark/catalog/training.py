@@ -524,11 +524,35 @@ def emb_topk(spark, sf):
 )
 def emb_neardup(spark, sf):
     # max_rows=None: this entry IS the documented quadratic baseline
-    # (emb_srp_neardup is the scale path); the library-default guard
-    # would otherwise launch an eager probe at plan-build time and refuse
-    # amplified corpora the baseline is deliberately run against
+    # (emb_neardup_cells is the exact scale path, emb_srp_neardup the
+    # approximate one); the library-default guard would otherwise launch
+    # an eager probe at plan-build time and refuse amplified corpora the
+    # baseline is deliberately run against
     return S.cosine_neardup_pairs(
         T(spark, sf, "embeddings"), threshold=0.35, max_rows=None
+    )
+
+
+@register(
+    "emb_neardup_cells",
+    """
+    WITH a AS (SELECT vec_id AS id_a, embedding AS va FROM embeddings),
+    b AS (SELECT vec_id AS id_b, embedding AS vb FROM embeddings)
+    SELECT id_a, id_b,
+           round(list_cosine_similarity(CAST(va AS DOUBLE[]), CAST(vb AS DOUBLE[])), 6) AS sim
+    FROM a, b
+    WHERE id_a < id_b
+      AND round(list_cosine_similarity(CAST(va AS DOUBLE[]), CAST(vb AS DOUBLE[])), 6) >= 0.35
+    """,
+)
+def emb_neardup_cells(spark, sf):
+    """EXACT near-dup via triangle-inequality cell pruning: the oracle is
+    the SAME brute-force SQL as emb_neardup because the output is
+    bit-identical — only the candidate volume differs (output-bound
+    instead of unconditionally corpus²).  The pruning math lives in
+    operators/similarity.py:cosine_neardup_cells."""
+    return S.cosine_neardup_cells(
+        T(spark, sf, "embeddings"), threshold=0.35, nlist=16
     )
 
 

@@ -122,8 +122,9 @@ def cosine_neardup_pairs(
             raise ValueError(
                 f"cosine_neardup_pairs is exact all-pairs (quadratic) and "
                 f"the input exceeds max_rows={max_rows}; use "
-                "srp_neardup_pairs (bucketed) at this scale, or pass "
-                "max_rows=None to force the exact join"
+                "cosine_neardup_cells (exact, cell-pruned) or "
+                "srp_neardup_pairs (approximate, bucketed) at this scale, "
+                "or pass max_rows=None to force the exact join"
             )
     a = emb.select(
         F.col(id_col).alias("id_a"),
@@ -143,6 +144,147 @@ def cosine_neardup_pairs(
         .withColumn("sim", sim)
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", "sim")
+    )
+
+
+def cosine_neardup_cells(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    centers: list[list[float]] | None = None,
+    nlist: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sim_decimals: int | None = 6,
+    dist_decimals: int | None = 6,
+) -> DataFrame:
+    """EXACT cosine-threshold near-dup pairs with triangle-inequality cell
+    pruning — same output as :func:`cosine_neardup_pairs`, without the
+    unconditional all-pairs join.
+
+    On the unit sphere, ``cos(a,b) >= t  <=>  ||â−b̂|| <= sqrt(2−2t)``, so
+    after assigning every NORMALIZED vector to its nearest of ``nlist``
+    centroids and measuring each cell's radius ``r_c = max ||â − c||``,
+    a cell pair (i, j) can contain a qualifying pair only if
+    ``||c_i − c_j|| − r_i − r_j <= sqrt(2−2t)`` (triangle inequality — the
+    Elkan/FAISS-style bound, applied at cell granularity).  Only those
+    cell pairs are joined; the survivor filter re-computes the SAME
+    rounded cosine expression as the brute force on the ORIGINAL vectors,
+    so the prune can only drop pairs that cannot pass and the result set
+    is bit-identical (the bound carries a small slack margin so float
+    rounding at the threshold boundary can never exclude a qualifying
+    pair).
+
+    Scale shape: assignment is a narrow map over literal centers; radii
+    are one tiny aggregate; candidate generation is a cell-key join whose
+    volume tracks OUTPUT density plus pruning slack, not corpus².  The
+    worst case (every vector inside one ``sqrt(2−2t)`` ball) degrades to
+    all-pairs — but then the output itself is quadratic, so the cost is
+    output-bound, which is the honest lower bound for any EXACT
+    similarity join.  nlist grows with the corpus (â la IVF) to keep
+    per-cell volume constant.
+    """
+    spark = emb.sparkSession
+    nrm = norm(F.col(vec_col))
+    unit = F.transform(
+        F.col(vec_col),
+        lambda x: F.when(nrm != 0, x.cast("double") / nrm).otherwise(
+            F.lit(0.0)
+        ),
+    )
+    base = emb.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        nrm.alias("_n"),
+        unit.alias("_u"),
+    )
+    if centers is None:
+        centers = ivf_train_centroids(
+            base.select(F.col("_u").alias(vec_col)),
+            nlist=nlist,
+            vec_col=vec_col,
+        )
+    from indra_db_spark.operators.dedup import _materialize
+
+    assigned = _materialize(
+        base.withColumn(
+            "_cell",
+            F.element_at(
+                _ranked_cells(F.col("_u"), centers, 1, dist_decimals), 1
+            ),
+        ).withColumn(
+            "_dist",
+            F.sqrt(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("_u"),
+                        F.element_at(
+                            F.array(
+                                *[
+                                    F.array(*[F.lit(x) for x in c])
+                                    for c in centers
+                                ]
+                            ),
+                            F.col("_cell") + 1,
+                        ),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            ),
+        )
+    )
+    import math
+
+    radii = {
+        r["_cell"]: r["r"]
+        for r in assigned.groupBy("_cell").agg(F.max("_dist").alias("r")).collect()
+    }
+    # slack margin: the final filter works on sim rounded to sim_decimals,
+    # so a pair at threshold − ½ulp must survive the prune
+    margin = 10.0 ** (-(sim_decimals or 9)) * 5
+    eps = math.sqrt(max(0.0, 2.0 - 2.0 * (threshold - margin)))
+    cand = []
+    cells = sorted(radii)
+    for ai, i in enumerate(cells):
+        for j in cells[ai:]:
+            d = math.sqrt(
+                sum((x - y) ** 2 for x, y in zip(centers[i], centers[j]))
+            )
+            if d <= eps + radii[i] + radii[j] + 1e-9:
+                cand.append((i, j))
+    pairs = spark.createDataFrame(cand, "cell_a INT, cell_b INT")
+    a = assigned.select(
+        F.col("_id").alias("id_a"),
+        F.col("_v").alias("va"),
+        F.col("_n").alias("na"),
+        F.col("_cell").alias("cell_a"),
+    )
+    b = assigned.select(
+        F.col("_id").alias("id_b"),
+        F.col("_v").alias("vb"),
+        F.col("_n").alias("nb"),
+        F.col("_cell").alias("cell_b"),
+    )
+    # small-corpus parallelism spreader, same gate as semantic_dedup
+    small_max = 200_000
+    if assigned.limit(small_max + 1).count() <= small_max:
+        a = a.repartition(spark.sparkContext.defaultParallelism)
+        b = F.broadcast(b)
+    sim = _pair_sim(
+        F.col("va"), F.col("vb"), F.col("na"), F.col("nb"), sim_decimals
+    )
+    return (
+        a.join(F.broadcast(pairs), "cell_a")
+        .join(b, "cell_b")
+        .filter((F.col("cell_a") != F.col("cell_b")) | (F.col("id_a") < F.col("id_b")))
+        .withColumn("sim", sim)
+        .filter(F.col("sim") >= threshold)
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+            "sim",
+        )
     )
 
 

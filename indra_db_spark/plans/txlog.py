@@ -285,6 +285,40 @@ class TxTable:
             *[f"{self.root}/data/{n}" for n in files]
         )
 
+    def changes(self, since_version: int, to_version: int | None = None) -> DataFrame:
+        """Change feed: the rows APPENDED after ``since_version`` (up to
+        ``to_version``, default latest) — the incremental-consumer read
+        that turns the log into a CDC source.  File-level diff of the two
+        manifests, restricted to files introduced by *append* commits:
+        compaction rewrites data into new file names but changes no rows,
+        so its files are excluded by walking the intervening versions'
+        ``action`` records rather than trusting name set differences.
+        A downstream job that checkpoints its last-consumed version gets
+        exactly-once incremental processing on top of the sink's
+        exactly-once ingestion.  Retention caveat (the standard CDC one):
+        the feed resolves the ORIGINAL appended files, so consume changes
+        before :func:`vacuum`'s horizon passes the appends — after that
+        the rows only survive inside compacted files, which carry no
+        per-version attribution."""
+        hi = to_version if to_version is not None else self.snapshot()[0]
+        if hi < since_version:
+            raise ValueError(f"to_version {hi} < since_version {since_version}")
+        seen = set(
+            self._read_version(since_version)["files"] if since_version else []
+        )
+        appended: list[str] = []
+        for v in range(since_version + 1, hi + 1):
+            body = self._read_version(v)
+            if body.get("action") == "append":
+                appended.extend(n for n in body["files"] if n not in seen)
+            seen.update(body["files"])
+        if not appended:
+            # empty delta WITH the table's schema, so consumers compose
+            return self.read(hi).limit(0) if seen else self.spark.range(0)
+        return self.spark.read.parquet(
+            *[f"{self.root}/data/{n}" for n in appended]
+        )
+
     # ---- maintenance ----------------------------------------------------
 
     def vacuum(self, keep_versions: int = 2) -> list[str]:

@@ -1455,3 +1455,70 @@ def test_corpus_pipeline_v2_invariants(spark, sf_dir):
     # every doc appears exactly once (no splitting, no duplication)
     ids = [r.doc_id for r in rows]
     assert len(ids) == len(set(ids))
+
+
+def test_cosine_neardup_cells_exact_parity(spark, sf_dir):
+    """The cell-pruned near-dup is EXACT: bit-identical pair set to the
+    brute-force all-pairs join on real fixture data, at a loose and a
+    tight threshold and at two quantizer resolutions (pruning volume
+    changes, the result may not)."""
+    from indra_db_spark.operators.similarity import (
+        cosine_neardup_cells,
+        cosine_neardup_pairs,
+    )
+    from indra_db_spark.sources.lake import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    for t in (0.35, 0.8):
+        want = {
+            (r.id_a, r.id_b, r.sim)
+            for r in cosine_neardup_pairs(emb, threshold=t, max_rows=None).collect()
+        }
+        for nlist in (4, 16):
+            got = {
+                (r.id_a, r.id_b, r.sim)
+                for r in cosine_neardup_cells(emb, threshold=t, nlist=nlist).collect()
+            }
+            assert got == want, (t, nlist, len(got), len(want))
+
+
+def test_cosine_neardup_cells_borderline_pairs(spark):
+    """Adversarial threshold-boundary set: pairs engineered to sit exactly
+    AT, just above, and just below the rounded threshold, plus far-apart
+    cluster members — the prune's slack margin must never eat a
+    qualifying boundary pair (the failure mode of a pruning bound tuned
+    to unrounded similarity)."""
+    from indra_db_spark.operators.similarity import (
+        cosine_neardup_cells,
+        cosine_neardup_pairs,
+    )
+
+    rows = [
+        # cos(a, b) = 0.8 exactly (unit 2D pair embedded in 4 dims)
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.8, 0.6, 0.0, 0.0]),
+        # cos = 0.799999…: rounds to 0.8 → must be INCLUDED at t=0.8
+        (3, [0.7999999, 0.6000001340, 0.0, 0.0]),
+        # clearly below: cos(1, 4) ≈ 0.6
+        (4, [0.6, 0.8, 0.0, 0.0]),
+        # a tight far cluster: qualifying pair in a DIFFERENT region
+        (5, [0.0, 0.0, 1.0, 0.0]),
+        (6, [0.0, 0.0, 0.99, 0.14106735979665894]),
+        # opposite pole, alone
+        (7, [-1.0, 0.0, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id INT, embedding ARRAY<DOUBLE>",
+    )
+    want = {
+        (r.id_a, r.id_b, r.sim)
+        for r in cosine_neardup_pairs(emb, threshold=0.8, max_rows=None).collect()
+    }
+    assert {(1, 2), (1, 3), (5, 6)} <= {(a, b) for a, b, _ in want}
+    for nlist in (2, 3, 7):
+        got = {
+            (r.id_a, r.id_b, r.sim)
+            for r in cosine_neardup_cells(emb, threshold=0.8, nlist=nlist).collect()
+        }
+        assert got == want, (nlist, got, want)

@@ -201,3 +201,30 @@ def test_stream_sink_exactly_once(spark, tmp_path):
     v_before, _ = t.snapshot()
     assert t.append_batch(_df(spark, 0, 100), ckpt, 0) is None
     assert t.snapshot()[0] == v_before and t.read().count() == 130
+
+
+def test_changes_feed_exactly_the_appended_rows(spark, tmp_path):
+    """CDC read: changes(since) returns precisely the rows appended after
+    `since`, is compaction-transparent (a rewrite commits no phantom
+    changes), and composes with a consumer checkpointing its last-read
+    version."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, 0, 10, tag="a"))          # v1
+    v_ckpt, _ = t.snapshot()
+    t.append(_df(spark, 10, 25, tag="b"))         # v2
+    t.append_batch(_df(spark, 25, 30, tag="c"), "w", 0)  # v3
+    got = {r.k for r in t.changes(v_ckpt).collect()}
+    assert got == set(range(10, 30))
+    # bounded window: only v2's rows
+    assert {r.k for r in t.changes(1, to_version=2).collect()} == set(
+        range(10, 25)
+    )
+    # compaction introduces files but NO logical changes
+    v_compact = t.compact()                        # v4
+    assert t.changes(3, to_version=v_compact).count() == 0
+    assert t.changes(3).limit(0).columns == ["k", "src"]  # schema preserved
+    # appends after the compaction surface normally
+    t.append(_df(spark, 30, 33, tag="d"))          # v5
+    assert {r.k for r in t.changes(v_compact).collect()} == {30, 31, 32}
+    # full-history read from the origin
+    assert t.changes(0).count() == 33
