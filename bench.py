@@ -70,6 +70,10 @@ HEADLINE = [
     # decontaminate → pack) — the composed number a training run cares
     # about, not just its stages
     "doc_corpus_pipeline_v2",
+    # round 7: exact near-dup with triangle-inequality cell pruning —
+    # the path that replaced the guarded quadratic as the at-scale exact
+    # similarity join
+    "emb_neardup_cells",
 ]
 
 

@@ -550,10 +550,19 @@ def emb_neardup_cells(spark, sf):
     the SAME brute-force SQL as emb_neardup because the output is
     bit-identical — only the candidate volume differs (output-bound
     instead of unconditionally corpus²).  The pruning math lives in
-    operators/similarity.py:cosine_neardup_cells."""
-    return S.cosine_neardup_cells(
-        T(spark, sf, "embeddings"), threshold=0.35, nlist=16
-    )
+    operators/similarity.py:cosine_neardup_cells.  Centers are pinned
+    first-16-vector seeds normalized driver-side (exactness holds for ANY
+    centers — only pruning volume varies — so the entry skips the k-means
+    build the production path amortizes via ivf_train_centroids)."""
+    import math
+
+    emb = T(spark, sf, "embeddings")
+    seed_rows = emb.filter(F.col("vec_id") < 16).orderBy("vec_id").collect()
+    centers = []
+    for r in seed_rows:
+        n = math.sqrt(sum(float(x) * float(x) for x in r.embedding)) or 1.0
+        centers.append([float(x) / n for x in r.embedding])
+    return S.cosine_neardup_cells(emb, threshold=0.35, centers=centers)
 
 
 _SRP_PLANES = 6

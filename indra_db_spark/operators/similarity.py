@@ -236,10 +236,11 @@ def cosine_neardup_cells(
     )
     import math
 
-    radii = {
-        r["_cell"]: r["r"]
-        for r in assigned.groupBy("_cell").agg(F.max("_dist").alias("r")).collect()
-    }
+    cell_stats = assigned.groupBy("_cell").agg(
+        F.max("_dist").alias("r"), F.count(F.lit(1)).alias("n")
+    ).collect()
+    radii = {r["_cell"]: r["r"] for r in cell_stats}
+    n_rows = sum(r["n"] for r in cell_stats)
     # slack margin: the final filter works on sim rounded to sim_decimals,
     # so a pair at threshold − ½ulp must survive the prune
     margin = 10.0 ** (-(sim_decimals or 9)) * 5
@@ -266,9 +267,10 @@ def cosine_neardup_cells(
         F.col("_n").alias("nb"),
         F.col("_cell").alias("cell_b"),
     )
-    # small-corpus parallelism spreader, same gate as semantic_dedup
+    # small-corpus parallelism spreader, same gate as semantic_dedup —
+    # sized from the radii aggregate's row counts, no extra probe job
     small_max = 200_000
-    if assigned.limit(small_max + 1).count() <= small_max:
+    if n_rows <= small_max:
         a = a.repartition(spark.sparkContext.defaultParallelism)
         b = F.broadcast(b)
     sim = _pair_sim(
