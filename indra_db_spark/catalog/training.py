@@ -344,6 +344,55 @@ def doc_dup_clusters(spark, sf):
 
 
 @register(
+    "doc_dup_cluster_reps",
+    f"""
+    WITH RECURSIVE {_SHINGLES_CTE},
+    sig AS (SELECT id, {_mh_sig_cols} FROM sh GROUP BY id),
+    b AS ({_mh_band_selects}),
+    pairs AS (
+      SELECT DISTINCT a.id AS id_a, b2.id AS id_b
+      FROM b a JOIN b b2 ON a.bkey = b2.bkey AND a.id < b2.id
+    ),
+    edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach AS (
+      SELECT s, d FROM edges
+      UNION
+      SELECT r.s, e.d FROM reach r JOIN edges e ON e.s = r.d
+    ),
+    comp AS (SELECT s AS node, least(s, min(d)) AS component
+             FROM reach GROUP BY s),
+    wc AS (SELECT doc_id,
+                  len(list_filter({_WS_SPLIT}, x -> x <> '')) AS n_words
+           FROM documents),
+    jj AS (SELECT wc.doc_id,
+                  CAST(coalesce(c.component, wc.doc_id) AS BIGINT) AS component,
+                  wc.n_words
+           FROM wc LEFT JOIN comp c ON c.node = wc.doc_id),
+    rr AS (SELECT *, row_number() OVER (
+             PARTITION BY component ORDER BY n_words DESC, doc_id) AS rn
+           FROM jj)
+    SELECT doc_id, component, CAST(n_words AS INTEGER) AS n_words
+    FROM rr WHERE rn = 1
+    """,
+)
+def doc_dup_cluster_reps(spark, sf):
+    """Canonical-copy selection per near-dup cluster (keep-the-longest,
+    id tie-break): doc_dup_clusters decides WHO is duplicated, this
+    decides WHICH copy survives into training — the corpus-granularity
+    analog of distill's keep-best-evidence rule.  One corpus-side left
+    join + one per-component window; unclustered docs keep themselves."""
+    docs = T(spark, sf, "documents").withColumn(
+        "n_words", X.token_count(F.col("text"))
+    )
+    pairs = D.minhash_lsh_pairs(
+        T(spark, sf, "documents"), num_hashes=_MH_HASHES, bands=_MH_BANDS
+    )
+    comp = G.connected_components(pairs, "id_a", "id_b")
+    return D.dup_cluster_representatives(docs, comp)
+
+
+@register(
     "doc_token_count",
     r"""
     SELECT doc_id,

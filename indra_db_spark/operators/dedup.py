@@ -529,3 +529,51 @@ def remove_duplicate_spans(
             (F.col("_n") - F.col("_kept")).cast("int").alias("n_removed_words"),
         )
     )
+
+
+def dup_cluster_representatives(
+    docs: DataFrame,
+    components: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "n_words",
+) -> DataFrame:
+    """Canonical-document selection after near-dup clustering: keep ONE
+    member per connected component — the highest ``score_col`` (longest
+    surviving version by default, the CCNet/C4-style keep-the-longest
+    heuristic), ties broken by smallest id so the survivor set is a pure
+    function of the input.  Documents in no cluster keep themselves
+    (their singleton component is their own id).
+
+    This is the step the reference's preassembly performs per statement
+    group via distill (keep the best evidence text,
+    indra_db/preassembly/preassemble_db.py distill semantics) lifted to
+    corpus granularity: `doc_dup_clusters` finds WHO is duplicated,
+    this picks WHICH copy trains.
+
+    Scale shape: one left join of the corpus against the (small,
+    candidate-bounded) component map, one per-component window ranked by
+    (score desc, id) — shuffle volume is the corpus once on the
+    component key, and components are near-dup-bounded so no key skews
+    beyond cluster size.
+    """
+    from pyspark.sql.window import Window
+
+    comp = components.select(
+        F.col("node").alias(id_col), F.col("component")
+    )
+    joined = docs.join(comp, id_col, "left").withColumn(
+        "component",
+        F.coalesce(F.col("component"), F.col(id_col)).cast("long"),
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.desc(score_col), F.asc(id_col)
+    )
+    return (
+        joined.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col(id_col),
+            "component",
+            F.col(score_col).cast("int").alias(score_col),
+        )
+    )

@@ -1522,3 +1522,30 @@ def test_cosine_neardup_cells_borderline_pairs(spark):
             for r in cosine_neardup_cells(emb, threshold=0.8, nlist=nlist).collect()
         }
         assert got == want, (nlist, got, want)
+
+
+def test_dup_cluster_representatives_semantics(spark):
+    """Keep-the-longest per component with id tie-break; unclustered docs
+    keep themselves as singleton components labeled by their own id."""
+    from indra_db_spark.operators.dedup import dup_cluster_representatives
+
+    docs = spark.createDataFrame(
+        [
+            (1, 5), (2, 9), (3, 9),     # component 1: 2 and 3 tie on score
+            (10, 4),                     # component 10: alone in map
+            (20, 7),                     # unclustered
+        ],
+        "doc_id LONG, n_words INT",
+    )
+    comp = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10)], "node LONG, component LONG"
+    )
+    got = {
+        (r.doc_id, r.component, r.n_words)
+        for r in dup_cluster_representatives(docs, comp).collect()
+    }
+    assert got == {
+        (2, 1, 9),    # longest wins; tie with 3 broken by smaller id
+        (10, 10, 4),
+        (20, 20, 7),  # singleton keeps itself
+    }
