@@ -190,3 +190,56 @@ def test_bucketed_lake_joins_without_exchange(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP DATABASE IF EXISTS bktest CASCADE")
+
+
+def test_analytics_from_bucketed_events(spark, sf_dir):
+    """The analytics family served FROM the user-bucketed (user, ts)-sorted
+    events layout: identical results to the plain read, with the events-
+    side Exchange gone (funnel's per-user aggregate, paths' per-user
+    window) and the window Sort elided — the write-once sort replaces the
+    per-query shuffle+sort, the same trade the mk_hash lake makes."""
+    from indra_db_spark.operators.analytics import event_paths, funnel
+    from indra_db_spark.sources.bucketed import write_events_bucketed
+    from indra_db_spark.sources.lake import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    write_events_bucketed(ev, "bkev.events", buckets=8)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_ord = spark.conf.get(
+        "spark.sql.legacy.bucketedTableScan.outputOrdering"
+    )
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.legacy.bucketedTableScan.outputOrdering", "true"
+        )
+        bk = spark.table("bkev.events")
+        ops = {
+            "funnel": lambda e: funnel(e, ["signup", "click", "purchase"]),
+            "paths": lambda e: event_paths(e, n=3, k=50),
+        }
+        def final_plan(df):
+            # an EXECUTED AdaptiveSparkPlan prints Final + Initial
+            # sections; count nodes in the final one only
+            return (
+                df._jdf.queryExecution().executedPlan().toString()
+                .split("== Initial Plan ==")[0]
+            )
+
+        for name, op in ops.items():
+            want = {tuple(r) for r in op(ev).collect()}
+            got_df = op(bk)
+            got = {tuple(r) for r in got_df.collect()}
+            assert got == want and got, name
+            p_bk, p_pl = final_plan(got_df), final_plan(op(ev))
+            assert p_bk.count("Exchange") < p_pl.count("Exchange"), name
+        # the per-user window runs straight off the one-file-per-bucket
+        # sorted scan: no Sort node anywhere (funnel keeps struct-compare
+        # sorts inside its aggregates, so the zero-sort pin is on paths)
+        assert final_plan(op(bk)).count("Sort [") == 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.conf.set(
+            "spark.sql.legacy.bucketedTableScan.outputOrdering", prev_ord
+        )
+        spark.sql("DROP DATABASE IF EXISTS bkev CASCADE")
