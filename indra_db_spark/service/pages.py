@@ -84,3 +84,41 @@ grab('/monitor/data/runtime','rt');
 grab('/summary/data/stats','st');
 </script></body></html>
 """
+
+
+# ---- static assets (the reference's /data-vis/<path> + /ilv/<file> file
+# servers, api.py:247-272) -------------------------------------------------
+
+import os as _os
+
+#: suffix → content type, superset of the reference's suf_ct_map
+ASSET_TYPES = {
+    ".js": "application/javascript",
+    ".css": "text/css",
+    ".html": "text/html; charset=utf-8",
+    ".json": "application/json",
+    ".svg": "image/svg+xml",
+    ".map": "application/json",
+}
+
+#: built-in bundle (the reference ships a Vue dist; this one is a
+#: dependency-free table view over the same JSON contracts)
+DATA_VIS_DIR = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), "data_vis")
+
+
+def serve_asset(rel_path: str, root: str) -> tuple[str, bytes] | None:
+    """Resolve ``rel_path`` under ``root`` and return (content_type,
+    bytes), or None for missing files, unknown suffixes, and — unlike the
+    reference's open-coded file server — any path that escapes the asset
+    root (traversal via '..' or absolute segments)."""
+    if not root or not _os.path.isdir(root):
+        return None
+    root = _os.path.realpath(root)
+    full = _os.path.realpath(_os.path.join(root, rel_path))
+    if not (full == root or full.startswith(root + _os.sep)):
+        return None
+    ext = _os.path.splitext(full)[1]
+    if ext not in ASSET_TYPES or not _os.path.isfile(full):
+        return None
+    with open(full, "rb") as f:
+        return ASSET_TYPES[ext], f.read()

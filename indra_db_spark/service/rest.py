@@ -294,6 +294,30 @@ def make_handler(
                 if url.path == "/ground":
                     self._ground(qs)
                     return
+                if parts[0] in ("data-vis", "ilv") and len(parts) >= 2:
+                    # static-asset file servers mirroring the reference's
+                    # /data-vis/<path> (built-in bundle) and /ilv/<file>
+                    # (env-gated external dir, api.py:247-272)
+                    import os as _os
+
+                    from indra_db_spark.service import pages
+
+                    root = (
+                        pages.DATA_VIS_DIR
+                        if parts[0] == "data-vis"
+                        else _os.environ.get("INDRA_DB_SPARK_VUE_ROOT", "")
+                    )
+                    hit = pages.serve_asset("/".join(parts[1:]), root)
+                    if hit is None:
+                        self._send(404, {"error": f"{url.path} not found"})
+                    else:
+                        ctype, body = hit
+                        self.send_response(200)
+                        self.send_header("Content-Type", ctype)
+                        self.send_header("Content-Length", str(len(body)))
+                        self.end_headers()
+                        self.wfile.write(body)
+                    return
                 if url.path in ("/search", "/monitor"):
                     # tiny dependency-free HTML consumers of the JSON API
                     # (the reference serves template pages here,

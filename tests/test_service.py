@@ -749,3 +749,41 @@ def test_html_pages_served(spark):
         assert "/summary/data/stats" in body2
     finally:
         server.shutdown()
+
+
+def test_data_vis_asset_server(spark):
+    """/data-vis/<path> serves the built-in bundle with the reference's
+    suffix->content-type behavior (api.py:247-254); traversal out of the
+    asset root and unknown files 404; /ilv/<file> stays gated behind the
+    external-dir env var like the reference's testing-only route."""
+    from urllib.error import HTTPError
+    from urllib.request import urlopen
+
+    from indra_db_spark.plans.fixtures import fixture_lake
+    from indra_db_spark.service.rest import serve
+
+    lake, _, _ = fixture_lake(spark)
+    server = serve(lake)
+    host, port = server.server_address
+    base = f"http://{host}:{port}"
+    try:
+        page = urlopen(f"{base}/data-vis/index.html")
+        assert page.headers.get_content_type() == "text/html"
+        body = page.read().decode()
+        assert "/data-vis/dashboard.js" in body
+        js = urlopen(f"{base}/data-vis/dashboard.js")
+        assert js.headers["Content-Type"] == "application/javascript"
+        jsbody = js.read().decode()
+        for route in ("/monitor/data/runtime", "/summary/data/stats"):
+            assert route in jsbody
+        css = urlopen(f"{base}/data-vis/style.css")
+        assert css.headers["Content-Type"] == "text/css"
+        for bad in ("/data-vis/nope.js", "/data-vis/../rest.py",
+                    "/data-vis/..%2Frest.py", "/ilv/app.js"):
+            try:
+                urlopen(base + bad)
+                raise AssertionError(f"{bad} should 404")
+            except HTTPError as e:
+                assert e.code == 404, bad
+    finally:
+        server.shutdown()
