@@ -2106,3 +2106,61 @@ def doc_corpus_diff(spark, sf):
         ).otherwise(F.col("text")).alias("text"),
     )
     return SM.corpus_diff(old, new)
+
+
+# ------------------------------------------------- supervised quality gate
+
+from indra_db_spark.operators import classify as CF  # noqa: E402
+
+#: classifier catalog fixture uses a small feature space so bucket
+#: collisions actually occur at test SFs (the hashing trick is part of
+#: the model; an entry that never collides would not pin that semantics)
+_CF_BUCKETS = 4_096
+
+
+@register(
+    "doc_quality_classifier",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             unnest(regexp_split_to_array(lower(text), '\\s+')) AS w
+      FROM documents
+    ),
+    f AS (
+      SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+             {CF.feature_bucket_sql("w", _CF_BUCKETS)} AS feat
+      FROM toks WHERE w <> ''
+    ),
+    wt AS (
+      SELECT feat,
+             CAST(({CF.MICRO} * (sum(y) + 1)) // (count(*) + 2) AS BIGINT)
+               AS w_micro
+      FROM f GROUP BY feat
+    ),
+    s AS (
+      SELECT f.doc_id, count(*) AS n, CAST(sum(w.w_micro) AS BIGINT) AS sw
+      FROM f JOIN wt w USING (feat) GROUP BY f.doc_id
+    )
+    SELECT doc_id, CAST(n AS INT) AS n_tokens, sw AS sum_w_micro,
+           CAST(sw // n AS BIGINT) AS score_micro,
+           CAST(CASE WHEN sw // n >= {CF.PRIOR_MICRO} THEN 1 ELSE 0 END
+                AS INT) AS keep
+    FROM s
+    """,
+)
+def doc_quality_classifier(spark, sf):
+    """Supervised quality gate, fastText/DCLM deployment shape: train the
+    hashed-feature posterior classifier on the corpus labeled
+    positive = English (the CCNet construction: target-language/quality
+    reference vs the rest), then score the same corpus — so the ORACLE
+    re-runs TRAINING too, not just the apply step.  Integer posteriors
+    instead of log-odds keep every quantity cross-engine exact
+    (operators/classify.py).  Scale shape: train is one explode + one
+    ≤n_buckets-key partial agg; score is explode + broadcast weight join
+    + partial agg — document text never shuffles."""
+    docs = T(spark, sf, "documents")
+    model = CF.train_polarity_classifier(
+        docs.withColumn("label", (F.col("lang") == "en").cast("int")),
+        n_buckets=_CF_BUCKETS,
+    )
+    return CF.score_with_classifier(docs, model)

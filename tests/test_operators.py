@@ -1549,3 +1549,63 @@ def test_dup_cluster_representatives_semantics(spark):
         (10, 10, 4),
         (20, 20, 7),  # singleton keeps itself
     }
+
+
+def test_quality_classifier_discriminates_and_smooths(spark):
+    """The hashed-posterior classifier must (a) separate two classes with
+    distinct vocabularies and generalize to HELD-OUT documents of those
+    vocabularies, (b) give a document of only-unseen tokens EXACTLY the
+    uninformative prior, and (c) set keep consistently with score_micro.
+    (The sf fixture corpora share one vocabulary across all lang/source
+    labels by construction, so separation is asserted on a corpus whose
+    classes actually differ — the catalog entry pins the cross-engine
+    math on the fixture, this test pins the model semantics.)"""
+    from indra_db_spark.operators.classify import (
+        PRIOR_MICRO,
+        score_with_classifier,
+        train_polarity_classifier,
+    )
+
+    posv = ["clean", "prose", "citation", "edited", "article"]
+    negv = ["spam", "click", "casino", "winner", "pills"]
+    rows = []
+    for i in range(40):
+        # mostly-positive-vocab docs labeled 1, mostly-negative labeled 0,
+        # with 1-in-5 tokens crossing over so neither class is pure
+        p = " ".join(
+            (posv if (i + j) % 5 else negv)[(i * 7 + j) % 5]
+            for j in range(12)
+        )
+        n = " ".join(
+            (negv if (i + j) % 5 else posv)[(i * 3 + j) % 5]
+            for j in range(12)
+        )
+        rows += [(2 * i, p, 1), (2 * i + 1, n, 0)]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING, label INT")
+    pair = F.expr("doc_id div 2")  # positives are even ids, so hold
+    # out whole (pos, neg) PAIRS by pair index, not by raw id parity
+    train = docs.filter(pair % 4 != 3)
+    held = docs.filter(pair % 4 == 3)
+
+    model = train_polarity_classifier(train, n_buckets=4096)
+    scored = score_with_classifier(held, model).join(
+        held.select("doc_id", "label"), "doc_id"
+    )
+    out = scored.collect()
+    pos = [r.score_micro for r in out if r.label == 1]
+    neg = [r.score_micro for r in out if r.label == 0]
+    assert pos and neg
+    # held-out separation: every positive above every negative (the
+    # vocabularies differ 4:1, so the posterior margin is wide)
+    assert min(pos) > max(neg) + 100_000
+    for r in out:
+        assert r.keep == (1 if r.score_micro >= PRIOR_MICRO else 0)
+
+    # unseen-vocabulary document: every token smooths to the prior, so
+    # the floored mean is exactly PRIOR_MICRO
+    fresh = spark.createDataFrame(
+        [(999_999_001, "zzqx1 zzqx2 zzqx3")], "doc_id LONG, text STRING"
+    )
+    got = score_with_classifier(fresh, model).collect()[0]
+    assert got.n_tokens == 3
+    assert got.score_micro == PRIOR_MICRO

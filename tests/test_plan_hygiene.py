@@ -292,3 +292,14 @@ def test_neardup_cells_prunes_and_stays_jvm_side(spark, sf_dir):
     for i, j in itertools.combinations(range(4), 2):
         d = math.sqrt(2.0)  # orthogonal unit centers
         assert d > eps + 2 * radius  # pruned by construction
+
+
+def test_quality_classifier_broadcasts_weights(spark, sf_dir):
+    """The classifier's only state is the bounded weight table: scoring
+    must broadcast it (never shuffle the corpus side for the join) and
+    the per-doc aggregate must partial-aggregate before its exchange."""
+    plan = _plan(spark, sf_dir, "doc_quality_classifier")
+    assert "BroadcastHashJoin" in plan
+    pre_shuffle = plan.split("Exchange hashpartitioning")[-1]
+    assert "partial_count" in pre_shuffle or "partial" in pre_shuffle
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

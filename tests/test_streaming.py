@@ -376,3 +376,36 @@ def test_streaming_funnel_matches_batch(spark, tmp_path):
             assert (g.s1_ts, g.s2_ts, g.s3_ts) == (
                 w.s1_ts, w.s2_ts, w.s3_ts,
             ), (u, within)
+
+
+def test_classifier_scoring_stream_matches_batch(spark, tmp_path_factory):
+    """Train the quality classifier in batch, score a readStream against
+    the frozen weight table — the fastText/DCLM train-offline /
+    score-the-crawl deployment.  Integer posteriors make stream and batch
+    results identical."""
+    from indra_db_spark.operators.classify import (
+        score_with_classifier,
+        train_polarity_classifier,
+    )
+
+    path = str(tmp_path_factory.mktemp("docs_cf_stream"))
+    batch = load_table(spark, "/root/testdata/sf0.001", "documents")
+    batch.coalesce(2).write.mode("overwrite").parquet(path)
+    static = spark.read.parquet(path)
+
+    model = train_polarity_classifier(
+        static.withColumn("label", (F.col("lang") == "en").cast("int")),
+        n_buckets=4096,
+    )
+    want = {
+        r.doc_id: (r.n_tokens, r.sum_w_micro, r.score_micro, r.keep)
+        for r in score_with_classifier(static, model).collect()
+    }
+    stream = read_stream(spark, path, static.schema)
+    got = {
+        r.doc_id: (r.n_tokens, r.sum_w_micro, r.score_micro, r.keep)
+        for r in run_to_memory_sink(
+            score_with_classifier(stream, model), "cf_stream", "complete"
+        ).collect()
+    }
+    assert got == want
