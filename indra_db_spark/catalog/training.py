@@ -2164,3 +2164,109 @@ def doc_quality_classifier(spark, sf):
         n_buckets=_CF_BUCKETS,
     )
     return CF.score_with_classifier(docs, model)
+
+
+# ------------------------------------------------- product quantization
+
+from indra_db_spark.operators import pq as PQ  # noqa: E402
+
+_PQ_M, _PQ_DSUB, _PQ_K, _PQ_ROUNDS, _PQ_TOPK = 16, 4, 16, 2, 5
+
+
+def _pq_quant_sql(slice_expr: str) -> str:
+    return (
+        f"list_transform({slice_expr}, x -> "
+        f"CAST(floor(CAST(x AS DOUBLE) * {PQ.SCALE}) AS BIGINT)"
+        f" + {PQ.OFFSET})"
+    )
+
+
+_PQ_SQDIST = (
+    f"CAST(list_sum(list_transform(range(1, {_PQ_DSUB + 1}), "
+    "j -> (q[j] - cent[j]) * (q[j] - cent[j]))) AS BIGINT)"
+)
+
+
+def _pq_lloyd_round(r: int) -> str:
+    """One unrolled Lloyd iteration (assign → per-dim floored mean →
+    empty-cluster coalesce), reading codebook cb{r-1} → cb{r}."""
+    return f"""
+    d{r} AS (
+      SELECT sub.id, sub.s, cb.c, sub.q, {_PQ_SQDIST} AS dd
+      FROM sub JOIN cb{r - 1} cb USING (s)
+    ),
+    a{r} AS (
+      SELECT id, s, c AS code, q FROM (
+        SELECT *, row_number() OVER (PARTITION BY id, s ORDER BY dd, c) rn
+        FROM d{r}) WHERE rn = 1
+    ),
+    u{r} AS (
+      SELECT s, code, j AS dim,
+             CAST(sum(q[j]) // count(*) AS BIGINT) AS mv
+      FROM a{r}, UNNEST(range(1, {_PQ_DSUB + 1})) t(j)
+      GROUP BY s, code, j
+    ),
+    un{r} AS (
+      SELECT s, code, list(mv ORDER BY dim) AS newcent
+      FROM u{r} GROUP BY s, code
+    ),
+    cb{r} AS (
+      SELECT cb.s, cb.c, COALESCE(un.newcent, cb.cent) AS cent
+      FROM cb{r - 1} cb LEFT JOIN un{r} un ON cb.s = un.s AND cb.c = un.code
+    )"""
+
+
+@register(
+    "emb_pq_topk",
+    f"""
+    WITH sub AS (
+      SELECT vec_id AS id, s,
+             {_pq_quant_sql(f"embedding[s * {_PQ_DSUB} + 1 : s * {_PQ_DSUB} + {_PQ_DSUB}]")} AS q
+      FROM embeddings, UNNEST(range({_PQ_M})) t(s)
+    ),
+    cb0 AS (
+      SELECT s, c, q AS cent FROM (
+        SELECT s, q, row_number() OVER (PARTITION BY s ORDER BY id) - 1 AS c
+        FROM sub) WHERE c < {_PQ_K}
+    ),
+    {",".join(_pq_lloyd_round(r) for r in range(1, _PQ_ROUNDS + 1))},
+    codes AS (
+      SELECT id AS neighbor_id, s, c AS code FROM (
+        SELECT sub.id, sub.s, cb.c,
+               row_number() OVER (PARTITION BY id, s ORDER BY {_PQ_SQDIST}, c) rn
+        FROM sub JOIN cb{_PQ_ROUNDS} cb USING (s)) WHERE rn = 1
+    ),
+    lut AS (
+      SELECT sub.id AS query_id, sub.s, cb.c AS code, {_PQ_SQDIST} AS ld
+      FROM sub JOIN cb{_PQ_ROUNDS} cb USING (s)
+      WHERE sub.id < 10
+    ),
+    sc AS (
+      SELECT query_id, neighbor_id, CAST(sum(ld) AS BIGINT) AS adist
+      FROM codes JOIN lut USING (s, code)
+      WHERE query_id <> neighbor_id
+      GROUP BY query_id, neighbor_id
+    )
+    SELECT query_id, neighbor_id, adist, CAST(rank AS INT) AS rank FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY adist, neighbor_id) AS rank
+      FROM sc) WHERE rank <= {_PQ_TOPK}
+    """,
+)
+def emb_pq_topk(spark, sf):
+    """Product-quantization ANN end to end — train per-subspace integer
+    codebooks (data-seeded, {rounds} Lloyd rounds), encode the corpus to
+    m-int codes, asymmetric-distance top-k via broadcast LUT
+    (operators/pq.py; Jégou 2011 IVF-ADC shape).  The ORACLE replays the
+    ENTIRE lineage — seeding, both Lloyd rounds, encoding, LUT scan —
+    which only works because every step is integer fixed-point.  At
+    100 TB the scan side reads 8 small ints per vector instead of 256
+    bytes of floats: the memory story that makes exhaustive ADC scans
+    (and IVFPQ cells) feasible."""
+    emb = T(spark, sf, "embeddings")
+    cb = PQ.pq_train(emb, m=_PQ_M, k=_PQ_K, rounds=_PQ_ROUNDS)
+    codes = PQ.pq_encode(emb, cb, m=_PQ_M)
+    return PQ.pq_adc_topk(
+        codes, cb, emb.filter(F.col("vec_id") < 10),
+        k_top=_PQ_TOPK, m=_PQ_M,
+    )

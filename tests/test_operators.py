@@ -1609,3 +1609,92 @@ def test_quality_classifier_discriminates_and_smooths(spark):
     got = score_with_classifier(fresh, model).collect()[0]
     assert got.n_tokens == 3
     assert got.score_micro == PRIOR_MICRO
+
+
+def test_pq_semantics_recall_and_shift_invariance(spark, sf_dir):
+    """Product quantization pins: (a) encode emits exactly m codes per
+    vector, all inside [0, k); (b) Lloyd training never leaves the
+    quantization error above the seed codebook's; (c) recall@5 of the
+    catalog ADC configuration vs the exact L2 baseline holds a floor
+    (0.36 measured on the fixture — random structure-free vectors, so
+    this documents how approximate 64-bit codes are); (d) the whole
+    train→encode→search lineage is invariant under the integer offset
+    (a common shift cancels in every distance and floored mean — the
+    property that makes the non-negativity offset semantically free)."""
+    from indra_db_spark.operators.pq import (
+        pq_adc_topk,
+        pq_encode,
+        pq_train,
+        quantize_subvectors,
+        _assign,
+        _sqdist,
+    )
+    from indra_db_spark.sources.lake import load_table
+    from pyspark.sql import Window
+
+    m, k = 16, 16
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = {r.vec_id: r.embedding for r in emb.collect()}
+    queries = emb.filter(F.col("vec_id") < 10)
+
+    def run(offset):
+        cb = pq_train(emb, m=m, k=k, rounds=2, offset=offset)
+        codes = pq_encode(emb, cb, m=m, offset=offset)
+        top = pq_adc_topk(codes, cb, queries, k_top=5, m=m, offset=offset)
+        return cb, codes, top.collect()
+
+    cb, codes, top = run(4096)
+
+    got_codes = codes.collect()
+    per_id = {}
+    for r in got_codes:
+        assert 0 <= r.code < k
+        per_id.setdefault(r.id, set()).add(r.s)
+    assert all(len(s) == m for s in per_id.values())
+
+    # Lloyd monotonicity vs the seed codebook on this fixture
+    sub = quantize_subvectors(emb, m)
+    seed_w = Window.partitionBy("s").orderBy("id")
+    cb0 = (
+        sub.withColumn("_rk", F.row_number().over(seed_w))
+        .filter(F.col("_rk") <= k)
+        .select("s", (F.col("_rk") - 1).alias("c"), F.col("q").alias("cent"))
+    )
+
+    def err(cbf):
+        a = _assign(sub, cbf)
+        return (
+            a.join(
+                cbf.select("s", F.col("c").alias("code"), "cent"),
+                ["s", "code"],
+            )
+            .select(F.sum(_sqdist(F.col("q"), F.col("cent"))).alias("e"))
+            .collect()[0].e
+        )
+
+    assert err(cb) <= err(cb0)
+
+    # recall@5 vs exact L2 (brute force on the 500-row fixture)
+    exact = {}
+    for q in range(10):
+        d = sorted(
+            (
+                sum((a - b) ** 2 for a, b in zip(vecs[q], vecs[c])),
+                c,
+            )
+            for c in vecs
+            if c != q
+        )
+        exact[q] = {c for _, c in d[:5]}
+    approx = {}
+    for r in top:
+        approx.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recall = sum(len(approx[q] & exact[q]) for q in exact) / (5 * len(exact))
+    assert recall >= 0.25, recall
+
+    # offset invariance: identical (query, neighbor, adist, rank)
+    _, _, top2 = run(5000)
+    key = lambda rows: sorted(
+        (r.query_id, r.neighbor_id, r.adist, r.rank) for r in rows
+    )
+    assert key(top2) == key(top)

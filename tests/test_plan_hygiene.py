@@ -303,3 +303,15 @@ def test_quality_classifier_broadcasts_weights(spark, sf_dir):
     pre_shuffle = plan.split("Exchange hashpartitioning")[-1]
     assert "partial_count" in pre_shuffle or "partial" in pre_shuffle
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pq_adc_broadcasts_codebook_and_lut(spark, sf_dir):
+    """The PQ search path's only stateful sides are the m·k codebook and
+    the nq·m·k LUT — both must broadcast (the corpus code column never
+    shuffles for a join), the plan must hold no cartesian product, and
+    everything stays JVM-side."""
+    plan = _plan(spark, sf_dir, "emb_pq_topk")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
