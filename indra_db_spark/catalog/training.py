@@ -2270,3 +2270,96 @@ def emb_pq_topk(spark, sf):
         codes, cb, emb.filter(F.col("vec_id") < 10),
         k_top=_PQ_TOPK, m=_PQ_M,
     )
+
+
+_IVFPQ_NCELL, _IVFPQ_NPROBE = 8, 3
+
+_PQ_FULLQ = (
+    f"list_transform(embedding, x -> "
+    f"CAST(floor(CAST(x AS DOUBLE) * {PQ.SCALE}) AS BIGINT) + {PQ.OFFSET})"
+)
+
+_PQ_FULLDIST = (
+    "CAST(list_sum(list_transform(range(1, 65), "
+    "j -> (f.qv[j] - c.cv[j]) * (f.qv[j] - c.cv[j]))) AS BIGINT)"
+)
+
+
+@register(
+    "emb_ivfpq_topk",
+    f"""
+    WITH sub AS (
+      SELECT vec_id AS id, s,
+             {_pq_quant_sql(f"embedding[s * {_PQ_DSUB} + 1 : s * {_PQ_DSUB} + {_PQ_DSUB}]")} AS q
+      FROM embeddings, UNNEST(range({_PQ_M})) t(s)
+    ),
+    cb0 AS (
+      SELECT s, c, q AS cent FROM (
+        SELECT s, q, row_number() OVER (PARTITION BY s ORDER BY id) - 1 AS c
+        FROM sub) WHERE c < {_PQ_K}
+    ),
+    {",".join(_pq_lloyd_round(r) for r in range(1, _PQ_ROUNDS + 1))},
+    codes AS (
+      SELECT id AS neighbor_id, s, c AS code FROM (
+        SELECT sub.id, sub.s, cb.c,
+               row_number() OVER (PARTITION BY id, s ORDER BY {_PQ_SQDIST}, c) rn
+        FROM sub JOIN cb{_PQ_ROUNDS} cb USING (s)) WHERE rn = 1
+    ),
+    fullq AS (SELECT vec_id AS id, {_PQ_FULLQ} AS qv FROM embeddings),
+    cc AS (
+      SELECT rn - 1 AS cell, qv AS cv FROM (
+        SELECT id, qv, row_number() OVER (ORDER BY id) AS rn FROM fullq)
+      WHERE rn <= {_IVFPQ_NCELL}
+    ),
+    ar AS (
+      SELECT f.id, c.cell, row_number() OVER (
+               PARTITION BY f.id ORDER BY {_PQ_FULLDIST}, c.cell) AS crn
+      FROM fullq f, cc c
+    ),
+    assign AS (SELECT id AS neighbor_id, cell FROM ar WHERE crn = 1),
+    probes AS (SELECT id AS query_id, cell FROM ar
+               WHERE crn <= {_IVFPQ_NPROBE} AND id < 10),
+    cand AS (
+      SELECT query_id, neighbor_id FROM probes JOIN assign USING (cell)
+      WHERE query_id <> neighbor_id
+    ),
+    lut AS (
+      SELECT sub.id AS query_id, sub.s, cb.c AS code, {_PQ_SQDIST} AS ld
+      FROM sub JOIN cb{_PQ_ROUNDS} cb USING (s)
+      WHERE sub.id < 10
+    ),
+    sc AS (
+      SELECT cd.query_id, cd.neighbor_id, CAST(sum(l.ld) AS BIGINT) AS adist
+      FROM cand cd
+      JOIN codes k ON k.neighbor_id = cd.neighbor_id
+      JOIN lut l ON l.query_id = cd.query_id
+               AND l.s = k.s AND l.code = k.code
+      GROUP BY cd.query_id, cd.neighbor_id
+    )
+    SELECT query_id, neighbor_id, adist, CAST(rank AS INT) AS rank FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY adist, neighbor_id) AS rank
+      FROM sc) WHERE rank <= {_PQ_TOPK}
+    """,
+)
+def emb_ivfpq_topk(spark, sf):
+    """IVF coarse pruning composed with PQ asymmetric-distance scoring —
+    the FAISS IVFADC production layout, with by_residual=False (the
+    standard FAISS option; residuals go negative and would break the
+    floored-mean cross-engine exactness that buys the full-lineage
+    oracle).  Each query scores only its {nprobe} probed cells'
+    population against the broadcast LUT over the shared global codebook
+    (operators/pq.py:ivfpq_topk).  The oracle replays coarse seeding +
+    assignment, PQ training (both Lloyd rounds), encoding, pruning and
+    the LUT scan."""
+    emb = T(spark, sf, "embeddings")
+    return PQ.ivfpq_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 10),
+        ncell=_IVFPQ_NCELL,
+        nprobe=_IVFPQ_NPROBE,
+        m=_PQ_M,
+        k=_PQ_K,
+        rounds=_PQ_ROUNDS,
+        k_top=_PQ_TOPK,
+    )

@@ -237,3 +237,131 @@ def pq_adc_topk(
         scores.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= k_top)
     )
+
+
+def coarse_cells_from_seeds(
+    emb: DataFrame,
+    ncell: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = SCALE,
+    offset: int = OFFSET,
+) -> DataFrame:
+    """(cell, cvec) — deterministic coarse quantizer: the ``ncell``
+    smallest ids' FULL integer-quantized vectors (the same pinned-seed
+    rule as the IVF/near-dup entries: recall depends on seed quality,
+    exactness of the pipeline never does; production swaps in k-means
+    centers)."""
+    from pyspark.sql import Window
+
+    full = quantize_subvectors(emb, 1, id_col, vec_col, scale, offset)
+    w = Window.partitionBy("s").orderBy("id")
+    return (
+        full.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= ncell)
+        .select((F.col("_rk") - 1).alias("cell"), F.col("q").alias("cvec"))
+    )
+
+
+def _cell_rank(emb_or_q, cells, id_col, vec_col, scale, offset):
+    """(id, cell, crn) — rank of every coarse cell per vector by integer
+    L2, deterministic (distance, cell) tie-break."""
+    from pyspark.sql import Window
+
+    full = quantize_subvectors(emb_or_q, 1, id_col, vec_col, scale, offset)
+    w = Window.partitionBy("id").orderBy("_d", "cell")
+    return (
+        full.join(F.broadcast(cells), F.lit(True))
+        .withColumn("_d", _sqdist(F.col("q"), F.col("cvec")))
+        .withColumn("crn", F.row_number().over(w))
+        .select("id", "cell", "crn")
+    )
+
+
+def ivfpq_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    ncell: int = 8,
+    nprobe: int = 3,
+    m: int = 8,
+    k: int = 16,
+    rounds: int = 2,
+    k_top: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = SCALE,
+    offset: int = OFFSET,
+    coarse: DataFrame | None = None,
+    codebook: DataFrame | None = None,
+    codes: DataFrame | None = None,
+) -> DataFrame:
+    """IVF + PQ composed — the FAISS IVFADC layout with
+    ``by_residual=False``: the coarse quantizer PRUNES (each query scores
+    only the vectors living in its ``nprobe`` nearest cells) and the
+    global PQ codes SCORE (asymmetric distance, broadcast LUT).
+
+    Residual encoding (PQ over v − coarse_centroid, FAISS's default) is
+    deliberately not used: residuals go negative, and the floored-mean
+    Lloyd update is cross-engine exact only on non-negative operands —
+    ``by_residual=False`` is the standard FAISS option that trades a
+    little quantization error for this simplicity, and here it buys the
+    full-lineage oracle.
+
+    Scale shape: candidate volume per query is the probed cells'
+    population (corpus/ncell·nprobe expected), never the corpus; the
+    coarse table (ncell rows), codebook (m·k rows) and LUT (nq·m·k rows)
+    all broadcast; the big side exchanges once for the (query, neighbor)
+    partial-agg sum.  Pass pre-built ``coarse``/``codebook``/``codes``
+    to amortize index construction across query batches (the
+    build-once/probe-many production path)."""
+    from pyspark.sql import Window
+
+    if coarse is None:
+        coarse = coarse_cells_from_seeds(
+            emb, ncell, id_col, vec_col, scale, offset
+        )
+    if codebook is None:
+        codebook = pq_train(emb, m, k, rounds, id_col, vec_col, scale, offset)
+    if codes is None:
+        codes = pq_encode(emb, codebook, m, id_col, vec_col, scale, offset)
+
+    assign = (
+        _cell_rank(emb, coarse, id_col, vec_col, scale, offset)
+        .filter(F.col("crn") == 1)
+        .select(F.col("id").alias("neighbor_id"), "cell")
+    )
+    probes = (
+        _cell_rank(queries, coarse, id_col, vec_col, scale, offset)
+        .filter(F.col("crn") <= nprobe)
+        .select(F.col("id").alias("query_id"), "cell")
+    )
+    cand = (
+        probes.join(assign, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+    )
+
+    qsub = quantize_subvectors(queries, m, id_col, vec_col, scale, offset)
+    lut = (
+        qsub.withColumnRenamed("id", "query_id")
+        .join(codebook, "s")
+        .select(
+            "query_id",
+            "s",
+            F.col("c").alias("code"),
+            _sqdist(F.col("q"), F.col("cent")).alias("ld"),
+        )
+    )
+    scores = (
+        cand.join(
+            codes.withColumnRenamed("id", "neighbor_id"), "neighbor_id"
+        )
+        .join(F.broadcast(lut), ["query_id", "s", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("ld").cast("long").alias("adist"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adist", "neighbor_id")
+    return (
+        scores.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k_top)
+    )

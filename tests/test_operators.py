@@ -1698,3 +1698,69 @@ def test_pq_semantics_recall_and_shift_invariance(spark, sf_dir):
         (r.query_id, r.neighbor_id, r.adist, r.rank) for r in rows
     )
     assert key(top2) == key(top)
+
+
+def test_ivfpq_prunes_consistently_with_adc(spark, sf_dir):
+    """IVFPQ invariants vs its components: (a) every returned neighbor
+    shares one of the query's nprobe probed cells (pruning semantics);
+    (b) for every returned pair the asymmetric distance EQUALS the
+    unpruned ADC scan's distance for that pair (the coarse stage prunes,
+    it never rescores); (c) per query, results are the candidate set's
+    true top-k by (adist, id)."""
+    from indra_db_spark.operators.pq import (
+        coarse_cells_from_seeds,
+        ivfpq_topk,
+        pq_adc_topk,
+        pq_encode,
+        pq_train,
+        _cell_rank,
+    )
+    from indra_db_spark.sources.lake import load_table
+
+    m, k, ncell, nprobe = 16, 16, 8, 3
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+
+    coarse = coarse_cells_from_seeds(emb, ncell)
+    cb = pq_train(emb, m=m, k=k, rounds=2)
+    codes = pq_encode(emb, cb, m=m)
+
+    got = ivfpq_topk(
+        emb, queries, ncell=ncell, nprobe=nprobe, m=m, k=k,
+        coarse=coarse, codebook=cb, codes=codes,
+    ).collect()
+    assert got
+
+    cell_of = {
+        r.id: r.cell
+        for r in _cell_rank(emb, coarse, "vec_id", "embedding", 1000, 4096)
+        .filter(F.col("crn") == 1).collect()
+    }
+    probed = {}
+    for r in (
+        _cell_rank(queries, coarse, "vec_id", "embedding", 1000, 4096)
+        .filter(F.col("crn") <= nprobe).collect()
+    ):
+        probed.setdefault(r.id, set()).add(r.cell)
+
+    # full (unpruned) ADC scores for parity — k_top large enough to
+    # cover every candidate of the 500-row fixture
+    full = {
+        (r.query_id, r.neighbor_id): r.adist
+        for r in pq_adc_topk(codes, cb, queries, k_top=10**6, m=m).collect()
+    }
+    for r in got:
+        assert cell_of[r.neighbor_id] in probed[r.query_id]
+        assert full[(r.query_id, r.neighbor_id)] == r.adist
+
+    # true top-k of the candidate set
+    by_q = {}
+    for (q, n), d in full.items():
+        if n != q and cell_of[n] in probed[q]:
+            by_q.setdefault(q, []).append((d, n))
+    for q, rows in by_q.items():
+        want = sorted(rows)[:5]
+        have = sorted(
+            (r.adist, r.neighbor_id) for r in got if r.query_id == q
+        )
+        assert have == want, q

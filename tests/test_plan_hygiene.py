@@ -315,3 +315,15 @@ def test_pq_adc_broadcasts_codebook_and_lut(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_ivfpq_broadcasts_all_index_state(spark, sf_dir):
+    """IVFPQ: codebook + LUT + candidate pruning joins all broadcast-
+    hash; the only nested-loop is the deliberate ncell-row coarse-cell
+    broadcast (every vector ranks every cell — an 8-row side, the same
+    documented pattern as the single-row stats broadcasts); never a
+    cartesian product, never Python."""
+    plan = _plan(spark, sf_dir, "emb_ivfpq_topk")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
