@@ -89,9 +89,9 @@ WINDOW_ORDER = [
     "agg_rollup",
     "collect_sorted_agg",
     "distinct_dedup",
-    # §2.6 windows / top-k
+    # §2.6 windows / top-k (ranked_page rotated past-window r7.2: global
+    # pagination shares the window-family semantics grouped_topn checks)
     "grouped_topn",
-    "ranked_page",
     # §2.8 assembly shapes
     "argmax_distill",
     "priority_argmin",
@@ -114,7 +114,9 @@ WINDOW_ORDER = [
     # training-data: text analysis + end-to-end compositions
     "doc_repetition",
     "doc_gopher_quality",
-    "doc_fingerprint",
+    # doc_fingerprint rotated past-window r7.2 (md5 projection, checked
+    # through the exact-dedup family); the supervised classifier gate in
+    "doc_quality_classifier",
     "doc_corpus_pipeline",
     "doc_corpus_pipeline_v2",
     "doc_curate_increment",
@@ -126,6 +128,8 @@ WINDOW_ORDER = [
     "emb_topk",
     "emb_srp_topk",
     "emb_srp_neardup",
+    # r7.2: the composed IVF+PQ production ANN layout
+    "emb_ivfpq_topk",
     # training-data: multimodal
     "multimodal_meta",
     "multimodal_frames",

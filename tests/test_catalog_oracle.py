@@ -57,6 +57,9 @@ CRITICAL_IN_WINDOW = [
     "graph_triangles",
     "events_paths",
     "events_rate_anomaly",
+    # round-7.2 rotation: supervised classifier gate + composed IVFPQ
+    "doc_quality_classifier",
+    "emb_ivfpq_topk",
 ]
 
 
