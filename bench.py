@@ -74,6 +74,11 @@ HEADLINE = [
     # the path that replaced the guarded quadratic as the at-scale exact
     # similarity join
     "emb_neardup_cells",
+    # round 7.2: the supervised curation gate (train + score lineage) and
+    # the composed IVFPQ production ANN layout (train, encode, prune,
+    # ADC — the whole index lifecycle in one number)
+    "doc_quality_classifier",
+    "emb_ivfpq_topk",
 ]
 
 

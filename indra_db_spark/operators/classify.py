@@ -86,15 +86,25 @@ def feature_bucket_sql(token_sql: str, n_buckets: int = N_BUCKETS) -> str:
 
 
 def _doc_features(
-    df: DataFrame, id_col: str, text_col: str, n_buckets: int
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_buckets: int,
+    carry: tuple = (),
 ) -> DataFrame:
-    """(id, feat) per token OCCURRENCE — multinomial counting, matching
-    the \\s+ tokenization convention of operators/text.py:tokens."""
+    """(id, *carry, feat) per token OCCURRENCE — multinomial counting,
+    matching the \\s+ tokenization convention of operators/text.py:tokens.
+    ``carry`` columns (e.g. the training label) ride the explode so no
+    later join against the corpus-sized token frame is ever needed — the
+    label join would otherwise be the lineage's only big shuffle."""
     w = F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("w")
+    cs = [F.col(c) for c in carry]
     return (
-        df.select(F.col(id_col).alias("id"), w)
+        df.select(F.col(id_col).alias("id"), *cs, w)
         .filter(F.col("w") != "")
-        .select("id", feature_bucket(F.col("w"), n_buckets).alias("feat"))
+        .select(
+            "id", *carry, feature_bucket(F.col("w"), n_buckets).alias("feat")
+        )
     )
 
 
@@ -131,11 +141,13 @@ def train_polarity_classifier(
     floored — non-negative operands, so Spark's truncating ``div`` and
     DuckDB's ``//`` agree.
     """
-    lab = df.select(
-        F.col(id_col).alias("id"),
-        F.col(label_col).cast("long").alias("y"),
+    feats = _doc_features(
+        df.withColumn("y", F.col(label_col).cast("long")),
+        id_col,
+        text_col,
+        n_buckets,
+        carry=("y",),
     )
-    feats = _doc_features(df, id_col, text_col, n_buckets).join(lab, "id")
     return PolarityModel(
         feats.groupBy("feat")
         .agg(

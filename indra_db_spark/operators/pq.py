@@ -56,11 +56,14 @@ def quantize_subvectors(
     vec_col: str = "embedding",
     scale: int = SCALE,
     offset: int = OFFSET,
+    dim: int | None = None,
 ) -> DataFrame:
     """(id, s, q) — one row per (vector, subspace), ``q`` the integer-
     quantized subvector (array<bigint> of d/m dims).  A narrow map +
-    posexplode: no shuffle, fused into the scan."""
-    d = len(emb.select(vec_col).first()[0])
+    posexplode: no shuffle, fused into the scan.  ``dim`` skips the
+    dimension-sniffing ``first()`` (required for streaming frames, where
+    an eager action is illegal)."""
+    d = dim if dim is not None else len(emb.select(vec_col).first()[0])
     if d % m:
         raise ValueError(f"pq: dim {d} not divisible by m={m}")
     dsub = d // m
@@ -364,4 +367,43 @@ def ivfpq_topk(
     return (
         scores.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= k_top)
+    )
+
+
+def pq_encode_streaming(
+    emb: DataFrame,
+    codebook: DataFrame,
+    m: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = SCALE,
+    offset: int = OFFSET,
+) -> DataFrame:
+    """Streaming-safe :func:`pq_encode` — PQ index MAINTENANCE on the
+    ingest stream: new embeddings are coded against the frozen codebook
+    as they arrive (the train-once / encode-forever deployment, same
+    shape as the classifier and LM scoring twins).
+
+    The batch encoder's argmin is a row_number window, which Structured
+    Streaming rejects; here it is the equivalent ``min(struct(_d, c))``
+    aggregate — lexicographic struct ordering gives the identical
+    (distance, centroid-index) tie-break, and the groupBy(id, s)
+    aggregate is partial-agg shuffle over m rows per vector.  Batch
+    parity is pinned in tests; on a stream run it in complete/update
+    mode or watermark an ingest-time column for append.
+
+    The vector dimension is derived from the FROZEN codebook (m · dsub),
+    never from the stream — streaming frames reject eager actions."""
+    dsub = len(codebook.select("cent").first()["cent"])
+    d = (
+        quantize_subvectors(
+            emb, m, id_col, vec_col, scale, offset, dim=m * dsub
+        )
+        .join(F.broadcast(codebook), "s")
+        .withColumn("_d", _sqdist(F.col("q"), F.col("cent")))
+    )
+    return (
+        d.groupBy("id", "s")
+        .agg(F.min(F.struct("_d", "c")).alias("_mc"))
+        .select("id", "s", F.col("_mc.c").alias("code"))
     )

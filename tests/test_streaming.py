@@ -409,3 +409,41 @@ def test_classifier_scoring_stream_matches_batch(spark, tmp_path_factory):
         ).collect()
     }
     assert got == want
+
+
+def test_pq_encode_stream_matches_batch(spark, tmp_path_factory):
+    """PQ index maintenance on the ingest stream: encoding a readStream
+    of embeddings against the frozen codebook (min-struct argmin) must
+    equal the batch encoder (window argmin) row for row — integer
+    distances with (distance, centroid) tie-break make both exact."""
+    from indra_db_spark.operators.pq import (
+        pq_encode,
+        pq_encode_streaming,
+        pq_train,
+    )
+
+    path = str(tmp_path_factory.mktemp("emb_pq_stream"))
+    batch = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    batch.coalesce(2).write.mode("overwrite").parquet(path)
+    static = spark.read.parquet(path)
+
+    m = 16
+    cb = pq_train(static, m=m, k=16, rounds=2)
+    want = sorted(
+        (r.id, r.s, r.code) for r in pq_encode(static, cb, m=m).collect()
+    )
+    # the streaming-safe formulation must agree on a static frame...
+    got_static = sorted(
+        (r.id, r.s, r.code)
+        for r in pq_encode_streaming(static, cb, m=m).collect()
+    )
+    assert got_static == want
+    # ...and on an actual readStream of the same files
+    stream = read_stream(spark, path, static.schema)
+    got_stream = sorted(
+        (r.id, r.s, r.code)
+        for r in run_to_memory_sink(
+            pq_encode_streaming(stream, cb, m=m), "pq_stream", "complete"
+        ).collect()
+    )
+    assert got_stream == want

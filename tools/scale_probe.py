@@ -130,13 +130,16 @@ def _tree_edges(spark, factor: int):
     )
 
 
-def _ops(spark, docs, emb, edges, ivf_index, ivf_centers, events):
+def _ops(spark, docs, emb, edges, ivf_index, ivf_centers, events,
+         pq_artifacts=None):
     from pyspark.sql import functions as F
 
     from indra_db_spark.operators import analytics as AN
     from indra_db_spark.operators import bpe as B
     from indra_db_spark.operators import dedup as D
     from indra_db_spark.operators import temporal as TP
+    from indra_db_spark.operators import classify as CF
+    from indra_db_spark.operators import pq as PQm
     from indra_db_spark.operators import topk as TK
     from indra_db_spark.operators import graph as G
     from indra_db_spark.operators import sampling as SM
@@ -306,6 +309,29 @@ def _ops(spark, docs, emb, edges, ivf_index, ivf_centers, events):
         # scaling story (SCALING.md §6) is conditional on cluster
         # structure + nlist growing with it, and is validated on clustered
         # fixtures in test_plan_hygiene instead.
+        # round-7.2: supervised classifier gate (train + score, one
+        # lineage — training is the dominant ≤n_buckets-key agg) and the
+        # PQ family: build (train+encode) vs the per-query-batch ADC scan
+        # and the IVF-pruned composed search over PREBUILT artifacts
+        # (index construction is a build-time cost, same treatment as the
+        # IVF index above)
+        "quality_classifier": lambda: CF.score_with_classifier(
+            docs, CF.train_polarity_classifier(
+                docs.withColumn("label", (F.col("lang") == "en").cast("int"))
+            )
+        ),
+        "pq_build": lambda: PQm.pq_encode(
+            emb, PQm.pq_train(emb, m=16, k=16, rounds=2), m=16
+        ),
+        "pq_adc": lambda: PQm.pq_adc_topk(
+            pq_artifacts["codes"], pq_artifacts["cb"], queries,
+            k_top=5, m=16,
+        ),
+        "ivfpq": lambda: PQm.ivfpq_topk(
+            emb, queries, m=16, k=16,
+            coarse=pq_artifacts["coarse"], codebook=pq_artifacts["cb"],
+            codes=pq_artifacts["codes"],
+        ),
         "dup_cluster_reps": lambda: D.dup_cluster_representatives(
             docs.withColumn("n_words", X.token_count(F.col("text"))),
             G.connected_components(
@@ -354,11 +380,22 @@ def main() -> None:
         centers = S.ivf_train_centroids(emb, nlist=16)
         index = S.ivf_build_index(emb, centers).persist()
         index.count()
+        # PQ artifacts built once per corpus (untimed, like the IVF index)
+        from indra_db_spark.operators import pq as _PQ
+        _cb = _PQ.pq_train(emb, m=16, k=16, rounds=2).persist()
+        _codes = _PQ.pq_encode(emb, _cb, m=16).persist()
+        _codes.count()
+        pq_artifacts = {
+            "cb": _cb,
+            "codes": _codes,
+            "coarse": _PQ.coarse_cells_from_seeds(emb, 8).persist(),
+        }
         timings: dict[str, float] = {}
         only = {
             s for s in os.environ.get("SPARK_GRAFT_PROBE_OPS", "").split(",") if s
         }
-        for name, build in _ops(spark, docs, emb, edges, index, centers, events).items():
+        for name, build in _ops(spark, docs, emb, edges, index, centers,
+                                events, pq_artifacts).items():
             if only and name not in only:
                 continue
             # one op blowing up at high amplification (e.g. an executor OOM)
@@ -381,6 +418,7 @@ def main() -> None:
                 flush=True,
             )
         index.unpersist()
+        _cb.unpersist(), _codes.unpersist(), pq_artifacts["coarse"].unpersist()
         results[str(factor)] = timings
 
     # partial runs (SPARK_GRAFT_PROBE_OPS) merge into the existing probe
