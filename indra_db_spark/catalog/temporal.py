@@ -87,6 +87,41 @@ def events_band_join(spark, sf):
     return band_join(errors, clicks, on="user_id", band_seconds=_BAND_S)
 
 
+_ATTR_HORIZON = "1 hour"
+
+
+@register(
+    "events_attribution",
+    """
+    SELECT t.user_id,
+           t.event_id AS touch_id, t.ts AS touch_ts,
+           c.event_id AS conv_id, c.ts AS conv_ts,
+           c.value AS conv_value,
+           epoch_us(c.ts) - epoch_us(t.ts) AS lag_us
+    FROM (SELECT event_id, ts, user_id FROM events
+          WHERE event_type = 'click') t
+    JOIN (SELECT event_id, ts, user_id, value FROM events
+          WHERE event_type = 'purchase') c
+      ON t.user_id = c.user_id
+     AND c.ts >= t.ts AND c.ts <= t.ts + INTERVAL 1 HOUR
+    """,
+)
+def events_attribution(spark, sf):
+    """Click→purchase attribution pairs within a 1-hour horizon — the
+    batch face of the stream-stream watermarked interval join
+    (streaming/ingest.py:interval_attribution; parity with an actual
+    two-readStream run is pinned in tests/test_streaming.py).  One
+    key-equi-join shuffle with the time band as a post-condition; on
+    streams the two-sided bound is what makes join state evictable."""
+    from indra_db_spark.streaming.ingest import interval_attribution
+
+    return interval_attribution(
+        _typed(spark, sf, "click"),
+        _typed(spark, sf, "purchase"),
+        horizon=_ATTR_HORIZON,
+    )
+
+
 @register(
     "events_hier_rollup",
     """

@@ -113,6 +113,78 @@ def sessionize(
     )
 
 
+def interval_attribution(
+    touches: DataFrame,
+    convs: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    horizon: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream watermarked interval join: every (touch, conversion)
+    pair for the same key with ``conv_ts`` in ``[touch_ts, touch_ts +
+    horizon]`` — the click→purchase attribution shape (and, in the
+    reference's terms, correlating a reading event with the content
+    update that preceded it).
+
+    Unified batch/stream: in batch mode the watermark is a no-op and this
+    is a plain interval join; on two streams the BOTH-sided watermark plus
+    the two-sided time bound is exactly what lets Spark evict join state —
+    a touch older than ``watermark + horizon`` can never match a future
+    conversion, so per-key state is bounded by the horizon, not the stream
+    length.  Inner join ⇒ append mode works and rows are emitted as soon
+    as both sides arrive.
+
+    At scale both sides shuffle once on the key (the join is an equi-join
+    on ``key_col`` with the range as a post-condition); no window, no
+    explode — skewed hot keys fall under the same segmented-escape
+    analysis as the as-of join (operators/temporal.py).
+    """
+    t = (
+        _with_event_time(touches, ts_col)
+        .withWatermark(ts_col, watermark)
+        .select(
+            F.col(key_col).alias("k"),
+            F.col(id_col).alias("touch_id"),
+            F.col(ts_col).alias("touch_ts"),
+        )
+    )
+    c = (
+        _with_event_time(convs, ts_col)
+        .withWatermark(ts_col, watermark)
+        .select(
+            F.col(key_col).alias("_ck"),
+            F.col(id_col).alias("conv_id"),
+            F.col(ts_col).alias("conv_ts"),
+            F.col(value_col).alias("conv_value"),
+        )
+    )
+    return (
+        t.join(
+            c,
+            (t["k"] == c["_ck"])
+            & (c["conv_ts"] >= t["touch_ts"])
+            & (
+                c["conv_ts"]
+                <= t["touch_ts"] + F.expr(f"INTERVAL {horizon}")
+            ),
+        )
+        .select(
+            F.col("k").alias(key_col),
+            "touch_id",
+            "touch_ts",
+            "conv_id",
+            "conv_ts",
+            "conv_value",
+            (F.unix_micros("conv_ts") - F.unix_micros("touch_ts")).alias(
+                "lag_us"
+            ),
+        )
+    )
+
+
 def run_to_memory_sink(
     stream_df: DataFrame,
     query_name: str,

@@ -447,3 +447,31 @@ def test_pq_encode_stream_matches_batch(spark, tmp_path_factory):
         ).collect()
     )
     assert got_stream == want
+
+
+def test_interval_attribution_stream_matches_batch(
+    spark, event_dir, batch_events
+):
+    """Stream-stream watermarked interval join == the same function on
+    static frames (two independent readStream sources over the same files,
+    inner join ⇒ append mode)."""
+    from indra_db_spark.streaming.ingest import interval_attribution
+
+    def split(df):
+        return (
+            df.filter(F.col("event_type") == "click"),
+            df.filter(F.col("event_type") == "purchase"),
+        )
+
+    want = _counter(interval_attribution(*split(batch_events)))
+    assert sum(want.values()) > 0, "fixture must produce matched pairs"
+    touches = read_stream(spark, event_dir, batch_events.schema)
+    convs = read_stream(spark, event_dir, batch_events.schema)
+    got = _counter(
+        run_to_memory_sink(
+            interval_attribution(split(touches)[0], split(convs)[1]),
+            "attr_sink",
+            output_mode="append",
+        )
+    )
+    assert got == want
