@@ -945,6 +945,34 @@ def doc_decontaminate(spark, sf):
     return out.select(F.col("id").alias("doc_id"), F.col("n_hits"))
 
 
+@register(
+    "doc_decontaminate_bloom",
+    f"""
+    WITH {_SHINGLES_CTE},
+    te AS (SELECT DISTINCT shingle FROM sh WHERE id % 41 = 0),
+    tr AS (SELECT id, shingle FROM sh WHERE id % 41 <> 0)
+    SELECT tr.id AS doc_id, count(*) AS n_hits
+    FROM tr JOIN te USING (shingle)
+    GROUP BY tr.id
+    HAVING count(*) >= 2
+    """,
+)
+def doc_decontaminate_bloom(spark, sf):
+    """Bloom-guarded decontamination — byte-identical results to
+    doc_decontaminate (the oracle is literally the exact-set SQL: blooms
+    have no false negatives and the verify join removes false positives),
+    but the broadcast is a fixed m/8-byte packed bitmap instead of the
+    benchmark shingle set, and the exact join is shuffled — the physical
+    shape that survives benchmark suites beyond the broadcast budget
+    (operators/sampling.py:decontaminate_bloom)."""
+    docs = T(spark, sf, "documents")
+    is_test = F.col("doc_id") % 41 == 0
+    out = SM.decontaminate_bloom(
+        docs.filter(~is_test), docs.filter(is_test), min_overlap=2
+    )
+    return out.select(F.col("id").alias("doc_id"), F.col("n_hits"))
+
+
 _pii_email = X.PII_EMAIL.replace("'", "''")
 _pii_phone = X.PII_PHONE.replace("'", "''")
 

@@ -110,6 +110,119 @@ def decontaminate(
     )
 
 
+#: Bloom geometry for :func:`decontaminate_bloom` — 2^18 bits / 3 hashes
+#: holds ~10^4-10^5 benchmark shingles at ≲2% false-positive rate; size m
+#: ≈ 10·|shingles| (rounded to a power of two) when tuning for other
+#: suites.  False positives only cost verification work, never results.
+BLOOM_M = 1 << 18
+BLOOM_K = 3
+
+
+def _bloom_pos_sql(i: int, m: int, shingle_sql: str = "shingle") -> str:
+    """Deterministic hash position #i in [0, m): 60 md5 bits → BIGINT
+    (non-negative, so % is already a floor-mod in both engines)."""
+    return (
+        f"CAST(conv(substring(md5(concat('b{i}:', {shingle_sql})), 1, 15),"
+        f" 16, 10) AS BIGINT) % {m}"
+    )
+
+
+def bloom_build(shingles: DataFrame, m: int = BLOOM_M, k: int = BLOOM_K):
+    """ONE-row frame holding a packed Bloom bitmap (map<int word, long
+    mask>) over ``shingles.shingle`` — built distributively: explode to k
+    positions per shingle, partial-agg ``bit_or`` over ≤ m/64 word keys,
+    then a single map_from_entries fold.  The bitmap is ~m/8 bytes no
+    matter how many members it holds — the whole point at 100 TB, where
+    the benchmark-suite shingle set itself outgrows the broadcast budget
+    but its bloom never does (10 bits/member vs ~30-byte shingle
+    strings)."""
+    pos = F.explode(
+        F.array(*[F.expr(_bloom_pos_sql(i, m)) for i in range(k)])
+    ).alias("p")
+    return (
+        shingles.select(pos)
+        .select(
+            F.expr("CAST(p div 64 AS INT)").alias("w"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))"
+            ).alias("bit"),
+        )
+        .groupBy("w")
+        .agg(F.expr("bit_or(bit)").alias("mask"))
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("w", "mask"))
+            ).alias("bm")
+        )
+    )
+
+
+def bloom_member_sql(i_range: int, m: int = BLOOM_M) -> str:
+    """AND-of-k bit tests against map column ``bm`` for precomputed
+    position columns p0..p{k-1} (map lookup order-independent, so the
+    collect_list build order never matters)."""
+    return " AND ".join(
+        f"(coalesce(element_at(bm, CAST(p{i} div 64 AS INT)),"
+        f" CAST(0 AS BIGINT))"
+        f" & shiftleft(CAST(1 AS BIGINT), CAST(p{i} % 64 AS INT))) != 0"
+        for i in range(i_range)
+    )
+
+
+def decontaminate_bloom(
+    train: DataFrame,
+    test: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_overlap: int = 2,
+    m: int = BLOOM_M,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """:func:`decontaminate` for the scale where the benchmark shingle set
+    itself is too big to broadcast — EXACTLY the same result, different
+    physical shape.
+
+    Generate-then-verify with a Bloom guard: the test shingles collapse
+    into a fixed-size packed bitmap (:func:`bloom_build`, m/8 bytes
+    regardless of membership) broadcast to every task; corpus shingles are
+    pre-filtered MAP-SIDE by the k-bit test (no false negatives, so
+    nothing exact is lost; false positives ≈ 2% just ride to the next
+    stage).  Only the surviving candidates — the contamination surface
+    plus the FP sliver, ≪ corpus — enter the exact verification join,
+    which is a SHUFFLED hash join by construction (``hint("shuffle_hash")``)
+    because at this operator's target scale the test side no longer fits
+    a broadcast.  Same contract as :func:`decontaminate`: (id, n_hits)
+    for training docs sharing ≥ ``min_overlap`` distinct n-grams with any
+    benchmark doc.
+    """
+    from indra_db_spark.operators.dedup import word_shingles
+
+    te = word_shingles(test, id_col, text_col, n).select("shingle").distinct()
+    bloom = bloom_build(te, m, k)
+    cand = (
+        word_shingles(train, id_col, text_col, n, distinct=False)
+        .join(F.broadcast(bloom))
+        .select(
+            "id",
+            "shingle",
+            "bm",
+            *[
+                F.expr(_bloom_pos_sql(i, m)).alias(f"p{i}")
+                for i in range(k)
+            ],
+        )
+        .filter(F.expr(bloom_member_sql(k, m)))
+        .select("id", "shingle")
+    )
+    return (
+        cand.join(te.hint("shuffle_hash"), "shingle")
+        .groupBy("id")
+        .agg(F.count_distinct(F.col("shingle")).alias("n_hits"))
+        .filter(F.col("n_hits") >= min_overlap)
+    )
+
+
 def mixture_weights(
     df: DataFrame,
     strata_cols: tuple[str, ...] = ("source",),

@@ -459,6 +459,82 @@ def test_decontaminate_counts_distinct_shared_shingles(spark):
     assert decontaminate(train, test, min_overlap=3).count() == 0
 
 
+def test_decontaminate_bloom_exact_parity_and_guard(spark, sf_dir):
+    """Bloom-guarded path == exact path on real docs; the guard itself has
+    no false negatives and a small measured false-positive rate; and the
+    verification join is genuinely shuffled (never a broadcast of the
+    benchmark side — that is the operator's reason to exist)."""
+    from indra_db_spark.operators.dedup import word_shingles
+    from indra_db_spark.operators.sampling import (
+        BLOOM_K,
+        BLOOM_M,
+        _bloom_pos_sql,
+        bloom_build,
+        bloom_member_sql,
+        decontaminate_bloom,
+    )
+    from indra_db_spark.sources.lake import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_test = F.col("doc_id") % 41 == 0
+    train, test = docs.filter(~is_test), docs.filter(is_test)
+    exact = {
+        (r.id, r.n_hits) for r in decontaminate(train, test).collect()
+    }
+    got = {
+        (r.id, r.n_hits)
+        for r in decontaminate_bloom(train, test).collect()
+    }
+    assert got == exact and len(got) > 0
+
+    # guard quality: every true member passes; FPR on non-members small
+    te = word_shingles(test, "doc_id", "text").select("shingle").distinct()
+    bloom = bloom_build(te)
+    tr = (
+        word_shingles(train, "doc_id", "text")
+        .select("shingle")
+        .distinct()
+        .join(F.broadcast(bloom))
+        .select(
+            "shingle",
+            "bm",
+            *[
+                F.expr(_bloom_pos_sql(i, BLOOM_M)).alias(f"p{i}")
+                for i in range(BLOOM_K)
+            ],
+        )
+        .withColumn("hit", F.expr(bloom_member_sql(BLOOM_K, BLOOM_M)))
+    )
+    truth = tr.join(
+        te.withColumnRenamed("shingle", "s"),
+        F.col("shingle") == F.col("s"),
+        "left",
+    ).select("shingle", "hit", F.col("s").isNotNull().alias("member"))
+    agg = truth.agg(
+        F.sum(F.when(F.col("member") & ~F.col("hit"), 1).otherwise(0)).alias(
+            "false_neg"
+        ),
+        F.sum(
+            F.when(~F.col("member") & F.col("hit"), 1).otherwise(0)
+        ).alias("false_pos"),
+        F.sum(F.when(~F.col("member"), 1).otherwise(0)).alias("non_members"),
+    ).first()
+    assert agg.false_neg == 0
+    assert agg.false_pos / max(agg.non_members, 1) < 0.05
+
+    # physical shape: no BroadcastHashJoin downstream of the bloom filter
+    # (the bitmap broadcast is a BroadcastNestedLoopJoin of ONE row)
+    plan = (
+        decontaminate_bloom(train, test)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    final = plan.split("== Initial Plan ==")[0]
+    assert "ShuffledHashJoin" in final
+    assert "BroadcastHashJoin" not in final
+
+
 def test_vocab_topk_orders_by_count_then_token(spark):
     df = spark.createDataFrame(
         [(1, "b b a a c"), (2, "a b X")], ["doc_id", "text"]
