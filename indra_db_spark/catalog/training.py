@@ -973,6 +973,48 @@ def doc_decontaminate_bloom(spark, sf):
     return out.select(F.col("id").alias("doc_id"), F.col("n_hits"))
 
 
+def _z_bounds_sql() -> str:
+    return (
+        "SELECT min(doc_id) AS _xlo, max(doc_id) AS _xhi, "
+        "min(n_chars) AS _ylo, max(n_chars) AS _yhi FROM documents"
+    )
+
+
+def _z_oracle() -> str:
+    from indra_db_spark.plans.skipindex import zvalue_bounds_expr
+
+    return f"""
+    WITH b AS ({_z_bounds_sql()})
+    SELECT doc_id,
+           {zvalue_bounds_expr("doc_id", "n_chars", duckdb=True)} AS z
+    FROM documents, b
+    """
+
+
+@register("lake_zorder_value", _z_oracle())
+def lake_zorder_value(spark, sf):
+    """Morton/z-order clustering key over (doc_id, n_chars) — the write-
+    time layout that makes multi-column range predicates prunable from
+    per-file min/max stats alone (plans/skipindex.py; Delta OPTIMIZE
+    ZORDER / Iceberg sort-order analog of the reference's clustered
+    btrees).  Pure integer bit-interleave from ONE shared expression
+    builder, so both engines compute identical keys; the one-row bounds
+    agg rides a broadcast, never a shuffle of the corpus."""
+    from indra_db_spark.plans.skipindex import zvalue_bounds_expr
+
+    docs = T(spark, sf, "documents")
+    b = docs.agg(
+        F.min("doc_id").alias("_xlo"),
+        F.max("doc_id").alias("_xhi"),
+        F.min("n_chars").alias("_ylo"),
+        F.max("n_chars").alias("_yhi"),
+    )
+    return docs.crossJoin(F.broadcast(b)).select(
+        "doc_id",
+        F.expr(zvalue_bounds_expr("doc_id", "n_chars")).alias("z"),
+    )
+
+
 _pii_email = X.PII_EMAIL.replace("'", "''")
 _pii_phone = X.PII_PHONE.replace("'", "''")
 

@@ -1,0 +1,184 @@
+"""Multi-dimensional data skipping for the parquet lake: z-order layout +
+file-level min/max index + a skip-scan reader.
+
+The reference leans on Postgres btrees + clustered indexes for selective
+access (``indra_db/schemas/readonly_schema.py`` index DDL); a parquet lake
+has no btree, so selective access at 100 TB comes from LAYOUT: co-locate
+rows so that any selective predicate touches few files, record per-file
+column ranges in a manifest, and prune the file list BEFORE the scan ever
+starts.  Directory partitioning covers one coarse dimension; bucketing
+covers equi-join keys (plans/lake.py:write_bucketed); this module covers
+the remaining case — range predicates over SEVERAL columns at once — with
+the interleaved-bit (Morton/z-order) clustering that Delta OPTIMIZE ZORDER
+and Iceberg's sort orders use.
+
+Why it works: sorting by the z-value keeps rows close in EVERY interleaved
+dimension at once, so each output file covers a small axis-aligned box of
+the key space; per-file min/max then excludes almost every file for a box
+predicate.  One repartitionByRange shuffle at write time buys every later
+query's pruning — the classic write-once/read-many trade.
+
+All of it is exact integer arithmetic on both engines (`zvalue_sql` emits
+one expression string consumed by Spark via ``F.expr`` and by DuckDB
+verbatim), so the z-value itself is oracle-checkable, and skip-scan result
+parity with the full scan is pinned by construction in tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: interleave this many bits per dimension (2 dims × 16 = 32-bit z-value;
+#: plenty: file pruning only needs enough resolution to separate files)
+Z_BITS = 16
+
+
+def norm_sql(col: str, lo: str, hi: str, bits: int = Z_BITS) -> str:
+    """Scale an integer column into [0, 2^bits) given corpus bounds —
+    pure integer ops (non-negative after the shift, so Spark's truncating
+    div and DuckDB's // agree)."""
+    span = f"CASE WHEN ({hi}) > ({lo}) THEN ({hi}) - ({lo}) ELSE 1 END"
+    return (
+        f"CAST(((({col}) - ({lo})) * CAST({(1 << bits) - 1} AS BIGINT))"
+        f" AS BIGINT) / ({span})"
+    )
+
+
+def zvalue_sql(x: str, y: str, bits: int = Z_BITS) -> str:
+    """Morton interleave of two normalized integers — bit i of x lands at
+    position 2i, bit i of y at 2i+1.  Operators only (`>>`, `<<`, `&`,
+    `|`), which both Spark SQL and DuckDB parse natively."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"(((({x}) >> {i}) & 1) << {2 * i})")
+        terms.append(f"(((({y}) >> {i}) & 1) << {2 * i + 1})")
+    return "CAST(" + " | ".join(terms) + " AS BIGINT)"
+
+
+def _int_div_fix(sql: str, duckdb: bool) -> str:
+    """norm_sql uses `/` as INTEGER division: Spark needs `div`, DuckDB
+    `//`.  Operands are non-negative by construction (col - lo ≥ 0), so
+    truncation and floor agree."""
+    return sql.replace(" / ", " // " if duckdb else " div ")
+
+
+def zvalue_expr(
+    x_col: str,
+    y_col: str,
+    x_lo: int,
+    x_hi: int,
+    y_lo: int,
+    y_hi: int,
+    bits: int = Z_BITS,
+    duckdb: bool = False,
+) -> str:
+    """Full z-value expression with bounds inlined as literals (bounds are
+    two ints from a one-row agg — the broadcast-stats pattern)."""
+    nx = norm_sql(x_col, str(x_lo), str(x_hi), bits)
+    ny = norm_sql(y_col, str(y_lo), str(y_hi), bits)
+    return _int_div_fix(zvalue_sql(f"({nx})", f"({ny})", bits), duckdb)
+
+
+def zvalue_bounds_expr(
+    x_col: str, y_col: str, bits: int = Z_BITS, duckdb: bool = False
+) -> str:
+    """z-value expression with bounds referenced as columns ``_xlo``,
+    ``_xhi``, ``_ylo``, ``_yhi`` (a one-row bounds agg cross-joined in,
+    identically on both engines — the oracle-able form)."""
+    nx = norm_sql(x_col, "_xlo", "_xhi", bits)
+    ny = norm_sql(y_col, "_ylo", "_yhi", bits)
+    return _int_div_fix(zvalue_sql(f"({nx})", f"({ny})", bits), duckdb)
+
+
+def column_bounds(df: DataFrame, *cols: str) -> dict[str, tuple[int, int]]:
+    """One-row global min/max agg per column (a single partial-agg job;
+    the 'stats broadcast' every layout decision here keys off)."""
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).alias(f"_lo_{c}"), F.max(c).alias(f"_hi_{c}")]
+    row = df.agg(*aggs).first()
+    return {c: (row[f"_lo_{c}"], row[f"_hi_{c}"]) for c in cols}
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    x_col: str,
+    y_col: str,
+    n_files: int = 16,
+    bits: int = Z_BITS,
+) -> dict[str, tuple[int, int]]:
+    """Write ``df`` as ``n_files`` parquet files clustered by the z-order
+    of (x_col, y_col); returns the bounds used (callers feed them to
+    :func:`zvalue_expr` for predicate → z-range mapping if wanted).
+
+    ``repartitionByRange`` on the z-value is ONE range shuffle (sampled
+    range boundaries, so files are balanced even under skew), and the
+    within-partition sort keeps each file's (x, y) footprint a tight box —
+    which is exactly what makes the min/max index selective.  At 100 TB
+    this runs per ingest batch / per compaction window, not per query.
+    """
+    b = column_bounds(df, x_col, y_col)
+    z = zvalue_expr(
+        x_col, y_col, b[x_col][0], b[x_col][1], b[y_col][0], b[y_col][1],
+        bits,
+    )
+    (
+        df.withColumn("_z", F.expr(z))
+        .repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    return b
+
+
+def build_file_index(spark: SparkSession, path: str, *cols: str) -> DataFrame:
+    """File-level statistics manifest: (file, n_rows, <c>_min, <c>_max per
+    column) — the parquet-footer stats lifted into a queryable frame, i.e.
+    the skipping index Delta/Iceberg keep in their metadata layer and the
+    lake analog of the reference's btree leaves.
+
+    One full scan builds it (groupBy ``input_file_name()`` is a partial
+    agg over n_files keys — no data shuffle to speak of); it is then tiny
+    (one row per file) and lives broadcast-side forever.  Rebuild per
+    compaction/txlog commit, or incrementally for appended files only.
+    """
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs += [F.min(c).alias(f"{c}_min"), F.max(c).alias(f"{c}_max")]
+    return (
+        spark.read.parquet(path)
+        .groupBy(F.input_file_name().alias("file"))
+        .agg(*aggs)
+    )
+
+
+def skip_scan(
+    spark: SparkSession,
+    index: DataFrame,
+    predicates: dict[str, tuple[int, int]],
+) -> tuple[DataFrame, int, int]:
+    """Read ONLY the files whose [min, max] range intersects every
+    predicate box, then re-apply the exact predicate to the survivors.
+
+    Returns (result, files_read, files_total).  The manifest filter runs
+    on the driver over one-row-per-file data (the same place Delta's log
+    replay or the reference's query planner does its pruning); correctness
+    never depends on the index — the residual filter is exact, the index
+    only EXCLUDES files it can prove empty of matches.
+    """
+    cond = F.lit(True)
+    for c, (lo, hi) in predicates.items():
+        cond = cond & (F.col(f"{c}_max") >= lo) & (F.col(f"{c}_min") <= hi)
+    files = [r.file for r in index.select("file").collect()]
+    keep = [r.file for r in index.filter(cond).select("file").collect()]
+    residual = F.lit(True)
+    for c, (lo, hi) in predicates.items():
+        residual = residual & F.col(c).between(lo, hi)
+    if not keep:
+        empty = spark.read.parquet(*files).filter(F.lit(False))
+        return empty, 0, len(files)
+    return spark.read.parquet(*keep).filter(residual), len(keep), len(files)
