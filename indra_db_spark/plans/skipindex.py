@@ -135,49 +135,128 @@ def write_zordered(
     return b
 
 
-def build_file_index(spark: SparkSession, path: str, *cols: str) -> DataFrame:
+def build_file_index(
+    spark: SparkSession,
+    path: str,
+    *cols: str,
+    bloom_cols: tuple[str, ...] = (),
+) -> DataFrame:
     """File-level statistics manifest: (file, n_rows, <c>_min, <c>_max per
-    column) — the parquet-footer stats lifted into a queryable frame, i.e.
-    the skipping index Delta/Iceberg keep in their metadata layer and the
-    lake analog of the reference's btree leaves.
+    column, plus a packed per-file Bloom bitmap per ``bloom_cols`` entry)
+    — the parquet-footer stats lifted into a queryable frame, i.e. the
+    skipping index Delta/Iceberg keep in their metadata layer and the
+    lake analog of the reference's btree leaves.  Min/max prunes RANGE
+    predicates (tight only under a sympathetic layout, e.g. z-order);
+    blooms prune EQUALITY lookups on high-cardinality columns under ANY
+    layout — the two cover each other's blind spots.
 
-    One full scan builds it (groupBy ``input_file_name()`` is a partial
-    agg over n_files keys — no data shuffle to speak of); it is then tiny
-    (one row per file) and lives broadcast-side forever.  Rebuild per
-    compaction/txlog commit, or incrementally for appended files only.
+    One scan per statistic family (groupBy ``input_file_name()`` is a
+    partial agg over n_files keys — no data shuffle to speak of); the
+    index is then tiny (one row per file) and lives broadcast-side
+    forever.  Rebuild per compaction/txlog commit, or incrementally for
+    appended files only.
     """
+    from indra_db_spark.operators.sampling import (
+        BLOOM_K,
+        BLOOM_M,
+        _bloom_pos_sql,
+    )
+
+    data = spark.read.parquet(path)
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for c in cols:
         aggs += [F.min(c).alias(f"{c}_min"), F.max(c).alias(f"{c}_max")]
-    return (
-        spark.read.parquet(path)
-        .groupBy(F.input_file_name().alias("file"))
-        .agg(*aggs)
-    )
+    idx = data.groupBy(F.input_file_name().alias("file")).agg(*aggs)
+    for c in bloom_cols:
+        pos = F.explode(
+            F.array(
+                *[
+                    F.expr(
+                        _bloom_pos_sql(i, BLOOM_M, f"CAST({c} AS STRING)")
+                    )
+                    for i in range(BLOOM_K)
+                ]
+            )
+        ).alias("p")
+        bloom = (
+            data.select(F.input_file_name().alias("file"), pos)
+            .select(
+                "file",
+                F.expr("CAST(p div 64 AS INT)").alias("w"),
+                F.expr(
+                    "shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))"
+                ).alias("bit"),
+            )
+            .groupBy("file", "w")
+            .agg(F.expr("bit_or(bit)").alias("mask"))
+            .groupBy("file")
+            .agg(
+                F.map_from_entries(
+                    F.collect_list(F.struct("w", "mask"))
+                ).alias(f"{c}_bloom")
+            )
+        )
+        idx = idx.join(bloom, "file")
+    return idx
+
+
+def _py_bloom_hit(bm: dict, value, m: int, k: int) -> bool:
+    """Driver-side membership test against a per-file bloom map —
+    hashlib md5 over the same ``b{i}:<string>`` preimage the SQL builder
+    uses, so bits line up engine-to-engine.  Python's infinite
+    two's-complement ``&`` handles Spark's signed-long masks with the
+    sign bit set."""
+    import hashlib
+
+    for i in range(k):
+        pre = f"b{i}:{value}".encode()
+        p = int(hashlib.md5(pre).hexdigest()[:15], 16) % m
+        if not (bm or {}).get(p // 64, 0) & (1 << (p % 64)):
+            return False
+    return True
 
 
 def skip_scan(
     spark: SparkSession,
     index: DataFrame,
-    predicates: dict[str, tuple[int, int]],
+    predicates: dict[str, tuple[int, int]] | None = None,
+    eq: dict[str, object] | None = None,
 ) -> tuple[DataFrame, int, int]:
-    """Read ONLY the files whose [min, max] range intersects every
-    predicate box, then re-apply the exact predicate to the survivors.
+    """Read ONLY the files the index cannot rule out — min/max range
+    intersection for every ``predicates`` box, bloom membership for every
+    ``eq`` point lookup — then re-apply the exact predicate to the
+    survivors.
 
     Returns (result, files_read, files_total).  The manifest filter runs
     on the driver over one-row-per-file data (the same place Delta's log
     replay or the reference's query planner does its pruning); correctness
     never depends on the index — the residual filter is exact, the index
-    only EXCLUDES files it can prove empty of matches.
+    only EXCLUDES files it can prove empty of matches (min/max is exact
+    evidence, bloom misses are proof of absence; bloom hits are merely
+    unpruned).
     """
-    cond = F.lit(True)
-    for c, (lo, hi) in predicates.items():
-        cond = cond & (F.col(f"{c}_max") >= lo) & (F.col(f"{c}_min") <= hi)
-    files = [r.file for r in index.select("file").collect()]
-    keep = [r.file for r in index.filter(cond).select("file").collect()]
+    from indra_db_spark.operators.sampling import BLOOM_K, BLOOM_M
+
+    predicates = predicates or {}
+    eq = eq or {}
+    rows = index.collect()
+    files = [r["file"] for r in rows]
+    keep = []
+    for r in rows:
+        ok = all(
+            r[f"{c}_max"] >= lo and r[f"{c}_min"] <= hi
+            for c, (lo, hi) in predicates.items()
+        ) and all(
+            _py_bloom_hit(r[f"{c}_bloom"], v, BLOOM_M, BLOOM_K)
+            for c, v in eq.items()
+        )
+        if ok:
+            keep.append(r["file"])
     residual = F.lit(True)
     for c, (lo, hi) in predicates.items():
         residual = residual & F.col(c).between(lo, hi)
+    for c, v in eq.items():
+        residual = residual & (F.col(c) == v)
     if not keep:
         empty = spark.read.parquet(*files).filter(F.lit(False))
         return empty, 0, len(files)

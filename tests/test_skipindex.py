@@ -83,6 +83,42 @@ def test_skip_scan_empty_box(spark, docs, tmp_path_factory):
     assert out.count() == 0 and nread == 0 and ntotal == 8
 
 
+def test_bloom_point_lookup_prunes_under_any_layout(
+    spark, docs, tmp_path_factory
+):
+    """Equality lookup on a high-cardinality column via per-file blooms:
+    min/max can't prune a random layout (every file spans ~the full id
+    range) but the bloom narrows a point lookup to ~1 file — and a miss
+    (absent id) prunes everything."""
+    rpath = str(tmp_path_factory.mktemp("bloom_layout"))
+    docs.repartition(16).write.mode("overwrite").parquet(rpath)
+    idx = build_file_index(
+        spark, rpath, "doc_id", bloom_cols=("doc_id",)
+    )
+    some_id = docs.agg(F.max("doc_id")).first()[0] - 7
+
+    got, nread, ntotal = skip_scan(spark, idx, eq={"doc_id": some_id})
+    want = docs.filter(F.col("doc_id") == some_id)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    assert want.count() == 1
+    assert ntotal == 16
+    # the id lives in exactly one file; ~2% FPR may add a stray file
+    assert nread <= 3, nread
+    # min/max alone could not have pruned this layout
+    mm_keep = [
+        r
+        for r in idx.collect()
+        if r["doc_id_min"] <= some_id <= r["doc_id_max"]
+    ]
+    assert len(mm_keep) > nread
+
+    # absent key: bloom proves absence, zero files read
+    _, n0, _ = skip_scan(spark, idx, eq={"doc_id": -12345})
+    assert n0 == 0
+
+
 def test_zvalue_locality(spark, docs):
     """Adjacent z-values must be adjacent in both dimensions: the max
     per-step coordinate jump across the z-curve stays far below the
