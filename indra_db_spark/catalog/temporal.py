@@ -463,6 +463,64 @@ def graph_triangles(spark, sf):
     return G.triangle_participation(raw)
 
 
+_KCORE_K = 2
+_KCORE_ROUNDS = 6
+
+
+def _kcore_oracle(k: int, rounds: int) -> str:
+    """Unrolled peel: the same bounded-round definition the Spark
+    operator computes, as chained CTEs (the PageRank-oracle pattern —
+    iterative algorithms carry full value oracles when every step is
+    integer)."""
+    sql = """
+    WITH base AS (SELECT p_partkey AS i FROM part),
+    raw AS (
+      SELECT i AS x, i // 2 AS y FROM base WHERE i >= 2
+      UNION ALL
+      SELECT i AS x, i // 4 AS y FROM base WHERE i >= 4
+    ),
+    e0 AS (
+      SELECT DISTINCT least(x, y) AS s, greatest(x, y) AS t
+      FROM raw WHERE least(x, y) < greatest(x, y)
+    )"""
+    for r in range(1, rounds + 1):
+        sql += f""",
+    d{r} AS (
+      SELECT id, count(*) AS d
+      FROM (SELECT s AS id FROM e{r - 1}
+            UNION ALL SELECT t AS id FROM e{r - 1})
+      GROUP BY id
+    ),
+    v{r} AS (SELECT id FROM d{r} WHERE d >= {k}),
+    e{r} AS (
+      SELECT e.s, e.t FROM e{r - 1} e
+      JOIN v{r} a ON a.id = e.s
+      JOIN v{r} b ON b.id = e.t
+    )"""
+    return sql + f"\n    SELECT id, d FROM d{rounds} WHERE d >= {k}"
+
+
+@register("graph_kcore", _kcore_oracle(_KCORE_K, _KCORE_ROUNDS))
+def graph_kcore(spark, sf):
+    """Bounded-round k-core peel on the part-derived graph (tree edges
+    i—i÷2 plus grandparent shortcuts i—i÷4): 6 rounds of "drop nodes
+    with degree < 2" — past the fixed point at the test scales (pinned
+    in tests), and a pure integer function of the graph either way, so
+    the unrolled DuckDB twin hash-matches
+    (operators/graph.py:kcore)."""
+    from indra_db_spark.operators.graph import kcore
+
+    base = T(spark, sf, "part").select(F.col("p_partkey").alias("i"))
+    raw = base.filter(F.col("i") >= 2).select(
+        F.col("i").alias("a"), F.expr("i div 2").alias("b")
+    ).unionByName(
+        base.filter(F.col("i") >= 4).select(
+            F.col("i").alias("a"), F.expr("i div 4").alias("b")
+        )
+    )
+    return kcore(raw, k=_KCORE_K, rounds=_KCORE_ROUNDS)
+
+
 @register(
     "events_rate_anomaly",
     """

@@ -566,3 +566,64 @@ def triangle_participation(
     return corners.groupBy("id").agg(
         F.count(F.lit(1)).cast("long").alias("n_triangles")
     )
+
+
+def kcore(
+    edges: DataFrame,
+    k: int = 2,
+    rounds: int = 6,
+    left_col: str = "a",
+    right_col: str = "b",
+) -> DataFrame:
+    """Bounded-round k-core peel → (id, d): nodes surviving ``rounds`` of
+    "drop every node with degree < k" over the undirected simple graph,
+    with their degree at the last peel — the density-core extraction
+    behind spam-farm/community detection on link graphs (and the graph
+    twin of the curation pipeline's quality gates).
+
+    The result is defined as EXACTLY ``rounds`` peels, which makes an
+    iterative deletion algorithm a pure function of the graph: both
+    engines unroll the identical rounds (DuckDB oracle = chained CTEs),
+    converged or not — on fixture graphs the round count is chosen past
+    the fixed point, asserted in tests.  All arithmetic is integer
+    counting, so hashes match across engines and partitionings.
+
+    Scale shape per round: ONE partial-agg degree count (map-side
+    combine; a node's degree rows collapse before the exchange) + two
+    semi-joins filtering the edge list by the survivor set — all keyed
+    shuffles of the CURRENT edge set, which only ever shrinks.  Round
+    count is a constant; lineage is cut with a lazy localCheckpoint per
+    round exactly like :func:`pagerank`.
+    """
+    u, v = F.col(left_col), F.col(right_col)
+    e = (
+        edges.select(
+            F.least(u, v).alias("s"), F.greatest(u, v).alias("t")
+        )
+        .filter(F.col("s") < F.col("t"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = None
+    for _ in range(rounds):
+        deg = (
+            e.select(F.col("s").alias("id"))
+            .union(e.select(F.col("t").alias("id")))
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        keep = deg.filter(F.col("d") >= k).localCheckpoint(eager=False)
+        e = (
+            e.join(keep.select(F.col("id").alias("s")), "s", "semi")
+            .join(keep.select(F.col("id").alias("t")), "t", "semi")
+            .select("s", "t")
+            .localCheckpoint(eager=False)
+        )
+    if deg is None:  # rounds=0: degenerate, everything survives
+        deg = (
+            e.select(F.col("s").alias("id"))
+            .union(e.select(F.col("t").alias("id")))
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+    return deg.filter(F.col("d") >= k)

@@ -1474,6 +1474,41 @@ def test_triangle_participation_known_graphs(spark):
     assert triangle_participation(sq).count() == 0
 
 
+def test_kcore_known_graph_and_convergence(spark, sf_dir):
+    from indra_db_spark.operators.graph import kcore
+    from indra_db_spark.sources.lake import load_table
+
+    # triangle + pendant chain: 2-core is exactly the triangle, reached
+    # after the chain peels off node by node (2 rounds)
+    e = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4)], "a long, b long"
+    )
+    got = {r.id: r.d for r in kcore(e, k=2, rounds=3).collect()}
+    assert got == {0: 2, 1: 2, 2: 2}
+    # one round is NOT enough: node 3 still counts pendant 4's edge
+    partial = {r.id for r in kcore(e, k=2, rounds=1).collect()}
+    assert partial == {0, 1, 2, 3}
+    # k above max degree empties the graph
+    assert kcore(e, k=4, rounds=3).count() == 0
+
+    # the catalog entry's 6 rounds are past the fixed point at the test
+    # scale: one more peel changes nothing (the bounded-round definition
+    # equals true k-core here)
+    base = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("i")
+    )
+    raw = base.filter(F.col("i") >= 2).select(
+        F.col("i").alias("a"), F.expr("i div 2").alias("b")
+    ).unionByName(
+        base.filter(F.col("i") >= 4).select(
+            F.col("i").alias("a"), F.expr("i div 4").alias("b")
+        )
+    )
+    six = sorted((r.id, r.d) for r in kcore(raw, 2, 6).collect())
+    seven = sorted((r.id, r.d) for r in kcore(raw, 2, 7).collect())
+    assert six == seven and len(six) > 0
+
+
 def test_chunk_documents_coverage_properties(spark):
     """Every word lands in >=1 chunk, no chunk is empty, starts advance
     by exactly the stride, and stride-0... (width==stride) chunks
