@@ -105,12 +105,16 @@ WINDOW_ORDER = [
     # §2.11 streaming twin (batch form; sessionize stays past-window — the
     # session-window semantics are pinned by tests/test_streaming parity)
     "time_window_agg",
-    # training-data: dedup family (scale paths)
+    # training-data: dedup family (scale paths; r7.3 rotated
+    # doc_ngram_jaccard and doc_simhash past-window — exact Jaccard is
+    # re-verified inside doc_minhash_verified's verify stage and simhash
+    # stays in the local sweep — to admit the stream-stream interval join
+    # and the second iterative-graph family)
     "doc_exact_dedup",
-    "doc_ngram_jaccard",
     "doc_minhash_verified",
-    "doc_simhash",
     "doc_dup_clusters",
+    "events_attribution",
+    "graph_kcore",
     # training-data: text analysis + end-to-end compositions
     "doc_repetition",
     "doc_gopher_quality",

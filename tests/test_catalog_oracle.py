@@ -60,6 +60,10 @@ CRITICAL_IN_WINDOW = [
     # round-7.2 rotation: supervised classifier gate + composed IVFPQ
     "doc_quality_classifier",
     "emb_ivfpq_topk",
+    # round-7.3 rotation: stream-stream interval join + bounded-round
+    # k-core (the second iterative-graph family alongside the closure)
+    "events_attribution",
+    "graph_kcore",
 ]
 
 
