@@ -973,6 +973,38 @@ def doc_decontaminate_bloom(spark, sf):
     return out.select(F.col("id").alias("doc_id"), F.col("n_hits"))
 
 
+@register(
+    "doc_mixture_temperature",
+    """
+    WITH per AS (
+      SELECT source, CAST(sum(n_chars) AS BIGINT) AS total
+      FROM documents GROUP BY source
+    ),
+    s AS (
+      SELECT source, total,
+             CAST(FLOOR(SQRT(CAST(total AS DOUBLE)) * 1000) AS BIGINT)
+               AS smooth
+      FROM per
+    ),
+    g AS (SELECT CAST(sum(smooth) AS BIGINT) AS grand FROM s)
+    SELECT source, total, smooth,
+           CAST((smooth * CAST(1000000 AS BIGINT)) // grand AS BIGINT)
+             AS q_micro
+    FROM s, g
+    """,
+)
+def doc_mixture_temperature(spark, sf):
+    """α=0.5 temperature-smoothed domain mixture (mBERT/XLM-R language
+    sampling): q ∝ √(stratum size) in ppm — the up-sample-the-tail step
+    between measuring mixture_weights and drawing the training blend.
+    sqrt is IEEE-correctly-rounded (the one float op), everything else
+    integer, so the oracle hash-matches
+    (operators/sampling.py:temperature_weights)."""
+    from indra_db_spark.operators.sampling import temperature_weights
+
+    return temperature_weights(T(spark, sf, "documents"))
+
+
 def _z_bounds_sql() -> str:
     return (
         "SELECT min(doc_id) AS _xlo, max(doc_id) AS _xhi, "

@@ -110,6 +110,51 @@ def decontaminate(
     )
 
 
+def temperature_weights(
+    df: DataFrame,
+    strata_cols: tuple[str, ...] = ("source",),
+    weight_col: str = "n_chars",
+) -> DataFrame:
+    """Exponent-0.5 temperature smoothing of corpus mixture weights —
+    (strata…, total, smooth, q_micro) where q_micro ∝ √total, in parts
+    per million: the multilingual/domain sampling smoothing of
+    mBERT/XLM-R (α = 0.5 exponential smoothing: rare strata are
+    up-sampled toward, but not to, uniformity).
+
+    Exactness discipline: the ONLY float op is ``sqrt``, which IEEE 754
+    requires to be correctly rounded — so `FLOOR(SQRT(total)·1000)` is
+    bit-identical on every engine, and everything after is integer
+    (sum + one trailing integer division).  Arbitrary temperatures need
+    ``pow``, a transcendental with engine-dependent rounding — excluded
+    by the oracle discipline and not needed for the standard α = 0.5.
+
+    int64 bounds (test_overflow_bounds conventions): smooth =
+    ⌊√total·1e3⌋ and the final numerator smooth·1e6 stay inside int64 for
+    per-stratum totals up to ~8.5e19 — six orders past a 1e13-token
+    corpus.  Shape: one partial-agg shuffle over |strata| keys + a
+    single-row grand-total broadcast (mixture_weights' shape exactly).
+    """
+    per = df.groupBy(*strata_cols).agg(
+        F.sum(weight_col).cast("long").alias("total")
+    )
+    s = per.withColumn(
+        "smooth",
+        F.expr(
+            "CAST(FLOOR(SQRT(CAST(total AS DOUBLE)) * 1000) AS BIGINT)"
+        ),
+    )
+    grand = s.agg(F.sum("smooth").cast("long").alias("_grand"))
+    return (
+        s.join(F.broadcast(grand))
+        .withColumn(
+            "q_micro",
+            F.expr("CAST((smooth * CAST(1000000 AS BIGINT)) div _grand"
+                   " AS BIGINT)"),
+        )
+        .drop("_grand")
+    )
+
+
 #: Bloom geometry for :func:`decontaminate_bloom` — 2^18 bits / 3 hashes
 #: holds ~10^4-10^5 benchmark shingles at ≲2% false-positive rate; size m
 #: ≈ 10·|shingles| (rounded to a power of two) when tuning for other

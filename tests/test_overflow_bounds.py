@@ -161,3 +161,17 @@ def test_mmr_score_bound_corpus_independent():
     )
     assert worst == 1_000 * 1_000_000
     assert worst < 2**63
+
+
+def test_temperature_weights_bound_documented():
+    """smooth = floor(sqrt(total)*1e3); the final numerator smooth*1e6
+    must stay in int64 for totals up to the documented ~8.5e25 bound."""
+    import math
+
+    total = int(8.5e19)
+    smooth = math.floor(math.sqrt(total) * 1000)
+    assert smooth * 1_000_000 < 2**63
+    # and one order further overflows (the bound is tight, not slack)
+    assert math.floor(math.sqrt(total * 100) * 1000) * 1_000_000 >= 2**63
+    # a 1e13-token corpus is six orders inside the bound
+    assert int(1e13) < total // 10**6
