@@ -140,6 +140,7 @@ def _ops(spark, docs, emb, edges, ivf_index, ivf_centers, events,
     from indra_db_spark.operators import temporal as TP
     from indra_db_spark.operators import classify as CF
     from indra_db_spark.operators import pq as PQm
+    from indra_db_spark.streaming.ingest import interval_attribution as _IA
     from indra_db_spark.operators import topk as TK
     from indra_db_spark.operators import graph as G
     from indra_db_spark.operators import sampling as SM
@@ -331,6 +332,27 @@ def _ops(spark, docs, emb, edges, ivf_index, ivf_centers, events,
             emb, queries, m=16, k=16,
             coarse=pq_artifacts["coarse"], codebook=pq_artifacts["cb"],
             codes=pq_artifacts["codes"],
+        ),
+        # round-7.3: bounded-round k-core peel (shrinking edge set per
+        # round), stream-stream-shaped interval attribution run in batch
+        # (one key shuffle + post-condition), and bloom-guarded
+        # decontamination (fixed-size bitmap broadcast + shuffled verify)
+        "kcore": lambda: G.kcore(
+            edges.unionByName(
+                edges.filter(F.col("child") >= 4).select(
+                    F.col("child"),
+                    F.expr("child div 4").alias("parent"),
+                )
+            ),
+            k=2, rounds=4, left_col="child", right_col="parent",
+        ),
+        "attribution": lambda: _IA(
+            events.filter(F.col("event_type") == "click"),
+            events.filter(F.col("event_type") == "purchase"),
+        ),
+        "decontaminate_bloom": lambda: SM.decontaminate_bloom(
+            docs.filter(F.col("doc_id") % 41 != 0),
+            docs.filter(F.col("doc_id") % 41 == 0),
         ),
         "dup_cluster_reps": lambda: D.dup_cluster_representatives(
             docs.withColumn("n_words", X.token_count(F.col("text"))),
