@@ -137,7 +137,7 @@ def write_zordered(
 
 def build_file_index(
     spark: SparkSession,
-    path: str,
+    path: str | list[str],
     *cols: str,
     bloom_cols: tuple[str, ...] = (),
 ) -> DataFrame:
@@ -162,7 +162,9 @@ def build_file_index(
         _bloom_pos_sql,
     )
 
-    data = spark.read.parquet(path)
+    data = spark.read.parquet(*path) if isinstance(path, list) else (
+        spark.read.parquet(path)
+    )
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for c in cols:
         aggs += [F.min(c).alias(f"{c}_min"), F.max(c).alias(f"{c}_max")]
@@ -198,6 +200,27 @@ def build_file_index(
         )
         idx = idx.join(bloom, "file")
     return idx
+
+
+def index_tx_table(
+    tx,
+    *cols: str,
+    bloom_cols: tuple[str, ...] = (),
+) -> tuple[int, DataFrame]:
+    """Skipping index over a transaction-log table's CURRENT snapshot —
+    (version, index) built from the manifest's LIVE file list, not a
+    directory listing, so dead files (replaced by compaction, not yet
+    vacuumed) never pollute the index and a skip_scan over it is
+    snapshot-consistent by construction.  This is the composition a
+    table format actually ships: the log provides the file set, the
+    index provides per-file pruning stats, and both are rebuilt together
+    per commit (plans/txlog.py:TxTable).
+    """
+    version, files = tx.snapshot()
+    paths = [f"{tx.root}/data/{n}" for n in files]
+    return version, build_file_index(
+        tx.spark, paths, *cols, bloom_cols=bloom_cols
+    )
 
 
 def _py_bloom_hit(bm: dict, value, m: int, k: int) -> bool:

@@ -150,3 +150,41 @@ def test_zvalue_locality(spark, docs):
     # a random ordering's mean |Δn_chars| is ≈ span/3; the z-curve's must
     # be a small fraction of that
     assert mean_jump < span / 6
+
+
+def test_index_tx_table_snapshot_consistent(spark, tmp_path_factory):
+    """Index built from the txlog manifest, not the directory: dead files
+    left by compaction (pre-vacuum) never enter the index, and skip_scan
+    over it equals the snapshot read."""
+    import os
+
+    from indra_db_spark.plans.skipindex import index_tx_table
+    from indra_db_spark.plans.txlog import TxTable
+
+    root = str(tmp_path_factory.mktemp("txidx") / "t")
+    t = TxTable(spark, root)
+    t.append(
+        spark.range(0, 200).select(
+            F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+        )
+    )
+    t.append(
+        spark.range(200, 400).select(
+            F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+        )
+    )
+    t.compact()  # rewrites data; old files stay on disk until vacuum
+
+    version, idx = index_tx_table(t, "k", bloom_cols=("k",))
+    live = set(t.snapshot()[1])
+    on_disk = set(os.listdir(f"{root}/data"))
+    assert on_disk - live, "compaction must leave dead files for this test"
+    indexed = {r.file.rsplit("/", 1)[-1] for r in idx.select("file").collect()}
+    assert indexed == live
+
+    got, nread, ntotal = skip_scan(spark, idx, eq={"k": 123})
+    assert [(r.k, r.v) for r in got.collect()] == [(123, 369)]
+    assert nread <= ntotal
+    want = sorted(map(tuple, t.read(version).collect()))
+    full, _, _ = skip_scan(spark, idx, predicates={"k": (0, 400)})
+    assert sorted(map(tuple, full.collect())) == want
