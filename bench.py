@@ -79,6 +79,13 @@ HEADLINE = [
     # ADC — the whole index lifecycle in one number)
     "doc_quality_classifier",
     "emb_ivfpq_topk",
+    # round 7.3: the stream-stream-shaped interval join (batch face), the
+    # second iterative-graph family, and the bitmap-guarded
+    # decontamination whose plan shape replaces the broadcast of the
+    # benchmark set
+    "events_attribution",
+    "graph_kcore",
+    "doc_decontaminate_bloom",
 ]
 
 
