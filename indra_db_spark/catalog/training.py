@@ -2289,13 +2289,14 @@ _PQ_SQDIST = (
 )
 
 
-def _pq_lloyd_round(r: int) -> str:
+def _pq_lloyd_round(r: int, src: str = "sub") -> str:
     """One unrolled Lloyd iteration (assign → per-dim floored mean →
-    empty-cluster coalesce), reading codebook cb{r-1} → cb{r}."""
+    empty-cluster coalesce), reading codebook cb{r-1} → cb{r} over the
+    ``src`` subvector frame (plain quantized or shifted-residual)."""
     return f"""
     d{r} AS (
       SELECT sub.id, sub.s, cb.c, sub.q, {_PQ_SQDIST} AS dd
-      FROM sub JOIN cb{r - 1} cb USING (s)
+      FROM {src} sub JOIN cb{r - 1} cb USING (s)
     ),
     a{r} AS (
       SELECT id, s, c AS code, q FROM (
@@ -2446,16 +2447,110 @@ _PQ_FULLDIST = (
 )
 def emb_ivfpq_topk(spark, sf):
     """IVF coarse pruning composed with PQ asymmetric-distance scoring —
-    the FAISS IVFADC production layout, with by_residual=False (the
-    standard FAISS option; residuals go negative and would break the
-    floored-mean cross-engine exactness that buys the full-lineage
-    oracle).  Each query scores only its {nprobe} probed cells'
+    the FAISS IVFADC production layout, with by_residual=False (shared
+    global codebook; see emb_ivfpq_residual_topk for the residual
+    default, exactness-rescued by the R_OFFSET shift).  Each query
+    scores only its {nprobe} probed cells'
     population against the broadcast LUT over the shared global codebook
     (operators/pq.py:ivfpq_topk).  The oracle replays coarse seeding +
     assignment, PQ training (both Lloyd rounds), encoding, pruning and
     the LUT scan."""
     emb = T(spark, sf, "embeddings")
     return PQ.ivfpq_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 10),
+        ncell=_IVFPQ_NCELL,
+        nprobe=_IVFPQ_NPROBE,
+        m=_PQ_M,
+        k=_PQ_K,
+        rounds=_PQ_ROUNDS,
+        k_top=_PQ_TOPK,
+    )
+
+
+_R_OFF = PQ.R_OFFSET
+
+_RES_SUBV = (
+    f"list_transform(range(1, {_PQ_DSUB + 1}), "
+    f"j -> f.qv[s * {_PQ_DSUB} + j] - c.cv[s * {_PQ_DSUB} + j] + {_R_OFF})"
+)
+
+
+@register(
+    "emb_ivfpq_residual_topk",
+    f"""
+    WITH fullq AS (SELECT vec_id AS id, {_PQ_FULLQ} AS qv FROM embeddings),
+    cc AS (
+      SELECT rn - 1 AS cell, qv AS cv FROM (
+        SELECT id, qv, row_number() OVER (ORDER BY id) AS rn FROM fullq)
+      WHERE rn <= {_IVFPQ_NCELL}
+    ),
+    ar AS (
+      SELECT f.id, c.cell, row_number() OVER (
+               PARTITION BY f.id ORDER BY {_PQ_FULLDIST}, c.cell) AS crn
+      FROM fullq f, cc c
+    ),
+    assign AS (SELECT id, cell FROM ar WHERE crn = 1),
+    probes AS (SELECT id AS query_id, cell FROM ar
+               WHERE crn <= {_IVFPQ_NPROBE} AND id < 10),
+    rsub AS (
+      SELECT f.id, a.cell, s, {_RES_SUBV} AS q
+      FROM fullq f JOIN assign a USING (id) JOIN cc c USING (cell),
+           UNNEST(range({_PQ_M})) t(s)
+    ),
+    cb0 AS (
+      SELECT s, c, q AS cent FROM (
+        SELECT s, q, row_number() OVER (PARTITION BY s ORDER BY id) - 1 AS c
+        FROM rsub) WHERE c < {_PQ_K}
+    ),
+    {",".join(_pq_lloyd_round(r, "rsub") for r in range(1, _PQ_ROUNDS + 1))},
+    codes AS (
+      SELECT id AS neighbor_id, s, c AS code FROM (
+        SELECT sub.id, sub.s, cb.c,
+               row_number() OVER (PARTITION BY id, s ORDER BY {_PQ_SQDIST}, c) rn
+        FROM rsub sub JOIN cb{_PQ_ROUNDS} cb USING (s)) WHERE rn = 1
+    ),
+    qres AS (
+      SELECT p.query_id, p.cell, s, {_RES_SUBV} AS q
+      FROM probes p JOIN fullq f ON f.id = p.query_id
+           JOIN cc c USING (cell),
+           UNNEST(range({_PQ_M})) t(s)
+    ),
+    lut AS (
+      SELECT sub.query_id, sub.cell, sub.s, cb.c AS code, {_PQ_SQDIST} AS ld
+      FROM qres sub JOIN cb{_PQ_ROUNDS} cb USING (s)
+    ),
+    cand AS (
+      SELECT p.query_id, a.id AS neighbor_id, p.cell
+      FROM probes p JOIN assign a USING (cell)
+      WHERE p.query_id <> a.id
+    ),
+    sc AS (
+      SELECT cd.query_id, cd.neighbor_id, CAST(sum(l.ld) AS BIGINT) AS adist
+      FROM cand cd
+      JOIN codes k ON k.neighbor_id = cd.neighbor_id
+      JOIN lut l ON l.query_id = cd.query_id AND l.cell = cd.cell
+                AND l.s = k.s AND l.code = k.code
+      GROUP BY cd.query_id, cd.neighbor_id
+    )
+    SELECT query_id, neighbor_id, adist, CAST(rank AS INT) AS rank FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY adist, neighbor_id) AS rank
+      FROM sc) WHERE rank <= {_PQ_TOPK}
+    """,
+)
+def emb_ivfpq_residual_topk(spark, sf):
+    """IVFADC with by_residual=True — FAISS's DEFAULT encoding: PQ codes
+    represent v − coarse_centroid(v).  The r6-documented obstacle (the
+    floored-mean Lloyd update is cross-engine exact only on non-negative
+    operands, and residuals go negative) is removed by the R_OFFSET
+    shift — L2 is translation-invariant, so the shifted lineage computes
+    the identical search while every operand stays non-negative.  The
+    LUT becomes per-(query, probed cell); the oracle replays coarse
+    assignment, residual shift, both Lloyd rounds, encode, prune and
+    the per-cell LUT scan (operators/pq.py:ivfpq_residual_topk)."""
+    emb = T(spark, sf, "embeddings")
+    return PQ.ivfpq_residual_topk(
         emb,
         emb.filter(F.col("vec_id") < 10),
         ncell=_IVFPQ_NCELL,

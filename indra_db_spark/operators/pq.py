@@ -129,9 +129,21 @@ def pq_train(
     corpus text/vector payload, and the trajectory is integer so it is
     partition-independent and oracle-replayable.
     """
+    sub = quantize_subvectors(emb, m, id_col, vec_col, scale, offset)
+    return train_codebook_from_sub(sub, k, rounds)
+
+
+def train_codebook_from_sub(
+    sub: DataFrame, k: int, rounds: int
+) -> DataFrame:
+    """The Lloyd loop of :func:`pq_train` over an arbitrary (id, s, q)
+    subvector frame — shared by plain PQ (quantized subvectors) and
+    residual PQ (shifted residual subvectors).  ``q`` entries must be
+    non-negative: the per-dim update is a floored mean, and Spark's
+    truncating ``div`` only agrees with DuckDB's ``//`` on non-negative
+    operands."""
     from pyspark.sql import Window
 
-    sub = quantize_subvectors(emb, m, id_col, vec_col, scale, offset)
     seed_w = Window.partitionBy("s").orderBy("id")
     # cache the quantized frame: it feeds every round + the caller's
     # encode; recomputing it per round would rescan the lake each time
@@ -304,11 +316,12 @@ def ivfpq_topk(
     global PQ codes SCORE (asymmetric distance, broadcast LUT).
 
     Residual encoding (PQ over v − coarse_centroid, FAISS's default) is
-    deliberately not used: residuals go negative, and the floored-mean
-    Lloyd update is cross-engine exact only on non-negative operands —
-    ``by_residual=False`` is the standard FAISS option that trades a
-    little quantization error for this simplicity, and here it buys the
-    full-lineage oracle.
+    the sibling :func:`ivfpq_residual_topk`: residuals go negative and
+    the floored-mean Lloyd update is cross-engine exact only on
+    non-negative operands, which the constant ``R_OFFSET`` shift fixes
+    (L2 is translation-invariant).  This shared-codebook variant remains
+    the cheaper index (one LUT per query instead of one per
+    query×probed-cell).
 
     Scale shape: candidate volume per query is the probed cells'
     population (corpus/ncell·nprobe expected), never the corpus; the
@@ -406,4 +419,153 @@ def pq_encode_streaming(
         d.groupBy("id", "s")
         .agg(F.min(F.struct("_d", "c")).alias("_mc"))
         .select("id", "s", F.col("_mc.c").alias("code"))
+    )
+
+
+#: residual shift: quantized coords live in [0, 2·OFFSET), so a
+#: difference of two of them lives in (-2·OFFSET, 2·OFFSET) and adding
+#: R_OFFSET makes every residual coordinate strictly positive.  L2 is
+#: translation-invariant, so the shift changes no distance, no argmin,
+#: no ranking — it exists purely to keep the floored-mean Lloyd update
+#: cross-engine exact (Spark div truncates, DuckDB // floors; they agree
+#: only on non-negative operands).  Pinned by the shift-invariance test.
+R_OFFSET = 2 * OFFSET
+
+
+def _sliced(arr, m: int, dsub: int):
+    """posexplode an array<long> of length m·dsub into (s, q) subvector
+    rows — the residual-frame analog of :func:`quantize_subvectors`."""
+    return F.posexplode(
+        F.array(*[F.slice(arr, s * dsub + 1, dsub) for s in range(m)])
+    ).alias("s", "q")
+
+
+def _residual_sub(
+    vecs: DataFrame,
+    cells: DataFrame,
+    cell_of: DataFrame,
+    m: int,
+    dsub: int,
+    roff: int,
+) -> DataFrame:
+    """(id, cell, s, q): shifted residual subvectors of ``vecs`` (an
+    (id, qv) full-quantized frame) against each row of ``cell_of``
+    ((id, cell) — one row per wanted (vector, cell) pair), coarse
+    centroids broadcast."""
+    r = (
+        vecs.join(cell_of, "id")
+        .join(F.broadcast(cells), "cell")
+        .select(
+            "id",
+            "cell",
+            F.zip_with(
+                "qv", "cvec", lambda a, b: a - b + F.lit(roff)
+            ).alias("rv"),
+        )
+    )
+    return r.select("id", "cell", _sliced(F.col("rv"), m, dsub))
+
+
+def ivfpq_residual_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    ncell: int = 8,
+    nprobe: int = 3,
+    m: int = 8,
+    k: int = 16,
+    rounds: int = 2,
+    k_top: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = SCALE,
+    offset: int = OFFSET,
+    roff: int = R_OFFSET,
+) -> DataFrame:
+    """IVFADC with ``by_residual=True`` — FAISS's DEFAULT encoding: PQ is
+    trained on, and codes represent, v − coarse_centroid(v), which
+    centers every cell's population around the origin and cuts
+    quantization error vs the shared-codebook ``by_residual=False``
+    variant (:func:`ivfpq_topk`).
+
+    The cross-engine-exactness obstacle (residuals go negative, floored
+    means diverge between engines) is removed by shifting residuals by
+    the constant ``R_OFFSET``: L2 is translation-invariant so nothing
+    about the search changes, and every Lloyd operand is non-negative
+    again — which is what lets even the residual variant carry a
+    full-lineage oracle.
+
+    Search differs from the non-residual form in ONE place: the LUT is
+    per (query, probed cell) — the query's residual differs per cell —
+    so it has nq·nprobe·m·k rows (still broadcast), and candidates join
+    on (query, cell, s, code).  Everything else keeps ivfpq_topk's
+    shape: coarse table and codebook broadcast, one partial-agg exchange
+    for the (query, neighbor) sums, corpus vectors read once to encode.
+    """
+    from pyspark.sql import Window
+
+    d = len(emb.select(vec_col).first()[0])
+    if d % m:
+        raise ValueError(f"pq: dim {d} not divisible by m={m}")
+    dsub = d // m
+
+    cells = coarse_cells_from_seeds(emb, ncell, id_col, vec_col, scale,
+                                    offset)
+    full = quantize_subvectors(emb, 1, id_col, vec_col, scale, offset).select(
+        "id", F.col("q").alias("qv")
+    ).localCheckpoint(eager=False)
+
+    assign = (
+        _cell_rank(emb, cells, id_col, vec_col, scale, offset)
+        .filter(F.col("crn") == 1)
+        .select("id", "cell")
+        .localCheckpoint(eager=False)
+    )
+    rsub = _residual_sub(full, cells, assign, m, dsub, roff)
+    codebook = train_codebook_from_sub(
+        rsub.select("id", "s", "q"), k, rounds
+    )
+    codes = _assign(rsub.select("id", "s", "q"), codebook).select(
+        "id", "s", "code"
+    )
+
+    qfull = quantize_subvectors(
+        queries, 1, id_col, vec_col, scale, offset
+    ).select("id", F.col("q").alias("qv"))
+    probes = (
+        _cell_rank(queries, cells, id_col, vec_col, scale, offset)
+        .filter(F.col("crn") <= nprobe)
+        .select("id", "cell")
+    )
+    qres = _residual_sub(qfull, cells, probes, m, dsub, roff)
+    lut = (
+        qres.withColumnRenamed("id", "query_id")
+        .join(codebook, "s")
+        .select(
+            "query_id",
+            "cell",
+            "s",
+            F.col("c").alias("code"),
+            _sqdist(F.col("q"), F.col("cent")).alias("ld"),
+        )
+    )
+
+    cand = (
+        probes.withColumnRenamed("id", "query_id")
+        .join(assign.select(F.col("id").alias("neighbor_id"), "cell"),
+              "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "cell")
+    )
+    scores = (
+        cand.join(
+            codes.withColumnRenamed("id", "neighbor_id"), "neighbor_id"
+        )
+        .join(F.broadcast(lut), ["query_id", "cell", "s", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("ld").cast("long").alias("adist"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adist", "neighbor_id")
+    return (
+        scores.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k_top)
     )

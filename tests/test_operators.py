@@ -1875,3 +1875,65 @@ def test_ivfpq_prunes_consistently_with_adc(spark, sf_dir):
             (r.adist, r.neighbor_id) for r in got if r.query_id == q
         )
         assert have == want, q
+
+
+def test_ivfpq_residual_shift_invariance_and_semantics(spark, sf_dir):
+    """by_residual=True pins: (a) the R_OFFSET shift is semantically
+    free — the whole coarse→residual→train→encode→search lineage returns
+    identical (query, neighbor, adist, rank) under a different shift
+    (L2 translation invariance, the property that buys the oracle);
+    (b) pruning semantics hold (every neighbor shares a probed cell with
+    the query); (c) recall@5 vs exact L2 holds a floor on the fixture."""
+    from indra_db_spark.operators.pq import (
+        R_OFFSET,
+        coarse_cells_from_seeds,
+        ivfpq_residual_topk,
+        _cell_rank,
+    )
+    from indra_db_spark.sources.lake import load_table
+
+    m, k, ncell, nprobe = 16, 16, 8, 3
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+
+    def run(roff):
+        return sorted(
+            (r.query_id, r.neighbor_id, r.adist, r.rank)
+            for r in ivfpq_residual_topk(
+                emb, queries, ncell=ncell, nprobe=nprobe, m=m, k=k,
+                roff=roff,
+            ).collect()
+        )
+
+    base = run(R_OFFSET)
+    assert base and run(R_OFFSET + 13) == base
+
+    coarse = coarse_cells_from_seeds(emb, ncell)
+    cell_of = {
+        r.id: r.cell
+        for r in _cell_rank(emb, coarse, "vec_id", "embedding", 1000, 4096)
+        .filter(F.col("crn") == 1).collect()
+    }
+    probed = {}
+    for r in (
+        _cell_rank(queries, coarse, "vec_id", "embedding", 1000, 4096)
+        .filter(F.col("crn") <= nprobe).collect()
+    ):
+        probed.setdefault(r.id, set()).add(r.cell)
+    for q, n, _, _ in base:
+        assert cell_of[n] in probed[q], (q, n)
+
+    vecs = {r.vec_id: r.embedding for r in emb.collect()}
+    exact = {}
+    for q in range(10):
+        d = sorted(
+            (sum((a - b) ** 2 for a, b in zip(vecs[q], vecs[c])), c)
+            for c in vecs
+            if c != q
+        )
+        exact[q] = {c for _, c in d[:5]}
+    approx = {}
+    for q, n, _, _ in base:
+        approx.setdefault(q, set()).add(n)
+    recall = sum(len(approx[q] & exact[q]) for q in exact) / (5 * len(exact))
+    assert recall >= 0.15, recall
