@@ -45,14 +45,24 @@ def norm_sql(col: str, lo: str, hi: str, bits: int = Z_BITS) -> str:
     )
 
 
-def zvalue_sql(x: str, y: str, bits: int = Z_BITS) -> str:
-    """Morton interleave of two normalized integers — bit i of x lands at
-    position 2i, bit i of y at 2i+1.  Operators only (`>>`, `<<`, `&`,
-    `|`), which both Spark SQL and DuckDB parse natively."""
+def zvalue_sql(*cols: str, bits: int = Z_BITS) -> str:
+    """Morton interleave of n normalized integers — bit i of column j
+    lands at position i·n + j (round-robin), so every dimension
+    contributes equally at every scale of the curve.  Operators only
+    (`>>`, `<<`, `&`, `|`), which both Spark SQL and DuckDB parse
+    natively.  n·bits must fit a BIGINT (≤ 63 interleaved bits — the
+    default 16 bits supports up to 3 dimensions; pass a smaller ``bits``
+    for more)."""
+    n = len(cols)
+    if n * bits > 63:
+        raise ValueError(
+            f"zvalue: {n} dims × {bits} bits = {n * bits} > 63 "
+            "interleaved bits; lower `bits`"
+        )
     terms = []
     for i in range(bits):
-        terms.append(f"(((({x}) >> {i}) & 1) << {2 * i})")
-        terms.append(f"(((({y}) >> {i}) & 1) << {2 * i + 1})")
+        for j, c in enumerate(cols):
+            terms.append(f"(((({c}) >> {i}) & 1) << {i * n + j})")
     return "CAST(" + " | ".join(terms) + " AS BIGINT)"
 
 
@@ -77,7 +87,7 @@ def zvalue_expr(
     two ints from a one-row agg — the broadcast-stats pattern)."""
     nx = norm_sql(x_col, str(x_lo), str(x_hi), bits)
     ny = norm_sql(y_col, str(y_lo), str(y_hi), bits)
-    return _int_div_fix(zvalue_sql(f"({nx})", f"({ny})", bits), duckdb)
+    return _int_div_fix(zvalue_sql(f"({nx})", f"({ny})", bits=bits), duckdb)
 
 
 def zvalue_bounds_expr(
@@ -88,7 +98,7 @@ def zvalue_bounds_expr(
     identically on both engines — the oracle-able form)."""
     nx = norm_sql(x_col, "_xlo", "_xhi", bits)
     ny = norm_sql(y_col, "_ylo", "_yhi", bits)
-    return _int_div_fix(zvalue_sql(f"({nx})", f"({ny})", bits), duckdb)
+    return _int_div_fix(zvalue_sql(f"({nx})", f"({ny})", bits=bits), duckdb)
 
 
 def column_bounds(df: DataFrame, *cols: str) -> dict[str, tuple[int, int]]:

@@ -188,3 +188,42 @@ def test_index_tx_table_snapshot_consistent(spark, tmp_path_factory):
     want = sorted(map(tuple, t.read(version).collect()))
     full, _, _ = skip_scan(spark, idx, predicates={"k": (0, 400)})
     assert sorted(map(tuple, full.collect())) == want
+
+
+def test_zvalue_n_dims_cross_engine(spark, docs):
+    """The n-ary Morton builder emits ONE expression string both engines
+    evaluate identically (3 dims × 8 bits here), and rejects geometries
+    that overflow the 63 interleaved-bit budget."""
+    import duckdb
+    import pandas as pd
+
+    from indra_db_spark.plans.skipindex import (
+        _int_div_fix,
+        norm_sql,
+        zvalue_sql,
+    )
+
+    norms = [
+        norm_sql("doc_id", "0", "100000", 8),
+        norm_sql("n_chars", "0", "100000", 8),
+        norm_sql("doc_id % 97", "0", "96", 8),
+    ]
+    z = zvalue_sql(*[f"({n})" for n in norms], bits=8)
+    got = {
+        r.doc_id: r.z
+        for r in docs.select(
+            "doc_id", F.expr(_int_div_fix(z, duckdb=False)).alias("z")
+        ).collect()
+    }
+    pdf = docs.select("doc_id", "n_chars").toPandas()
+    con = duckdb.connect()
+    con.register("d", pdf)
+    want = dict(
+        con.execute(
+            f"SELECT doc_id, {_int_div_fix(z, duckdb=True)} AS z FROM d"
+        ).fetchall()
+    )
+    assert got == want and len(got) > 0
+
+    with pytest.raises(ValueError):
+        zvalue_sql("a", "b", "c", "d", bits=16)
