@@ -327,3 +327,20 @@ def test_ivfpq_broadcasts_all_index_state(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_attribution_is_an_equijoin_on_the_key(spark, sf_dir):
+    # stream-stream-shaped interval join, batch face: equi-join on the
+    # user key with the time band as a post-condition — never a
+    # nested-loop over the interval, no cartesian
+    plan = _plan(spark, sf_dir, "events_attribution")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_kcore_degree_aggs_are_partial(spark, sf_dir):
+    # every peel round's degree count must combine map-side (a hub's
+    # degree rows collapse before the exchange — the skew immunity)
+    plan = _plan(spark, sf_dir, "graph_kcore")
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan or "partial count" in plan.lower()
