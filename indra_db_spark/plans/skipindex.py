@@ -212,6 +212,27 @@ def build_file_index(
     return idx
 
 
+def extend_file_index(
+    spark: SparkSession,
+    index: DataFrame,
+    new_files: list[str],
+    *cols: str,
+    bloom_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Incremental index maintenance: stats for ``new_files`` only,
+    unioned onto the existing index — per-file rows are independent, so
+    an append commit costs one scan of the APPENDED bytes, not the
+    table.  Callers pass the same cols/bloom_cols the index was built
+    with (schemas must line up; unionByName enforces it).  Compaction
+    rewrites file names, so after compacting rebuild via
+    :func:`index_tx_table` instead."""
+    if not new_files:
+        return index
+    return index.unionByName(
+        build_file_index(spark, new_files, *cols, bloom_cols=bloom_cols)
+    )
+
+
 def index_tx_table(
     tx,
     *cols: str,

@@ -227,3 +227,46 @@ def test_zvalue_n_dims_cross_engine(spark, docs):
 
     with pytest.raises(ValueError):
         zvalue_sql("a", "b", "c", "d", bits=16)
+
+
+def test_extend_file_index_matches_full_rebuild(spark, tmp_path_factory):
+    """Appending to a txlog table and extending the index over just the
+    new files must equal rebuilding from scratch (per-file rows are
+    independent) — the O(appended bytes) maintenance path."""
+    from indra_db_spark.plans.skipindex import (
+        extend_file_index,
+        index_tx_table,
+    )
+    from indra_db_spark.plans.txlog import TxTable
+
+    root = str(tmp_path_factory.mktemp("txinc") / "t")
+    t = TxTable(spark, root)
+    t.append(
+        spark.range(0, 100).select(
+            F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+        )
+    )
+    _, idx1 = index_tx_table(t, "k", bloom_cols=("k",))
+    before = set(t.snapshot()[1])
+    t.append(
+        spark.range(100, 250).select(
+            F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+        )
+    )
+    new = [
+        f"{t.root}/data/{n}" for n in t.snapshot()[1] if n not in before
+    ]
+    assert new
+    inc = extend_file_index(spark, idx1, new, "k", bloom_cols=("k",))
+    _, full = index_tx_table(t, "k", bloom_cols=("k",))
+
+    def norm(df):
+        return sorted(
+            (r.file, r.n_rows, r.k_min, r.k_max, tuple(sorted(r.k_bloom.items())))
+            for r in df.collect()
+        )
+
+    assert norm(inc) == norm(full)
+    # and the extended index serves lookups over the whole table
+    got, nread, ntotal = skip_scan(spark, inc, eq={"k": 201})
+    assert [r.k for r in got.collect()] == [201] and nread <= ntotal
