@@ -942,3 +942,149 @@ def english_render(spark, sf):
     return o.select(
         "o_orderkey", english_expr(type_name, agents).alias("english")
     )
+
+
+@register(
+    "er_blocking_join",
+    """
+    WITH cand AS (
+      SELECT s.s_suppkey, c.c_custkey,
+             levenshtein(s.s_name, c.c_name) AS dist
+      FROM supplier s JOIN customer c
+        ON substr(s.s_name, length(s.s_name) - 1, 2) =
+           substr(c.c_name, length(c.c_name) - 1, 2)
+    ),
+    ok AS (SELECT * FROM cand WHERE dist <= 6),
+    best AS (
+      SELECT s_suppkey, c_custkey, dist,
+             row_number() OVER (
+               PARTITION BY s_suppkey ORDER BY dist, c_custkey) AS rn
+      FROM ok
+    )
+    SELECT s_suppkey, c_custkey, dist FROM best WHERE rn = 1
+    """,
+)
+def er_blocking_join(spark, sf):
+    """Entity-resolution blocking join (operators/linkage.py): suppliers
+    fuzzy-linked to customers — block on the name's last-2-digit key,
+    verify candidates with built-in levenshtein (codegen, no Python), keep
+    each supplier's best match via a partial-aggregate min(struct) argmin.
+    Candidates exist only inside blocking buckets (never |S| x |C|); the
+    oracle spells the same block/verify/best chain with a row_number
+    window, which is hash-identical to the argmin because the tie-break
+    (dist, c_custkey) is total."""
+    from indra_db_spark.operators.linkage import fuzzy_link
+
+    return fuzzy_link(
+        T(spark, sf, "supplier"),
+        T(spark, sf, "customer"),
+        left_id="s_suppkey",
+        right_id="c_custkey",
+        left_text="s_name",
+        right_text="c_name",
+        left_block=F.substring(F.col("s_name"), -2, 2),
+        right_block=F.substring(F.col("c_name"), -2, 2),
+        max_dist=6,
+    )
+
+
+@register(
+    "lake_profile",
+    """
+    SELECT 'o_orderkey' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+           CAST(min(o_orderkey) AS VARCHAR) AS min_value,
+           CAST(max(o_orderkey) AS VARCHAR) AS max_value
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(DISTINCT o_custkey) AS BIGINT),
+           CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+           CAST(min(o_orderstatus) AS VARCHAR), CAST(max(o_orderstatus) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+           CAST(min(o_orderpriority) AS VARCHAR), CAST(max(o_orderpriority) AS VARCHAR)
+    FROM orders
+    """,
+)
+def lake_profile(spark, sf):
+    """One-pass per-column profile of the orders table
+    (operators/profile.py:profile_table) — the lake-native form of the
+    reference's schema-snapshot guard (readonly_dumping/util.py:175-271):
+    ONE scan, every metric for every column in a single groupBy().agg()
+    (multi-distinct via Expand), unpivoted with stack().  Profiled columns
+    are integer/varchar only: float-to-string rendering differs across
+    engines, and the documented at-width path swaps exact distincts for
+    the mergeable KMV sketch (operators/topk.py)."""
+    from indra_db_spark.operators.profile import profile_table
+
+    return profile_table(
+        T(spark, sf, "orders"),
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"],
+    )
+
+
+@register(
+    "lake_expectations",
+    """
+    WITH checks AS (
+      SELECT 'unique:o_orderkey' AS expectation,
+             CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS violations
+      FROM orders
+      UNION ALL
+      SELECT 'not_null:o_custkey',
+             CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      FROM orders
+      UNION ALL
+      SELECT 'in_set:o_orderstatus',
+             CAST(sum(CASE WHEN o_orderstatus IS NULL
+                            OR o_orderstatus NOT IN ('O', 'F', 'P')
+                           THEN 1 ELSE 0 END) AS BIGINT)
+      FROM orders
+      UNION ALL
+      SELECT 'min:o_totalprice',
+             CAST(sum(CASE WHEN o_totalprice IS NULL OR o_totalprice < 0.0
+                           THEN 1 ELSE 0 END) AS BIGINT)
+      FROM orders
+      UNION ALL
+      SELECT 'fk:orders.o_custkey->customer.c_custkey',
+             CAST((SELECT count(*) FROM orders o
+                   LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+                   WHERE c.c_custkey IS NULL) AS BIGINT)
+    )
+    SELECT expectation, violations, violations = 0 AS passed FROM checks
+    """,
+)
+def lake_expectations(spark, sf):
+    """Declarative data-contract validation (operators/profile.py): the
+    reference's build-abort snapshot diff and inline consistency asserts
+    (readonly_dumping.py:2295-2302, query.py:126) generalized to a
+    gate-able report — uniqueness, null, enum-domain, range, and
+    referential-integrity checks, each a scalar aggregate or broadcast
+    anti-join, unioned to (expectation, violations, passed)."""
+    from indra_db_spark.operators import profile as P
+
+    o = T(spark, sf, "orders")
+    c = T(spark, sf, "customer")
+    return P.run_expectations(
+        [
+            P.expect_unique(o, "o_orderkey"),
+            P.expect_not_null(o, "o_custkey"),
+            P.expect_in_set(o, "o_orderstatus", ["O", "F", "P"]),
+            P.expect_range(o, "o_totalprice", 0.0),
+            P.expect_fk(
+                o, "o_custkey", c, "c_custkey",
+                "orders.o_custkey->customer.c_custkey",
+            ),
+        ]
+    )

@@ -569,3 +569,60 @@ def events_rate_anomaly(spark, sf):
     from indra_db_spark.operators.analytics import rate_anomalies
 
     return rate_anomalies(T(spark, sf, "events"), k_milli=1500)
+
+
+@register(
+    "events_gapfill",
+    """
+    WITH e AS (
+      SELECT user_id, ts, event_id, value FROM events
+      WHERE event_type = 'purchase' AND user_id % 97 = 0
+    ),
+    surv AS (
+      SELECT user_id, bucket, value FROM (
+        SELECT user_id, date_trunc('hour', ts) AS bucket, value,
+               row_number() OVER (
+                 PARTITION BY user_id, date_trunc('hour', ts)
+                 ORDER BY ts DESC, event_id DESC) AS rn
+        FROM e) WHERE rn = 1
+    ),
+    span AS (
+      SELECT user_id, min(bucket) AS b0, max(bucket) AS b1
+      FROM surv GROUP BY user_id
+    ),
+    grid AS (
+      SELECT user_id,
+             unnest(generate_series(b0, b1, INTERVAL 1 HOUR)) AS bucket
+      FROM span
+    ),
+    j AS (
+      SELECT g.user_id, g.bucket, s.value
+      FROM grid g LEFT JOIN surv s
+        ON s.user_id = g.user_id AND s.bucket = g.bucket
+    )
+    SELECT user_id, bucket,
+           last_value(value IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
+    FROM j
+    """,
+)
+def events_gapfill(spark, sf):
+    """Per-user hourly densification + last-observation-carried-forward
+    (operators/temporal.py:gapfill_locf): bucket survivors by partial-agg
+    max(struct) argmax, per-key grids exploded executor-side via
+    sequence(), LOCF by last(ignorenulls) over the SAME key partitioning —
+    one shuffle shared by agg and window.  The gap-fill step every
+    per-period metric needs so empty hours appear as carried values, not
+    missing rows."""
+    from indra_db_spark.operators.temporal import gapfill_locf
+
+    e = (
+        T(spark, sf, "events")
+        .filter((F.col("event_type") == "purchase") & (F.col("user_id") % 97 == 0))
+        .select("user_id", "ts", "event_id", "value")
+    )
+    return gapfill_locf(
+        e, key_col="user_id", ts_col="ts", value_col="value",
+        tiebreak_col="event_id", unit="hour",
+    )

@@ -2560,3 +2560,62 @@ def emb_ivfpq_residual_topk(spark, sf):
         rounds=_PQ_ROUNDS,
         k_top=_PQ_TOPK,
     )
+
+
+# incremental near-dup: frozen corpus = doc_id % 3 == 0, arriving drop = the
+# rest (same frozen/arriving convention as doc_incremental_new's % 7 split;
+# 3 keeps cross-slice near-dup pairs non-empty at every SF).  The oracle
+# carries the band INDEX in the join key exactly like the Spark side
+# (operators/dedup.py:minhash_incremental_pairs joins on (band, bkey)).
+_mh_band_selects_idx = "\n      UNION ALL ".join(
+    "SELECT id, {b} AS band, md5({expr}) AS bkey FROM sig".format(
+        b=b,
+        expr=" || '|' || ".join(f"h{b * _MH_ROWS + r}" for r in range(_MH_ROWS)),
+    )
+    for b in range(_MH_BANDS)
+)
+
+
+@register(
+    "doc_minhash_increment",
+    f"""
+    WITH {_SHINGLES_CTE},
+    sig AS (SELECT id, {_mh_sig_cols} FROM sh GROUP BY id),
+    b AS ({_mh_band_selects_idx}),
+    cand AS (
+      SELECT DISTINCT a.id AS new_id, b2.id AS base_id
+      FROM b a JOIN b b2 ON a.band = b2.band AND a.bkey = b2.bkey
+      WHERE a.id % 3 <> 0 AND b2.id % 3 = 0
+    ),
+    sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+    common AS (
+      SELECT c.new_id, c.base_id, count(*) AS n_common
+      FROM cand c
+      JOIN sh sa ON sa.id = c.new_id
+      JOIN sh sb ON sb.id = c.base_id AND sb.shingle = sa.shingle
+      GROUP BY c.new_id, c.base_id
+    )
+    SELECT new_id, base_id,
+           n_common / (x.n_sh + y.n_sh - n_common) AS jaccard
+    FROM common
+    JOIN sizes x ON x.id = new_id
+    JOIN sizes y ON y.id = base_id
+    WHERE n_common / (x.n_sh + y.n_sh - n_common) >= 0.2
+    """,
+)
+def doc_minhash_increment(spark, sf):
+    """Daily-drop near-dup: arriving docs LSH-probed against the FROZEN
+    corpus's band index and verified by exact Jaccard — O(|drop| x bands)
+    band rows, no base-side re-pairing (operators/dedup.py:
+    minhash_incremental_pairs).  The near-dup twin of doc_incremental_new's
+    exact-fingerprint anti-join; composes with doc_curate_increment's
+    frozen-artifact discipline (the base index is a written-once release
+    artifact in production)."""
+    docs = T(spark, sf, "documents")
+    return D.minhash_incremental_pairs(
+        docs.filter(F.col("doc_id") % 3 != 0),
+        docs.filter(F.col("doc_id") % 3 == 0),
+        num_hashes=_MH_HASHES,
+        bands=_MH_BANDS,
+        threshold=0.2,
+    )

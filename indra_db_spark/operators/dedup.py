@@ -260,6 +260,93 @@ def minhash_verified_pairs(
     )
 
 
+def minhash_incremental_pairs(
+    new: DataFrame,
+    base: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 12,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Incremental near-dup: each ARRIVING document LSH-probed against a
+    FROZEN corpus, verified by exact Jaccard — the daily-drop shape of
+    minhash_verified_pairs (the batch twin of the reference's dated
+    supplement runs, indra_db/cli/preassembly.py): work is O(|new| × bands)
+    band rows joined against the base band index, never base × base re-pairing
+    and never new × base cross products.
+
+    In production the base signatures/bands are a PRECOMPUTED artifact
+    (written once per release, extended per drop — same discipline as the
+    frozen BPE merge table and the frozen LM counts); here both sides
+    derive from their frames so the whole lineage stays oracle-replayable.
+
+    Returns (new_id, base_id, jaccard >= threshold).  New-vs-new duplicates
+    are deliberately out of scope — run minhash_verified_pairs within the
+    drop for that half (both halves compose in doc_curate_increment style).
+    """
+
+    def _bands(df: DataFrame) -> DataFrame:
+        rows = num_hashes // bands
+        sigs = minhash_signatures(df, id_col, text_col, n, num_hashes)
+        keys = F.array(
+            *[
+                F.md5(
+                    F.concat_ws(
+                        "|", *[F.col(f"h{b * rows + r}") for r in range(rows)]
+                    )
+                )
+                for b in range(bands)
+            ]
+        )
+        return sigs.select("id", F.posexplode(keys).alias("band", "bkey"))
+
+    assert num_hashes % bands == 0
+    nb = _bands(new)
+    bb = _bands(base)
+    cand = _materialize(
+        nb.alias("a")
+        .join(bb.alias("b"), ["band", "bkey"])
+        .select(F.col("a.id").alias("new_id"), F.col("b.id").alias("base_id"))
+        .distinct()
+    )
+    # exact verify over candidates only: shingles semi-joined to the
+    # candidate id sets on each side (same discipline as
+    # minhash_verified_pairs — the quadratic space is never formed)
+    sh_new = _materialize(
+        word_shingles(new, id_col, text_col, n).join(
+            cand.select(F.col("new_id").alias("id")).distinct(), "id", "left_semi"
+        )
+    )
+    sh_base = _materialize(
+        word_shingles(base, id_col, text_col, n).join(
+            cand.select(F.col("base_id").alias("id")).distinct(), "id", "left_semi"
+        )
+    )
+    sz_new = sh_new.groupBy("id").agg(F.count(F.lit(1)).alias("n_a"))
+    sz_base = sh_base.groupBy("id").agg(F.count(F.lit(1)).alias("n_b"))
+    common = (
+        cand.join(sh_new.select(F.col("id").alias("new_id"), "shingle"), "new_id")
+        .join(
+            sh_base.select(F.col("id").alias("base_id"), "shingle"),
+            ["base_id", "shingle"],
+        )
+        .groupBy("new_id", "base_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        common.join(sz_new.select(F.col("id").alias("new_id"), "n_a"), "new_id")
+        .join(sz_base.select(F.col("id").alias("base_id"), "n_b"), "base_id")
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("new_id", "base_id", "jaccard")
+    )
+
+
 def _hex_bit(md5_col, j: int):
     """Bit j (LSB-first within each hex nibble group) of an md5 hex string,
     as 0/1 int; expressible identically in any SQL engine."""

@@ -246,3 +246,69 @@ def band_join(
     rcols = [F.col(f"_r.{right_prefix}{c}").alias(f"{right_prefix}{c}")
              for c in right.columns]
     return pairs.select(*lcols, *rcols)
+
+
+def gapfill_locf(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str | None = None,
+    unit: str = "hour",
+) -> DataFrame:
+    """Densify a per-key time series to a regular ``unit`` grid and carry
+    the last observation forward (LOCF) — the gap-fill step before any
+    per-period metric (rates, retention denominators, training-mix drift
+    curves) that must not silently skip empty periods.
+
+    Three declarative steps, all keyed on ``key_col`` so they share ONE
+    hash partitioning (the bucket agg's shuffle is reused by the window —
+    no second exchange):
+
+    1. bucket survivors: rows truncated to the unit; the in-bucket winner
+       is the latest (ts, tiebreak) — a partial-aggregate ``max(struct)``
+       argmax, not a window, so a hot key combines map-side;
+    2. grid: per-key [min_bucket, max_bucket] exploded via ``sequence()``
+       with a 1-``unit`` step — rows are generated executor-side from two
+       aggregates, never driver-side;
+    3. fill: left-join grid to survivors and run
+       ``last(value, ignorenulls=True)`` over (key ORDER BY bucket).
+
+    The window's full-history frame is bounded by the per-key grid length
+    (span / unit), not corpus size; keys are independent so 100 TB of keys
+    parallelize flat.  Returns (key, bucket, value) with value NULL only
+    before a key's first observation (never — grids start at the first
+    observation's bucket).
+    """
+    tb = tiebreak_col or ts_col
+    b = df.select(
+        F.col(key_col),
+        F.date_trunc(unit, F.col(ts_col)).alias("bucket"),
+        F.col(ts_col),
+        F.col(tb).alias("_tb"),
+        F.col(value_col),
+    )
+    surv = (
+        b.groupBy(key_col, "bucket")
+        .agg(F.max(F.struct(ts_col, "_tb", value_col)).alias("_w"))
+        .select(key_col, "bucket", F.col(f"_w.{value_col}").alias("_v"))
+    )
+    span = surv.groupBy(key_col).agg(
+        F.min("bucket").alias("_b0"), F.max("bucket").alias("_b1")
+    )
+    grid = span.select(
+        key_col,
+        F.explode(
+            F.expr(f"sequence(_b0, _b1, interval 1 {unit})")
+        ).alias("bucket"),
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(surv, [key_col, "bucket"], "left")
+        .withColumn(value_col, F.last("_v", ignorenulls=True).over(w))
+        .select(key_col, "bucket", value_col)
+    )
