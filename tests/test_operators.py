@@ -1937,3 +1937,164 @@ def test_ivfpq_residual_shift_invariance_and_semantics(spark, sf_dir):
         approx.setdefault(q, set()).add(n)
     recall = sum(len(approx[q] & exact[q]) for q in exact) / (5 * len(exact))
     assert recall >= 0.15, recall
+
+
+# ---------------------------------------------------------------- linkage
+
+
+def test_fuzzy_link_best_match_and_blocking(spark):
+    left = spark.createDataFrame(
+        [(1, "alpha-01"), (2, "gamma-99"), (3, "omega-55")], ["lid", "lname"]
+    )
+    right = spark.createDataFrame(
+        [
+            (10, "alpha-01"),   # exact: dist 0
+            (11, "alphx-01"),   # dist 1 — same block, loses to 10
+            (12, "gxmmx-99"),   # dist 2 from gamma-99
+            (13, "zzzzz-77"),   # block 77: no left partner
+        ],
+        ["rid", "rname"],
+    )
+    from indra_db_spark.operators.linkage import fuzzy_link
+
+    out = fuzzy_link(
+        left, right, "lid", "rid", "lname", "rname",
+        F.substring("lname", -2, 2), F.substring("rname", -2, 2),
+        max_dist=2,
+    ).collect()
+    best = {r.lid: (r.rid, r.dist) for r in out}
+    assert best[1] == (10, 0)   # picks the exact match over dist-1
+    assert best[2] == (12, 2)
+    assert 3 not in best        # block 55 empty on the right → no candidates
+
+
+def test_fuzzy_link_tie_breaks_on_smallest_right_id(spark):
+    left = spark.createDataFrame([(1, "abc-77")], ["lid", "lname"])
+    right = spark.createDataFrame(
+        [(21, "abd-77"), (20, "abe-77")], ["rid", "rname"]
+    )
+    from indra_db_spark.operators.linkage import fuzzy_link
+
+    out = fuzzy_link(
+        left, right, "lid", "rid", "lname", "rname",
+        F.substring("lname", -2, 2), F.substring("rname", -2, 2),
+        max_dist=1,
+    ).collect()
+    assert out[0].rid == 20 and out[0].dist == 1  # equal dist → min rid
+
+
+# ---------------------------------------------------------------- gapfill
+
+
+def test_gapfill_locf_fills_and_carries(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 0, 30)
+    rows = [
+        (7, t0, 1, 10.0),
+        (7, t0 + dt.timedelta(minutes=10), 2, 11.0),  # same hour, later → wins
+        (7, t0 + dt.timedelta(hours=3), 3, 30.0),     # hours 1,2 are gaps
+        (8, t0, 4, 5.0),                              # single-point key
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_id", "value"])
+    from indra_db_spark.operators.temporal import gapfill_locf
+
+    out = gapfill_locf(df, tiebreak_col="event_id").collect()
+    by = {(r.user_id, r.bucket.hour): r.value for r in out}
+    assert by[(7, 0)] == 11.0          # in-bucket argmax by (ts, event_id)
+    assert by[(7, 1)] == 11.0          # gap carried forward
+    assert by[(7, 2)] == 11.0
+    assert by[(7, 3)] == 30.0
+    assert by[(8, 0)] == 5.0
+    assert len([r for r in out if r.user_id == 7]) == 4  # dense grid
+    assert len([r for r in out if r.user_id == 8]) == 1
+
+
+def test_gapfill_locf_in_bucket_tiebreak(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0)
+    # two rows at the SAME timestamp: tiebreak column decides the winner
+    rows = [(1, t0, 5, 100.0), (1, t0, 9, 200.0)]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_id", "value"])
+    from indra_db_spark.operators.temporal import gapfill_locf
+
+    out = gapfill_locf(df, tiebreak_col="event_id").collect()
+    assert len(out) == 1 and out[0].value == 200.0
+
+
+# ---------------------------------------------------------------- profile
+
+
+def test_profile_table_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, None), (3, "b")], ["k", "s"]
+    )
+    from indra_db_spark.operators.profile import profile_table
+
+    out = {r.col_name: r for r in profile_table(df, ["k", "s"]).collect()}
+    assert out["k"].n_rows == 4 and out["k"].n_nulls == 0
+    assert out["k"].n_distinct == 3
+    assert out["k"].min_value == "1" and out["k"].max_value == "3"
+    assert out["s"].n_nulls == 1 and out["s"].n_distinct == 2
+    assert out["s"].min_value == "a" and out["s"].max_value == "b"
+
+
+def test_expectations_catch_violations(spark):
+    from indra_db_spark.operators import profile as P
+
+    child = spark.createDataFrame(
+        [(1, 10, "O", 5.0), (1, 11, "O", -2.0), (2, None, "X", 3.0)],
+        ["pk", "fk", "status", "amount"],
+    )
+    parent = spark.createDataFrame([(10,), (11,)], ["id"])
+    rep = {
+        r.expectation: (r.violations, r.passed)
+        for r in P.run_expectations(
+            [
+                P.expect_unique(child, "pk"),
+                P.expect_not_null(child, "fk"),
+                P.expect_in_set(child, "status", ["O", "F", "P"]),
+                P.expect_range(child, "amount", 0.0),
+                P.expect_fk(child, "fk", parent, "id", "child->parent"),
+            ]
+        ).collect()
+    }
+    assert rep["unique:pk"] == (1, False)        # pk=1 twice
+    assert rep["not_null:fk"] == (1, False)      # one null fk
+    assert rep["in_set:status"] == (1, False)    # 'X'
+    assert rep["min:amount"] == (1, False)       # -2.0
+    # null fk rows don't match the parent → counted as orphans
+    assert rep["fk:child->parent"] == (1, False)
+
+
+# --------------------------------------------------- incremental minhash
+
+
+def test_minhash_incremental_pairs_probe_only_cross(spark):
+    base = spark.createDataFrame(
+        [
+            (3, "the quick brown fox jumps over the lazy dog tonight"),
+            (6, "completely unrelated base document about spark plans"),
+        ],
+        ["doc_id", "text"],
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "another new document with entirely novel content inside"),
+            # near-dup of new doc 2 — must NOT be reported (new-vs-new is
+            # out of scope for the incremental probe)
+            (4, "another new document with entirely novel content outside"),
+        ],
+        ["doc_id", "text"],
+    )
+    from indra_db_spark.operators.dedup import minhash_incremental_pairs
+
+    out = minhash_incremental_pairs(
+        new, base, num_hashes=8, bands=4, threshold=0.5
+    ).collect()
+    pairs = {(r.new_id, r.base_id) for r in out}
+    assert (1, 3) in pairs
+    assert all(b in (3, 6) for _, b in pairs)  # base side only from base
+    assert (2, 4) not in pairs and (4, 2) not in pairs

@@ -344,3 +344,49 @@ def test_kcore_degree_aggs_are_partial(spark, sf_dir):
     plan = _plan(spark, sf_dir, "graph_kcore")
     assert "CartesianProduct" not in plan
     assert "partial_count" in plan or "partial count" in plan.lower()
+
+
+def test_er_blocking_join_shape(spark, sf_dir):
+    # blocking join: equi-join on the block key (never |S| x |C| cross),
+    # levenshtein verify inside codegen (no Python), best-match as a
+    # partial min(struct) aggregate rather than a window sort
+    plan = _plan(spark, sf_dir, "er_blocking_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "partial_min" in plan or "partial min" in plan.lower()
+    assert "Window" not in plan
+
+
+def test_lake_profile_is_one_scan(spark, sf_dir):
+    # every metric for every profiled column computes in ONE aggregate
+    # over ONE scan (multi-distinct via Expand) — a profile that re-scans
+    # per column is wrong at 100 TB
+    plan = _plan(spark, sf_dir, "lake_profile")
+    assert plan.count("FileScan parquet") == 1
+    assert "Expand" in plan
+
+
+def test_gapfill_shares_key_partitioning(spark, sf_dir):
+    # bucket-agg, grid explode, and LOCF window all hash on the key: the
+    # plan may exchange for the (key,bucket) agg and once for the per-key
+    # window/grid, but never per-step — and the in-bucket argmax must be
+    # a partial max(struct), not a row_number window
+    plan = _plan(spark, sf_dir, "events_gapfill")
+    assert "partial_max" in plan or "partial max" in plan.lower()
+    assert plan.count("Exchange hashpartitioning") <= 3
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_minhash_increment_reads_materialized_bands(spark, sf_dir):
+    # the frozen-index probe must not re-derive signature lineage per use:
+    # candidates and both shingle sides sit behind compute-once barriers,
+    # so the executed plan scans documents a bounded number of times
+    from indra_db_spark.catalog import REGISTRY
+
+    fn, _ = REGISTRY["doc_minhash_increment"]
+    df = fn(spark, sf_dir)
+    df.count()  # execute so localCheckpoint barriers materialize
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the verify stage reads checkpointed RDDs, not fresh parquet lineage
+    assert "Scan ExistingRDD" in plan
