@@ -86,6 +86,11 @@ HEADLINE = [
     "events_attribution",
     "graph_kcore",
     "doc_decontaminate_bloom",
+    # round 7.4: cross-table fuzzy linkage (blocking + levenshtein verify)
+    # and the frozen-index incremental near-dup — the two join families a
+    # daily ingest run leans on
+    "er_blocking_join",
+    "doc_minhash_increment",
 ]
 
 

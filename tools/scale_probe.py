@@ -361,7 +361,56 @@ def _ops(spark, docs, emb, edges, ivf_index, ivf_centers, events,
                 "id_a", "id_b",
             ),
         ),
+        # round-7 additions: master-data fuzzy linkage (fixed right side —
+        # the realistic ER shape: an arriving corpus matched against a
+        # bounded master list, so candidates grow linearly with the left;
+        # growing BOTH sides under a fixed block-key cardinality would be
+        # quadratic by construction — the block key must widen with the
+        # corpus, see SCALING.md), incremental near-dup probe, gap-fill
+        # (more users at constant per-user span), one-pass profile
+        "er_linkage": lambda: _linkage(docs),
+        "minhash_increment": lambda: D.minhash_incremental_pairs(
+            docs.filter(F.col("doc_id") % 3 != 0),
+            docs.filter(F.col("doc_id") % 3 == 0),
+            num_hashes=8, bands=4, threshold=0.2,
+        ),
+        "gapfill": lambda: TP.gapfill_locf(
+            events.filter(F.col("event_type") == "purchase").select(
+                "user_id", "ts", "event_id", "value"
+            ),
+            tiebreak_col="event_id",
+        ),
+        "lake_profile": lambda: _profile(docs),
     }
+
+
+def _linkage(docs):
+    """Fuzzy-link amplified entities against the FIXED base-copy master
+    list (doc_id < 10_000_000 is the k=0 amplification copy, constant at
+    every factor): block on the name's last-3-digit key, verify with
+    levenshtein, best match per left row."""
+    from pyspark.sql import functions as F
+
+    from indra_db_spark.operators.linkage import fuzzy_link
+
+    name = F.concat(
+        F.lit("entity-"), F.lpad((F.col("doc_id") % 100_000).cast("string"), 9, "0")
+    )
+    left = docs.select(F.col("doc_id").alias("lid"), name.alias("lname"))
+    right = docs.filter(F.col("doc_id") < 10_000_000).select(
+        F.col("doc_id").alias("rid"), name.alias("rname")
+    )
+    return fuzzy_link(
+        left, right, "lid", "rid", "lname", "rname",
+        F.substring("lname", -3, 3), F.substring("rname", -3, 3),
+        max_dist=3,
+    )
+
+
+def _profile(docs):
+    from indra_db_spark.operators.profile import profile_table
+
+    return profile_table(docs, ["doc_id", "lang", "source"])
 
 
 def _skewed(events):
