@@ -270,6 +270,152 @@ class TxTable:
                 return cur + 1
         raise RuntimeError(f"compaction lost {max_retries} commit races")
 
+    def merge(
+        self,
+        updates: DataFrame,
+        key_cols: list[str],
+        max_retries: int = 20,
+    ) -> int | None:
+        """Row-level UPSERT by key (Delta/Iceberg ``MERGE INTO``, reduced
+        to whole-row replace-or-insert): rows of ``updates`` whose key
+        matches an existing row REPLACE it; the rest are inserts.
+
+        Copy-on-write at FILE granularity — the only mutation unit an
+        immutable lake has:
+
+        1. locate affected files: scan the snapshot with
+           ``input_file_name()`` semi-joined against the update keys —
+           only files actually holding a matched key are rewritten (at
+           100 TB the skip index (plans/skipindex.py) prunes this scan to
+           the candidate files by key bounds before any row is read);
+        2. rewrite = (affected rows anti-joined on key) ∪ updates, staged
+           invisibly; every UNAFFECTED file survives untouched — merge
+           cost scales with files-touched, not table size;
+        3. commit swaps the affected names for the staged names.
+
+        Concurrency is write-serializable the way the public formats do
+        it: a concurrent commit that removed an affected file raises
+        :class:`CommitConflict`; concurrent APPENDS rebase — but only
+        after checking their files for the merge keys (an appended row
+        with a matched key would make rebase-and-commit silently drop the
+        concurrent write, the lost-update anomaly) — overlap raises
+        :class:`CommitConflict` instead.  ``updates`` must be key-unique
+        (raises ValueError otherwise: which duplicate wins would be
+        partition-order nondeterminism).  Returns the new version (a pure
+        insert into an empty table included); None when ``updates`` is
+        empty.
+        """
+        n_up = updates.count()
+        if n_up == 0:
+            return None
+        if updates.select(*key_cols).distinct().count() != n_up:
+            raise ValueError("merge updates must be unique on the key columns")
+        from pyspark.sql import functions as F
+
+        base, files, _ = self._snapshot_full()
+        keys = updates.select(*key_cols).distinct()
+        basename = F.element_at(F.split(F.input_file_name(), "/"), -1)
+
+        def _files_with_keys(names: list[str]) -> list[str]:
+            if not names:
+                return []
+            df = self.spark.read.parquet(
+                *[f"{self.root}/data/{n}" for n in names]
+            )
+            hits = (
+                df.withColumn("_f", basename)
+                .join(F.broadcast(keys), key_cols, "left_semi")
+                .select("_f")
+                .distinct()
+            )
+            return [r["_f"] for r in hits.collect()]
+
+        affected = _files_with_keys(files)
+        if affected:
+            aff_df = self.spark.read.parquet(
+                *[f"{self.root}/data/{n}" for n in affected]
+            )
+            survivors = aff_df.join(F.broadcast(keys), key_cols, "left_anti")
+            rewritten_rows = survivors.unionByName(updates)
+        else:
+            rewritten_rows = updates
+        staged = self._stage(rewritten_rows)
+        removed = set(affected)
+        if _pre_commit_hook is not None:
+            _pre_commit_hook(self)
+        for _ in range(max_retries):
+            cur, cur_files, txns = self._snapshot_full()
+            cur_set = set(cur_files)
+            if not removed <= cur_set:
+                raise CommitConflict(
+                    "a concurrent commit removed files this merge rewrote; "
+                    "staged rewrite abandoned (vacuum reclaims it)"
+                )
+            # rebase-over-append safety: concurrently appended files must
+            # not carry any merge key, or committing would drop their rows
+            concurrent = sorted(cur_set - set(files) - set(staged))
+            if _files_with_keys(concurrent):
+                raise CommitConflict(
+                    "a concurrent append added rows matching this merge's "
+                    "keys; rebase would lose that update — retry the merge "
+                    "on the new snapshot"
+                )
+            merged = sorted((cur_set - removed) | set(staged))
+            if self._try_claim(cur + 1, merged, "merge", txns):
+                return cur + 1
+        raise RuntimeError(f"merge lost {max_retries} commit races")
+
+    def delete_where(self, predicate, max_retries: int = 20) -> int | None:
+        """Row-level DELETE: copy-on-write rewrite of exactly the files
+        holding matching rows (located via ``input_file_name()``; the
+        skip index prunes candidates at scale).  Files with no match
+        survive untouched, so deleting a needle from a 100 TB table
+        rewrites one file.  Returns the new version, or None when nothing
+        matches.  Conflict rule = compaction's: a concurrent commit that
+        removed an affected file aborts with :class:`CommitConflict`;
+        concurrent appends rebase freely (their rows were never visible
+        to this predicate's snapshot — standard snapshot-isolation
+        delete semantics)."""
+        from pyspark.sql import functions as F
+
+        base, files, _ = self._snapshot_full()
+        if not files:
+            return None
+        basename = F.element_at(F.split(F.input_file_name(), "/"), -1)
+        df = self.spark.read.parquet(
+            *[f"{self.root}/data/{n}" for n in files]
+        )
+        affected = [
+            r["_f"]
+            for r in df.filter(predicate)
+            .withColumn("_f", basename)
+            .select("_f")
+            .distinct()
+            .collect()
+        ]
+        if not affected:
+            return None
+        aff_df = self.spark.read.parquet(
+            *[f"{self.root}/data/{n}" for n in affected]
+        )
+        survivors = aff_df.filter(~predicate)
+        staged = self._stage(survivors) if survivors.limit(1).count() else []
+        removed = set(affected)
+        if _pre_commit_hook is not None:
+            _pre_commit_hook(self)
+        for _ in range(max_retries):
+            cur, cur_files, txns = self._snapshot_full()
+            cur_set = set(cur_files)
+            if not removed <= cur_set:
+                raise CommitConflict(
+                    "a concurrent commit removed files this delete rewrote; "
+                    "staged rewrite abandoned (vacuum reclaims it)"
+                )
+            merged = sorted((cur_set - removed) | set(staged))
+            if self._try_claim(cur + 1, merged, "delete", txns):
+                return cur + 1
+        raise RuntimeError(f"delete lost {max_retries} commit races")
+
     # ---- reads ----------------------------------------------------------
 
     def read(self, version: int | None = None) -> DataFrame:
@@ -309,7 +455,20 @@ class TxTable:
         appended: list[str] = []
         for v in range(since_version + 1, hi + 1):
             body = self._read_version(v)
-            if body.get("action") == "append":
+            action = body.get("action")
+            if action in ("merge", "delete"):
+                # a row-mutating commit breaks file-level attribution: its
+                # rewritten files mix surviving old rows with new ones, so
+                # an append-only feed over this range would be silently
+                # wrong (missed updates / resurrected deletes).  Refuse —
+                # row-level CDC needs per-row change files (the formats'
+                # CDF), which this minimal log deliberately omits.
+                raise ValueError(
+                    f"version {v} is a row-mutating '{action}' commit; the "
+                    "append-only change feed cannot represent it — consume "
+                    "from a snapshot diff instead"
+                )
+            if action == "append":
                 appended.extend(n for n in body["files"] if n not in seen)
             seen.update(body["files"])
         if not appended:

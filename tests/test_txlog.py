@@ -228,3 +228,113 @@ def test_changes_feed_exactly_the_appended_rows(spark, tmp_path):
     assert {r.k for r in t.changes(v_compact).collect()} == {30, 31, 32}
     # full-history read from the origin
     assert t.changes(0).count() == 33
+
+
+# ------------------------------------------------------- merge / delete
+
+
+def test_merge_upserts_and_preserves_untouched_files(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, 0, 10, tag="old"))     # file(s) A: keys 0-9
+    t.append(_df(spark, 10, 20, tag="old"))    # file(s) B: keys 10-19
+    _, before = t.snapshot()
+    ups = _df(spark, 5, 12, tag="new")          # overlaps both, inserts none
+    v = t.merge(ups, ["k"])
+    assert v == 3
+    rows = {r.k: r.src for r in t.read().collect()}
+    assert len(rows) == 20
+    assert all(rows[k] == "new" for k in range(5, 12))
+    assert all(rows[k] == "old" for k in list(range(5)) + list(range(12, 20)))
+    # time travel: the pre-merge snapshot still shows the old rows
+    assert {r.src for r in t.read(2).collect()} == {"old"}
+
+
+def test_merge_inserts_new_keys_and_touches_no_file_without_match(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, 0, 10, tag="old"))
+    t.append(_df(spark, 10, 20, tag="old"))
+    _, before = t.snapshot()
+    # keys 100+ match nothing → pure insert; every existing file survives
+    v = t.merge(_df(spark, 100, 105, tag="new"), ["k"])
+    _, after = t.snapshot()
+    assert set(before) <= set(after)
+    assert t.read().count() == 25
+    assert t.read(v).filter(F.col("src") == "new").count() == 5
+
+
+def test_merge_rejects_duplicate_update_keys(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, 0, 5))
+    dup = _df(spark, 1, 3).unionByName(_df(spark, 2, 4))
+    with pytest.raises(ValueError, match="unique on the key"):
+        t.merge(dup, ["k"])
+
+
+def test_merge_conflicts_with_overlapping_concurrent_append(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, 0, 10, tag="old"))
+
+    def racing_append(table):
+        txlog._pre_commit_hook = None
+        TxTable(spark, table.root).append(_df(spark, 5, 8, tag="racer"))
+
+    txlog._pre_commit_hook = racing_append
+    with pytest.raises(CommitConflict, match="concurrent append"):
+        t.merge(_df(spark, 5, 12, tag="new"), ["k"])
+    txlog._pre_commit_hook = None
+    # the racer's rows survive (as a second k=5 row — appends don't
+    # replace) and nothing from the aborted merge is visible
+    rows = t.read().collect()
+    assert len(rows) == 13  # 10 old + 3 racer, zero "new"
+    srcs_by_key: dict[int, set] = {}
+    for r in rows:
+        srcs_by_key.setdefault(r.k, set()).add(r.src)
+    assert srcs_by_key[5] == {"old", "racer"}
+    assert srcs_by_key[9] == {"old"}
+    assert not any("new" in s for s in srcs_by_key.values())
+
+
+def test_merge_rebases_over_disjoint_concurrent_append(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, 0, 10, tag="old"))
+
+    def racing_append(table):
+        txlog._pre_commit_hook = None
+        TxTable(spark, table.root).append(_df(spark, 50, 55, tag="racer"))
+
+    txlog._pre_commit_hook = racing_append
+    v = t.merge(_df(spark, 3, 6, tag="new"), ["k"])
+    txlog._pre_commit_hook = None
+    assert v == 3
+    rows = {r.k: r.src for r in t.read().collect()}
+    assert len(rows) == 15
+    assert rows[3] == "new" and rows[50] == "racer" and rows[0] == "old"
+
+
+def test_delete_where_rewrites_only_affected_files(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, 0, 10))
+    t.append(_df(spark, 10, 20))
+    _, before = t.snapshot()
+    v = t.delete_where(F.col("k") == 7)
+    _, after = t.snapshot()
+    assert v == 3
+    assert t.read().count() == 19
+    assert t.read().filter(F.col("k") == 7).count() == 0
+    # the file set holding keys 10-19 was not rewritten
+    assert any(f in after for f in before)
+    # no-match delete is a no-op returning None
+    assert t.delete_where(F.col("k") == 999) is None
+    # time travel still shows the deleted row
+    assert t.read(2).filter(F.col("k") == 7).count() == 1
+
+
+def test_changes_refuses_to_cross_row_mutating_commits(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, 0, 10))
+    t.merge(_df(spark, 3, 5, tag="new"), ["k"])
+    t.append(_df(spark, 20, 25))
+    with pytest.raises(ValueError, match="row-mutating"):
+        t.changes(0)
+    # a range that starts after the merge works fine
+    assert t.changes(2).count() == 5
