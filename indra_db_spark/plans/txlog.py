@@ -275,6 +275,7 @@ class TxTable:
         updates: DataFrame,
         key_cols: list[str],
         max_retries: int = 20,
+        _txn: tuple[str, int] | None = None,
     ) -> int | None:
         """Row-level UPSERT by key (Delta/Iceberg ``MERGE INTO``, reduced
         to whole-row replace-or-insert): rows of ``updates`` whose key
@@ -346,6 +347,8 @@ class TxTable:
         for _ in range(max_retries):
             cur, cur_files, txns = self._snapshot_full()
             cur_set = set(cur_files)
+            if _txn is not None and txns.get(_txn[0], -1) >= _txn[1]:
+                return None  # a concurrent replay committed this batch
             if not removed <= cur_set:
                 raise CommitConflict(
                     "a concurrent commit removed files this merge rewrote; "
@@ -361,9 +364,38 @@ class TxTable:
                     "on the new snapshot"
                 )
             merged = sorted((cur_set - removed) | set(staged))
+            if _txn is not None:
+                txns = dict(txns)
+                txns[_txn[0]] = _txn[1]
             if self._try_claim(cur + 1, merged, "merge", txns):
                 return cur + 1
         raise RuntimeError(f"merge lost {max_retries} commit races")
+
+    def merge_batch(
+        self,
+        updates: DataFrame,
+        key_cols: list[str],
+        app_id: str,
+        batch_id: int,
+        max_retries: int = 20,
+    ) -> int | None:
+        """Idempotent :meth:`merge` for an EXACTLY-ONCE streaming upsert
+        writer (``foreachBatch``): same (app_id, batch_id) watermark
+        protocol as :meth:`append_batch` — a replayed batch whose id is
+        already recorded in the manifest is skipped, so at-least-once
+        delivery composes to exactly-once UPSERT contents.  The replay
+        check matters MORE for merge than append: a replayed append only
+        duplicates rows, a replayed merge could resurrect a row that a
+        later batch updated (the watermark makes both impossible).
+        Returns the new version; None when skipped as a replay or when
+        ``updates`` is empty."""
+        base, files, txns = self._snapshot_full()
+        if txns.get(app_id, -1) >= batch_id:
+            return None
+        return self.merge(
+            updates, key_cols, max_retries=max_retries,
+            _txn=(app_id, batch_id),
+        )
 
     def delete_where(self, predicate, max_retries: int = 20) -> int | None:
         """Row-level DELETE: copy-on-write rewrite of exactly the files
@@ -476,6 +508,82 @@ class TxTable:
             return self.read(hi).limit(0) if seen else self.spark.range(0)
         return self.spark.read.parquet(
             *[f"{self.root}/data/{n}" for n in appended]
+        )
+
+    def row_changes(
+        self,
+        key_cols: list[str],
+        since_version: int,
+        to_version: int | None = None,
+    ) -> DataFrame:
+        """Row-level change-data feed between two snapshots — the diff
+        :meth:`changes` points consumers at when the range crosses a
+        row-mutating (merge/delete) commit.  Returns the table's columns
+        plus ``_change_type`` ∈ {insert, delete, update_preimage,
+        update_postimage} (the public formats' CDF row types): keys only
+        in the new snapshot are inserts, keys only in the old are
+        deletes, keys in both whose non-key columns differ (null-safely)
+        emit both images.  Unchanged rows are absent, so a downstream
+        consumer applies the feed with one keyed upsert.
+
+        Scale shape: one full-outer shuffle of BOTH snapshots on the key
+        — inherent to a snapshot diff and the reason :meth:`changes`'s
+        O(delta) file-level feed stays the fast path for append-only
+        ranges; on a key-bucketed layout the join is exchange-free.
+        Snapshots must be key-unique (the invariant :meth:`merge`
+        maintains); duplicate keys would cross-multiply in the join.
+        ``since_version=0`` diffs against the empty table, turning the
+        feed into a full-table insert bootstrap."""
+        from pyspark.sql import functions as F
+
+        hi = to_version if to_version is not None else self.snapshot()[0]
+        if hi < since_version:
+            raise ValueError(
+                f"to_version {hi} < since_version {since_version}"
+            )
+        new = self.read(hi)
+        if since_version:
+            old = self.read(since_version)
+        else:
+            old = new.limit(0)
+        data_cols = [c for c in new.columns if c not in key_cols]
+        o = old.select(
+            *key_cols,
+            *[F.col(c).alias(f"__o_{c}") for c in data_cols],
+            F.lit(True).alias("__o_present"),
+        )
+        n = new.select(
+            *key_cols,
+            *[F.col(c).alias(f"__n_{c}") for c in data_cols],
+            F.lit(True).alias("__n_present"),
+        )
+        j = o.join(n, key_cols, "full_outer")
+        differs = F.lit(False)
+        for c in data_cols:
+            differs = differs | ~F.col(f"__o_{c}").eqNullSafe(
+                F.col(f"__n_{c}")
+            )
+
+        def _emit(rows: DataFrame, side: str, kind: str) -> DataFrame:
+            return rows.select(
+                *key_cols,
+                *[
+                    F.col(f"__{side}_{c}").alias(c) for c in data_cols
+                ],
+                F.lit(kind).alias("_change_type"),
+            )
+
+        inserts = _emit(j.filter(F.col("__o_present").isNull()), "n", "insert")
+        deletes = _emit(j.filter(F.col("__n_present").isNull()), "o", "delete")
+        both = j.filter(
+            F.col("__o_present").isNotNull()
+            & F.col("__n_present").isNotNull()
+            & differs
+        )
+        return (
+            inserts.unionByName(deletes)
+            .unionByName(_emit(both, "o", "update_preimage"))
+            .unionByName(_emit(both, "n", "update_postimage"))
         )
 
     # ---- maintenance ----------------------------------------------------

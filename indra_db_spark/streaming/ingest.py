@@ -302,3 +302,70 @@ def write_stream_txlog(
         q.awaitTermination()
         return q
     return writer.start()
+
+
+def upsert_stream_txlog(
+    stream_df: DataFrame,
+    table_root: str,
+    key_cols: list[str],
+    checkpoint_dir: str,
+    app_id: str | None = None,
+    order_col: str | None = None,
+    available_now: bool = True,
+):
+    """Exactly-once streaming UPSERT into a :class:`plans.txlog.TxTable`
+    — the mutable-table twin of :func:`write_stream_txlog` (Delta's
+    ``foreachBatch`` + ``MERGE INTO`` streaming-upsert pattern): each
+    micro-batch is key-reduced, then :meth:`TxTable.merge_batch` replaces
+    matched rows and inserts the rest, with the per-writer batch-id
+    watermark making crash replays no-ops.  This is what turns an
+    at-least-once CDC/event stream into a continuously-maintained
+    dimension table readable with snapshot isolation.
+
+    A micro-batch may carry several rows per key (two updates to the
+    same entity in one trigger); :meth:`TxTable.merge` requires
+    key-unique updates, so the sink first reduces each key to its LAST
+    row — ordered by ``order_col`` (an event-time/sequence column) with
+    every remaining column as a deterministic tie-breaker; with no
+    ``order_col`` the ordering is all non-key columns, which is still
+    deterministic but arbitrary, so pass one whenever a real sequence
+    exists.  At 100 TB the reduction is one window shuffle of the BATCH
+    (not the table) and the merge rewrites only key-matched files.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from indra_db_spark.plans.txlog import TxTable
+
+    writer_id = app_id or checkpoint_dir
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        rest = [c for c in batch_df.columns if c not in key_cols]
+        lead = [order_col] if order_col else []
+        ordering = lead + [c for c in rest if c not in lead]
+        reduced = (
+            batch_df.withColumn(
+                "_rn",
+                F.row_number().over(
+                    Window.partitionBy(*key_cols).orderBy(
+                        *[F.col(c).desc_nulls_last() for c in ordering]
+                    )
+                ),
+            )
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        TxTable(batch_df.sparkSession, table_root).merge_batch(
+            reduced, key_cols, writer_id, batch_id
+        )
+
+    writer = (
+        stream_df.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.start()

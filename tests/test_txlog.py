@@ -338,3 +338,99 @@ def test_changes_refuses_to_cross_row_mutating_commits(spark, tmp_path):
         t.changes(0)
     # a range that starts after the merge works fine
     assert t.changes(2).count() == 5
+
+
+# ------------------------------------------------- row-level change feed
+
+
+def test_row_changes_classifies_insert_update_delete(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, 0, 10, tag="old"))          # v1
+    t.merge(_df(spark, 8, 13, tag="new"), ["k"])    # v2: upd 8-9, ins 10-12
+    t.delete_where(F.col("k") == 3)                 # v3
+    feed = t.row_changes(["k"], since_version=1).collect()
+    by_type: dict[str, set] = {}
+    for r in feed:
+        by_type.setdefault(r._change_type, set()).add(r.k)
+    assert by_type["insert"] == {10, 11, 12}
+    assert by_type["delete"] == {3}
+    assert by_type["update_preimage"] == {8, 9}
+    assert by_type["update_postimage"] == {8, 9}
+    # images carry the right payloads
+    pre = {r.k: r.src for r in feed if r._change_type == "update_preimage"}
+    post = {r.k: r.src for r in feed if r._change_type == "update_postimage"}
+    assert set(pre.values()) == {"old"} and set(post.values()) == {"new"}
+    # unchanged rows are absent
+    assert len(feed) == 3 + 1 + 2 + 2
+
+
+def test_row_changes_bootstrap_and_bounded_window(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, 0, 5, tag="a"))             # v1
+    t.merge(_df(spark, 0, 2, tag="b"), ["k"])       # v2
+    # since 0 = full bootstrap: everything is an insert of the NEW image
+    boot = t.row_changes(["k"], since_version=0).collect()
+    assert {r._change_type for r in boot} == {"insert"}
+    assert {(r.k, r.src) for r in boot if r.k < 2} == {(0, "b"), (1, "b")}
+    # identical endpoints = empty feed with the full schema
+    same = t.row_changes(["k"], since_version=2, to_version=2)
+    assert same.count() == 0
+    assert same.columns == ["k", "src", "_change_type"]
+
+
+def test_merge_batch_exactly_once_replay(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    assert t.merge_batch(_df(spark, 0, 10, tag="b0"), ["k"], "w", 0) == 1
+    assert t.merge_batch(_df(spark, 5, 8, tag="b1"), ["k"], "w", 1) == 2
+    # crash replay of batch 1: skipped, table unchanged
+    assert t.merge_batch(_df(spark, 5, 8, tag="b1"), ["k"], "w", 1) is None
+    assert t.snapshot()[0] == 2
+    rows = {r.k: r.src for r in t.read().collect()}
+    assert rows[5] == "b1" and rows[4] == "b0" and len(rows) == 10
+    # a replayed OLD batch must not resurrect pre-update rows
+    assert t.merge_batch(_df(spark, 0, 10, tag="b0"), ["k"], "w", 0) is None
+    assert {r.src for r in t.read().filter("k >= 5 and k < 8").collect()} == {
+        "b1"
+    }
+
+
+def test_upsert_stream_sink_exactly_once(spark, tmp_path):
+    """Drive the foreachBatch upsert sink over a file stream twice: the
+    restarted query merges only the delta, in-batch duplicates reduce to
+    the order_col winner, and replays cannot double-apply."""
+    from indra_db_spark.streaming.ingest import read_stream, upsert_stream_txlog
+
+    src = str(tmp_path / "src")
+    base = spark.range(0, 20).select(
+        F.col("id").alias("k"), F.lit("v1").alias("src"), F.lit(1).alias("seq")
+    )
+    base.write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    table = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+
+    upsert_stream_txlog(
+        read_stream(spark, src, schema), table, ["k"], ckpt, order_col="seq"
+    )
+    t = TxTable(spark, table)
+    assert t.read().count() == 20
+
+    # a later file updates keys 0-4 twice in one batch (seq 2 then 3):
+    # the reduction must keep seq=3, the merge must not duplicate keys
+    upd = spark.createDataFrame(
+        [(k, f"v{s}", s) for k in range(5) for s in (2, 3)],
+        schema="k long, src string, seq int",
+    )
+    upd.write.mode("append").parquet(src)
+    upsert_stream_txlog(
+        read_stream(spark, src, schema), table, ["k"], ckpt, order_col="seq"
+    )
+    rows = {r.k: (r.src, r.seq) for r in t.read().collect()}
+    assert len(rows) == 20
+    assert all(rows[k] == ("v3", 3) for k in range(5))
+    assert rows[10] == ("v1", 1)
+
+    # replay shape: same writer identity re-commits batch ids → no-op
+    v_before = t.snapshot()[0]
+    assert t.merge_batch(upd, ["k"], ckpt, 0) is None
+    assert t.snapshot()[0] == v_before
