@@ -626,3 +626,339 @@ def events_gapfill(spark, sf):
         e, key_col="user_id", ts_col="ts", value_col="value",
         tiebreak_col="event_id", unit="hour",
     )
+
+
+# --------------------------------------------------------------------------
+# round 7.5: warehouse-modeling + experimentation + graph-labeling families
+
+
+_SCD2_CHANGES = """
+    c AS (
+      SELECT user_id, ts, event_id,
+             CAST(floor(abs(value) * 2) AS BIGINT) % 3 AS tier
+      FROM events
+      WHERE event_type = 'view' AND user_id IS NOT NULL
+        AND ts IS NOT NULL AND value IS NOT NULL
+    ),
+    one AS (
+      SELECT user_id, ts, tier FROM (
+        SELECT user_id, ts, tier,
+               row_number() OVER (PARTITION BY user_id, ts
+                                  ORDER BY event_id DESC, tier DESC) AS rn
+        FROM c) WHERE rn = 1
+    ),
+    flag AS (
+      SELECT user_id, ts, tier,
+             lag(tier) OVER (PARTITION BY user_id ORDER BY ts) AS prev,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+      FROM one
+    ),
+    scd AS (
+      SELECT user_id, tier, ts AS valid_from,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+               AS is_current
+      FROM flag WHERE rn = 1 OR prev IS DISTINCT FROM tier
+    )
+"""
+
+
+def _scd2_changes_df(spark, sf):
+    return (
+        T(spark, sf, "events")
+        .filter(
+            (F.col("event_type") == "view")
+            & F.col("user_id").isNotNull()
+            & F.col("ts").isNotNull()
+            & F.col("value").isNotNull()
+        )
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            (F.floor(F.abs(F.col("value")) * 2).cast("bigint") % 3).alias(
+                "tier"
+            ),
+        )
+    )
+
+
+@register(
+    "events_scd2",
+    f"WITH {_SCD2_CHANGES} SELECT * FROM scd",
+)
+def events_scd2(spark, sf):
+    """Type-2 slowly-changing dimension built from a change stream
+    (operators/temporal.py:scd2_build): same-instant collapse by
+    partial-agg argmax, no-op suppression by null-safe lag compare,
+    half-open validity intervals by lead — three steps sharing one key
+    partitioning.  The warehouse history shape the reference can only
+    approximate by re-dumping its readonly store per release."""
+    from indra_db_spark.operators.temporal import scd2_build
+
+    return scd2_build(
+        _scd2_changes_df(spark, sf),
+        key_col="user_id", ts_col="ts",
+        attr_cols=["tier"], tiebreak_col="event_id",
+    )
+
+
+@register(
+    "events_pit_join",
+    f"""
+    WITH {_SCD2_CHANGES},
+    f AS (
+      SELECT event_id, ts, user_id, value FROM events
+      WHERE event_type = 'purchase' AND user_id IS NOT NULL
+        AND ts IS NOT NULL
+    )
+    SELECT f.event_id, f.ts, f.user_id, f.value,
+           d.valid_from AS d_valid_from, d.tier AS d_tier,
+           d.valid_to AS d_valid_to, d.is_current AS d_is_current
+    FROM f LEFT JOIN scd d
+      ON f.user_id = d.user_id
+     AND f.ts >= d.valid_from
+     AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+    """,
+)
+def events_pit_join(spark, sf):
+    """Point-in-time enrichment: every purchase picks the SCD2 dimension
+    version valid AT the purchase instant (operators/temporal.py:
+    pit_join) — expressed as a backward as-of join on valid_from (one
+    union-merge shuffle) instead of the oracle's interval join, because
+    SCD2 intervals are non-overlapping per key; a stale-interval
+    post-filter keeps the left-outer contract.  The leakage-free
+    as-of-event feature join of an ML training pipeline."""
+    from indra_db_spark.operators.temporal import pit_join, scd2_build
+
+    dim = scd2_build(
+        _scd2_changes_df(spark, sf),
+        key_col="user_id", ts_col="ts",
+        attr_cols=["tier"], tiebreak_col="event_id",
+    )
+    facts = (
+        T(spark, sf, "events")
+        .filter(
+            (F.col("event_type") == "purchase")
+            & F.col("user_id").isNotNull()
+            & F.col("ts").isNotNull()
+        )
+        .select("event_id", "ts", "user_id", "value")
+    )
+    return pit_join(facts, dim, on="user_id").select(
+        "event_id", "ts", "user_id", "value",
+        "d_valid_from", "d_tier", "d_valid_to", "d_is_current",
+    )
+
+
+_ROLL_S = 6 * 3600  # trailing 6 hours
+
+
+@register(
+    "events_rolling",
+    f"""
+    SELECT event_id, ts, user_id,
+           CAST(sum(vm) OVER w AS BIGINT) AS roll_sum_micro,
+           CAST(count(*) OVER w AS BIGINT) AS roll_n
+    FROM (
+      SELECT event_id, ts, user_id,
+             CAST(floor(value * 1000000) AS BIGINT) AS vm
+      FROM events
+      WHERE event_type = 'purchase' AND user_id IS NOT NULL
+        AND ts IS NOT NULL
+    )
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN {_ROLL_S * 1_000_000} PRECEDING
+                       AND CURRENT ROW)
+    """,
+)
+def events_rolling(spark, sf):
+    """Trailing 6-hour rolling spend + event count per user, one value
+    per purchase (operators/temporal.py:rolling_agg): a RANGE window
+    over integer epoch-micros — ties share a frame so the result is
+    partition-order-free, and the micro-int sum keeps addition exact
+    across engines.  The per-event velocity metric behind rate limits
+    and spend alerts."""
+    from indra_db_spark.operators.temporal import rolling_agg
+
+    p = (
+        T(spark, sf, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "ts", "user_id", "value")
+    )
+    return rolling_agg(
+        p, key_col="user_id", ts_col="ts",
+        value_micro=F.floor(F.col("value") * 1_000_000),
+        window_seconds=_ROLL_S,
+    ).select("event_id", "ts", "user_id", "roll_sum_micro", "roll_n")
+
+
+_COOC_CAP = 64
+_COOC_MIN = 2
+
+
+@register(
+    "events_cooccur",
+    f"""
+    WITH ki AS (
+      SELECT DISTINCT user_id AS k,
+             event_type || '@' ||
+               lpad(CAST(hour(ts) AS VARCHAR), 2, '0') AS i
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ),
+    kept AS (
+      SELECT k, i FROM ki
+      QUALIFY count(*) OVER (PARTITION BY k) <= {_COOC_CAP}
+    ),
+    per_item AS (
+      SELECT i, CAST(count(*) AS BIGINT) AS n FROM kept GROUP BY i
+    ),
+    pairs AS (
+      SELECT a.i AS item_a, b.i AS item_b,
+             CAST(count(*) AS BIGINT) AS n_both
+      FROM kept a JOIN kept b ON a.k = b.k AND a.i < b.i
+      GROUP BY a.i, b.i HAVING count(*) >= {_COOC_MIN}
+    )
+    SELECT item_a, item_b, n_both, pa.n AS n_a, pb.n AS n_b,
+           CAST(n_both * 1000000 // (pa.n + pb.n - n_both) AS BIGINT)
+             AS jaccard_micro
+    FROM pairs
+    JOIN per_item pa ON pa.i = item_a
+    JOIN per_item pb ON pb.i = item_b
+    """,
+)
+def events_cooccur(spark, sf):
+    """Item co-occurrence with exact integer Jaccard over (event_type,
+    hour-of-day) baskets per user (operators/analytics.py:
+    cooccurrence_pairs): distinct basket self-join bounded by the
+    per-key cap — pair volume is quadratic in basket width, never in
+    corpus size, and over-wide keys are dropped before the join (the
+    hot-basket guard)."""
+    from indra_db_spark.operators.analytics import cooccurrence_pairs
+
+    e = T(spark, sf, "events").select(
+        "user_id",
+        F.concat(
+            F.col("event_type"),
+            F.lit("@"),
+            F.lpad(F.hour("ts").cast("string"), 2, "0"),
+        ).alias("item"),
+    )
+    return cooccurrence_pairs(
+        e, key_col="user_id", item_col="item",
+        max_items_per_key=_COOC_CAP, min_count=_COOC_MIN,
+    )
+
+
+@register(
+    "events_ab_daily",
+    """
+    WITH pu AS (
+      SELECT user_id AS u,
+             min(date_trunc('day', ts)) AS exp_day,
+             min(CASE WHEN event_type = 'purchase'
+                      THEN date_trunc('day', ts) END) AS conv_day
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      GROUP BY user_id
+    ),
+    pv AS (SELECT u, exp_day, conv_day, u % 2 AS variant FROM pu),
+    ed AS (
+      SELECT variant, exp_day AS day, CAST(count(*) AS BIGINT) AS n_exp
+      FROM pv GROUP BY variant, exp_day
+    ),
+    cd AS (
+      SELECT variant, conv_day AS day, CAST(count(*) AS BIGINT) AS n_conv
+      FROM pv WHERE conv_day IS NOT NULL GROUP BY variant, conv_day
+    ),
+    days AS (
+      SELECT day, variant
+      FROM (SELECT day FROM ed UNION SELECT day FROM cd)
+      CROSS JOIN (SELECT DISTINCT variant FROM pv)
+    ),
+    daily AS (
+      SELECT d.day, d.variant,
+             coalesce(e.n_exp, 0) AS n_exp,
+             coalesce(c.n_conv, 0) AS n_conv
+      FROM days d
+      LEFT JOIN ed e ON e.variant = d.variant AND e.day = d.day
+      LEFT JOIN cd c ON c.variant = d.variant AND c.day = d.day
+    ),
+    cum AS (
+      SELECT day, variant,
+             CAST(sum(n_exp) OVER w AS BIGINT) AS cum_exposed,
+             CAST(sum(n_conv) OVER w AS BIGINT) AS cum_converted
+      FROM daily
+      WINDOW w AS (PARTITION BY variant ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT day, variant, cum_exposed, cum_converted,
+           CASE WHEN cum_exposed > 0
+                THEN CAST(cum_converted * 1000000 // cum_exposed AS BIGINT)
+           END AS rate_micro
+    FROM cum
+    """,
+)
+def events_ab_daily(spark, sf):
+    """Cumulative A/B conversion read-out (operators/analytics.py:
+    ab_daily_uplift): deterministic variant assignment by id hash, one
+    partial-agg pass over the raw log to per-user first-exposure /
+    first-conversion days, then cumulative windows over the tiny
+    days × variants grid — exact integer rates, monotone by
+    construction."""
+    from indra_db_spark.operators.analytics import ab_daily_uplift
+
+    return ab_daily_uplift(T(spark, sf, "events"))
+
+
+_LP_ROUNDS = 8
+
+
+def _labelprop_oracle(rounds: int) -> str:
+    """Unrolled synchronous min-label rounds (the kcore/PageRank oracle
+    pattern: bounded-round iterative graph algorithms carry full value
+    oracles because every step is integer)."""
+    sql = """
+    WITH base AS (SELECT p_partkey AS i FROM part),
+    raw AS (
+      SELECT i AS x, i // 2 AS y FROM base WHERE i >= 2
+      UNION ALL
+      SELECT i AS x, i // 4 AS y FROM base WHERE i >= 4
+    ),
+    e AS (
+      SELECT DISTINCT least(x, y) AS s, greatest(x, y) AS t
+      FROM raw WHERE least(x, y) < greatest(x, y)
+    ),
+    de AS (SELECT s, t FROM e UNION ALL SELECT t AS s, s AS t FROM e),
+    l0 AS (SELECT DISTINCT s AS id, s AS lbl FROM de)"""
+    for r in range(1, rounds + 1):
+        sql += f""",
+    l{r} AS (
+      SELECT n.id, least(n.lbl, coalesce(m.nm, n.lbl)) AS lbl
+      FROM l{r - 1} n LEFT JOIN (
+        SELECT de.t AS id, min(l.lbl) AS nm
+        FROM de JOIN l{r - 1} l ON l.id = de.s
+        GROUP BY de.t) m ON m.id = n.id
+    )"""
+    return sql + f"\n    SELECT id, lbl FROM l{rounds}"
+
+
+@register("graph_labelprop", _labelprop_oracle(_LP_ROUNDS))
+def graph_labelprop(spark, sf):
+    """Bounded-round synchronous min-label propagation on the
+    part-derived graph (operators/graph.py:label_propagation): one
+    labels⋈edges join + partial-agg min per round, labels frame bounded
+    by |V|, hub skew absorbed map-side.  8 rounds exceed the fixture
+    graph's min-label eccentricity (log₄ of the largest id), so the
+    result equals per-component minima — pinned in tests; the oracle
+    unrolls the identical rounds either way."""
+    from indra_db_spark.operators.graph import label_propagation
+
+    base = T(spark, sf, "part").select(F.col("p_partkey").alias("i"))
+    raw = base.filter(F.col("i") >= 2).select(
+        F.col("i").alias("a"), F.expr("i div 2").alias("b")
+    ).unionByName(
+        base.filter(F.col("i") >= 4).select(
+            F.col("i").alias("a"), F.expr("i div 4").alias("b")
+        )
+    )
+    return label_propagation(raw, rounds=_LP_ROUNDS)

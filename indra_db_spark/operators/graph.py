@@ -627,3 +627,64 @@ def kcore(
             .agg(F.count(F.lit(1)).alias("d"))
         )
     return deg.filter(F.col("d") >= k)
+
+
+def label_propagation(
+    edges: DataFrame,
+    rounds: int = 5,
+    left_col: str = "a",
+    right_col: str = "b",
+) -> DataFrame:
+    """Bounded-round synchronous min-label propagation → (id, lbl): every
+    node starts labeled with its own id; each round, a node adopts the
+    minimum of its label and its neighbors' PREVIOUS-round labels.  After
+    enough rounds labels converge to per-component minima (a third
+    connected-components formulation besides the pointer-jumping and
+    driver paths in :func:`connected_components`), but the operator's
+    contract is EXACTLY ``rounds`` synchronous steps — deterministic
+    whether converged or not, so the DuckDB twin unrolls the identical
+    rounds and hash-matches (the kcore/PageRank oracle discipline).
+    Convergence needs rounds ≥ the component's min-label eccentricity;
+    fixture round counts are pinned past the fixed point in tests.
+
+    Scale shape per round: ONE join (labels ⋈ directed edges, keyed on
+    the source) + one partial-agg min keyed on the destination — both
+    shuffles on node id, label frame never exceeds |V| rows, lineage cut
+    by a lazy localCheckpoint per round exactly like :func:`pagerank`.
+    Hub skew is absorbed by the map-side combine (a hub's incoming
+    candidates collapse to one min per partition before the exchange).
+    """
+    u, v = F.col(left_col), F.col(right_col)
+    und = edges.select(
+        F.least(u, v).alias("s"), F.greatest(u, v).alias("t")
+    ).filter(F.col("s") < F.col("t")).distinct()
+    # both directions: propagation is symmetric
+    dir_e = und.unionByName(
+        und.select(F.col("t").alias("s"), F.col("s").alias("t"))
+    ).localCheckpoint(eager=False)
+    labels = (
+        dir_e.select(F.col("s").alias("id"))
+        .distinct()
+        .withColumn("lbl", F.col("id"))
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(rounds):
+        labels = _lp_round(dir_e, labels).localCheckpoint(eager=False)
+    return labels
+
+
+def _lp_round(dir_e: DataFrame, labels: DataFrame) -> DataFrame:
+    """One synchronous step: neighbor-min via join + partial-agg min,
+    then least() against the node's own label.  Module-level so the
+    plan-hygiene test can pin the partial aggregation on the round body
+    itself (the returned frame of :func:`label_propagation` is a
+    checkpoint scan that hides per-round plans)."""
+    nbr_min = (
+        dir_e.join(labels.select(F.col("id").alias("s"), "lbl"), "s")
+        .groupBy(F.col("t").alias("id"))
+        .agg(F.min("lbl").alias("_nm"))
+    )
+    return labels.join(nbr_min, "id", "left").select(
+        "id",
+        F.least(F.col("lbl"), F.coalesce("_nm", F.col("lbl"))).alias("lbl"),
+    )

@@ -312,3 +312,133 @@ def gapfill_locf(
         .withColumn(value_col, F.last("_v", ignorenulls=True).over(w))
         .select(key_col, "bucket", value_col)
     )
+
+
+def scd2_build(
+    changes: DataFrame,
+    key_col: str,
+    ts_col: str,
+    attr_cols: list[str],
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Build a type-2 slowly-changing dimension from a change stream:
+    (key, ts, attrs) events become validity intervals (key, attrs,
+    valid_from, valid_to, is_current) — the standard warehouse shape for
+    "what did this entity look like at time T" questions, which the
+    reference answers only by rebuilding its readonly store wholesale
+    per release (readonly_dumping/; this keeps history instead).
+
+    Three steps sharing ONE hash partitioning on the key:
+
+    1. collapse same-instant updates: the (key, ts) winner is the
+       greatest (tiebreak, attrs) — partial-agg ``max(struct)`` argmax,
+       map-side combinable, no window;
+    2. suppress no-op changes: a row whose attrs null-safely equal the
+       previous row's (lag over key ORDER BY ts) opens no new version —
+       real change streams are dominated by heartbeats that must not
+       fragment history;
+    3. intervals: valid_from = ts, valid_to = lead(ts) over the
+       SURVIVORS (half-open [from, to)), is_current = no successor.
+
+    The two windows and the aggregate all key on ``key_col``: one
+    exchange total, keys independent, so 100 TB of entities parallelize
+    flat; per-key work is bounded by that key's change count.
+    """
+    tb = tiebreak_col or ts_col
+    one = (
+        changes.groupBy(key_col, ts_col)
+        .agg(F.max(F.struct(F.col(tb).alias("_tb"), *attr_cols)).alias("_w"))
+        .select(
+            key_col, ts_col, *[F.col(f"_w.{c}").alias(c) for c in attr_cols]
+        )
+    )
+    wk = Window.partitionBy(key_col).orderBy(ts_col)
+    same_as_prev = F.lit(True)
+    for c in attr_cols:
+        same_as_prev = same_as_prev & F.col(c).eqNullSafe(
+            F.lag(F.col(c)).over(wk)
+        )
+    surv = (
+        one.withColumn("_first", F.row_number().over(wk) == 1)
+        .withColumn("_noop", ~F.col("_first") & same_as_prev)
+        .filter(~F.col("_noop"))
+        .drop("_first", "_noop")
+    )
+    return surv.select(
+        key_col,
+        *attr_cols,
+        F.col(ts_col).alias("valid_from"),
+        F.lead(ts_col).over(wk).alias("valid_to"),
+        F.lead(ts_col).over(wk).isNull().alias("is_current"),
+    )
+
+
+def pit_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    on: str,
+    fact_ts: str = "ts",
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    dim_prefix: str = "d_",
+) -> DataFrame:
+    """Point-in-time join: each fact row picks the dimension version
+    whose half-open validity interval [valid_from, valid_to) contains
+    the fact timestamp — the lookup that makes an SCD2 dimension usable
+    (enriching a 100-TB fact log with the attributes AS OF each event,
+    the leakage-free feature join of an ML training pipeline).
+
+    Not a range join: SCD2 intervals are non-overlapping per key, so the
+    containing version is exactly the LATEST valid_from ≤ fact_ts — a
+    backward as-of join (one union-merge shuffle, O(N log N) per key,
+    never O(facts × versions)).  A post-filter nulls out matches whose
+    interval CLOSED before the fact (fact_ts ≥ valid_to happens when
+    history has holes, e.g. a deleted entity), keeping left-outer
+    semantics: every fact survives, unmatched ones carry nulls.
+    """
+    matched = asof_join(
+        facts, dim, on=on,
+        left_ts=fact_ts, right_ts=valid_from, right_prefix=dim_prefix,
+    )
+    vt = F.col(f"{dim_prefix}{valid_to}")
+    stale = vt.isNotNull() & (F.col(fact_ts) >= vt)
+    dcols = [c for c in matched.columns if c.startswith(dim_prefix)]
+    out = matched
+    for c in dcols:
+        out = out.withColumn(c, F.when(stale, F.lit(None)).otherwise(F.col(c)))
+    return out
+
+
+def rolling_agg(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_micro: Column,
+    window_seconds: int,
+    out_sum: str = "roll_sum_micro",
+    out_n: str = "roll_n",
+) -> DataFrame:
+    """Trailing time-window aggregate per key: for every row, the sum and
+    count of ``value_micro`` over [ts - window, ts] of the SAME key —
+    the per-event rolling metric (spend velocity, rate limiting, feature
+    windows) that tumbling buckets can't express because every event
+    needs its OWN trailing window.
+
+    One shuffle: a RANGE window over integer epoch-microseconds.  The
+    range frame includes ALL rows tied on ts, so the result is a pure
+    function of the data (no partition-order dependence), and
+    ``value_micro`` must be integer (exact addition — float sums would
+    hash-differ across engines by association order; callers convert
+    with a fixed micro scale).  Frame cost is O(window density) per row;
+    a hot key serializes its rows into one task — the asof_join
+    chunk-escape analysis applies unchanged if one key dominates.
+    """
+    base = df.filter(F.col(key_col).isNotNull() & F.col(ts_col).isNotNull())
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(_epoch_us(F.col(ts_col)))
+        .rangeBetween(-window_seconds * 1_000_000, 0)
+    )
+    return base.withColumn("_vm", value_micro.cast("long")).withColumn(
+        out_sum, F.sum("_vm").over(w)
+    ).withColumn(out_n, F.count(F.lit(1)).over(w)).drop("_vm")

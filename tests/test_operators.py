@@ -2098,3 +2098,208 @@ def test_minhash_incremental_pairs_probe_only_cross(spark):
     assert (1, 3) in pairs
     assert all(b in (3, 6) for _, b in pairs)  # base side only from base
     assert (2, 4) not in pairs and (4, 2) not in pairs
+
+
+# ------------------------------------------------------------------- scd2
+
+
+def test_scd2_build_versions_and_suppression(spark):
+    import datetime as dt
+
+    t = lambda h: dt.datetime(2024, 1, 1, h)  # noqa: E731
+    rows = [
+        # key 1: A, heartbeat A (suppressed), B, B again (suppressed), A
+        (1, t(0), 10, "A"),
+        (1, t(1), 11, "A"),
+        (1, t(2), 12, "B"),
+        (1, t(3), 13, "B"),
+        (1, t(4), 14, "A"),
+        # key 2: two updates at the SAME instant — tiebreak picks id 21
+        (2, t(0), 20, "X"),
+        (2, t(0), 21, "Y"),
+    ]
+    df = spark.createDataFrame(rows, ["k", "ts", "eid", "attr"])
+    from indra_db_spark.operators.temporal import scd2_build
+
+    out = scd2_build(df, "k", "ts", ["attr"], tiebreak_col="eid").collect()
+    k1 = sorted(
+        [r for r in out if r.k == 1], key=lambda r: r.valid_from
+    )
+    assert [r.attr for r in k1] == ["A", "B", "A"]  # heartbeats suppressed
+    assert k1[0].valid_to == k1[1].valid_from  # contiguous intervals
+    assert k1[1].valid_to == k1[2].valid_from
+    assert k1[2].valid_to is None and k1[2].is_current
+    assert not k1[0].is_current and not k1[1].is_current
+    k2 = [r for r in out if r.k == 2]
+    assert len(k2) == 1 and k2[0].attr == "Y"  # same-instant argmax by eid
+
+
+def test_pit_join_matches_interval_semantics(spark):
+    import datetime as dt
+
+    t = lambda h: dt.datetime(2024, 1, 1, h)  # noqa: E731
+    dim = spark.createDataFrame(
+        [
+            (1, "v1", t(0), t(2), False),
+            (1, "v2", t(2), None, True),
+        ],
+        ["k", "attr", "valid_from", "valid_to", "is_current"],
+    )
+    facts = spark.createDataFrame(
+        [
+            (100, t(1), 1),   # inside v1
+            (101, t(2), 1),   # boundary: half-open → v2
+            (102, t(5), 1),   # current version
+            (103, t(1), 9),   # unknown key → nulls
+        ],
+        ["fid", "ts", "k"],
+    )
+    from indra_db_spark.operators.temporal import pit_join
+
+    out = {r.fid: r for r in pit_join(facts, dim, on="k").collect()}
+    assert out[100].d_attr == "v1"
+    assert out[101].d_attr == "v2"  # ts == valid_from of v2, >= valid_to of v1
+    assert out[102].d_attr == "v2"
+    assert out[103].d_attr is None
+    assert len(out) == 4  # left-outer: every fact survives
+
+
+def test_pit_join_nulls_stale_interval_match(spark):
+    import datetime as dt
+
+    t = lambda h: dt.datetime(2024, 1, 1, h)  # noqa: E731
+    # history with a HOLE: entity deleted at t2, fact lands at t3
+    dim = spark.createDataFrame(
+        [(1, "v1", t(0), t(2), False)],
+        ["k", "attr", "valid_from", "valid_to", "is_current"],
+    )
+    facts = spark.createDataFrame([(100, t(3), 1)], ["fid", "ts", "k"])
+    from indra_db_spark.operators.temporal import pit_join
+
+    r = pit_join(facts, dim, on="k").collect()[0]
+    assert r.d_attr is None and r.d_valid_from is None  # stale match nulled
+
+
+def test_rolling_agg_window_and_ties(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0)
+    rows = [
+        (1, t0, 1, 100),
+        (1, t0 + dt.timedelta(seconds=30), 2, 10),
+        # two events at the SAME instant: range frame includes both ties
+        (1, t0 + dt.timedelta(seconds=60), 3, 1),
+        (1, t0 + dt.timedelta(seconds=60), 4, 2),
+        (1, t0 + dt.timedelta(seconds=200), 5, 7),  # everything aged out
+        (2, t0, 6, 55),
+    ]
+    df = spark.createDataFrame(rows, ["k", "ts", "eid", "vm"])
+    from indra_db_spark.operators.temporal import rolling_agg
+
+    out = {
+        r.eid: (r.roll_sum_micro, r.roll_n)
+        for r in rolling_agg(
+            df, "k", "ts", F.col("vm"), window_seconds=120
+        ).collect()
+    }
+    assert out[1] == (100, 1)
+    assert out[2] == (110, 2)
+    assert out[3] == (113, 4) and out[4] == (113, 4)  # ties share the frame
+    assert out[5] == (7, 1)  # frame [80s, 200s] holds only the event itself
+    assert out[6] == (55, 1)
+
+
+# ------------------------------------------------------------ cooccurrence
+
+
+def test_cooccurrence_counts_and_cap(spark):
+    rows = [
+        (1, "a"), (1, "b"), (1, "c"),
+        (2, "a"), (2, "b"),
+        (3, "a"), (3, "b"),
+        # key 4 is a hot basket: with the cap at 3 it must be dropped
+        (4, "a"), (4, "b"), (4, "c"), (4, "d"),
+        (4, "a"),  # duplicate (key, item): distinct-ed away first
+    ]
+    df = spark.createDataFrame(rows, ["k", "i"])
+    from indra_db_spark.operators.analytics import cooccurrence_pairs
+
+    out = {
+        (r.item_a, r.item_b): r
+        for r in cooccurrence_pairs(
+            df, "k", "i", max_items_per_key=3, min_count=2
+        ).collect()
+    }
+    ab = out[("a", "b")]
+    assert ab.n_both == 3 and ab.n_a == 3 and ab.n_b == 3
+    assert ab.jaccard_micro == 1_000_000  # a,b co-occur in every basket
+    assert ("a", "d") not in out  # only via the dropped hot basket
+    assert ("a", "c") not in out  # n_both=1 < min_count
+
+
+def test_ab_daily_cumulative_and_rates(spark):
+    import datetime as dt
+
+    d = lambda i, h=0: dt.datetime(2024, 1, i, h)  # noqa: E731
+    rows = [
+        # variant 0 (even users): u2 exposed d1 converts d2, u4 exposed d2
+        (2, d(1), "view"), (2, d(2), "purchase"), (4, d(2), "view"),
+        # variant 1: u1 exposed+converts d1, u3 exposed d1
+        (1, d(1), "purchase"), (3, d(1), "view"),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    from indra_db_spark.operators.analytics import ab_daily_uplift
+
+    out = {
+        (r.day.day, r.variant): r for r in ab_daily_uplift(df).collect()
+    }
+    assert out[(1, 0)].cum_exposed == 1 and out[(1, 0)].cum_converted == 0
+    assert out[(2, 0)].cum_exposed == 2 and out[(2, 0)].cum_converted == 1
+    assert out[(2, 0)].rate_micro == 500_000
+    assert out[(1, 1)].cum_exposed == 2 and out[(1, 1)].cum_converted == 1
+    # quiet day for variant 1: values carried forward, not missing
+    assert out[(2, 1)].cum_exposed == 2 and out[(2, 1)].rate_micro == 500_000
+    assert len(out) == 4  # full days × variants grid
+
+
+# --------------------------------------------------------- label propagation
+
+
+def test_label_propagation_converges_to_components(spark):
+    # two components: {1,2,3,4} chain and {10,11}
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], ["a", "b"]
+    )
+    from indra_db_spark.operators.graph import label_propagation
+
+    out = {r.id: r.lbl for r in label_propagation(edges, rounds=3).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+    # bounded-round contract: ONE round only reaches distance-1 nodes
+    one = {r.id: r.lbl for r in label_propagation(edges, rounds=1).collect()}
+    assert one[4] == 3  # 4's best after one step is its neighbor 3
+
+
+def test_label_propagation_fixture_rounds_past_fixed_point(spark, sf_dir):
+    """The catalog's 8 rounds must exceed the part-graph's min-label
+    eccentricity: one more round changes nothing."""
+    from indra_db_spark.catalog.temporal import _LP_ROUNDS
+    from indra_db_spark.operators.graph import label_propagation
+    from indra_db_spark.sources.lake import load_table
+
+    base = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("i")
+    )
+    raw = base.filter(F.col("i") >= 2).select(
+        F.col("i").alias("a"), F.expr("i div 2").alias("b")
+    ).unionByName(
+        base.filter(F.col("i") >= 4).select(
+            F.col("i").alias("a"), F.expr("i div 4").alias("b")
+        )
+    )
+    at = label_propagation(raw, rounds=_LP_ROUNDS)
+    beyond = label_propagation(raw, rounds=_LP_ROUNDS + 1)
+    assert at.exceptAll(beyond).count() == 0
+    assert beyond.exceptAll(at).count() == 0
+    # converged = per-component minimum everywhere: the part graph is one
+    # component rooted at 1
+    assert {r.lbl for r in at.collect()} == {1}

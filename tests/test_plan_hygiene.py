@@ -390,3 +390,80 @@ def test_minhash_increment_reads_materialized_bands(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     # the verify stage reads checkpointed RDDs, not fresh parquet lineage
     assert "Scan ExistingRDD" in plan
+
+
+def test_scd2_shares_one_key_partitioning(spark, sf_dir):
+    # same-instant argmax is a partial max(struct) (map-side combinable),
+    # and the agg + two windows all hash on the key: bounded exchanges,
+    # no Python, no sort-merge explosion
+    plan = _plan(spark, sf_dir, "events_scd2")
+    assert "partial_max" in plan or "partial max" in plan.lower()
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pit_join_is_asof_not_range_join(spark, sf_dir):
+    # the SCD2 lookup must compile to the union-merge as-of shape (one
+    # window over the unioned sides), never a nested-loop interval join
+    plan = _plan(spark, sf_dir, "events_pit_join")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan and "Union" in plan
+
+
+def test_rolling_agg_single_window_exchange(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "events_rolling")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "RangeFrame" in plan or "specifiedwindowframe" in plan.lower()
+
+
+def test_cooccur_caps_before_the_self_join(spark, sf_dir):
+    # the pair generator must be an EQUI-join on the basket key (never a
+    # cartesian pair blow-up) over the capped frame, and pair counting
+    # must partial-agg; the cap itself lives behind the compute-once
+    # barrier, so assert it on the un-checkpointed operator lineage
+    # (the cap itself sits behind the compute-once localCheckpoint, which
+    # rewrites lineage to a LogicalRDD — its pre-join placement is proven
+    # semantically by test_cooccurrence_counts_and_cap)
+    plan = _plan(spark, sf_dir, "events_cooccur")
+    assert "partial_count" in plan or "partial count" in plan.lower()
+    assert "CartesianProduct" not in plan
+    assert "[_k#" in plan  # the self-join keys on the basket key
+
+
+def test_ab_daily_touches_raw_log_once(spark, sf_dir):
+    # one parquet scan: exposure and conversion reduce in the SAME
+    # per-user aggregate behind a compute-once barrier; the four
+    # downstream consumers read the checkpointed per-user frame
+    from indra_db_spark.catalog import REGISTRY
+
+    fn, _ = REGISTRY["events_ab_daily"]
+    df = fn(spark, sf_dir)
+    df.count()  # materialize the barrier
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Scan parquet" not in plan  # consumers read ExistingRDD only
+    assert "Scan ExistingRDD" in plan
+
+
+def test_labelprop_round_aggs_are_partial(spark, sf_dir):
+    # the round body's neighbor-min must partial-agg (hub skew collapses
+    # map-side); the full operator returns a checkpoint scan, so pin the
+    # round body directly
+    from indra_db_spark.operators.graph import _lp_round
+
+    e = spark.createDataFrame([(1, 2), (2, 3)], ["s", "t"])
+    lbl = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], ["id", "lbl"])
+    plan = (
+        _lp_round(e, lbl)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "partial_min" in plan or "partial min" in plan.lower()
+
+    # ...and the assembled operator reads checkpointed labels, not
+    # re-derived lineage
+    from indra_db_spark.catalog import REGISTRY
+
+    fn, _ = REGISTRY["graph_labelprop"]
+    df = fn(spark, sf_dir)
+    df.count()
+    full = df._jdf.queryExecution().executedPlan().toString()
+    assert "Scan ExistingRDD" in full and "Scan parquet" not in full
