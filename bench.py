@@ -91,6 +91,12 @@ HEADLINE = [
     # daily ingest run leans on
     "er_blocking_join",
     "doc_minhash_increment",
+    # round 7.5: the warehouse-modeling pair (SCD2 build + point-in-time
+    # enrichment — the leakage-free feature join) and the capped basket
+    # self-join
+    "events_scd2",
+    "events_pit_join",
+    "events_cooccur",
 ]
 
 

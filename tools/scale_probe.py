@@ -381,6 +381,66 @@ def _ops(spark, docs, emb, edges, ivf_index, ivf_centers, events,
             tiebreak_col="event_id",
         ),
         "lake_profile": lambda: _profile(docs),
+        # round-7.5: warehouse modeling (SCD2 build + point-in-time
+        # enrichment — amplified as more users, per-key change counts
+        # constant), trailing rolling windows (frame density constant),
+        # capped basket co-occurrence (basket width bounded by the item
+        # vocabulary, so pair volume grows linearly in keys), the one-pass
+        # A/B read-out, and bounded-round min-label propagation over the
+        # same shrinking-edge graph family as kcore
+        "scd2": lambda: TP.scd2_build(
+            events.filter(F.col("event_type") == "view").select(
+                "user_id", "ts", "event_id",
+                (F.floor(F.abs(F.col("value")) * 2).cast("bigint") % 3)
+                .alias("tier"),
+            ),
+            key_col="user_id", ts_col="ts", attr_cols=["tier"],
+            tiebreak_col="event_id",
+        ),
+        "pit_join": lambda: TP.pit_join(
+            events.filter(F.col("event_type") == "purchase").select(
+                "event_id", "ts", "user_id", "value"
+            ),
+            TP.scd2_build(
+                events.filter(F.col("event_type") == "view").select(
+                    "user_id", "ts", "event_id",
+                    (F.floor(F.abs(F.col("value")) * 2).cast("bigint") % 3)
+                    .alias("tier"),
+                ),
+                key_col="user_id", ts_col="ts", attr_cols=["tier"],
+                tiebreak_col="event_id",
+            ),
+            on="user_id",
+        ),
+        "rolling": lambda: TP.rolling_agg(
+            events.filter(F.col("event_type") == "purchase").select(
+                "event_id", "ts", "user_id", "value"
+            ),
+            key_col="user_id", ts_col="ts",
+            value_micro=F.floor(F.col("value") * 1_000_000),
+            window_seconds=6 * 3600,
+        ),
+        "cooccur": lambda: AN.cooccurrence_pairs(
+            events.select(
+                "user_id",
+                F.concat(
+                    F.col("event_type"), F.lit("@"),
+                    F.lpad(F.hour("ts").cast("string"), 2, "0"),
+                ).alias("item"),
+            ),
+            key_col="user_id", item_col="item",
+            max_items_per_key=64, min_count=2,
+        ),
+        "ab_daily": lambda: AN.ab_daily_uplift(events),
+        "labelprop": lambda: G.label_propagation(
+            edges.unionByName(
+                edges.filter(F.col("child") >= 4).select(
+                    F.col("child"),
+                    F.expr("child div 4").alias("parent"),
+                )
+            ),
+            rounds=4, left_col="child", right_col="parent",
+        ),
     }
 
 
