@@ -43,6 +43,7 @@ log" gap called out in round 6's verdict for incremental 100-TB serving.
 from __future__ import annotations
 
 import json
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -110,16 +111,16 @@ class TxTable:
     def snapshot(self) -> tuple[int, list[str]]:
         """(version, live file names) of the latest committed version;
         (0, []) for an empty table."""
-        v, files, _ = self._snapshot_full()
+        v, files, _, _ = self._snapshot_full()
         return v, files
 
-    def _snapshot_full(self) -> tuple[int, list[str], dict]:
+    def _snapshot_full(self) -> tuple[int, list[str], dict, dict | None]:
         vs = self._versions()
         if not vs:
-            return 0, [], {}
+            return 0, [], {}, None
         v = vs[-1]
         body = self._read_version(v)
-        return v, body["files"], body.get("txns", {})
+        return v, body["files"], body.get("txns", {}), body.get("schema")
 
     def _try_claim(
         self,
@@ -127,6 +128,7 @@ class TxTable:
         files: list[str],
         action: str,
         txns: dict | None = None,
+        schema: dict | None = None,
     ) -> bool:
         """Atomically create the version file; False if somebody else
         already holds that version number (the optimistic-concurrency
@@ -142,9 +144,20 @@ class TxTable:
             out = self._fs.create(p, False)
         except Exception:  # FileAlreadyExistsException — lost the race
             return False
-        body = {"version": version, "action": action, "files": sorted(files)}
+        body = {
+            "version": version,
+            "action": action,
+            "files": sorted(files),
+            # wall-clock commit stamp for AS OF <timestamp> reads and
+            # age-based vacuum.  Informational ordering only: versions are
+            # the truth, and version_at() tolerates clock skew by scanning
+            # ALL manifests instead of binary-searching the stamps.
+            "ts_ms": int(time.time() * 1000),
+        }
         if txns:
             body["txns"] = txns
+        if schema is not None:
+            body["schema"] = schema
         out.write(bytearray(json.dumps(body).encode("utf-8")))
         out.close()
         return True
@@ -173,18 +186,90 @@ class TxTable:
         self._fs.delete(_jpath(self._jvm, tmp), True)
         return staged
 
+    # ---- schema enforcement / evolution ---------------------------------
+
+    def table_schema(self):
+        """The table's current StructType: the manifest-recorded schema
+        when one exists (set by an evolving append), else the latest
+        snapshot's parquet schema; None for an empty table."""
+        from pyspark.sql.types import StructType
+
+        v, files, _, schema = self._snapshot_full()
+        if schema is not None:
+            return StructType.fromJson(schema)
+        if not files:
+            return None
+        return self.spark.read.parquet(
+            f"{self.root}/data/{files[0]}"
+        ).schema
+
+    def _check_schema(self, df: DataFrame, merge_schema: bool):
+        """Enforce write-time schema compatibility (the table formats'
+        contract — a raw parquet directory would let a drifted producer
+        silently fork the schema and corrupt every later read).  Returns
+        the evolved schema dict to record in the manifest (None = no
+        evolution needed).  ``merge_schema=False``: the incoming fields
+        must be exactly the table's (order-insensitive, nullability
+        ignored).  ``merge_schema=True``: overlapping fields must keep
+        their types; NEW columns append to the recorded union schema,
+        and :meth:`read` projects every file through it, so old files
+        surface the new columns as nulls."""
+        cur = self.table_schema()
+        if cur is None:
+            return None  # first write defines the schema implicitly
+        cur_by_name = {f.name: f for f in cur.fields}
+        new_by_name = {f.name: f for f in df.schema.fields}
+        for name, f in new_by_name.items():
+            if name in cur_by_name and (
+                f.dataType != cur_by_name[name].dataType
+            ):
+                raise ValueError(
+                    f"schema mismatch on column {name!r}: table has "
+                    f"{cur_by_name[name].dataType.simpleString()}, "
+                    f"incoming has {f.dataType.simpleString()}"
+                )
+        added = [n for n in new_by_name if n not in cur_by_name]
+        missing = [n for n in cur_by_name if n not in new_by_name]
+        if not merge_schema and (added or missing):
+            raise ValueError(
+                f"schema mismatch: incoming adds {added or '[]'} and "
+                f"omits {missing or '[]'}; pass merge_schema=True to "
+                "evolve (new columns) — omitted columns read as null"
+            )
+        if not added and not missing:
+            return None
+        from pyspark.sql.types import StructType
+
+        union = StructType(
+            list(cur.fields)
+            + [new_by_name[n] for n in df.schema.names if n in added]
+        )
+        return union.jsonValue()
+
     # ---- transactions ---------------------------------------------------
 
-    def append(self, df: DataFrame, max_retries: int = 20) -> int:
+    def append(
+        self,
+        df: DataFrame,
+        max_retries: int = 20,
+        merge_schema: bool = False,
+    ) -> int:
         """Commit ``df``'s rows as new files; returns the new version.
         Appends never conflict — on a lost race the rebase is simply the
-        winner's file list plus this append's staged files."""
+        winner's file list plus this append's staged files.  Incoming
+        schema is ENFORCED against the table's (see
+        :meth:`_check_schema`); ``merge_schema=True`` lets new columns
+        evolve the recorded union schema instead of failing."""
+        evolved = self._check_schema(df, merge_schema)
         staged = self._stage(df)
         if _pre_commit_hook is not None:
             _pre_commit_hook(self)
         for _ in range(max_retries):
-            base, files, txns = self._snapshot_full()
-            if self._try_claim(base + 1, files + staged, "append", txns):
+            base, files, txns, schema = self._snapshot_full()
+            if self._try_claim(
+                base + 1, files + staged, "append", txns,
+                evolved if evolved is not None else schema,
+            ):
                 return base + 1
         raise RuntimeError(f"append lost {max_retries} commit races")
 
@@ -206,19 +291,22 @@ class TxTable:
         committed.  The idempotency check re-runs inside the retry loop:
         losing a race to ONESELF (a zombie retry of the same writer) is
         detected on the rebase."""
-        base, files, txns = self._snapshot_full()
+        base, files, txns, schema = self._snapshot_full()
         if txns.get(app_id, -1) >= batch_id:
             return None
+        # streaming writers stay STRICT: a drifted producer must fail the
+        # batch, not silently evolve the table mid-stream
+        self._check_schema(df, merge_schema=False)
         staged = self._stage(df)
         if _pre_commit_hook is not None:
             _pre_commit_hook(self)
         for _ in range(max_retries):
-            base, files, txns = self._snapshot_full()
+            base, files, txns, schema = self._snapshot_full()
             if txns.get(app_id, -1) >= batch_id:
                 return None  # a concurrent replay committed this batch
             merged = dict(txns)
             merged[app_id] = batch_id
-            if self._try_claim(base + 1, files + staged, "append", merged):
+            if self._try_claim(base + 1, files + staged, "append", merged, schema):
                 return base + 1
         raise RuntimeError(f"append_batch lost {max_retries} commit races")
 
@@ -258,7 +346,7 @@ class TxTable:
         if _pre_commit_hook is not None:
             _pre_commit_hook(self)
         for _ in range(max_retries):
-            cur, cur_files, txns = self._snapshot_full()
+            cur, cur_files, txns, schema = self._snapshot_full()
             cur_set = set(cur_files)
             if not rewritten <= cur_set:
                 raise CommitConflict(
@@ -266,7 +354,7 @@ class TxTable:
                     "rewrote; staged rewrite abandoned (vacuum reclaims it)"
                 )
             merged = sorted((cur_set - rewritten) | set(staged))
-            if self._try_claim(cur + 1, merged, "compact", txns):
+            if self._try_claim(cur + 1, merged, "compact", txns, schema):
                 return cur + 1
         raise RuntimeError(f"compaction lost {max_retries} commit races")
 
@@ -313,7 +401,7 @@ class TxTable:
             raise ValueError("merge updates must be unique on the key columns")
         from pyspark.sql import functions as F
 
-        base, files, _ = self._snapshot_full()
+        base, files, _, schema = self._snapshot_full()
         keys = updates.select(*key_cols).distinct()
         basename = F.element_at(F.split(F.input_file_name(), "/"), -1)
 
@@ -345,7 +433,7 @@ class TxTable:
         if _pre_commit_hook is not None:
             _pre_commit_hook(self)
         for _ in range(max_retries):
-            cur, cur_files, txns = self._snapshot_full()
+            cur, cur_files, txns, schema = self._snapshot_full()
             cur_set = set(cur_files)
             if _txn is not None and txns.get(_txn[0], -1) >= _txn[1]:
                 return None  # a concurrent replay committed this batch
@@ -367,7 +455,7 @@ class TxTable:
             if _txn is not None:
                 txns = dict(txns)
                 txns[_txn[0]] = _txn[1]
-            if self._try_claim(cur + 1, merged, "merge", txns):
+            if self._try_claim(cur + 1, merged, "merge", txns, schema):
                 return cur + 1
         raise RuntimeError(f"merge lost {max_retries} commit races")
 
@@ -389,7 +477,7 @@ class TxTable:
         later batch updated (the watermark makes both impossible).
         Returns the new version; None when skipped as a replay or when
         ``updates`` is empty."""
-        base, files, txns = self._snapshot_full()
+        base, files, txns, schema = self._snapshot_full()
         if txns.get(app_id, -1) >= batch_id:
             return None
         return self.merge(
@@ -410,7 +498,7 @@ class TxTable:
         delete semantics)."""
         from pyspark.sql import functions as F
 
-        base, files, _ = self._snapshot_full()
+        base, files, _, schema = self._snapshot_full()
         if not files:
             return None
         basename = F.element_at(F.split(F.input_file_name(), "/"), -1)
@@ -436,7 +524,7 @@ class TxTable:
         if _pre_commit_hook is not None:
             _pre_commit_hook(self)
         for _ in range(max_retries):
-            cur, cur_files, txns = self._snapshot_full()
+            cur, cur_files, txns, schema = self._snapshot_full()
             cur_set = set(cur_files)
             if not removed <= cur_set:
                 raise CommitConflict(
@@ -444,7 +532,7 @@ class TxTable:
                     "staged rewrite abandoned (vacuum reclaims it)"
                 )
             merged = sorted((cur_set - removed) | set(staged))
-            if self._try_claim(cur + 1, merged, "delete", txns):
+            if self._try_claim(cur + 1, merged, "delete", txns, schema):
                 return cur + 1
         raise RuntimeError(f"delete lost {max_retries} commit races")
 
@@ -459,9 +547,37 @@ class TxTable:
             files = self._read_version(version)["files"]
         if not files:
             raise ValueError(f"{self.root} has no committed data")
-        return self.spark.read.parquet(
+        schema = self._read_version(version).get("schema")
+        reader = self.spark.read
+        if schema is not None:
+            from pyspark.sql.types import StructType
+
+            # the recorded union schema projects EVERY file: columns a
+            # file predates come back null — no mergeSchema footer sweep
+            reader = reader.schema(StructType.fromJson(schema))
+        return reader.parquet(
             *[f"{self.root}/data/{n}" for n in files]
         )
+
+    def version_at(self, ts_ms: int) -> int:
+        """The latest version committed at-or-before ``ts_ms`` (epoch
+        millis) — the resolution step of ``AS OF <timestamp>`` reads
+        (``read(version_at(t))``).  Scans every retained manifest rather
+        than binary-searching the stamps: commit wall-clocks come from
+        racing writers' machines and need not be monotone in version
+        order, so the answer is the LARGEST version with stamp ≤ t — the
+        same tolerance the public formats apply to their commit
+        timestamps.  Raises when nothing was committed by then (vacuum
+        may also have pruned history past its retention horizon)."""
+        best = None
+        for v in self._versions():
+            if self._read_version(v).get("ts_ms", 0) <= ts_ms:
+                best = v if best is None else max(best, v)
+        if best is None:
+            raise ValueError(
+                f"{self.root}: no version committed at or before {ts_ms}"
+            )
+        return best
 
     def changes(self, since_version: int, to_version: int | None = None) -> DataFrame:
         """Change feed: the rows APPENDED after ``since_version`` (up to
@@ -588,14 +704,29 @@ class TxTable:
 
     # ---- maintenance ----------------------------------------------------
 
-    def vacuum(self, keep_versions: int = 2) -> list[str]:
+    def vacuum(
+        self, keep_versions: int = 2, keep_since_ms: int | None = None
+    ) -> list[str]:
         """Delete data files referenced by NO retained version (the last
         ``keep_versions`` snapshots stay readable) plus pruned log
         entries; returns the deleted file names.  Never touches a file a
         retained reader could resolve, so it is safe to run concurrently
-        with readers pinned to retained versions."""
+        with readers pinned to retained versions.
+
+        ``keep_since_ms`` adds time-based retention ON TOP of the version
+        count: every version committed at-or-after that stamp also
+        survives, so ``AS OF <timestamp>`` reads within the retention
+        window keep resolving after maintenance (the public formats'
+        retention-hours contract)."""
         vs = self._versions()
-        keep = vs[-keep_versions:] if vs else []
+        keep = set(vs[-keep_versions:] if vs else [])
+        if keep_since_ms is not None:
+            keep |= {
+                v
+                for v in vs
+                if self._read_version(v).get("ts_ms", 0) >= keep_since_ms
+            }
+        keep = sorted(keep)
         live: set[str] = set()
         for v in keep:
             live |= set(self._read_version(v)["files"])
@@ -606,7 +737,9 @@ class TxTable:
                 continue
             self._fs.delete(f.getPath(), False)
             deleted.append(name)
-        for v in vs[:-keep_versions] if keep_versions else vs:
+        for v in vs:
+            if v in keep:
+                continue
             self._fs.delete(
                 _jpath(self._jvm, self.root, LOG_DIR, f"v{v:012d}.json"),
                 False,

@@ -434,3 +434,100 @@ def test_upsert_stream_sink_exactly_once(spark, tmp_path):
     v_before = t.snapshot()[0]
     assert t.merge_batch(upd, ["k"], ckpt, 0) is None
     assert t.snapshot()[0] == v_before
+
+
+# ------------------------------------------------------ timestamp travel
+
+
+def test_version_at_resolves_as_of_timestamp(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, 0, 5))                       # v1
+    ts1 = t._read_version(1)["ts_ms"]
+    t.append(_df(spark, 5, 9))                       # v2
+    ts2 = t._read_version(2)["ts_ms"]
+    assert t.version_at(ts1) == 1
+    assert t.version_at(ts2 + 10_000) == 2           # after everything
+    assert t.read(t.version_at(ts1)).count() == 5    # AS OF read
+    with pytest.raises(ValueError, match="no version committed"):
+        t.version_at(ts1 - 10_000)                   # before history
+
+
+def test_version_at_tolerates_non_monotone_clocks(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, 0, 5))                       # v1
+    t.append(_df(spark, 5, 9))                       # v2
+    # simulate clock skew: a LATER version carries an EARLIER stamp
+    import json as _json
+
+    body = t._read_version(2)
+    body["ts_ms"] = t._read_version(1)["ts_ms"] - 5_000
+    p = txlog._jpath(t._jvm, t.root, txlog.LOG_DIR, "v000000000002.json")
+    t._fs.delete(p, False)
+    out = t._fs.create(p, False)
+    out.write(bytearray(_json.dumps(body).encode()))
+    out.close()
+    # the largest qualifying VERSION wins, not the largest stamp
+    assert t.version_at(t._read_version(1)["ts_ms"]) == 2
+
+
+def test_vacuum_time_retention_keeps_as_of_reads(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, 0, 5))                       # v1
+    t.append(_df(spark, 5, 9))                       # v2
+    t.compact()                                      # v3
+    t.append(_df(spark, 9, 12))                      # v4
+    ts1 = t._read_version(1)["ts_ms"]
+    # version-count retention alone would keep only v3/v4; time retention
+    # spanning the whole history must preserve every manifest + its files
+    t.vacuum(keep_versions=2, keep_since_ms=ts1)
+    assert t.read(1).count() == 5
+    assert t.read(t.version_at(ts1)).count() == 5
+    # with the horizon past the end, only the version-count floor remains
+    t.vacuum(keep_versions=2, keep_since_ms=t._read_version(4)["ts_ms"] + 1)
+    assert t.read().count() == 12
+    with pytest.raises(Exception):
+        t.read(1)
+
+
+# --------------------------------------------------- schema enforcement
+
+
+def test_append_rejects_drifted_schema(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, 0, 5))
+    # wrong type on an existing column
+    bad_type = spark.range(5).select(
+        F.col("id").cast("string").alias("k"), F.lit("w").alias("src")
+    )
+    with pytest.raises(ValueError, match="schema mismatch on column 'k'"):
+        t.append(bad_type)
+    # extra column without opting into evolution
+    extra = _df(spark, 5, 8).withColumn("note", F.lit("x"))
+    with pytest.raises(ValueError, match="merge_schema=True"):
+        t.append(extra)
+    # the streaming writer is strict too
+    with pytest.raises(ValueError, match="schema mismatch"):
+        t.append_batch(extra, "w", 0)
+    assert t.read().count() == 5  # nothing leaked
+
+
+def test_append_merge_schema_evolves_and_old_files_read_null(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, 0, 5))                                   # v1: (k, src)
+    v = t.append(
+        _df(spark, 5, 8).withColumn("note", F.lit("x")),
+        merge_schema=True,
+    )                                                            # v2: + note
+    assert v == 2
+    out = t.read()
+    assert out.columns == ["k", "src", "note"]
+    rows = {r.k: r.note for r in out.collect()}
+    assert rows[0] is None and rows[6] == "x"  # old files surface nulls
+    # the union schema survives unrelated commits (compaction carries it)
+    t.compact()
+    assert t.read().columns == ["k", "src", "note"]
+    # a writer still on the OLD shape keeps working under evolution mode
+    t.append(_df(spark, 8, 10), merge_schema=True)
+    assert t.read().filter("k >= 8").select("note").collect()[0].note is None
+    # time travel reads v1 with its own (pre-evolution) schema
+    assert t.read(1).columns == ["k", "src"]
