@@ -962,3 +962,203 @@ def graph_labelprop(spark, sf):
         )
     )
     return label_propagation(raw, rounds=_LP_ROUNDS)
+
+
+# --------------------------------------------------------------------------
+# round 7.6: reshaping + multi-grain aggregation + robust stats + centroids
+
+
+@register(
+    "lineitem_unpivot",
+    """
+    WITH src AS (
+      SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+             l_discount
+      FROM lineitem WHERE l_orderkey % 1000 = 0
+    )
+    SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+           l_quantity AS val FROM src
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+    FROM src
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM src
+    """,
+)
+def lineitem_unpivot(spark, sf):
+    """Wide→long reshaping (the inverse of source_pivot): measures melt
+    into (measure, val) rows via the native ``unpivot`` operator — an
+    Expand node, 3 output rows per input WITHOUT a shuffle or a union of
+    3 re-scans (the oracle's UNION ALL spells out the semantics; the
+    Spark plan reads the table once).  The long shape every
+    metric-agnostic pipeline stage (profiling, anomaly scans) consumes."""
+    src = (
+        T(spark, sf, "lineitem")
+        .filter(F.col("l_orderkey") % 1000 == 0)
+        .select(
+            "l_orderkey", "l_linenumber",
+            "l_quantity", "l_extendedprice", "l_discount",
+        )
+    )
+    return src.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "measure",
+        "val",
+    )
+
+
+@register(
+    "events_grouping_sets",
+    """
+    SELECT event_type, date_trunc('hour', ts) AS hour,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(grouping(event_type) AS INT) AS g_type,
+           CAST(grouping(date_trunc('hour', ts)) AS INT) AS g_hour
+    FROM events WHERE ts IS NOT NULL
+    GROUP BY CUBE (event_type, date_trunc('hour', ts))
+    """,
+)
+def events_grouping_sets(spark, sf):
+    """Multi-grain aggregation in ONE pass: CUBE(type, hour) emits all
+    four grains (cell, per-type, per-hour, grand total) from a single
+    Expand + partial agg — vs four separate scans of a 100-TB log; the
+    GROUPING() flags disambiguate a NULL dimension value from an
+    aggregated-out one (completes the ROLLUP entry,
+    events_hier_rollup)."""
+    e = (
+        T(spark, sf, "events")
+        .filter(F.col("ts").isNotNull())
+        .select("event_type", F.date_trunc("hour", "ts").alias("hour"))
+    )
+    return (
+        e.cube("event_type", "hour")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.grouping("event_type").cast("int").alias("g_type"),
+            F.grouping("hour").cast("int").alias("g_hour"),
+        )
+        .select("event_type", "hour", "n", "g_type", "g_hour")
+    )
+
+
+_WINS_LO, _WINS_HI = 0.05, 0.95
+
+
+@register(
+    "events_winsorized",
+    f"""
+    WITH v AS (
+      SELECT event_type, CAST(floor(value * 1000000) AS BIGINT) AS vm
+      FROM events WHERE value IS NOT NULL
+    ),
+    ranked AS (
+      SELECT event_type, vm,
+             row_number() OVER (PARTITION BY event_type ORDER BY vm) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM v
+    ),
+    bounds AS (
+      SELECT event_type,
+             min(CASE WHEN rn = greatest(1, CAST(ceil(n * {_WINS_LO}) AS BIGINT))
+                      THEN vm END) AS lo,
+             min(CASE WHEN rn = greatest(1, CAST(ceil(n * {_WINS_HI}) AS BIGINT))
+                      THEN vm END) AS hi
+      FROM ranked GROUP BY event_type
+    )
+    SELECT v.event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           b.lo AS lo_micro, b.hi AS hi_micro,
+           CAST(sum(least(greatest(v.vm, b.lo), b.hi)) // count(*) AS BIGINT)
+             AS wins_mean_micro
+    FROM v JOIN bounds b ON b.event_type = v.event_type
+    GROUP BY v.event_type, b.lo, b.hi
+    """,
+)
+def events_winsorized(spark, sf):
+    """Winsorized (outlier-clipped) per-type mean spend: p05/p95 bounds
+    by deterministic rank selection (operators/topk.py:
+    discrete_quantiles — elements of the data, no interpolation, so the
+    whole statistic stays integer-exact across engines), values clipped
+    to the bounds, mean as integer micro division.  The robust
+    aggregation a metrics pipeline uses where one whale would otherwise
+    move the mean; raw volume is touched twice (rank pass + clip pass)
+    with the bounds frame broadcast."""
+    from indra_db_spark.operators.topk import discrete_quantiles
+
+    v = (
+        T(spark, sf, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.floor(F.col("value") * 1_000_000).cast("bigint").alias("vm"),
+        )
+    )
+    bounds = discrete_quantiles(
+        v, ["event_type"], "vm", {"lo": _WINS_LO, "hi": _WINS_HI}
+    ).select("event_type", F.col("lo").alias("lo_micro"), F.col("hi").alias("hi_micro"))
+    clipped = v.join(F.broadcast(bounds), "event_type").withColumn(
+        "cvm",
+        F.least(F.greatest(F.col("vm"), F.col("lo_micro")), F.col("hi_micro")),
+    )
+    return (
+        clipped.groupBy("event_type", "lo_micro", "hi_micro")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("CAST(sum(cvm) div count(1) AS BIGINT)").alias(
+                "wins_mean_micro"
+            ),
+        )
+        .select(
+            "event_type", "n", "lo_micro", "hi_micro", "wins_mean_micro"
+        )
+    )
+
+
+@register(
+    "emb_label_centroids",
+    """
+    SELECT label, CAST(ord - 1 AS INT) AS dim,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(floor(
+             CAST(sum(CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
+                  AS DOUBLE) / count(*)
+           ) AS BIGINT) AS mean_micro
+    FROM (
+      SELECT label, unnest(embedding) AS x,
+             generate_subscripts(embedding, 1) AS ord
+      FROM embeddings WHERE label IS NOT NULL
+    ) d
+    GROUP BY label, dim
+    """,
+)
+def emb_label_centroids(spark, sf):
+    """Per-label centroid of the embedding column (nearest-centroid
+    classification / cluster summarization): posexplode to (label, dim,
+    component), one partial-agg shuffle on (label, dim) — never a
+    per-label collect; components quantized to integer micros BEFORE
+    summation so the cross-engine sum is exact, and the mean floors a
+    double division of int64s (both engines' IEEE doubles agree below
+    2^53)."""
+    e = (
+        T(spark, sf, "embeddings")
+        .filter(F.col("label").isNotNull())
+        .select("label", F.posexplode("embedding").alias("dim", "x"))
+    )
+    return (
+        e.groupBy("label", "dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.floor(
+                F.sum(
+                    F.floor(F.col("x").cast("double") * 1_000_000).cast(
+                        "bigint"
+                    )
+                ).cast("double")
+                / F.count(F.lit(1))
+            )
+            .cast("bigint")
+            .alias("mean_micro"),
+        )
+        .select("label", F.col("dim").cast("int").alias("dim"), "n", "mean_micro")
+    )

@@ -467,3 +467,37 @@ def test_labelprop_round_aggs_are_partial(spark, sf_dir):
     df.count()
     full = df._jdf.queryExecution().executedPlan().toString()
     assert "Scan ExistingRDD" in full and "Scan parquet" not in full
+
+
+def test_unpivot_is_expand_not_rescans(spark, sf_dir):
+    # wide→long must be ONE scan + Expand (3 rows per input), never the
+    # oracle's UNION ALL of three re-scans
+    plan = _plan(spark, sf_dir, "lineitem_unpivot")
+    assert "Expand" in plan
+    assert plan.count("Scan parquet") == 1
+    assert "Exchange" not in plan  # reshaping needs no shuffle at all
+
+
+def test_grouping_sets_single_pass(spark, sf_dir):
+    # all four CUBE grains from one scan + Expand + partial agg
+    plan = _plan(spark, sf_dir, "events_grouping_sets")
+    assert "Expand" in plan
+    assert plan.count("Scan parquet") == 1
+    assert "partial_count" in plan or "partial count" in plan.lower()
+
+
+def test_winsorized_broadcasts_bounds(spark, sf_dir):
+    # the per-type p05/p95 frame (≤ |types| rows) must broadcast into the
+    # clip pass; raw volume is scanned for ranking and clipping only
+    plan = _plan(spark, sf_dir, "events_winsorized")
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Scan parquet") <= 2
+
+
+def test_label_centroids_partial_agg_after_explode(spark, sf_dir):
+    # posexplode is scan-fused (Generate, no shuffle before it); the only
+    # exchange is the (label, dim) partial-agg shuffle
+    plan = _plan(spark, sf_dir, "emb_label_centroids")
+    assert "Generate" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_sum" in plan or "partial sum" in plan.lower()
