@@ -1162,3 +1162,142 @@ def emb_label_centroids(spark, sf):
         )
         .select("label", F.col("dim").cast("int").alias("dim"), "n", "mean_micro")
     )
+
+
+_BFS_ROUNDS = 6
+
+
+def _bfs_oracle(rounds: int, inf: int) -> str:
+    """Unrolled synchronous BFS relaxations (labelprop/kcore pattern)."""
+    sql = """
+    WITH base AS (SELECT p_partkey AS i FROM part),
+    raw AS (
+      SELECT i AS x, i // 2 AS y FROM base WHERE i >= 2
+      UNION ALL
+      SELECT i AS x, i // 4 AS y FROM base WHERE i >= 4
+    ),
+    e AS (
+      SELECT DISTINCT least(x, y) AS s, greatest(x, y) AS t
+      FROM raw WHERE least(x, y) < greatest(x, y)
+    ),
+    de AS (SELECT s, t FROM e UNION ALL SELECT t AS s, s AS t FROM e),
+    d0 AS (
+      SELECT DISTINCT s AS id, 0 AS dist FROM de WHERE s <= 2
+    )"""
+    for r in range(1, rounds + 1):
+        sql += f""",
+    d{r} AS (
+      SELECT coalesce(a.id, b.id) AS id,
+             least(coalesce(a.dist, {inf}), coalesce(b.nd, {inf})) AS dist
+      FROM d{r - 1} a FULL OUTER JOIN (
+        SELECT de.t AS id, min(l.dist) + 1 AS nd
+        FROM de JOIN d{r - 1} l ON l.id = de.s
+        GROUP BY de.t) b ON a.id = b.id
+    )"""
+    return (
+        sql
+        + f"\n    SELECT id, CAST(dist AS INT) AS dist FROM d{rounds}"
+        + f" WHERE dist < {inf}"
+    )
+
+
+from indra_db_spark.operators.graph import BFS_INF as _BFS_INF  # noqa: E402
+
+
+@register("graph_bfs", _bfs_oracle(_BFS_ROUNDS, _BFS_INF))
+def graph_bfs(spark, sf):
+    """Bounded-round multi-source BFS distances on the part-derived graph
+    (operators/graph.py:bfs_distances): 6 synchronous relaxations from
+    sources {1, 2} — per round one frontier⋈edges join + partial-agg min
+    + full-outer merge, frame bounded by |V|; the sentinel (not NULL)
+    carries unreached distances so both engines' least() agree.  The
+    k-hop blast-radius query of lineage/fraud graphs, oracle-unrolled
+    like labelprop/kcore/PageRank."""
+    from indra_db_spark.operators.graph import bfs_distances
+
+    base = T(spark, sf, "part").select(F.col("p_partkey").alias("i"))
+    raw = base.filter(F.col("i") >= 2).select(
+        F.col("i").alias("a"), F.expr("i div 2").alias("b")
+    ).unionByName(
+        base.filter(F.col("i") >= 4).select(
+            F.col("i").alias("a"), F.expr("i div 4").alias("b")
+        )
+    )
+    sources = spark.range(1, 3).select(F.col("id"))
+    return bfs_distances(raw, sources, rounds=_BFS_ROUNDS).select(
+        "id", F.col("dist").cast("int").alias("dist")
+    )
+
+
+@register(
+    "events_feature_scale",
+    """
+    WITH v AS (
+      SELECT event_id, event_type,
+             CAST(floor(value * 1000000) AS BIGINT) AS vm
+      FROM events WHERE value IS NOT NULL
+    ),
+    r AS (
+      SELECT event_id, event_type, vm,
+             rank() OVER (PARTITION BY event_type ORDER BY vm) AS rk,
+             count(*) OVER (PARTITION BY event_type) AS n,
+             min(vm) OVER (PARTITION BY event_type) AS lo,
+             max(vm) OVER (PARTITION BY event_type) AS hi
+      FROM v
+    )
+    SELECT event_id, event_type, vm,
+           CASE WHEN n > 1
+                THEN CAST(CAST(rk - 1 AS BIGINT) * 1000000 // (n - 1) AS BIGINT)
+                ELSE CAST(0 AS BIGINT) END AS pct_rank_micro,
+           CASE WHEN hi > lo
+                THEN CAST((vm - lo) * 1000000 // (hi - lo) AS BIGINT)
+                ELSE CAST(0 AS BIGINT) END AS minmax_micro
+    FROM r
+    """,
+)
+def events_feature_scale(spark, sf):
+    """Per-group feature scaling in exact integer micros: percentile rank
+    (rank() — ties share a value, so the statistic is a pure function of
+    the data, no tie-order dependence) and min-max normalization, both
+    from ONE per-type window partitioning (rank, count, min, max share
+    the same exchange).  The leakage-free per-feature normalization step
+    of a training pipeline; degenerate groups (one row / constant value)
+    scale to 0 instead of dividing by zero."""
+    from pyspark.sql import Window
+
+    v = (
+        T(spark, sf, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_id",
+            "event_type",
+            F.floor(F.col("value") * 1_000_000).cast("bigint").alias("vm"),
+        )
+    )
+    wp = Window.partitionBy("event_type")
+    wo = wp.orderBy("vm")
+    r = (
+        v.withColumn("rk", F.rank().over(wo))
+        .withColumn("n", F.count(F.lit(1)).over(wp))
+        .withColumn("lo", F.min("vm").over(wp))
+        .withColumn("hi", F.max("vm").over(wp))
+    )
+    return r.select(
+        "event_id",
+        "event_type",
+        "vm",
+        F.when(
+            F.col("n") > 1,
+            F.expr(
+                "CAST(CAST(rk - 1 AS BIGINT) * 1000000 div (n - 1) AS BIGINT)"
+            ),
+        )
+        .otherwise(F.lit(0).cast("bigint"))
+        .alias("pct_rank_micro"),
+        F.when(
+            F.col("hi") > F.col("lo"),
+            F.expr("CAST((vm - lo) * 1000000 div (hi - lo) AS BIGINT)"),
+        )
+        .otherwise(F.lit(0).cast("bigint"))
+        .alias("minmax_micro"),
+    )

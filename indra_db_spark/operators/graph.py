@@ -688,3 +688,65 @@ def _lp_round(dir_e: DataFrame, labels: DataFrame) -> DataFrame:
         "id",
         F.least(F.col("lbl"), F.coalesce("_nm", F.col("lbl"))).alias("lbl"),
     )
+
+
+#: unreached-distance sentinel shared by the operator and its SQL oracle —
+#: an explicit value instead of NULL so both engines' least() agree without
+#: depending on their (different) null-skipping rules
+BFS_INF = 999_999_999
+
+
+def bfs_distances(
+    edges: DataFrame,
+    sources: DataFrame,
+    rounds: int = 6,
+    left_col: str = "a",
+    right_col: str = "b",
+) -> DataFrame:
+    """Bounded-round multi-source BFS over the undirected simple graph →
+    (id, dist): every node's hop distance to the nearest source,
+    computed as ``rounds`` synchronous relaxations (dist = min(dist,
+    min(neighbor dist) + 1)) — the k-hop-neighborhood / blast-radius
+    query of lineage and fraud graphs.  Exactly-``rounds`` semantics
+    keep it a pure integer function of (graph, sources): the DuckDB twin
+    unrolls identical rounds (the labelprop/kcore/PageRank discipline),
+    and nodes farther than ``rounds`` hops are absent from the result.
+
+    Scale shape per round: one frontier⋈edges join + a partial-agg min
+    keyed on the destination, then a full-outer merge with the running
+    distance frame — all shuffles on node id, frame bounded by |V|,
+    lineage cut per round.  Unreached nodes carry :data:`BFS_INF`
+    internally (never NULL — engines disagree on null-skipping in
+    least()) and are filtered at the end.
+    """
+    u, v = F.col(left_col), F.col(right_col)
+    und = edges.select(
+        F.least(u, v).alias("s"), F.greatest(u, v).alias("t")
+    ).filter(F.col("s") < F.col("t")).distinct()
+    dir_e = und.unionByName(
+        und.select(F.col("t").alias("s"), F.col("s").alias("t"))
+    ).localCheckpoint(eager=False)
+    dist = (
+        sources.select(F.col(sources.columns[0]).alias("id"))
+        .distinct()
+        .withColumn("dist", F.lit(0))
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(rounds):
+        nbr = (
+            dir_e.join(dist.select(F.col("id").alias("s"), "dist"), "s")
+            .groupBy(F.col("t").alias("id"))
+            .agg((F.min("dist") + 1).alias("_nd"))
+        )
+        dist = (
+            dist.join(nbr, "id", "full_outer")
+            .select(
+                "id",
+                F.least(
+                    F.coalesce("dist", F.lit(BFS_INF)),
+                    F.coalesce("_nd", F.lit(BFS_INF)),
+                ).alias("dist"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return dist.filter(F.col("dist") < BFS_INF)

@@ -2303,3 +2303,31 @@ def test_label_propagation_fixture_rounds_past_fixed_point(spark, sf_dir):
     # converged = per-component minimum everywhere: the part graph is one
     # component rooted at 1
     assert {r.lbl for r in at.collect()} == {1}
+
+
+# ------------------------------------------------------------------- bfs
+
+
+def test_bfs_distances_bounded_rounds(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)], ["a", "b"]
+    )
+    src = spark.createDataFrame([(1,)], ["id"])
+    from indra_db_spark.operators.graph import bfs_distances
+
+    out = {r.id: r.dist for r in bfs_distances(edges, src, rounds=2).collect()}
+    # two rounds reach exactly distance ≤ 2; {10,11} are disconnected
+    assert out == {1: 0, 2: 1, 3: 2}
+    full = {
+        r.id: r.dist for r in bfs_distances(edges, src, rounds=10).collect()
+    }
+    assert full == {1: 0, 2: 1, 3: 2, 4: 3, 5: 4}
+
+
+def test_bfs_multi_source_takes_nearest(spark):
+    edges = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], ["a", "b"])
+    src = spark.createDataFrame([(1,), (4,)], ["id"])
+    from indra_db_spark.operators.graph import bfs_distances
+
+    out = {r.id: r.dist for r in bfs_distances(edges, src, rounds=4).collect()}
+    assert out == {1: 0, 2: 1, 3: 1, 4: 0}

@@ -175,3 +175,16 @@ def test_temperature_weights_bound_documented():
     assert math.floor(math.sqrt(total * 100) * 1000) * 1_000_000 >= 2**63
     # a 1e13-token corpus is six orders inside the bound
     assert int(1e13) < total // 10**6
+
+
+def test_feature_scale_bounds_documented():
+    """events_feature_scale (catalog/temporal.py): the rank product is
+    computed as BIGINT — CAST(rk-1 AS BIGINT)·10⁶ — after the int32 form
+    overflowed at sf0.1 (rank 20k · 10⁶ > 2³¹, caught by the oracle gate
+    under ANSI).  The widened form bounds the per-GROUP row count at
+    (2⁶³−1)/10⁶ ≈ 9.2e12 rows; min-max's (vm−lo)·10⁶ bounds the value
+    RANGE at 9.2e12 micros (≈ 9.2e6 units).  Both are group-local, so
+    corpus size doesn't tighten them."""
+    INT64 = 2**63 - 1
+    assert (10**13 - 1) * 1_000_000 > INT64  # 1e13-row group WOULD overflow
+    assert (9 * 10**12) * 1_000_000 < INT64  # documented bound holds

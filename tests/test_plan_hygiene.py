@@ -501,3 +501,20 @@ def test_label_centroids_partial_agg_after_explode(spark, sf_dir):
     assert "Generate" in plan
     assert plan.count("Exchange hashpartitioning") == 1
     assert "partial_sum" in plan or "partial sum" in plan.lower()
+
+
+def test_feature_scale_shares_one_window_exchange(spark, sf_dir):
+    # rank, count, min, max all partition by event_type: one exchange
+    plan = _plan(spark, sf_dir, "events_feature_scale")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Scan parquet") == 1
+
+
+def test_bfs_rounds_read_checkpointed_frontier(spark, sf_dir):
+    from indra_db_spark.catalog import REGISTRY
+
+    fn, _ = REGISTRY["graph_bfs"]
+    df = fn(spark, sf_dir)
+    df.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Scan ExistingRDD" in plan and "Scan parquet" not in plan
