@@ -69,16 +69,54 @@ def compare(old: dict, new: dict, threshold: float = 1.2) -> dict:
 
 
 def load_bench(path: str) -> dict:
-    """Accept either bench.py's raw JSON line or the driver's BENCH_r{N}
-    wrapper ({rc, tail, ...} with the metrics line embedded in `tail`)."""
+    """Accept bench.py's raw JSON line or the driver's BENCH_r{N} wrapper:
+    prefer the wrapper's ``parsed`` metrics when present, then a complete
+    metrics line inside ``tail``, and finally regex-recover the
+    ``queries``/``queries_sigma`` maps from a FRONT-TRUNCATED tail (the
+    driver caps the captured tail, which can cut the single metrics line
+    mid-way — BENCH_r06 is such a file)."""
     with open(path) as f:
         doc = json.load(f)
     if "queries" in doc:
         return doc
-    for line in reversed(doc.get("tail", "").splitlines()):
+    parsed = doc.get("parsed")
+    if isinstance(parsed, dict) and "queries" in parsed:
+        return parsed
+    tail = doc.get("tail", "")
+    for line in reversed(tail.splitlines()):
         line = line.strip()
         if line.startswith("{") and '"queries"' in line:
-            return json.loads(line)
+            try:
+                return json.loads(line)
+            except json.JSONDecodeError:
+                break
+    import re
+
+    out: dict = {}
+    # fallback order: the min map, then the mean map (when the truncation
+    # cut the min map's opener — compare means against mins consciously:
+    # mean ≥ min, so an old-mean baseline only UNDER-flags regressions)
+    for key in ("queries", "queries_mean"):
+        frag = re.search(r'"%s": \{(.*?)\}' % key, tail)
+        if frag:
+            out["queries"] = {
+                k: float(v)
+                for k, v in re.findall(
+                    r'"([A-Za-z0-9_]+)": ([0-9.]+)', frag.group(1)
+                )
+            }
+            out["recovered_from"] = key
+            break
+    frag = re.search(r'"queries_sigma": \{(.*?)\}', tail)
+    if frag:
+        out["queries_sigma"] = {
+            k: float(v)
+            for k, v in re.findall(
+                r'"([A-Za-z0-9_]+)": ([0-9.]+)', frag.group(1)
+            )
+        }
+    if out.get("queries"):
+        return out
     raise SystemExit(f"{path}: no bench metrics line found")
 
 
