@@ -1301,3 +1301,49 @@ def events_feature_scale(spark, sf):
         .otherwise(F.lit(0).cast("bigint"))
         .alias("minmax_micro"),
     )
+
+
+_SKEW_K = 8
+
+
+@register(
+    "lake_skew_report",
+    f"""
+    WITH pairs AS (
+      SELECT 'event_type' AS col_name, event_type AS value FROM events
+      WHERE event_type IS NOT NULL
+      UNION ALL
+      SELECT 'user_id', CAST(user_id AS VARCHAR) FROM events
+      WHERE user_id IS NOT NULL
+    ),
+    c AS (
+      SELECT col_name, value, CAST(count(*) AS BIGINT) AS n
+      FROM pairs GROUP BY col_name, value
+    ),
+    t AS (SELECT col_name, CAST(sum(n) AS BIGINT) AS total FROM c
+          GROUP BY col_name),
+    r AS (
+      SELECT c.col_name, c.value, c.n, t.total,
+             row_number() OVER (PARTITION BY c.col_name
+                                ORDER BY c.n DESC, c.value) AS rank
+      FROM c JOIN t ON t.col_name = c.col_name
+    )
+    SELECT col_name, value, n,
+           CAST(n * 1000000 // total AS BIGINT) AS share_micro,
+           CAST(rank AS INT) AS rank
+    FROM r WHERE rank <= {_SKEW_K}
+    """,
+)
+def lake_skew_report(spark, sf):
+    """Heavy-hitter skew diagnosis over candidate key columns
+    (operators/profile.py:skew_report): one Expand scan, one partial-agg
+    count, broadcast per-column totals, WindowGroupLimit top-k with a
+    deterministic tie-break — the measurement that decides where the
+    salting/chunking escapes pay for themselves."""
+    from indra_db_spark.operators.profile import skew_report
+
+    return skew_report(
+        T(spark, sf, "events").select("event_type", "user_id"),
+        ["event_type", "user_id"],
+        k=_SKEW_K,
+    )

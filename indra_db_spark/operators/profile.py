@@ -107,3 +107,54 @@ def run_expectations(checks: list[DataFrame]) -> DataFrame:
     for c in checks[1:]:
         out = out.unionByName(c)
     return out.withColumn("passed", F.col("violations") == 0)
+
+
+def skew_report(df: DataFrame, columns: list[str], k: int = 10) -> DataFrame:
+    """Per-column heavy-hitter report → (col_name, value, n, share_micro,
+    rank): the top-``k`` values of each candidate key column with their
+    exact corpus share — the diagnosis that decides WHERE the skew
+    escapes (operators/skew.py salting, asof/paths ``chunk_seconds``)
+    are worth their extra shuffles.  A key whose top value holds >10%
+    share is the measured crossover documented in SCALING.md §6d.
+
+    One scan: columns stack into (col_name, value) pairs via Expand
+    (exactly :func:`profile_table`'s shape — never one scan per column),
+    one partial-agg count, per-column totals rejoined broadcast, and a
+    WindowGroupLimit top-k with a deterministic (n DESC, value) order.
+    Values are stringified so heterogeneous columns share one report
+    schema; share is exact integer micros.
+    """
+    stack_args = ", ".join(
+        f"'{c}', CAST(`{c}` AS STRING)" for c in columns
+    )
+    pairs = df.selectExpr(
+        f"stack({len(columns)}, {stack_args}) AS (col_name, value)"
+    ).filter(F.col("value").isNotNull())
+    # two consumers (the totals agg and the join input): compute the
+    # count frame ONCE — without the barrier the totals branch re-scans
+    # the raw table
+    counts = (
+        pairs.groupBy("col_name", "value")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    totals = counts.groupBy("col_name").agg(F.sum("n").alias("total"))
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("col_name").orderBy(
+        F.desc("n"), F.asc("value")
+    )
+    return (
+        counts.join(F.broadcast(totals), "col_name")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "col_name",
+            "value",
+            "n",
+            F.expr("CAST(n * 1000000 div total AS BIGINT)").alias(
+                "share_micro"
+            ),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

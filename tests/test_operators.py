@@ -2331,3 +2331,21 @@ def test_bfs_multi_source_takes_nearest(spark):
 
     out = {r.id: r.dist for r in bfs_distances(edges, src, rounds=4).collect()}
     assert out == {1: 0, 2: 1, 3: 1, 4: 0}
+
+
+def test_skew_report_shares_and_ties(spark):
+    df = spark.createDataFrame(
+        [("a",), ("a",), ("a",), ("b",), ("c",)] , ["k"]
+    ).withColumn("g", F.lit(1))
+    from indra_db_spark.operators.profile import skew_report
+
+    out = {
+        (r.col_name, r.value): r
+        for r in skew_report(df, ["k", "g"], k=2).collect()
+    }
+    a = out[("k", "a")]
+    assert a.n == 3 and a.share_micro == 600_000 and a.rank == 1
+    # tie between b and c (n=1 each): deterministic value order, only
+    # rank 2 survives k=2
+    assert out[("k", "b")].rank == 2 and ("k", "c") not in out
+    assert out[("g", "1")].share_micro == 1_000_000

@@ -518,3 +518,17 @@ def test_bfs_rounds_read_checkpointed_frontier(spark, sf_dir):
     df.count()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Scan ExistingRDD" in plan and "Scan parquet" not in plan
+
+
+def test_skew_report_one_scan_window_group_limit(spark, sf_dir):
+    # the count frame is computed once behind a barrier (two consumers:
+    # totals + join input), so the executed plan reads no parquet at all
+    from indra_db_spark.catalog import REGISTRY
+
+    fn, _ = REGISTRY["lake_skew_report"]
+    df = fn(spark, sf_dir)
+    df.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Scan parquet" not in plan and "Scan ExistingRDD" in plan
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastHashJoin" in plan  # per-column totals broadcast
