@@ -358,6 +358,76 @@ class TxTable:
                 return cur + 1
         raise RuntimeError(f"compaction lost {max_retries} commit races")
 
+    def optimize(
+        self,
+        x_col: str,
+        y_col: str,
+        n_files: int = 16,
+        max_retries: int = 20,
+    ) -> int | None:
+        """Z-ordered compaction (Delta ``OPTIMIZE ... ZORDER BY`` /
+        Iceberg sort-order rewrite): rewrite the current snapshot
+        clustered by the Morton interleave of (x_col, y_col) — one
+        ``repartitionByRange`` shuffle on the z-value + within-partition
+        sort, so every output file covers a tight axis-aligned box and a
+        later :func:`plans.skipindex.index_tx_table` +
+        :func:`plans.skipindex.skip_scan` prunes almost every file for a
+        box predicate.  Transactionally it IS a compaction: same
+        rebase-over-concurrent-appends / conflict-on-removed-file rules,
+        committed as action "compact" so the change feed stays silent
+        (layout changes no rows).  At 100 TB this runs per maintenance
+        window; every read between windows inherits the clustering free.
+        """
+        from pyspark.sql import functions as F
+
+        from indra_db_spark.plans.skipindex import (
+            column_bounds,
+            zvalue_expr,
+        )
+
+        base, files = self.snapshot()
+        if not files:
+            return None
+        df = self.read(base)
+        rows = df.count()
+        b = column_bounds(df, x_col, y_col)
+        z = zvalue_expr(
+            x_col, y_col,
+            b[x_col][0], b[x_col][1], b[y_col][0], b[y_col][1],
+        )
+        arranged = (
+            df.withColumn("_z", F.expr(z))
+            .repartitionByRange(n_files, "_z")
+            .sortWithinPartitions("_z")
+            .drop("_z")
+        )
+        # n_files=None: _stage must keep the arranged partitioning — its
+        # own repartition would destroy the clustering being bought here
+        staged = self._stage(arranged)
+        rewritten = set(files)
+        got = self.spark.read.parquet(
+            *[f"{self.root}/data/{n}" for n in staged]
+        ).count()
+        if got != rows:
+            raise RuntimeError(
+                f"optimize row mismatch ({rows} -> {got}); "
+                "staged files left unreferenced"
+            )
+        if _pre_commit_hook is not None:
+            _pre_commit_hook(self)
+        for _ in range(max_retries):
+            cur, cur_files, txns, schema = self._snapshot_full()
+            cur_set = set(cur_files)
+            if not rewritten <= cur_set:
+                raise CommitConflict(
+                    "a concurrent commit removed files this optimize "
+                    "rewrote; staged rewrite abandoned (vacuum reclaims it)"
+                )
+            merged = sorted((cur_set - rewritten) | set(staged))
+            if self._try_claim(cur + 1, merged, "compact", txns, schema):
+                return cur + 1
+        raise RuntimeError(f"optimize lost {max_retries} commit races")
+
     def merge(
         self,
         updates: DataFrame,

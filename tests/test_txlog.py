@@ -531,3 +531,58 @@ def test_append_merge_schema_evolves_and_old_files_read_null(spark, tmp_path):
     assert t.read().filter("k >= 8").select("note").collect()[0].note is None
     # time travel reads v1 with its own (pre-evolution) schema
     assert t.read(1).columns == ["k", "src"]
+
+
+# ---------------------------------------------------- z-order optimize
+
+
+def test_optimize_zorders_and_prunes(spark, tmp_path):
+    from pyspark.sql import functions as F2
+
+    t = TxTable(spark, str(tmp_path / "t"))
+    # 2-D grid written in a deliberately clustering-hostile order
+    grid = (
+        spark.range(4096)
+        .select(
+            (F2.col("id") % 64).alias("x"),
+            (F2.col("id") / 64).cast("long").alias("y"),
+            F2.col("id").alias("payload"),
+        )
+        .orderBy(F2.rand(7))
+    )
+    t.append(grid)
+    v = t.optimize("x", "y", n_files=16)
+    assert v == 2
+    assert t.read().count() == 4096
+    # same rows, new layout
+    assert t.read().exceptAll(t.read(1)).count() == 0
+
+    # the bought property: a box predicate prunes most files
+    from indra_db_spark.plans.skipindex import index_tx_table, skip_scan
+
+    _, idx = index_tx_table(t, "x", "y")
+    result, files_read, files_total = skip_scan(
+        spark, idx, predicates={"x": (0, 7), "y": (0, 7)}
+    )
+    assert result.count() == 64  # parity with the predicate's true rows
+    assert files_total >= 8 and files_read < files_total / 2  # real pruning
+
+
+def test_optimize_conflicts_like_compaction(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(
+        spark.range(100).select(
+            (F.col("id") % 10).alias("x"),
+            (F.col("id") % 7).alias("y"),
+        )
+    )
+
+    def racer(_table):
+        txlog._pre_commit_hook = None
+        TxTable(spark, _table.root).compact()
+
+    txlog._pre_commit_hook = racer
+    with pytest.raises(CommitConflict):
+        t.optimize("x", "y", n_files=4)
+    txlog._pre_commit_hook = None
+    assert t.read().count() == 100
