@@ -40,6 +40,12 @@ ANSI_ENTRIES = [
     "doc_incremental_new",
     "broadcast_dim_join",
     "global_topk",
+    # round 7.5/7.6 (the rest of the new families use // or DuckDB list
+    # functions — their cross-engine check is the DuckDB oracle itself)
+    "events_scd2",
+    "events_pit_join",
+    "lineitem_unpivot",
+    "events_grouping_sets",
 ]
 
 

@@ -15,6 +15,7 @@ selectivity collapse can never hide past the default sf again.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -102,8 +103,23 @@ def main() -> int:
                 print(f"{res['status']:<4} [{sf_key}] {name}: "
                       f"rows={res['rows']} ({res['secs']}s) "
                       f"{'; '.join(res['problems'])}")
+        if only and os.path.exists(out_path):
+            # subset runs MERGE into the existing report (scale_probe's
+            # convention) instead of clobbering full-sweep coverage
+            try:
+                with open(out_path) as f:
+                    prior = json.load(f).get("results", {})
+                for sf_key, rows in report.items():
+                    merged = dict(prior.get(sf_key, {}))
+                    merged.update(rows)
+                    report[sf_key] = merged
+            except (OSError, json.JSONDecodeError):
+                pass
         summary = {
-            "failures": failures,
+            "failures": sum(
+                r["status"] == "FAIL"
+                for per_sf in report.values() for r in per_sf.values()
+            ),
             "warns": sum(
                 r["status"] == "WARN"
                 for per_sf in report.values() for r in per_sf.values()
