@@ -369,3 +369,79 @@ def upsert_stream_txlog(
         q.awaitTermination()
         return q
     return writer.start()
+
+
+def maintain_rollup_stream(
+    stream_df: DataFrame,
+    fact_root: str,
+    view_root: str,
+    group_cols: list[str],
+    sum_cols: list[str],
+    checkpoint_dir: str,
+    app_id: str | None = None,
+    available_now: bool = True,
+):
+    """Streaming materialized view: each micro-batch lands EXACTLY-ONCE
+    in the fact table AND folds into a keyed count/sum rollup with
+    O(batch) work — the silver→gold pattern that keeps a 100-TB fact
+    log's aggregate continuously queryable without ever rescanning it.
+
+    Per batch, in crash-safe order:
+
+    1. ``append_batch`` the rows into the fact TxTable (idempotent via
+       the per-writer watermark);
+    2. recompute the rollup rows for exactly the TOUCHED groups —
+       :func:`plans.ivm.incremental_agg` over the view slice semi-joined
+       to the batch's group keys (the batch is append-only, so deltas
+       are implicit +1s and groups never empty out);
+    3. ``merge_batch`` the recomputed rows into the view TxTable by the
+       group key (idempotent again).
+
+    Crash anywhere between the two commits replays the batch: the side
+    already committed skips on its watermark, the other recomputes from
+    unchanged state — both tables converge to exactly-once contents.
+    The view table's merge rewrites only the files holding touched
+    groups (copy-on-write), so maintenance cost is O(batch + touched
+    groups), never O(view).
+    """
+    from pyspark.sql import functions as F
+
+    from indra_db_spark.plans.ivm import delta_agg, incremental_agg
+    from indra_db_spark.plans.txlog import TxTable
+
+    writer_id = app_id or checkpoint_dir
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        facts = TxTable(spark, fact_root)
+        view = TxTable(spark, view_root)
+        facts.append_batch(batch_df, writer_id, batch_id)
+        keys = batch_df.select(*group_cols).distinct()
+        try:
+            base = view.read().join(F.broadcast(keys), group_cols, "semi")
+        except ValueError:  # view not bootstrapped yet
+            base = delta_agg(
+                batch_df.limit(0), group_cols, sum_cols, None
+            ).select(
+                *group_cols,
+                F.col("d_n").alias("n"),
+                *[
+                    F.col(f"d_sum_{c}").alias(f"sum_{c}")
+                    for c in sum_cols
+                ],
+            )
+        updated = incremental_agg(
+            base, batch_df, group_cols, sum_cols, change_type_col=None
+        )
+        view.merge_batch(updated, group_cols, writer_id, batch_id)
+
+    writer = (
+        stream_df.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.start()

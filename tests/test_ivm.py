@@ -88,3 +88,55 @@ def test_delta_agg_rejects_unknown_change_types(spark):
     )
     with pytest.raises(ValueError, match="outside the CDF row types"):
         delta_agg(bad, ["grp"], ["v"])
+
+
+def test_streaming_materialized_view_exactly_once(spark, tmp_path):
+    """foreachBatch: facts land exactly-once AND the rollup view folds
+    each batch in O(batch) — after every drain the view must equal a
+    from-scratch aggregate of the fact table, across restarts and
+    replays."""
+    from indra_db_spark.streaming.ingest import (
+        maintain_rollup_stream,
+        read_stream,
+    )
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "b", 5)], ["k", "grp", "v"]
+    ).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    facts_root = str(tmp_path / "facts")
+    view_root = str(tmp_path / "view")
+    ckpt = str(tmp_path / "ckpt")
+
+    maintain_rollup_stream(
+        read_stream(spark, src, schema),
+        facts_root, view_root, ["grp"], ["v"], ckpt,
+    )
+    facts = TxTable(spark, facts_root)
+    view = TxTable(spark, view_root)
+    _assert_same(view.read(), grouped_snapshot(facts.read(), ["grp"], ["v"]))
+    got = {r.grp: (r.n, r.sum_v) for r in view.read().collect()}
+    assert got == {"a": (2, 30), "b": (1, 5)}
+
+    # second drop: existing group grows, new group appears
+    spark.createDataFrame(
+        [(4, "a", 1), (5, "c", 7)], ["k", "grp", "v"]
+    ).write.mode("append").parquet(src)
+    maintain_rollup_stream(
+        read_stream(spark, src, schema),
+        facts_root, view_root, ["grp"], ["v"], ckpt,
+    )
+    assert facts.read().count() == 5
+    _assert_same(view.read(), grouped_snapshot(facts.read(), ["grp"], ["v"]))
+    got = {r.grp: (r.n, r.sum_v) for r in view.read().collect()}
+    assert got == {"a": (3, 31), "b": (1, 5), "c": (1, 7)}
+
+    # zombie replay of batch 0 against BOTH tables: no-ops
+    fv, vv = facts.snapshot()[0], view.snapshot()[0]
+    batch0 = spark.read.parquet(src).limit(3)
+    assert facts.append_batch(batch0, ckpt, 0) is None
+    assert view.merge_batch(
+        grouped_snapshot(batch0, ["grp"], ["v"]), ["grp"], ckpt, 0
+    ) is None
+    assert facts.snapshot()[0] == fv and view.snapshot()[0] == vv
