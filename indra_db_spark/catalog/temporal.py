@@ -1347,3 +1347,53 @@ def lake_skew_report(spark, sf):
         ["event_type", "user_id"],
         k=_SKEW_K,
     )
+
+
+@register(
+    "events_attribution_model",
+    """
+    WITH pairs AS (
+      SELECT t.event_id AS touch_id, t.ts AS touch_ts,
+             c.event_id AS conv_id
+      FROM (SELECT event_id, ts, user_id FROM events
+            WHERE event_type = 'click') t
+      JOIN (SELECT event_id, ts, user_id FROM events
+            WHERE event_type = 'purchase') c
+        ON t.user_id = c.user_id
+       AND c.ts >= t.ts AND c.ts <= t.ts + INTERVAL 1 HOUR
+    ),
+    r AS (
+      SELECT conv_id, touch_id, touch_ts,
+             row_number() OVER (PARTITION BY conv_id
+                                ORDER BY touch_ts DESC, touch_id DESC)
+               AS rn,
+             CAST(count(*) OVER (PARTITION BY conv_id) AS BIGINT)
+               AS n_touches
+      FROM pairs
+    )
+    SELECT conv_id, touch_id, touch_ts, n_touches,
+           rn = 1 AS is_last,
+           CAST(1000000 // n_touches AS BIGINT)
+             + CASE WHEN rn = 1
+                    THEN CAST(1000000 % n_touches AS BIGINT)
+                    ELSE 0 END AS linear_credit_micro
+    FROM r
+    """,
+)
+def events_attribution_model(spark, sf):
+    """Credit assignment over the click→purchase pairs (operators/
+    analytics.py:attribution_credits): last-touch flag and linear credit
+    in exact integer micros, the remainder assigned to the last touch so
+    every conversion's credits sum to exactly 10⁶ — floor division alone
+    leaks 10⁶ mod n micros per conversion, a silently vanishing revenue
+    stream at volume.  One window partitioning on the conversion id
+    covers both models."""
+    from indra_db_spark.operators.analytics import attribution_credits
+    from indra_db_spark.streaming.ingest import interval_attribution
+
+    pairs = interval_attribution(
+        _typed(spark, sf, "click"),
+        _typed(spark, sf, "purchase"),
+        horizon=_ATTR_HORIZON,
+    ).select("touch_id", "touch_ts", "conv_id")
+    return attribution_credits(pairs)

@@ -522,3 +522,49 @@ def ab_daily_uplift(
             ).alias("rate_micro"),
         )
     )
+
+
+def attribution_credits(
+    pairs: DataFrame,
+    conv_col: str = "conv_id",
+    touch_col: str = "touch_id",
+    touch_ts_col: str = "touch_ts",
+) -> DataFrame:
+    """Credit assignment over (touch, conversion) pairs — the layer that
+    turns an interval-attribution join into revenue numbers.  Emits one
+    row per pair with BOTH standard models as exact integers:
+
+    - ``is_last``: the last-touch flag (latest touch before conversion,
+      touch id as the deterministic tie-break) — last-touch credit is
+      10⁶ micro on that row, 0 elsewhere;
+    - ``linear_credit_micro``: 10⁶ div n_touches, with the integer
+      remainder assigned to the LAST touch so every conversion's credits
+      sum to exactly 10⁶ (floor-division alone would leak
+      10⁶ mod n micros per conversion — at 10⁹ conversions/day that's a
+      silently vanishing revenue stream).
+
+    One window partitioning on the conversion id covers both models
+    (count + last-flag share the exchange); conversions are independent
+    so 100 TB of them parallelize flat.
+    """
+    w = Window.partitionBy(conv_col)
+    wo = w.orderBy(
+        F.desc(touch_ts_col), F.desc(touch_col)
+    )
+    ranked = (
+        pairs.withColumn("_rn", F.row_number().over(wo))
+        .withColumn("n_touches", F.count(F.lit(1)).over(w))
+        .withColumn("is_last", F.col("_rn") == 1)
+    )
+    base = F.expr("CAST(1000000 div n_touches AS BIGINT)")
+    rem = F.expr("CAST(1000000 % n_touches AS BIGINT)")
+    return ranked.select(
+        conv_col,
+        touch_col,
+        touch_ts_col,
+        "n_touches",
+        "is_last",
+        F.when(F.col("is_last"), base + rem)
+        .otherwise(base)
+        .alias("linear_credit_micro"),
+    )

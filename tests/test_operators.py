@@ -2349,3 +2349,31 @@ def test_skew_report_shares_and_ties(spark):
     # rank 2 survives k=2
     assert out[("k", "b")].rank == 2 and ("k", "c") not in out
     assert out[("g", "1")].share_micro == 1_000_000
+
+
+def test_attribution_credits_sum_exactly(spark):
+    import datetime as dt
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)  # noqa: E731
+    # conversion 100 has 3 touches (1e6 // 3 leaves remainder 1);
+    # conversion 200 has 1 touch
+    pairs = spark.createDataFrame(
+        [
+            (10, t(0), 100), (11, t(5), 100), (12, t(9), 100),
+            (13, t(0), 200),
+        ],
+        ["touch_id", "touch_ts", "conv_id"],
+    )
+    from indra_db_spark.operators.analytics import attribution_credits
+
+    out = attribution_credits(pairs).collect()
+    by_conv: dict[int, list] = {}
+    for r in out:
+        by_conv.setdefault(r.conv_id, []).append(r)
+    c100 = {r.touch_id: r for r in by_conv[100]}
+    assert c100[12].is_last and not c100[10].is_last
+    # credits sum to exactly 1e6 — the remainder lands on the last touch
+    assert sum(r.linear_credit_micro for r in by_conv[100]) == 1_000_000
+    assert c100[12].linear_credit_micro == 333_334
+    assert c100[10].linear_credit_micro == 333_333
+    assert by_conv[200][0].linear_credit_micro == 1_000_000
