@@ -1397,3 +1397,47 @@ def events_attribution_model(spark, sf):
         horizon=_ATTR_HORIZON,
     ).select("touch_id", "touch_ts", "conv_id")
     return attribution_credits(pairs)
+
+
+@register(
+    "events_ivm_rollup",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT)
+             AS sum_vm
+    FROM (SELECT event_type, value FROM events
+          WHERE value IS NOT NULL AND event_id IS NOT NULL)
+    GROUP BY event_type
+    """,
+)
+def events_ivm_rollup(spark, sf):
+    """Incremental view maintenance, oracle-checked end to end: bootstrap
+    the per-type rollup from the first ~90% of the log, fold the
+    remaining slice in as an append-only change feed
+    (plans/ivm.py:incremental_agg — one partial-agg shuffle of the DELTA
+    + a join against the view), and the result must hash-match the
+    oracle's straight GROUP BY over everything.  The maintained view IS
+    the rebuilt view — the property that lets a 100-TB rollup update per
+    commit without rescans.  Values fold in integer micros so the
+    incremental and monolithic sums agree bit-for-bit."""
+    from indra_db_spark.plans.ivm import grouped_snapshot, incremental_agg
+
+    e = (
+        T(spark, sf, "events")
+        .filter(F.col("value").isNotNull() & F.col("event_id").isNotNull())
+        .select(
+            "event_type",
+            "event_id",
+            F.floor(F.col("value") * 1_000_000).cast("bigint").alias("vm"),
+        )
+    )
+    day1 = e.filter(F.col("event_id") % 10 != 0)
+    drop = e.filter(F.col("event_id") % 10 == 0)
+    view = grouped_snapshot(day1, ["event_type"], ["vm"])
+    maintained = incremental_agg(
+        view, drop, ["event_type"], ["vm"], change_type_col=None
+    )
+    return maintained.select(
+        "event_type", "n", F.col("sum_vm").alias("sum_vm")
+    )
