@@ -445,3 +445,134 @@ def maintain_rollup_stream(
         q.awaitTermination()
         return q
     return writer.start()
+
+
+def scd2_stream_txlog(
+    stream_df: DataFrame,
+    view_root: str,
+    key_cols: list[str],
+    ts_col: str,
+    attr_cols: list[str],
+    checkpoint_dir: str,
+    tiebreak_col: str | None = None,
+    app_id: str | None = None,
+    available_now: bool = True,
+):
+    """Streaming type-2 dimension maintenance: each micro-batch of change
+    events extends the SCD2 history table exactly-once — the Delta
+    "SCD2 MERGE" recipe, built from this repo's own pieces
+    (operators/temporal.py:scd2_build for intra-batch versioning,
+    TxTable.merge_batch for the idempotent copy-on-write commit).
+
+    Per batch:
+
+    1. version the batch itself (same-instant collapse, no-op
+       suppression, intra-batch intervals) with ``scd2_build``;
+    2. fetch the CURRENT row of every touched key from the view
+       (semi-join — cost O(touched), never O(dimension));
+    3. stitch across the boundary: a batch whose FIRST version carries
+       the same attrs as the key's current row opens no new version
+       (cross-batch heartbeat suppression — without it every batch
+       fragments history); otherwise the current row CLOSES at the first
+       new version's valid_from;
+    4. ``merge_batch`` the changed/new interval rows by
+       (key, valid_from) — replays are no-ops via the writer watermark.
+
+    Contract: batches must arrive in event-time order per key (the
+    standard streaming-SCD2 limitation — a late change older than the
+    current row would need history rewriting; route such data through a
+    batch rebuild).  Under that contract the maintained table is pinned
+    EQUAL to ``scd2_build`` over the full static history in tests.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from indra_db_spark.operators.temporal import scd2_build
+    from indra_db_spark.plans.txlog import TxTable
+
+    if len(key_cols) != 1:
+        # scd2_build keys on one column; composite keys pre-concat
+        raise ValueError("scd2_stream_txlog takes a single key column")
+    writer_id = app_id or checkpoint_dir
+    merge_keys = [*key_cols, "valid_from"]
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        view = TxTable(spark, view_root)
+        b = scd2_build(
+            batch_df, key_cols[0], ts_col, attr_cols, tiebreak_col
+        )
+        keys = b.select(*key_cols).distinct()
+        try:
+            cur = (
+                view.read()
+                .filter(F.col("is_current"))
+                .join(F.broadcast(keys), key_cols, "semi")
+            )
+        except ValueError:  # empty view: everything is new history
+            view.merge_batch(b, merge_keys, writer_id, batch_id)
+            return
+        k = key_cols[0]
+        first = (
+            b.withColumn(
+                "_rn",
+                F.row_number().over(
+                    Window.partitionBy(k).orderBy("valid_from")
+                ),
+            )
+        )
+        f1 = first.filter(F.col("_rn") == 1).select(
+            k,
+            F.col("valid_from").alias("_b_from"),
+            *[F.col(c).alias(f"_b_{c}") for c in attr_cols],
+        )
+        joined = cur.join(f1, k, "inner")
+        same = F.lit(True)
+        for c in attr_cols:
+            same = same & F.col(c).eqNullSafe(F.col(f"_b_{c}"))
+        # keys whose first batch version is a cross-boundary heartbeat:
+        # that version row is dropped from the batch history
+        noop_keys = joined.filter(same).select(k, F.col("_b_from"))
+        b_kept = b.join(
+            noop_keys.withColumnRenamed("_b_from", "valid_from"),
+            [k, "valid_from"],
+            "left_anti",
+        )
+        # the dropped heartbeat's SUCCESSOR (if any) now closes the
+        # current row; recompute each key's first KEPT version
+        fk = (
+            b_kept.withColumn(
+                "_rn",
+                F.row_number().over(
+                    Window.partitionBy(k).orderBy("valid_from")
+                ),
+            )
+            .filter(F.col("_rn") == 1)
+            .select(k, F.col("valid_from").alias("_close_at"))
+        )
+        closed = (
+            cur.join(fk, k, "inner")
+            .select(
+                k,
+                *attr_cols,
+                "valid_from",
+                F.col("_close_at").alias("valid_to"),
+                F.lit(False).alias("is_current"),
+            )
+        )
+        # a kept heartbeat-dropped key with NO successor leaves its
+        # current row untouched (no row in fk → no close)
+        updates = closed.unionByName(b_kept)
+        if updates.limit(1).count():
+            view.merge_batch(updates, merge_keys, writer_id, batch_id)
+
+    writer = (
+        stream_df.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.start()

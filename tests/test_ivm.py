@@ -140,3 +140,61 @@ def test_streaming_materialized_view_exactly_once(spark, tmp_path):
         grouped_snapshot(batch0, ["grp"], ["v"]), ["grp"], ckpt, 0
     ) is None
     assert facts.snapshot()[0] == fv and view.snapshot()[0] == vv
+
+
+def test_streaming_scd2_matches_batch_build(spark, tmp_path):
+    """Drive the streaming SCD2 maintainer over two time-ordered drops —
+    including a cross-batch heartbeat and a same-instant tie — and the
+    maintained table must equal scd2_build over the full static
+    history."""
+    import datetime as dt
+
+    from indra_db_spark.operators.temporal import scd2_build
+    from indra_db_spark.streaming.ingest import read_stream, scd2_stream_txlog
+
+    t = lambda h: dt.datetime(2024, 1, 1, h)  # noqa: E731
+    drop1 = [
+        (1, t(0), 10, "A"),
+        (1, t(1), 11, "B"),
+        (2, t(0), 20, "X"),
+    ]
+    drop2 = [
+        (1, t(2), 12, "B"),   # cross-batch heartbeat: no new version
+        (1, t(3), 13, "C"),   # real change: closes B at t3
+        (2, t(4), 21, "Y"),   # change for key 2
+        (3, t(4), 30, "Z"),   # brand-new key
+        (3, t(4), 31, "W"),   # same-instant tie: eid 31 wins
+    ]
+    cols = ["k", "ts", "eid", "attr"]
+    src = str(tmp_path / "src")
+    view_root = str(tmp_path / "view")
+    ckpt = str(tmp_path / "ckpt")
+
+    spark.createDataFrame(drop1, cols).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    scd2_stream_txlog(
+        read_stream(spark, src, schema), view_root,
+        ["k"], "ts", ["attr"], ckpt, tiebreak_col="eid",
+    )
+    spark.createDataFrame(drop2, cols).write.mode("append").parquet(src)
+    scd2_stream_txlog(
+        read_stream(spark, src, schema), view_root,
+        ["k"], "ts", ["attr"], ckpt, tiebreak_col="eid",
+    )
+
+    expected = scd2_build(
+        spark.createDataFrame(drop1 + drop2, cols),
+        "k", "ts", ["attr"], tiebreak_col="eid",
+    )
+    got = TxTable(spark, view_root).read().select(
+        "k", "attr", "valid_from", "valid_to", "is_current"
+    )
+    _assert_same(got, expected)
+    rows = {
+        (r.k, r.attr): (r.valid_to, r.is_current) for r in got.collect()
+    }
+    # heartbeat did NOT fragment: key 1's B interval runs t1 -> t3
+    assert rows[(1, "B")][0].hour == 3
+    assert rows[(1, "C")] == (None, True)
+    assert rows[(3, "W")] == (None, True)
+    assert (3, "Z") not in rows  # same-instant argmax by eid
