@@ -441,7 +441,105 @@ def _ops(spark, docs, emb, edges, ivf_index, ivf_centers, events,
             ),
             rounds=4, left_col="child", right_col="parent",
         ),
+        # round-7.6/7.7: bounded-round BFS (same shrinking-frontier family
+        # as labelprop), one-exchange feature scaling, two-pass winsorized
+        # means, explode+partial-agg centroids, conversion-keyed
+        # attribution credits, and the Expand-based skew report
+        "bfs": lambda: G.bfs_distances(
+            edges.unionByName(
+                edges.filter(F.col("child") >= 4).select(
+                    F.col("child"),
+                    F.expr("child div 4").alias("parent"),
+                )
+            ),
+            events.sparkSession.range(1, 3),
+            rounds=4, left_col="child", right_col="parent",
+        ),
+        "feature_scale": lambda: _feature_scale(events),
+        "winsorized": lambda: _winsorized(events),
+        "label_centroids": lambda: emb.filter(
+            F.col("label").isNotNull()
+        )
+        .select("label", F.posexplode("embedding").alias("dim", "x"))
+        .groupBy("label", "dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.floor(F.col("x").cast("double") * 1_000_000).cast(
+                    "bigint"
+                )
+            ).alias("s"),
+        ),
+        "attribution_model": lambda: _attr_model(events),
+        "skew_report": lambda: _skew_report(events),
     }
+
+
+def _feature_scale(events):
+    from pyspark.sql import functions as F
+
+    from indra_db_spark.catalog.temporal import events_feature_scale  # noqa: F401
+    from pyspark.sql import Window
+
+    v = events.filter(F.col("value").isNotNull()).select(
+        "event_id", "event_type",
+        F.floor(F.col("value") * 1_000_000).cast("bigint").alias("vm"),
+    )
+    wp = Window.partitionBy("event_type")
+    wo = wp.orderBy("vm")
+    return (
+        v.withColumn("rk", F.rank().over(wo))
+        .withColumn("n", F.count(F.lit(1)).over(wp))
+        .withColumn("lo", F.min("vm").over(wp))
+        .withColumn("hi", F.max("vm").over(wp))
+    )
+
+
+def _winsorized(events):
+    from pyspark.sql import functions as F
+
+    from indra_db_spark.operators.topk import discrete_quantiles
+
+    v = events.filter(F.col("value").isNotNull()).select(
+        "event_type",
+        F.floor(F.col("value") * 1_000_000).cast("bigint").alias("vm"),
+    )
+    bounds = discrete_quantiles(
+        v, ["event_type"], "vm", {"lo": 0.05, "hi": 0.95}
+    )
+    return (
+        v.join(F.broadcast(bounds), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.least(F.greatest(F.col("vm"), F.col("lo")), F.col("hi"))
+            ).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+def _attr_model(events):
+    from pyspark.sql import functions as F
+
+    from indra_db_spark.operators.analytics import attribution_credits
+    from indra_db_spark.streaming.ingest import interval_attribution
+
+    pairs = interval_attribution(
+        events.filter(F.col("event_type") == "click"),
+        events.filter(F.col("event_type") == "purchase"),
+    ).select("touch_id", "touch_ts", "conv_id")
+    return attribution_credits(pairs)
+
+
+def _skew_report(events):
+    from indra_db_spark.operators.profile import skew_report
+
+    return skew_report(
+        events.select("event_type", "user_id"),
+        ["event_type", "user_id"],
+        k=8,
+    )
 
 
 def _linkage(docs):
