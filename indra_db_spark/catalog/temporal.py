@@ -1441,3 +1441,113 @@ def events_ivm_rollup(spark, sf):
     return maintained.select(
         "event_type", "n", F.col("sum_vm").alias("sum_vm")
     )
+
+
+@register(
+    "events_ohlc",
+    """
+    WITH v AS (
+      SELECT user_id, date_trunc('hour', ts) AS bucket, ts, event_id,
+             CAST(floor(value * 1000000) AS BIGINT) AS vm
+      FROM events
+      WHERE event_type = 'purchase' AND user_id IS NOT NULL
+        AND ts IS NOT NULL
+    ),
+    o AS (
+      SELECT user_id, bucket, vm AS open_micro FROM (
+        SELECT user_id, bucket, vm, row_number() OVER (
+          PARTITION BY user_id, bucket
+          ORDER BY ts, event_id, vm) AS rn
+        FROM v) WHERE rn = 1
+    ),
+    c AS (
+      SELECT user_id, bucket, vm AS close_micro FROM (
+        SELECT user_id, bucket, vm, row_number() OVER (
+          PARTITION BY user_id, bucket
+          ORDER BY ts DESC, event_id DESC, vm DESC) AS rn
+        FROM v) WHERE rn = 1
+    )
+    SELECT v.user_id, v.bucket, o.open_micro,
+           max(v.vm) AS high_micro, min(v.vm) AS low_micro,
+           c.close_micro, CAST(count(*) AS BIGINT) AS n
+    FROM v
+    JOIN o ON o.user_id = v.user_id AND o.bucket = v.bucket
+    JOIN c ON c.user_id = v.user_id AND c.bucket = v.bucket
+    GROUP BY v.user_id, v.bucket, o.open_micro, c.close_micro
+    """,
+)
+def events_ohlc(spark, sf):
+    """Hourly OHLC bars per user over purchase values (operators/
+    temporal.py:ohlc_bars) — the hypertable candlestick rollup as ONE
+    partial-agg shuffle: open/close are min/max(struct(ts, tiebreak,
+    value)) argmins, never a window, so hot keys combine map-side (the
+    oracle spells the same semantics with rank-1 windows)."""
+    from indra_db_spark.operators.temporal import ohlc_bars
+
+    p = (
+        T(spark, sf, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id", "ts", "event_id",
+            F.floor(F.col("value") * 1_000_000).cast("bigint").alias("vm"),
+        )
+    )
+    return ohlc_bars(p, "user_id", "ts", "vm", tiebreak_col="event_id")
+
+
+@register(
+    "events_twap",
+    """
+    WITH one AS (
+      SELECT user_id, ts, vm FROM (
+        SELECT user_id, ts,
+               CAST(floor(value * 1000000) AS BIGINT) AS vm,
+               row_number() OVER (PARTITION BY user_id, ts
+                                  ORDER BY event_id DESC,
+                                           floor(value * 1000000) DESC)
+                 AS rn
+        FROM events
+        WHERE event_type = 'purchase' AND user_id IS NOT NULL
+          AND ts IS NOT NULL
+      ) WHERE rn = 1
+    ),
+    timed AS (
+      SELECT user_id, ts, vm,
+             (epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts))
+               - epoch_us(ts)) // 1000000 AS dur
+      FROM one
+    ),
+    agg AS (
+      SELECT user_id,
+             CAST(sum(vm * dur) AS BIGINT) AS num,
+             CAST(sum(dur) AS BIGINT) AS span_s,
+             CAST(count(*) AS BIGINT) AS n_obs,
+             max(struct_pack(t := ts, v := vm)) AS last_row
+      FROM timed GROUP BY user_id
+    )
+    SELECT user_id,
+           CASE WHEN span_s > 0
+                THEN CAST(floor(CAST(num AS DOUBLE) / span_s) AS BIGINT)
+                ELSE last_row.v END AS twap_micro,
+           coalesce(span_s, 0) AS span_s, n_obs
+    FROM agg
+    """,
+)
+def events_twap(spark, sf):
+    """Per-user time-weighted average purchase value (operators/
+    temporal.py:twap): each observation holds until the next (LOCF), so
+    burst sampling doesn't overweight busy periods — Σ(v·duration) and
+    Σ(duration) are exact int64 sums on one key partitioning shared by
+    the same-instant collapse, the lead() window and the final ratio;
+    single-observation keys carry their value."""
+    from indra_db_spark.operators.temporal import twap
+
+    p = (
+        T(spark, sf, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id", "ts", "event_id",
+            F.floor(F.col("value") * 1_000_000).cast("bigint").alias("vm"),
+        )
+    )
+    return twap(p, "user_id", "ts", "vm", tiebreak_col="event_id")

@@ -442,3 +442,122 @@ def rolling_agg(
     return base.withColumn("_vm", value_micro.cast("long")).withColumn(
         out_sum, F.sum("_vm").over(w)
     ).withColumn(out_n, F.count(F.lit(1)).over(w)).drop("_vm")
+
+
+def ohlc_bars(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_micro_col: str,
+    tiebreak_col: str,
+    unit: str = "hour",
+) -> DataFrame:
+    """Downsample a tick stream to OHLC bars per (key, unit bucket) —
+    the hypertable/candlestick rollup: open/close are the first/last
+    values IN TIME (same-instant ties broken by ``tiebreak_col`` so the
+    bar is a pure function of the data), high/low are extremes.
+
+    ONE partial-aggregate shuffle: open/close are ``min(struct(ts, tb,
+    v))``/``max(struct(ts, tb, v))`` argmins — no window, no per-key
+    sort, so a hot instrument combines map-side like any other
+    aggregate.  Values must already be integer micros (exact across
+    engines).  Returns (key, bucket, open/high/low/close_micro, n).
+    """
+    b = df.select(
+        F.col(key_col),
+        F.date_trunc(unit, F.col(ts_col)).alias("bucket"),
+        F.col(ts_col).alias("_t"),
+        F.col(tiebreak_col).alias("_tb"),
+        F.col(value_micro_col).cast("bigint").alias("_v"),
+    ).filter(F.col(key_col).isNotNull() & F.col("_t").isNotNull())
+    return (
+        b.groupBy(key_col, "bucket")
+        .agg(
+            F.min(F.struct("_t", "_tb", "_v")).alias("_o"),
+            F.max(F.struct("_t", "_tb", "_v")).alias("_c"),
+            F.max("_v").alias("high_micro"),
+            F.min("_v").alias("low_micro"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            key_col,
+            "bucket",
+            F.col("_o._v").alias("open_micro"),
+            "high_micro",
+            "low_micro",
+            F.col("_c._v").alias("close_micro"),
+            "n",
+        )
+    )
+
+
+def twap(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_micro_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Time-weighted average per key over the key's own observation span
+    — each value holds (LOCF) until the NEXT observation, so the
+    statistic is Σ(value·duration) / Σ(duration), immune to burst
+    sampling (an arithmetic mean over ticks overweights busy periods —
+    the classic bar-vs-tick bias).
+
+    One key partitioning: same-instant collapse by argmax(tiebreak),
+    then a lead() window for each observation's holding duration, then
+    the partial-agg ratio — numerator and denominator are exact int64
+    sums.  Durations are WHOLE SECONDS (micros × microseconds overflows
+    int64: a 10⁹-micro value held a year is ~3·10²²; in seconds the same
+    product is 3·10¹⁶, leaving room for 10⁹-micro values held ~290
+    years per observation), which bounds granularity error at one
+    second per holding interval — negligible for event-time data and
+    identical across engines.  The final division floors a double over
+    the int64 sums (exact below 2^53).  Rows: (key, twap_micro,
+    span_s, n_obs); keys with a single observation (zero span) carry
+    that value.
+    """
+    one = (
+        df.filter(F.col(key_col).isNotNull() & F.col(ts_col).isNotNull())
+        .groupBy(F.col(key_col), F.col(ts_col).alias("_t"))
+        .agg(
+            F.max(
+                F.struct(
+                    F.col(tiebreak_col).alias("_tb"),
+                    F.col(value_micro_col).cast("bigint").alias("_v"),
+                )
+            ).alias("_w")
+        )
+        .select(key_col, "_t", F.col("_w._v").alias("_v"))
+    )
+    w = Window.partitionBy(key_col).orderBy("_t")
+    timed = one.withColumn(
+        "_dur",
+        (
+            F.unix_micros(F.lead("_t").over(w).cast("timestamp_ltz"))
+            - F.unix_micros(F.col("_t").cast("timestamp_ltz"))
+        )
+        / F.lit(1_000_000),
+    ).withColumn("_dur", F.floor("_dur").cast("bigint"))
+    return (
+        timed.groupBy(key_col)
+        .agg(
+            F.sum(F.col("_v") * F.col("_dur")).alias("_num"),
+            F.sum("_dur").alias("span_s"),
+            F.count(F.lit(1)).alias("n_obs"),
+            F.max(F.struct("_t", "_v")).alias("_last"),
+        )
+        .select(
+            key_col,
+            F.when(
+                F.col("span_s") > 0,
+                F.floor(
+                    F.col("_num").cast("double") / F.col("span_s")
+                ).cast("bigint"),
+            )
+            .otherwise(F.col("_last._v"))
+            .alias("twap_micro"),
+            F.coalesce("span_s", F.lit(0)).alias("span_s"),
+            "n_obs",
+        )
+    )

@@ -2377,3 +2377,49 @@ def test_attribution_credits_sum_exactly(spark):
     assert c100[12].linear_credit_micro == 333_334
     assert c100[10].linear_credit_micro == 333_333
     assert by_conv[200][0].linear_credit_micro == 1_000_000
+
+
+def test_ohlc_bars_semantics(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0)
+    rows = [
+        (1, t0, 1, 50),
+        (1, t0 + dt.timedelta(minutes=10), 2, 90),   # high
+        (1, t0 + dt.timedelta(minutes=20), 3, 10),   # low
+        (1, t0 + dt.timedelta(minutes=30), 4, 70),   # close
+        # same-instant open tie: eid 6 > 5, min(struct) picks eid 5
+        (2, t0, 5, 11), (2, t0, 6, 22),
+    ]
+    df = spark.createDataFrame(rows, ["k", "ts", "eid", "vm"])
+    from indra_db_spark.operators.temporal import ohlc_bars
+
+    out = {r.k: r for r in ohlc_bars(df, "k", "ts", "vm", "eid").collect()}
+    b = out[1]
+    assert (b.open_micro, b.high_micro, b.low_micro, b.close_micro, b.n) == (
+        50, 90, 10, 70, 4
+    )
+    assert out[2].open_micro == 11 and out[2].close_micro == 22
+
+
+def test_twap_weights_by_holding_time(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0)
+    rows = [
+        # value 100 held 90s, value 200 held 10s (then unobserved):
+        # twap = (100*90 + 200*10) / 100 = 110; the last tick has no
+        # successor so its duration is null and drops from both sums
+        (1, t0, 1, 100),
+        (1, t0 + dt.timedelta(seconds=90), 2, 200),
+        (1, t0 + dt.timedelta(seconds=100), 3, 999),
+        # single-observation key: carries its value, zero span
+        (2, t0, 4, 77),
+    ]
+    df = spark.createDataFrame(rows, ["k", "ts", "eid", "vm"])
+    from indra_db_spark.operators.temporal import twap
+
+    out = {r.k: r for r in twap(df, "k", "ts", "vm", "eid").collect()}
+    assert out[1].twap_micro == 110 and out[1].span_s == 100
+    assert out[1].n_obs == 3
+    assert out[2].twap_micro == 77 and out[2].span_s == 0

@@ -188,3 +188,16 @@ def test_feature_scale_bounds_documented():
     INT64 = 2**63 - 1
     assert (10**13 - 1) * 1_000_000 > INT64  # 1e13-row group WOULD overflow
     assert (9 * 10**12) * 1_000_000 < INT64  # documented bound holds
+
+
+def test_twap_duration_unit_bound_documented():
+    """twap (operators/temporal.py): value_micro × duration must fit
+    int64.  In MICROSECOND durations a 10⁹-micro value (a $1000 price)
+    held one year is ~3.2e22 — overflow (caught by the ANSI oracle gate
+    on first run).  The shipped SECOND-granularity form bounds the
+    product at value_micro × 3.15e7 per year held: 10⁹-micro values fit
+    for ~290 years per observation."""
+    INT64 = 2**63 - 1
+    YEAR_US, YEAR_S = 31_536_000 * 10**6, 31_536_000
+    assert 10**9 * YEAR_US > INT64          # the µs form overflows
+    assert 10**9 * YEAR_S * 290 < INT64     # the s form's headroom

@@ -532,3 +532,20 @@ def test_skew_report_one_scan_window_group_limit(spark, sf_dir):
     assert "Scan parquet" not in plan and "Scan ExistingRDD" in plan
     assert "WindowGroupLimit" in plan
     assert "BroadcastHashJoin" in plan  # per-column totals broadcast
+
+
+def test_ohlc_is_one_partial_agg_no_window(spark, sf_dir):
+    # candlesticks from min/max(struct) argmins: one exchange, map-side
+    # combine, never a per-key sort window
+    plan = _plan(spark, sf_dir, "events_ohlc")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "WindowExec" not in plan and "WindowGroupLimit" not in plan
+    assert "partial_min" in plan or "partial min" in plan.lower()
+
+
+def test_twap_shares_key_partitioning(spark, sf_dir):
+    # same-instant collapse, the lead() window and the final ratio all
+    # key on the user: bounded exchanges
+    plan = _plan(spark, sf_dir, "events_twap")
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
