@@ -726,9 +726,14 @@ def bfs_distances(
     dir_e = und.unionByName(
         und.select(F.col("t").alias("s"), F.col("s").alias("t"))
     ).localCheckpoint(eager=False)
+    # distances are defined over GRAPH NODES: sources absent from the
+    # edge set are dropped (matching the unrolled oracle, which seeds
+    # from the directed-edge endpoints) rather than emitted at dist 0
     dist = (
         sources.select(F.col(sources.columns[0]).alias("id"))
         .distinct()
+        .join(dir_e.select("s").withColumnRenamed("s", "id").distinct(),
+              "id", "semi")
         .withColumn("dist", F.lit(0))
         .localCheckpoint(eager=False)
     )

@@ -129,20 +129,35 @@ def write_zordered(
     which is exactly what makes the min/max index selective.  At 100 TB
     this runs per ingest batch / per compaction window, not per query.
     """
+    arranged, b = zorder_arrange(df, x_col, y_col, n_files, bits)
+    arranged.write.mode("overwrite").parquet(path)
+    return b
+
+
+def zorder_arrange(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    n_files: int = 16,
+    bits: int = Z_BITS,
+) -> tuple[DataFrame, dict[str, tuple[int, int]]]:
+    """The layout transform itself — (z-value, range repartition,
+    within-partition sort) — shared by the directory writer above and
+    the transaction log's OPTIMIZE (plans/txlog.py), so the clustering
+    semantics cannot silently diverge between the two write paths.
+    Returns (arranged frame, bounds used)."""
     b = column_bounds(df, x_col, y_col)
     z = zvalue_expr(
         x_col, y_col, b[x_col][0], b[x_col][1], b[y_col][0], b[y_col][1],
         bits,
     )
-    (
+    arranged = (
         df.withColumn("_z", F.expr(z))
         .repartitionByRange(n_files, "_z")
         .sortWithinPartitions("_z")
         .drop("_z")
-        .write.mode("overwrite")
-        .parquet(path)
     )
-    return b
+    return arranged, b
 
 
 def build_file_index(

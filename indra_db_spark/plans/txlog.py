@@ -186,6 +186,32 @@ class TxTable:
         self._fs.delete(_jpath(self._jvm, tmp), True)
         return staged
 
+    def _read_files(self, names: list[str], schema_json: dict | None):
+        """Read data files THROUGH the manifest-recorded union schema when
+        one exists — raw spark.read.parquet would infer from an arbitrary
+        footer and silently drop evolved columns from files that predate
+        them (or crash a later unionByName)."""
+        reader = self.spark.read
+        if schema_json is not None:
+            from pyspark.sql.types import StructType
+
+            reader = reader.schema(StructType.fromJson(schema_json))
+        return reader.parquet(*[f"{self.root}/data/{n}" for n in names])
+
+    @staticmethod
+    def _union_schema_json(a: dict | None, b: dict | None) -> dict | None:
+        """Order-preserving field union of two recorded schemas — the
+        rebase rule when two evolving appends race: the loser must carry
+        the winner's new columns forward, not overwrite them."""
+        if a is None or b is None:
+            return a if b is None else b
+        names = {f["name"] for f in a["fields"]}
+        out = dict(a)
+        out["fields"] = list(a["fields"]) + [
+            f for f in b["fields"] if f["name"] not in names
+        ]
+        return out
+
     # ---- schema enforcement / evolution ---------------------------------
 
     def table_schema(self):
@@ -266,9 +292,17 @@ class TxTable:
             _pre_commit_hook(self)
         for _ in range(max_retries):
             base, files, txns, schema = self._snapshot_full()
+            # rebase rule for racing evolutions: claim the UNION of this
+            # append's evolved schema and whatever the current snapshot
+            # recorded — claiming `evolved` verbatim would erase a column
+            # a concurrent evolving append just committed
+            claim = (
+                self._union_schema_json(schema, evolved)
+                if evolved is not None
+                else schema
+            )
             if self._try_claim(
-                base + 1, files + staged, "append", txns,
-                evolved if evolved is not None else schema,
+                base + 1, files + staged, "append", txns, claim
             ):
                 return base + 1
         raise RuntimeError(f"append lost {max_retries} commit races")
@@ -319,11 +353,10 @@ class TxTable:
         of the rewritten files raises :class:`CommitConflict` and leaves
         the staged rewrite as invisible garbage for :func:`vacuum`.
         Returns the new version, or None for an empty table."""
-        base, files = self.snapshot()
+        base, files, _, schema = self._snapshot_full()
         if not files:
             return None
-        paths = [f"{self.root}/data/{n}" for n in files]
-        df = self.spark.read.parquet(*paths)
+        df = self._read_files(files, schema)
         rows = df.count()
         total = sum(
             self._fs.getFileStatus(
@@ -333,30 +366,9 @@ class TxTable:
         )
         n_out = max(1, -(-int(total) // (target_file_mb * 1024 * 1024)))
         staged = self._stage(df, n_files=n_out)
-        rewritten = set(files)
-        # verify before any commit attempt — a bad rewrite must stay invisible
-        got = self.spark.read.parquet(
-            *[f"{self.root}/data/{n}" for n in staged]
-        ).count()
-        if got != rows:
-            raise RuntimeError(
-                f"compaction row mismatch ({rows} -> {got}); "
-                "staged files left unreferenced"
-            )
-        if _pre_commit_hook is not None:
-            _pre_commit_hook(self)
-        for _ in range(max_retries):
-            cur, cur_files, txns, schema = self._snapshot_full()
-            cur_set = set(cur_files)
-            if not rewritten <= cur_set:
-                raise CommitConflict(
-                    "a concurrent commit removed files this compaction "
-                    "rewrote; staged rewrite abandoned (vacuum reclaims it)"
-                )
-            merged = sorted((cur_set - rewritten) | set(staged))
-            if self._try_claim(cur + 1, merged, "compact", txns, schema):
-                return cur + 1
-        raise RuntimeError(f"compaction lost {max_retries} commit races")
+        return self._swap_commit(
+            set(files), staged, rows, "compaction", max_retries
+        )
 
     def optimize(
         self,
@@ -378,39 +390,40 @@ class TxTable:
         (layout changes no rows).  At 100 TB this runs per maintenance
         window; every read between windows inherits the clustering free.
         """
-        from pyspark.sql import functions as F
-
-        from indra_db_spark.plans.skipindex import (
-            column_bounds,
-            zvalue_expr,
-        )
+        from indra_db_spark.plans.skipindex import zorder_arrange
 
         base, files = self.snapshot()
         if not files:
             return None
         df = self.read(base)
         rows = df.count()
-        b = column_bounds(df, x_col, y_col)
-        z = zvalue_expr(
-            x_col, y_col,
-            b[x_col][0], b[x_col][1], b[y_col][0], b[y_col][1],
-        )
-        arranged = (
-            df.withColumn("_z", F.expr(z))
-            .repartitionByRange(n_files, "_z")
-            .sortWithinPartitions("_z")
-            .drop("_z")
-        )
-        # n_files=None: _stage must keep the arranged partitioning — its
-        # own repartition would destroy the clustering being bought here
+        arranged, _ = zorder_arrange(df, x_col, y_col, n_files)
+        # no n_files to _stage: its repartition would destroy the
+        # clustering being bought here
         staged = self._stage(arranged)
-        rewritten = set(files)
+        return self._swap_commit(
+            set(files), staged, rows, "optimize", max_retries
+        )
+
+    def _swap_commit(
+        self,
+        rewritten: set[str],
+        staged: list[str],
+        expected_rows: int,
+        what: str,
+        max_retries: int,
+    ) -> int:
+        """The shared tail of every whole-snapshot rewrite (compact,
+        optimize): verify the staged row count BEFORE any commit attempt,
+        then swap rewritten→staged under the compaction conflict rules —
+        concurrent appends rebase, a racing commit that removed a
+        rewritten file aborts with :class:`CommitConflict`."""
         got = self.spark.read.parquet(
             *[f"{self.root}/data/{n}" for n in staged]
         ).count()
-        if got != rows:
+        if got != expected_rows:
             raise RuntimeError(
-                f"optimize row mismatch ({rows} -> {got}); "
+                f"{what} row mismatch ({expected_rows} -> {got}); "
                 "staged files left unreferenced"
             )
         if _pre_commit_hook is not None:
@@ -420,13 +433,13 @@ class TxTable:
             cur_set = set(cur_files)
             if not rewritten <= cur_set:
                 raise CommitConflict(
-                    "a concurrent commit removed files this optimize "
+                    f"a concurrent commit removed files this {what} "
                     "rewrote; staged rewrite abandoned (vacuum reclaims it)"
                 )
             merged = sorted((cur_set - rewritten) | set(staged))
             if self._try_claim(cur + 1, merged, "compact", txns, schema):
                 return cur + 1
-        raise RuntimeError(f"optimize lost {max_retries} commit races")
+        raise RuntimeError(f"{what} lost {max_retries} commit races")
 
     def merge(
         self,
@@ -464,11 +477,20 @@ class TxTable:
         insert into an empty table included); None when ``updates`` is
         empty.
         """
+        # updates feeds 4+ consumers (row count, key-uniqueness, the file
+        # probe, the staged union) — compute its lineage ONCE; a streaming
+        # upsert's updates DAG re-reads the view and runs windows/joins,
+        # so recomputation would multiply every micro-batch's cost
+        updates = updates.localCheckpoint(eager=False)
         n_up = updates.count()
         if n_up == 0:
             return None
         if updates.select(*key_cols).distinct().count() != n_up:
             raise ValueError("merge updates must be unique on the key columns")
+        # same write-time enforcement as append: an unmatched-key drifted
+        # batch would otherwise stage mixed-schema files with no
+        # unionByName to catch it
+        self._check_schema(updates, merge_schema=False)
         from pyspark.sql import functions as F
 
         base, files, _, schema = self._snapshot_full()
@@ -478,9 +500,7 @@ class TxTable:
         def _files_with_keys(names: list[str]) -> list[str]:
             if not names:
                 return []
-            df = self.spark.read.parquet(
-                *[f"{self.root}/data/{n}" for n in names]
-            )
+            df = self._read_files(names, schema)
             hits = (
                 df.withColumn("_f", basename)
                 .join(F.broadcast(keys), key_cols, "left_semi")
@@ -491,9 +511,7 @@ class TxTable:
 
         affected = _files_with_keys(files)
         if affected:
-            aff_df = self.spark.read.parquet(
-                *[f"{self.root}/data/{n}" for n in affected]
-            )
+            aff_df = self._read_files(affected, schema)
             survivors = aff_df.join(F.broadcast(keys), key_cols, "left_anti")
             rewritten_rows = survivors.unionByName(updates)
         else:
@@ -572,9 +590,7 @@ class TxTable:
         if not files:
             return None
         basename = F.element_at(F.split(F.input_file_name(), "/"), -1)
-        df = self.spark.read.parquet(
-            *[f"{self.root}/data/{n}" for n in files]
-        )
+        df = self._read_files(files, schema)
         affected = [
             r["_f"]
             for r in df.filter(predicate)
@@ -585,10 +601,13 @@ class TxTable:
         ]
         if not affected:
             return None
-        aff_df = self.spark.read.parquet(
-            *[f"{self.root}/data/{n}" for n in affected]
+        aff_df = self._read_files(affected, schema)
+        # SQL DELETE three-valued logic: only predicate=TRUE rows go; a
+        # NULL-predicate row sharing a file with a match must SURVIVE the
+        # rewrite (plain ~predicate would silently drop it)
+        survivors = aff_df.filter(
+            ~F.coalesce(predicate, F.lit(False))
         )
-        survivors = aff_df.filter(~predicate)
         staged = self._stage(survivors) if survivors.limit(1).count() else []
         removed = set(affected)
         if _pre_commit_hook is not None:
@@ -733,9 +752,19 @@ class TxTable:
         else:
             old = new.limit(0)
         data_cols = [c for c in new.columns if c not in key_cols]
+        # a range crossing a schema evolution: columns the old snapshot
+        # predates read as NULL pre-images instead of failing to resolve
+        old_cols = set(old.columns)
         o = old.select(
             *key_cols,
-            *[F.col(c).alias(f"__o_{c}") for c in data_cols],
+            *[
+                (
+                    F.col(c)
+                    if c in old_cols
+                    else F.lit(None).cast(new.schema[c].dataType)
+                ).alias(f"__o_{c}")
+                for c in data_cols
+            ],
             F.lit(True).alias("__o_present"),
         )
         n = new.select(

@@ -2423,3 +2423,12 @@ def test_twap_weights_by_holding_time(spark):
     assert out[1].twap_micro == 110 and out[1].span_s == 100
     assert out[1].n_obs == 3
     assert out[2].twap_micro == 77 and out[2].span_s == 0
+
+
+def test_bfs_ignores_sources_absent_from_graph(spark):
+    edges = spark.createDataFrame([(1, 2)], ["a", "b"])
+    src = spark.createDataFrame([(1,), (99,)], ["id"])  # 99 not a node
+    from indra_db_spark.operators.graph import bfs_distances
+
+    out = {r.id: r.dist for r in bfs_distances(edges, src, rounds=2).collect()}
+    assert out == {1: 0, 2: 1}  # 99 seeds nothing (oracle semantics)

@@ -586,3 +586,110 @@ def test_optimize_conflicts_like_compaction(spark, tmp_path):
         t.optimize("x", "y", n_files=4)
     txlog._pre_commit_hook = None
     assert t.read().count() == 100
+
+
+# ------------------------------------------- code-review regressions (r7)
+
+
+def test_delete_where_keeps_null_predicate_rows(spark, tmp_path):
+    """SQL three-valued logic: a NULL-predicate row sharing a file with a
+    matching row must survive the rewrite."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(
+        spark.createDataFrame(
+            [(7, 10.0), (8, None), (9, 2.0)], "k long, x double"
+        ).coalesce(1)  # all three rows in ONE file
+    )
+    t.delete_where(F.col("x") > 5)
+    rows = {r.k: r.x for r in t.read().collect()}
+    assert 7 not in rows            # matched: deleted
+    assert rows[8] is None          # NULL predicate: retained
+    assert rows[9] == 2.0
+
+
+def test_merge_and_delete_respect_evolved_schema(spark, tmp_path):
+    """Row-level writes on a schema-evolved table must project old files
+    through the union schema — not infer from an arbitrary footer."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, 0, 5))                              # (k, src)
+    t.append(
+        _df(spark, 5, 8).withColumn("note", F.lit("x")),
+        merge_schema=True,
+    )                                                       # + note
+    ups = spark.createDataFrame(
+        [(1, "new", "noted")], ["k", "src", "note"]
+    )
+    t.merge(ups, ["k"])  # touches an OLD-schema file
+    rows = {r.k: (r.src, r.note) for r in t.read().collect()}
+    assert rows[1] == ("new", "noted")
+    assert rows[0] == ("w", None) and rows[6] == ("w", "x")
+    # delete on the evolved table keeps evolved values intact
+    t.delete_where(F.col("k") == 0)
+    rows = {r.k: (r.src, r.note) for r in t.read().collect()}
+    assert 0 not in rows and rows[6] == ("w", "x")
+    # compaction also carries evolved values through the union schema
+    t.compact()
+    rows = {r.k: (r.src, r.note) for r in t.read().collect()}
+    assert rows[6] == ("w", "x") and rows[2] == ("w", None)
+
+
+def test_merge_rejects_drifted_updates(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, 0, 5))
+    drifted = spark.range(1).select(
+        F.col("id").cast("string").alias("k"), F.lit("w").alias("src")
+    )
+    with pytest.raises(ValueError, match="schema mismatch on column 'k'"):
+        t.merge(drifted, ["k"])
+    extra = _df(spark, 9, 10).withColumn("note", F.lit("x"))
+    with pytest.raises(ValueError, match="schema mismatch"):
+        t.merge(extra, ["k"])  # unmatched key would stage silently
+
+
+def test_racing_schema_evolutions_union_not_overwrite(spark, tmp_path):
+    """Two concurrent evolving appends: the race loser must claim the
+    UNION of both new columns, not erase the winner's."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, 0, 3))
+    fired = {"done": False}
+
+    def racer(_table):
+        if fired["done"]:
+            return
+        fired["done"] = True
+        txlog._pre_commit_hook = None
+        TxTable(spark, t.root).append(
+            _df(spark, 10, 12).withColumn("x", F.lit(1)),
+            merge_schema=True,
+        )
+
+    txlog._pre_commit_hook = racer
+    t.append(
+        _df(spark, 20, 22).withColumn("y", F.lit(2.0)),
+        merge_schema=True,
+    )
+    txlog._pre_commit_hook = None
+    cols = set(t.read().columns)
+    assert cols == {"k", "src", "x", "y"}  # neither evolution lost
+    rows = {r.k: (r.x, r.y) for r in t.read().collect()}
+    assert rows[10] == (1, None) and rows[20] == (None, 2.0)
+    assert rows[0] == (None, None)
+
+
+def test_row_changes_across_schema_evolution(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, 0, 3))                              # v1 (k, src)
+    t.append(
+        _df(spark, 3, 5).withColumn("note", F.lit("x")),
+        merge_schema=True,
+    )                                                       # v2 + note
+    t.merge(
+        spark.createDataFrame([(0, "upd", "n0")], ["k", "src", "note"]),
+        ["k"],
+    )                                                       # v3
+    feed = t.row_changes(["k"], since_version=1)
+    by = {(r.k, r._change_type): r for r in feed.collect()}
+    # the pre-image of the updated old-schema row carries a NULL note
+    assert by[(0, "update_preimage")].note is None
+    assert by[(0, "update_postimage")].note == "n0"
+    assert by[(3, "insert")].note == "x"
