@@ -801,6 +801,31 @@ class TxTable:
             .unionByName(_emit(both, "n", "update_postimage"))
         )
 
+    def history(self) -> list[dict]:
+        """The audit/debug view of the log (DESCRIBE HISTORY analog):
+        one dict per retained version — version, action, commit stamp,
+        file count, and which files the commit added/removed relative to
+        its predecessor.  Driver-side over the manifests only (no data
+        reads); the retention horizon is vacuum's."""
+        out: list[dict] = []
+        prev: set[str] = set()
+        for v in self._versions():
+            body = self._read_version(v)
+            files = set(body["files"])
+            out.append(
+                {
+                    "version": v,
+                    "action": body.get("action"),
+                    "ts_ms": body.get("ts_ms"),
+                    "n_files": len(files),
+                    "n_added": len(files - prev),
+                    "n_removed": len(prev - files),
+                    "schema_evolved": "schema" in body,
+                }
+            )
+            prev = files
+        return out
+
     # ---- maintenance ----------------------------------------------------
 
     def vacuum(

@@ -693,3 +693,17 @@ def test_row_changes_across_schema_evolution(spark, tmp_path):
     assert by[(0, "update_preimage")].note is None
     assert by[(0, "update_postimage")].note == "n0"
     assert by[(3, "insert")].note == "x"
+
+
+def test_history_describes_the_log(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, 0, 5))
+    t.merge(_df(spark, 1, 3, tag="new"), ["k"])
+    t.compact()
+    t.append(_df(spark, 5, 7).withColumn("x", F.lit(1)), merge_schema=True)
+    h = t.history()
+    assert [r["version"] for r in h] == [1, 2, 3, 4]
+    assert [r["action"] for r in h] == ["append", "merge", "compact", "append"]
+    assert all(r["ts_ms"] > 0 for r in h)
+    assert h[0]["n_removed"] == 0 and h[1]["n_removed"] > 0
+    assert h[3]["schema_evolved"] and not h[0]["schema_evolved"]
