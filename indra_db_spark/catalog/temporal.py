@@ -1551,3 +1551,142 @@ def events_twap(spark, sf):
         )
     )
     return twap(p, "user_id", "ts", "vm", tiebreak_col="event_id")
+
+
+from indra_db_spark.operators import text as _X  # noqa: E402
+
+_CONF_COUNTS = ",\n      ".join(
+    "len(list_filter(regexp_split_to_array(lower(text), '\\s+'), "
+    "x -> x IN ({}))) AS c_{}".format(
+        ", ".join(f"'{m}'" for m in markers), lang
+    )
+    for lang, markers in _X.LANG_MARKERS.items()
+)
+
+
+@register(
+    "doc_langid_confusion",
+    f"""
+    WITH s AS (SELECT doc_id, lang, {_CONF_COUNTS}
+      FROM documents WHERE lang IS NOT NULL),
+    p AS (
+      SELECT lang,
+        CASE WHEN c_en > 0 AND c_en >= c_de AND c_en >= c_fr AND c_en >= c_es THEN 'en'
+             WHEN c_de > 0 AND c_de >= c_fr AND c_de >= c_es THEN 'de'
+             WHEN c_fr > 0 AND c_fr >= c_es THEN 'fr'
+             WHEN c_es > 0 THEN 'es'
+             ELSE 'und' END AS pred_lang
+      FROM s),
+    m AS (
+      SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+      FROM p GROUP BY lang, pred_lang
+    ),
+    t AS (SELECT lang, CAST(sum(n) AS BIGINT) AS total FROM m GROUP BY lang)
+    SELECT m.lang, m.pred_lang, m.n,
+           CAST(m.n * 1000000 // t.total AS BIGINT) AS rate_micro
+    FROM m JOIN t ON t.lang = m.lang
+    """,
+)
+def doc_langid_confusion(spark, sf):
+    """Model-evaluation confusion matrix for the n-gram language
+    identifier against the corpus's labeled ``lang`` column: (truth,
+    prediction, count, per-truth rate in exact micros) — the eval table
+    any classifier gate publishes before it filters a corpus.  Two
+    partial-agg shuffles over the tiny (lang × pred) frame; the raw text
+    is scanned once (langid is a pure column expression)."""
+    from indra_db_spark.operators import text as X
+
+    d = (
+        T(spark, sf, "documents")
+        .filter(F.col("lang").isNotNull())
+        .select("lang", X.lang_id(F.col("text")).alias("pred_lang"))
+    )
+    # two consumers (totals + join): compute the tiny confusion frame
+    # once or the totals branch re-scans the raw text
+    m = (
+        d.groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    t = m.groupBy("lang").agg(F.sum("n").alias("total"))
+    return m.join(F.broadcast(t), "lang").select(
+        "lang",
+        "pred_lang",
+        "n",
+        F.expr("CAST(n * 1000000 div total AS BIGINT)").alias("rate_micro"),
+    )
+
+
+@register(
+    "graph_neighbor_agg",
+    """
+    WITH base AS (
+      SELECT p_partkey AS i,
+             CAST(floor(p_retailprice * 1000000) AS BIGINT) AS feat
+      FROM part
+    ),
+    raw AS (
+      SELECT i AS x, i // 2 AS y FROM base WHERE i >= 2
+      UNION ALL
+      SELECT i AS x, i // 4 AS y FROM base WHERE i >= 4
+    ),
+    e AS (
+      SELECT DISTINCT least(x, y) AS s, greatest(x, y) AS t
+      FROM raw WHERE least(x, y) < greatest(x, y)
+    ),
+    de AS (SELECT s, t FROM e UNION ALL SELECT t AS s, s AS t FROM e)
+    SELECT de.t AS id,
+           CAST(count(*) AS BIGINT) AS n_nbrs,
+           CAST(sum(b.feat) AS BIGINT) AS sum_feat_micro,
+           CAST(floor(CAST(sum(b.feat) AS DOUBLE) / count(*)) AS BIGINT)
+             AS mean_feat_micro
+    FROM de JOIN base b ON b.i = de.s
+    GROUP BY de.t
+    """,
+)
+def graph_neighbor_agg(spark, sf):
+    """One round of neighbor feature aggregation (the GNN
+    message-passing / feature-propagation primitive): every node
+    collects count/sum/mean of its neighbors' feature over the
+    part-derived graph — ONE edges⋈features join + ONE partial-agg
+    shuffle keyed on the destination; hub fan-in collapses map-side.
+    Features quantized to integer micros before summation; the mean
+    floors a double over int64s (exact below 2^53).  Iterating this is
+    exactly label_propagation/PageRank's loop — this entry pins the
+    single-round shape with a plain-SQL oracle."""
+    base = T(spark, sf, "part").select(
+        F.col("p_partkey").alias("i"),
+        F.floor(F.col("p_retailprice") * 1_000_000)
+        .cast("bigint")
+        .alias("feat"),
+    )
+    raw = base.filter(F.col("i") >= 2).select(
+        F.col("i").alias("x"), F.expr("i div 2").alias("y")
+    ).unionByName(
+        base.filter(F.col("i") >= 4).select(
+            F.col("i").alias("x"), F.expr("i div 4").alias("y")
+        )
+    )
+    e = (
+        raw.select(
+            F.least("x", "y").alias("s"), F.greatest("x", "y").alias("t")
+        )
+        .filter(F.col("s") < F.col("t"))
+        .distinct()
+    )
+    de = e.unionByName(
+        e.select(F.col("t").alias("s"), F.col("s").alias("t"))
+    )
+    return (
+        de.join(base.select(F.col("i").alias("s"), "feat"), "s")
+        .groupBy(F.col("t").alias("id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_nbrs"),
+            F.sum("feat").alias("sum_feat_micro"),
+            F.floor(
+                F.sum("feat").cast("double") / F.count(F.lit(1))
+            )
+            .cast("bigint")
+            .alias("mean_feat_micro"),
+        )
+    )

@@ -549,3 +549,22 @@ def test_twap_shares_key_partitioning(spark, sf_dir):
     plan = _plan(spark, sf_dir, "events_twap")
     assert plan.count("Exchange hashpartitioning") <= 2
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_neighbor_agg_single_join_partial_agg(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "graph_neighbor_agg")
+    assert "partial_count" in plan or "partial count" in plan.lower()
+    assert "CartesianProduct" not in plan
+
+
+def test_langid_confusion_scans_text_once(spark, sf_dir):
+    # the confusion frame is barriered (two consumers); the executed plan
+    # reads only the checkpointed counts
+    from indra_db_spark.catalog import REGISTRY
+
+    fn, _ = REGISTRY["doc_langid_confusion"]
+    df = fn(spark, sf_dir)
+    df.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Scan parquet" not in plan and "Scan ExistingRDD" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
