@@ -175,6 +175,26 @@ def main() -> None:
             }
         )
     )
+    # The driver's BENCH_r{N} wrapper keeps only the LAST ~2 KB of stdout
+    # (front-truncation), and the full line above outgrew that in round 7 —
+    # the recorded artifact lost ``value`` and most of ``queries_mean`` (r7
+    # verdict, "what's wrong" #1).  Emit a SECOND, compact summary line
+    # carrying the most-comparable numbers (headline value, per-query
+    # steady-state means) as the final output so they always survive the
+    # tail capture; tools/bench_compare.py accepts either line.
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_summary",
+                "value": total,
+                "value_mean": round(sum(means.values()), 3),
+                "unit": "sec",
+                "sf": sf,
+                "n_steady": N_STEADY,
+                "queries_mean": means,
+            }
+        )
+    )
 
 
 if __name__ == "__main__":

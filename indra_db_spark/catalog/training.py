@@ -559,27 +559,13 @@ def emb_topk(spark, sf):
     return S.brute_force_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
 
-@register(
-    "emb_neardup",
-    """
-    WITH a AS (SELECT vec_id AS id_a, embedding AS va FROM embeddings),
-    b AS (SELECT vec_id AS id_b, embedding AS vb FROM embeddings)
-    SELECT id_a, id_b,
-           round(list_cosine_similarity(CAST(va AS DOUBLE[]), CAST(vb AS DOUBLE[])), 6) AS sim
-    FROM a, b
-    WHERE id_a < id_b
-      AND round(list_cosine_similarity(CAST(va AS DOUBLE[]), CAST(vb AS DOUBLE[])), 6) >= 0.35
-    """,
-)
-def emb_neardup(spark, sf):
-    # max_rows=None: this entry IS the documented quadratic baseline
-    # (emb_neardup_cells is the exact scale path, emb_srp_neardup the
-    # approximate one); the library-default guard would otherwise launch
-    # an eager probe at plan-build time and refuse amplified corpora the
-    # baseline is deliberately run against
-    return S.cosine_neardup_pairs(
-        T(spark, sf, "embeddings"), threshold=0.35, max_rows=None
-    )
+# The unconditionally-quadratic exact baseline (all-pairs
+# cosine_neardup_pairs, formerly the `emb_neardup` catalog entry) was
+# DEMOTED to a testing-only oracle in round 8 (r7 verdict #5): the catalog
+# must carry no O(n²) entry a user could reach.  It lives on as
+# testing.exact_neardup_baseline, consumed by the recall-floor tests that
+# pin emb_srp_neardup / emb_neardup_cells / IVFPQ recall against exact
+# truth; emb_neardup_cells below is the sole exact catalog path.
 
 
 @register(
@@ -596,7 +582,7 @@ def emb_neardup(spark, sf):
 )
 def emb_neardup_cells(spark, sf):
     """EXACT near-dup via triangle-inequality cell pruning: the oracle is
-    the SAME brute-force SQL as emb_neardup because the output is
+    the brute-force all-pairs SQL because the output is
     bit-identical — only the candidate volume differs (output-bound
     instead of unconditionally corpus²).  The pruning math lives in
     operators/similarity.py:cosine_neardup_cells.  Centers are pinned

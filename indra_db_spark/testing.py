@@ -79,3 +79,64 @@ def compare_frames(
                 diffs = [(int(i), sv.iloc[i], ov.iloc[i]) for i in bad]
                 problems.append(f"col {c}: value mismatches, e.g. {diffs}")
     return problems
+
+
+def cosine_neardup_pairs(
+    emb,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sim_decimals: int | None = 6,
+    max_rows: int | None = 100_000,
+):
+    """TESTING-ONLY exact near-dup oracle: embedding near-duplicate pairs,
+    cosine ≥ threshold, id_a < id_b, via the unconditionally-QUADRATIC
+    all-pairs join.
+
+    Demoted here from operators/similarity.py (and out of the query
+    catalog) in round 8 (r7 verdict #5): the library must expose no O(n²)
+    path a user could reach.  Recall-floor tests compare
+    emb_srp_neardup / emb_neardup_cells / the PQ stack against this
+    ground truth on small fixtures; the production paths are
+    cosine_neardup_cells (exact, cell-pruned) and srp_neardup_pairs
+    (approximate, bucketed).  ``max_rows`` is a guard rail even here: the
+    corpus size is probed with a bounded count and the call fails fast
+    with a pointer to the scale paths instead of launching a 10¹⁰-pair
+    join; pass ``max_rows=None`` to run it anyway (small fixtures)."""
+    from pyspark.sql import functions as F
+
+    from indra_db_spark.operators.similarity import _pair_sim, norm
+
+    if max_rows is not None:
+        over = emb.limit(max_rows + 1).count() > max_rows
+        if over:
+            raise ValueError(
+                f"cosine_neardup_pairs is exact all-pairs (quadratic) and "
+                f"the input exceeds max_rows={max_rows}; use "
+                "cosine_neardup_cells (exact, cell-pruned) or "
+                "srp_neardup_pairs (approximate, bucketed) at this scale, "
+                "or pass max_rows=None to force the exact join"
+            )
+    a = emb.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        norm(F.col(vec_col)).alias("na"),
+    )
+    b = emb.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        norm(F.col(vec_col)).alias("nb"),
+    )
+    sim = _pair_sim(
+        F.col("va"), F.col("vb"), F.col("na"), F.col("nb"), sim_decimals
+    )
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("sim", sim)
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", "sim")
+    )
+
+
+#: alias kept for readability at call sites that use it as ground truth
+exact_neardup_baseline = cosine_neardup_pairs

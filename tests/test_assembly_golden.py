@@ -19,12 +19,14 @@ public stand-in for real data, since the INDRA dependency is unavailable):
    the reference's semantics.
 
 Declared divergences from INDRA (deterministic-seam substitutions,
-documented since round 1): hashes come from the md5 surrogate, and
-refinement is arity-strict, so Phosphorylation(None, ERK) does NOT link to
-Phosphorylation(MEK, ERK) here although INDRA's refinement would link them.
-Everything else — survivor sets, dedup groups, evidence counts, the
-modification-detail refinement edge — matches the reference's curated
-expectations.
+documented since round 1): hashes come from the md5 surrogate — that is
+the whole list.  Missing-agent refinement (Phosphorylation(None, ERK)
+supported by Phosphorylation(MEK, ERK)), previously arity-strict and a
+declared divergence, now follows INDRA's ``refinement_of`` semantics
+(closed round 8, r7 verdict #4).  Everything else — survivor sets, dedup
+groups, evidence counts, the modification-detail and missing-agent
+refinement edges, the belief ordering they imply — matches the
+reference's curated expectations.
 """
 
 from __future__ import annotations
@@ -330,13 +332,16 @@ def test_curated_corpus_evidence_counts_golden(curated_assembly):
 
 
 def test_curated_corpus_refinement_and_belief_golden(curated_assembly):
-    """Refinement: exactly the modification-detail edge
+    """Refinement: the modification-detail edge
     Phosphorylation(MEK, ERK, T, 124) -> Phosphorylation(MEK, ERK)
     (the reference's curated pa expectations pair these two,
-    test_preassembly.py:548-550); the None-enzyme link INDRA would add is
-    a declared arity-strict divergence.  Belief: the supported statement
-    accumulates its refiner's evidence and outranks single-evidence
-    statements."""
+    test_preassembly.py:548-550) PLUS the missing-agent edges INDRA's
+    ``refinement_of`` adds — a None enzyme slot on the general side
+    matches anything, so BOTH (MEK, ERK) forms refine
+    Phosphorylation(None, ERK) (reference semantics, closed r8 per r7
+    verdict #4).  Belief: supported statements accumulate their refiners'
+    evidence, so the most-supported general statement outranks its own
+    refiners and every lone statement."""
     out = curated_assembly
     pa = {
         _key(r.json): r.mk_hash
@@ -348,7 +353,8 @@ def test_curated_corpus_refinement_and_belief_golden(curated_assembly):
     }
     spec = pa[("Phosphorylation", ("MEK", "ERK"), "T", "124")]
     gen = pa[("Phosphorylation", ("MEK", "ERK"), None, None)]
-    assert links == {(spec, gen)}
+    none_enz = pa[("Phosphorylation", (None, "ERK"), None, None)]
+    assert links == {(spec, gen), (gen, none_enz), (spec, none_enz)}
 
     belief = {
         r.mk_hash: r.belief
@@ -360,3 +366,7 @@ def test_curated_corpus_refinement_and_belief_golden(curated_assembly):
     lone = pa[("Activation", ("MEK", "RAF"), None, None)]
     assert belief[gen] > belief[lone]
     assert belief[spec] > belief[lone]  # 2 evidences vs 1
+    # the None-enzyme statement now accumulates BOTH refiners' evidence
+    # (1 own + 1 gen + 2 spec) — the belief consequence of the closed
+    # divergence: it outranks gen (1 own + 2 spec) and every lone stmt
+    assert belief[none_enz] > belief[gen] > belief[lone]

@@ -45,10 +45,7 @@ CRITICAL_IN_WINDOW = [
     "closure_ancestors",
     "belief_ancestor_agg",
     "multimodal_meta",
-    "multimodal_frames",
-    "emb_srp_neardup",  # bucketed scale path is the checked near-dup entry
     "json_extract",
-    "doc_corpus_pipeline",
     "doc_dup_clusters",
     # round-7 rotation (r6 verdict #5): the end-to-end compositions and the
     # newest operator families must sit inside the externally-enforced gate
@@ -60,10 +57,23 @@ CRITICAL_IN_WINDOW = [
     # round-7.2 rotation: supervised classifier gate + composed IVFPQ
     "doc_quality_classifier",
     "emb_ivfpq_topk",
-    # round-7.3 rotation: stream-stream interval join + bounded-round
-    # k-core (the second iterative-graph family alongside the closure)
-    "events_attribution",
+    # round-7.3 rotation: bounded-round k-core (the second iterative-graph
+    # family alongside the closure)
     "graph_kcore",
+    # round-8 rotation (r7 verdict #1): the round-7 surface — IVM, the
+    # warehouse-modeling pair, OHLC/TWAP rollups, skew diagnosis,
+    # attribution credit models (supersedes events_attribution in the
+    # window), langid eval, neighbor aggregation, Z-order pruning
+    "events_ivm_rollup",
+    "events_scd2",
+    "events_pit_join",
+    "events_ohlc",
+    "events_twap",
+    "lake_skew_report",
+    "events_attribution_model",
+    "doc_langid_confusion",
+    "graph_neighbor_agg",
+    "lake_zorder_value",
 ]
 
 

@@ -342,10 +342,8 @@ def test_catalog_ann_recall_floors(spark, sf_dir):
 
 
 def test_srp_neardup_subset_of_exact(spark, sf_dir):
-    from indra_db_spark.operators.similarity import (
-        cosine_neardup_pairs,
-        srp_neardup_pairs,
-    )
+    from indra_db_spark.operators.similarity import srp_neardup_pairs
+    from indra_db_spark.testing import cosine_neardup_pairs
     from indra_db_spark.sources.lake import load_table
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -1152,7 +1150,7 @@ def test_cosine_neardup_guard_rail(spark):
 
     from pyspark.sql import functions as F
 
-    from indra_db_spark.operators.similarity import cosine_neardup_pairs
+    from indra_db_spark.testing import cosine_neardup_pairs
 
     emb = spark.range(50).select(
         F.col("id").alias("vec_id"),
@@ -1573,10 +1571,8 @@ def test_cosine_neardup_cells_exact_parity(spark, sf_dir):
     brute-force all-pairs join on real fixture data, at a loose and a
     tight threshold and at two quantizer resolutions (pruning volume
     changes, the result may not)."""
-    from indra_db_spark.operators.similarity import (
-        cosine_neardup_cells,
-        cosine_neardup_pairs,
-    )
+    from indra_db_spark.operators.similarity import cosine_neardup_cells
+    from indra_db_spark.testing import cosine_neardup_pairs
     from indra_db_spark.sources.lake import load_table
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -1599,10 +1595,8 @@ def test_cosine_neardup_cells_borderline_pairs(spark):
     cluster members — the prune's slack margin must never eat a
     qualifying boundary pair (the failure mode of a pruning bound tuned
     to unrounded similarity)."""
-    from indra_db_spark.operators.similarity import (
-        cosine_neardup_cells,
-        cosine_neardup_pairs,
-    )
+    from indra_db_spark.operators.similarity import cosine_neardup_cells
+    from indra_db_spark.testing import cosine_neardup_pairs
 
     rows = [
         # cos(a, b) = 0.8 exactly (unit 2D pair embedded in 4 dims)

@@ -250,7 +250,7 @@ def test_neardup_cells_prunes_and_stays_jvm_side(spark, sf_dir):
     # roughly the 4 diagonal ones — and the result must still be exact
     import itertools
 
-    from indra_db_spark.operators.similarity import cosine_neardup_pairs
+    from indra_db_spark.testing import cosine_neardup_pairs
 
     rows = []
     vid = 0

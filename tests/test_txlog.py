@@ -24,8 +24,10 @@ def _df(spark, lo, hi, tag="w"):
 @pytest.fixture(autouse=True)
 def _no_hook():
     txlog._pre_commit_hook = None
+    txlog._pre_claim_hook = None
     yield
     txlog._pre_commit_hook = None
+    txlog._pre_claim_hook = None
 
 
 def test_append_read_round_trip(spark, tmp_path):
@@ -707,3 +709,150 @@ def test_history_describes_the_log(spark, tmp_path):
     assert all(r["ts_ms"] > 0 for r in h)
     assert h[0]["n_removed"] == 0 and h[1]["n_removed"] > 0
     assert h[3]["schema_evolved"] and not h[0]["schema_evolved"]
+
+
+# ---- LogStore claim-primitive contract (r7 verdict #3) -------------------
+#
+# The same race matrix drives BOTH stores: LocalFsLogStore (the default for
+# local roots — write-temp + atomic link) and HadoopLogStore injected over
+# the local FileSystem (its create-based claim is only namenode-atomic on
+# HDFS, but the PROTOCOL behavior — one winner, losers rebase, crash at the
+# claim point leaves the table clean — must hold identically).
+
+
+def _mk_table(spark, tmp_path, store: str) -> TxTable:
+    root = str(tmp_path / f"t_{store}")
+    if store == "local":
+        return TxTable(spark, root)
+    probe = TxTable(spark, root)  # creates dirs + fs handle
+    return TxTable(
+        spark,
+        root,
+        log_store=txlog.HadoopLogStore(probe._fs, probe._jvm, probe.root),
+    )
+
+
+@pytest.mark.parametrize("store", ["local", "hadoop"])
+def test_logstore_exactly_one_winner(spark, tmp_path, store):
+    """N concurrent claims of the SAME version: exactly one try_create
+    returns True and the committed manifest is the winner's complete,
+    parseable payload (no torn write)."""
+    import json
+
+    t = _mk_table(spark, tmp_path, store)
+    t.append(_df(spark, 0, 3))
+    results = []
+    lock = threading.Lock()
+
+    def claim(i):
+        ok = t._log_store.try_create(
+            "v000000000002.json",
+            json.dumps({"version": 2, "files": [], "winner": i}).encode(),
+        )
+        with lock:
+            results.append((i, ok))
+
+    threads = [threading.Thread(target=claim, args=(i,)) for i in range(8)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    winners = [i for i, ok in results if ok]
+    assert len(winners) == 1, results
+    body = t._read_version(2)
+    assert body["winner"] == winners[0]  # complete payload, the winner's
+
+
+@pytest.mark.parametrize("store", ["local", "hadoop"])
+def test_logstore_race_at_claim_point_rebases(spark, tmp_path, store):
+    """A racing commit lands INSIDE try_create, after the payload is
+    prepared and immediately before the atomic claim — the tightest
+    window.  The loser must detect the lost claim and rebase: both
+    appends' rows end up in the table, in consecutive versions."""
+    t = _mk_table(spark, tmp_path, store)
+    t.append(_df(spark, 0, 3))
+    fired = []
+
+    def racer():
+        if fired:
+            return  # only the FIRST claim attempt gets raced
+        fired.append(1)
+        txlog._pre_claim_hook = None  # the racing commit must not recurse
+        _mk_table(spark, tmp_path, store).append(_df(spark, 100, 103, tag="racer"))
+        txlog._pre_claim_hook = racer
+
+    txlog._pre_claim_hook = racer
+    v = t.append(_df(spark, 10, 13, tag="mine"))
+    txlog._pre_claim_hook = None
+    assert v == 3  # lost v2 to the racer, rebased, claimed v3
+    rows = {(r.k, r.src) for r in t.read().collect()}
+    assert {(100, "racer"), (10, "mine"), (0, "w")} <= rows
+    assert t.snapshot()[0] == 3
+
+
+@pytest.mark.parametrize("store", ["local", "hadoop"])
+def test_logstore_crash_at_claim_leaves_table_clean(spark, tmp_path, store):
+    """An injected crash EXACTLY at the claim point: the version is never
+    published, readers still see the old snapshot, no partial manifest
+    exists (every listed version parses), and a later retry commits."""
+
+    class Boom(RuntimeError):
+        pass
+
+    t = _mk_table(spark, tmp_path, store)
+    t.append(_df(spark, 0, 3))
+
+    def crash():
+        raise Boom("crash at the claim point")
+
+    txlog._pre_claim_hook = crash
+    with pytest.raises(Boom):
+        t.append(_df(spark, 10, 13, tag="crashed"))
+    txlog._pre_claim_hook = None
+    # claim never published: snapshot unchanged, every manifest parses
+    assert t.snapshot()[0] == 1
+    for v in t._versions():
+        assert t._read_version(v)["version"] == v
+    assert {r.k for r in t.read().collect()} == {0, 1, 2}
+    # the crashed writer's staged files are invisible garbage → vacuum
+    t.vacuum(keep_versions=1)
+    assert {r.k for r in t.read().collect()} == {0, 1, 2}
+    # recovery: the same writer object retries fine
+    assert t.append(_df(spark, 10, 13, tag="retry")) == 2
+    assert {r.k for r in t.read().collect()} == {0, 1, 2, 10, 11, 12}
+
+
+def test_logstore_default_selection(spark, tmp_path):
+    """Local roots (plain and file:-prefixed) must claim through the
+    atomic-link store; only non-local schemes use create-based claims."""
+    plain = TxTable(spark, str(tmp_path / "p"))
+    assert isinstance(plain._log_store, txlog.LocalFsLogStore)
+    prefixed = TxTable(spark, f"file://{tmp_path}/q")
+    assert isinstance(prefixed._log_store, txlog.LocalFsLogStore)
+    assert prefixed._log_store.log_dir.startswith("/")
+    # and the prefixed table actually round-trips through that store
+    prefixed.append(_df(spark, 0, 2))
+    assert prefixed.snapshot()[0] == 1
+
+
+def test_local_store_no_partial_manifest_window(spark, tmp_path):
+    """The local claim publishes content all-or-nothing: at the instant
+    the version becomes listable its payload is already complete (the
+    temp file is fully written and fsynced BEFORE the link).  Simulate
+    the old claim-then-write hazard by checking that DURING a claim —
+    right at the hook, pre-link — the final name does not exist yet."""
+    import os as _os
+
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, 0, 2))
+    seen = {}
+
+    def probe():
+        final = _os.path.join(t._log_store.log_dir, "v000000000002.json")
+        seen["exists_at_claim_point"] = _os.path.exists(final)
+
+    txlog._pre_claim_hook = probe
+    t.append(_df(spark, 2, 4))
+    txlog._pre_claim_hook = None
+    assert seen == {"exists_at_claim_point": False}
+    assert t._read_version(2)["version"] == 2

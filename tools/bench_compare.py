@@ -71,10 +71,15 @@ def compare(old: dict, new: dict, threshold: float = 1.2) -> dict:
 def load_bench(path: str) -> dict:
     """Accept bench.py's raw JSON line or the driver's BENCH_r{N} wrapper:
     prefer the wrapper's ``parsed`` metrics when present, then a complete
-    metrics line inside ``tail``, and finally regex-recover the
-    ``queries``/``queries_sigma`` maps from a FRONT-TRUNCATED tail (the
-    driver caps the captured tail, which can cut the single metrics line
-    mid-way — BENCH_r06 is such a file)."""
+    metrics line inside ``tail`` — including the compact
+    ``headline_queries_summary`` line bench.py prints LAST precisely so it
+    survives the driver's ~2 KB tail capture (its ``queries_mean`` map is
+    promoted to ``queries``; mean ≥ min, so a mean-vs-mean compare is
+    apples-to-apples and a mean-vs-min baseline only UNDER-flags
+    regressions) — and finally regex-recover the ``queries``/
+    ``queries_sigma`` maps from a FRONT-TRUNCATED tail (the driver caps the
+    captured tail, which can cut a metrics line mid-way — BENCH_r06/r07 are
+    such files)."""
     with open(path) as f:
         doc = json.load(f)
     if "queries" in doc:
@@ -85,11 +90,17 @@ def load_bench(path: str) -> dict:
     tail = doc.get("tail", "")
     for line in reversed(tail.splitlines()):
         line = line.strip()
-        if line.startswith("{") and '"queries"' in line:
+        if line.startswith("{") and (
+            '"queries"' in line or '"queries_mean"' in line
+        ):
             try:
-                return json.loads(line)
+                got = json.loads(line)
             except json.JSONDecodeError:
                 break
+            if "queries" not in got and "queries_mean" in got:
+                got["queries"] = got["queries_mean"]
+                got["recovered_from"] = "queries_mean"
+            return got
     import re
 
     out: dict = {}

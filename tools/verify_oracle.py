@@ -129,8 +129,15 @@ def main() -> int:
         }
         with open(out_path, "w") as f:
             json.dump({"summary": summary, "results": report}, f, indent=1)
-        print(f"\n{failures} failures; report → {out_path}")
-        return 1 if failures else 0
+        # exit code and printed count derive from the MERGED report tally
+        # (r7 ADVICE): a subset rerun that fixed its own entries but merged
+        # over prior failures must still exit nonzero — a driver gating on
+        # the exit code and a human reading the report see ONE verdict
+        print(
+            f"\n{summary['failures']} failures"
+            f" ({failures} in this run); report → {out_path}"
+        )
+        return 1 if summary["failures"] else 0
 
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
