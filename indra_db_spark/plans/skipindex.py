@@ -37,12 +37,23 @@ Z_BITS = 16
 def norm_sql(col: str, lo: str, hi: str, bits: int = Z_BITS) -> str:
     """Scale an integer column into [0, 2^bits) given corpus bounds —
     pure integer ops (non-negative after the shift, so Spark's truncating
-    div and DuckDB's // agree)."""
+    div and DuckDB's // agree).
+
+    Divide-first form: bucket = (col − lo) / ceil-ish step, where
+    step = span/2^bits + 1.  The obvious multiply-then-divide
+    normalization ((col−lo)·(2^bits−1)/span) OVERFLOWS BIGINT the moment
+    the column's span exceeds 2^47 — precisely the shape of a 64-bit
+    statement hash, the algebra's primary key (caught by
+    test_txlog_algebra_skip_scan_prunes_files under ANSI mode).  The
+    divide-first bucket index needs no intermediate wider than the span
+    itself, is monotone in ``col``, and lands in [0, 2^bits) for every
+    span: span < 2^bits → step 1 (identity shift); otherwise
+    (col−lo)/step < span/(span/2^bits) ≈ 2^bits."""
     span = f"CASE WHEN ({hi}) > ({lo}) THEN ({hi}) - ({lo}) ELSE 1 END"
-    return (
-        f"CAST(((({col}) - ({lo})) * CAST({(1 << bits) - 1} AS BIGINT))"
-        f" AS BIGINT) / ({span})"
-    )
+    step = f"(({span}) / {1 << bits} + 1)"
+    # the outer CAST keeps every later shift in zvalue_sql BIGINT-typed
+    # even for INT input columns
+    return f"CAST(((({col}) - ({lo})) / {step}) AS BIGINT)"
 
 
 def zvalue_sql(*cols: str, bits: int = Z_BITS) -> str:

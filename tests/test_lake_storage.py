@@ -243,3 +243,134 @@ def test_analytics_from_bucketed_events(spark, sf_dir):
             "spark.sql.legacy.bucketedTableScan.outputOrdering", prev_ord
         )
         spark.sql("DROP DATABASE IF EXISTS bkev CASCADE")
+
+
+def test_algebra_served_from_txlog_snapshot(spark, tmp_path):
+    """The query algebra runs FROM transaction-logged tables
+    (ReadonlyLake.from_txlog) with results identical to the in-memory
+    lake — and a later release (v2 appends) does NOT leak into a reader
+    pinned AS OF v1: time-travel through the whole algebra surface, the
+    incremental replacement for the reference's swap-in-a-new-readonly-db
+    release model (r7 verdict #8)."""
+    from pyspark.sql import functions as F
+
+    from indra_db_spark.plans.queries import HasEvidenceBound
+
+    mem_lake, _, _ = fixture_lake(spark)
+    root = str(tmp_path / "txlake")
+    versions = mem_lake.write_txlog(spark, root)
+    assert set(versions.values()) == {1}
+
+    tx_lake = ReadonlyLake.from_txlog(spark, root)
+    queries = {
+        "agent_and_type": HasAgent("MEK", role="SUBJECT")
+        & HasType(["Phosphorylation"]),
+        "union": HasAgent("ERK") | HasAgent("RAF"),
+        "minus": HasType(["Phosphorylation", "Activation"]) & ~HasAgent("RAF"),
+        "intrusive": HasAgent("MEK") & HasEvidenceBound([">= 1"]),
+    }
+    want = {
+        name: {r.mk_hash for r in get_hashes(q, mem_lake).collect()}
+        for name, q in queries.items()
+    }
+    for name, q in queries.items():
+        got = {r.mk_hash for r in get_hashes(q, tx_lake).collect()}
+        assert got == want[name] and got, name
+
+    # v2 release: an incremental append lands hash-shifted copies in the
+    # two tables the conjunction joins
+    from indra_db_spark.plans.txlog import TxTable
+
+    shift = F.col("mk_hash") + F.lit(1 << 44)
+    for tbl in ("name_meta", "source_meta"):
+        TxTable(spark, f"{root}/{tbl}").append(
+            mem_lake[tbl].withColumn("mk_hash", shift)
+        )
+    latest = ReadonlyLake.from_txlog(spark, root)
+    pinned = ReadonlyLake.from_txlog(spark, root, version=1)
+    for name, q in queries.items():
+        got_latest = {r.mk_hash for r in get_hashes(q, latest).collect()}
+        got_pinned = {r.mk_hash for r in get_hashes(q, pinned).collect()}
+        # the pinned reader reproduces the v1 results exactly...
+        assert got_pinned == want[name], name
+        # ...while the live reader sees the v2 rows (shifted twins) for
+        # every query whose tables both evolved
+        if name in ("agent_and_type", "intrusive"):
+            assert got_latest == want[name] | {
+                h + (1 << 44) for h in want[name]
+            }, name
+
+
+def test_txlog_algebra_skip_scan_prunes_files(spark, tmp_path):
+    """OPTIMIZE (z-order on mk_hash × ev_count) + the skipping index over
+    the txlog snapshot prune a selective hash-range probe of the
+    algebra's own name_meta to a fraction of the files, with result
+    parity against the full scan — the composition the lake uses instead
+    of the reference's clustered btree (SCALING.md §1c)."""
+    from indra_db_spark.plans.skipindex import index_tx_table, skip_scan
+    from indra_db_spark.plans.txlog import TxTable
+
+    mem_lake, _, _ = fixture_lake(spark)
+    t = TxTable(spark, str(tmp_path / "name_meta"))
+    t.append(mem_lake["name_meta"])
+    assert t.optimize("mk_hash", "ev_count", n_files=8) == 2
+    version, idx = index_tx_table(t, "mk_hash", "ev_count")
+    assert version == 2
+    full = t.read()
+    lo = full.agg({"mk_hash": "min"}).first()[0]
+    hi = lo + max(1, (full.agg({"mk_hash": "max"}).first()[0] - lo) // 16)
+    got, files_read, files_total = skip_scan(
+        spark, idx, predicates={"mk_hash": (lo, hi)}
+    )
+    want = full.filter(full.mk_hash.between(lo, hi))
+    assert {r.mk_hash for r in got.collect()} == {
+        r.mk_hash for r in want.collect()
+    }
+    # the z-order layout makes the hash-range probe touch FEW files
+    assert files_total == 8 and files_read < files_total
+
+
+def test_open_layout_chooser(spark, tmp_path, monkeypatch):
+    """ReadonlyLake.open picks the measured-fastest layout per tier
+    (SCALING.md §1b decision table): plain parquet below the bucketed
+    byte threshold, the bucketed catalog above it, the txlog whenever a
+    table has a log or the caller pins a version."""
+    mem_lake, _, _ = fixture_lake(spark)
+    root = str(tmp_path / "plain")
+    mem_lake.write_parquet(root)
+    mem_lake.write_bucketed(spark, database="chooser_db", buckets=4)
+    tx_root = str(tmp_path / "tx")
+    try:
+        # fixture tables are KB-scale: far below the threshold -> plain
+        lake = ReadonlyLake.open(spark, root=root, database="chooser_db")
+        files = lake["name_meta"].inputFiles()
+        assert files and all(root in f for f in files)
+        # force the crossover: every table now clears the byte gate ->
+        # the bucketed catalog serves it
+        monkeypatch.setattr(ReadonlyLake, "BUCKETED_MIN_BYTES", 0)
+        lake = ReadonlyLake.open(spark, root=root, database="chooser_db")
+        files = lake["name_meta"].inputFiles()
+        assert files and not any(root in f for f in files)
+        # a txlog table trumps both (snapshot isolation is correctness)
+        from indra_db_spark.plans.txlog import TxTable
+
+        TxTable(spark, f"{tx_root}/name_meta").append(mem_lake["name_meta"])
+        lake = ReadonlyLake.open(
+            spark, root=root, database="chooser_db", tx_root=tx_root
+        )
+        assert any("/tx/name_meta/data/" in f
+                   for f in lake["name_meta"].inputFiles())
+        # version pin -> everything through the log
+        pinned = ReadonlyLake.open(spark, tx_root=tx_root, version=1,
+                                   extra={
+                                       n: mem_lake[n]
+                                       for n in mem_lake.tables()
+                                       if n != "name_meta"
+                                   })
+        assert pinned["name_meta"].count() == mem_lake["name_meta"].count()
+        # results identical across every tier
+        q = HasAgent("MEK") & HasType(["Phosphorylation"])
+        want = {r.mk_hash for r in get_hashes(q, mem_lake).collect()}
+        assert {r.mk_hash for r in get_hashes(q, lake).collect()} == want
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS chooser_db CASCADE")
