@@ -148,6 +148,12 @@ class ReadonlyLake:
             if not os.path.isdir(os.path.join(path, LOG_DIR)):
                 continue
             tx = TxTable(spark, path)
+            if tx.snapshot()[0] == 0:
+                # a writer created the table dirs and crashed before its
+                # first commit: nothing is committed, so the table does
+                # not exist yet — skip it rather than brick the whole
+                # lake open on one empty log
+                continue
             if timestamp_ms is not None:
                 v = tx.version_at(timestamp_ms)
             elif isinstance(version, dict):
@@ -224,21 +230,25 @@ class ReadonlyLake:
                 continue
             tx_path = tx_root and os.path.join(tx_root, name)
             plain_path = root and os.path.join(root, name)
+            has_plain = bool(plain_path) and os.path.exists(plain_path)
             if tx_path and os.path.isdir(os.path.join(tx_path, LOG_DIR)):
                 from indra_db_spark.plans.txlog import TxTable
 
-                tables[name] = TxTable(spark, tx_path).read()
-            elif (
-                name in bucketed_names
-                and plain_path
-                and _dir_bytes(plain_path) >= cls.BUCKETED_MIN_BYTES
+                tx = TxTable(spark, tx_path)
+                if tx.snapshot()[0] > 0:
+                    tables[name] = tx.read()
+                    continue
+                # zero commits = the table doesn't exist in the log yet
+                # (crashed pre-first-commit writer) — fall through to the
+                # other layouts instead of bricking the open
+            if name in bucketed_names and (
+                not has_plain
+                or _dir_bytes(plain_path) >= cls.BUCKETED_MIN_BYTES
             ):
+                # the catalog copy serves when it's the ONLY copy, or
+                # when the table's bytes clear the measured crossover
                 tables[name] = spark.table(f"{database}.{name}")
-            elif name in bucketed_names and not plain_path:
-                # no parquet copy to size against: the catalog table is
-                # the only copy — serve it
-                tables[name] = spark.table(f"{database}.{name}")
-            elif plain_path and os.path.exists(plain_path):
+            elif has_plain:
                 tables[name] = spark.read.parquet(plain_path)
         return cls(tables)
 

@@ -39,21 +39,33 @@ def norm_sql(col: str, lo: str, hi: str, bits: int = Z_BITS) -> str:
     pure integer ops (non-negative after the shift, so Spark's truncating
     div and DuckDB's // agree).
 
-    Divide-first form: bucket = (col − lo) / ceil-ish step, where
-    step = span/2^bits + 1.  The obvious multiply-then-divide
-    normalization ((col−lo)·(2^bits−1)/span) OVERFLOWS BIGINT the moment
-    the column's span exceeds 2^47 — precisely the shape of a 64-bit
-    statement hash, the algebra's primary key (caught by
-    test_txlog_algebra_skip_scan_prunes_files under ANSI mode).  The
-    divide-first bucket index needs no intermediate wider than the span
-    itself, is monotone in ``col``, and lands in [0, 2^bits) for every
-    span: span < 2^bits → step 1 (identity shift); otherwise
-    (col−lo)/step < span/(span/2^bits) ≈ 2^bits."""
-    span = f"CASE WHEN ({hi}) > ({lo}) THEN ({hi}) - ({lo}) ELSE 1 END"
+    Divide-first form over HALVED coordinates: bucket =
+    (col/2 − lo/2) / step, step = span₂/2^bits + 1 where
+    span₂ = hi/2 − lo/2.  Two overflow traps are dodged at once:
+
+    - the obvious multiply-then-divide normalization
+      ((col−lo)·(2^bits−1)/span) overflows BIGINT the moment the span
+      exceeds 2^47 — precisely the shape of a 64-bit statement hash, the
+      algebra's primary key (caught by
+      test_txlog_algebra_skip_scan_prunes_files under ANSI mode);
+    - even (hi − lo) itself overflows when the column spans the full
+      SIGNED 64-bit range (real INDRA matches-hashes do: span ≈ 1.8e19 >
+      2^63).  Halving every coordinate first (truncating integer
+      division, monotone non-decreasing, same semantics as DuckDB ``//``
+      for the non-negative differences used here) bounds span₂ ≤ 2^62 and
+      costs one bit of resolution — irrelevant at 2^16 buckets.
+
+    The bucket index is monotone in ``col`` and lands in [0, 2^bits) for
+    every span: span₂ < 2^bits → step 1; otherwise
+    (col/2 − lo/2)/step < span₂/(span₂/2^bits) ≈ 2^bits."""
+    c2, lo2, hi2 = (
+        f"(({col}) / 2)", f"(({lo}) / 2)", f"(({hi}) / 2)"
+    )
+    span = f"CASE WHEN {hi2} > {lo2} THEN {hi2} - {lo2} ELSE 1 END"
     step = f"(({span}) / {1 << bits} + 1)"
     # the outer CAST keeps every later shift in zvalue_sql BIGINT-typed
     # even for INT input columns
-    return f"CAST(((({col}) - ({lo})) / {step}) AS BIGINT)"
+    return f"CAST((({c2} - {lo2}) / {step}) AS BIGINT)"
 
 
 def zvalue_sql(*cols: str, bits: int = Z_BITS) -> str:

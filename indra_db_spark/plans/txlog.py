@@ -104,12 +104,18 @@ class LogStore:
 
 
 class HadoopLogStore(LogStore):
-    """Claim via ``FileSystem.create(overwrite=false)`` — atomic on HDFS,
-    where the namenode serializes namespace mutations (the claim is a
-    single CREATE RPC; a loser gets FileAlreadyExistsException).  Correct
-    on any Hadoop FileSystem with namenode-style arbitration; NOT safe on
-    RawLocalFileSystem (check-then-create) — TxTable auto-selects
-    :class:`LocalFsLogStore` for local roots instead."""
+    """Claim via write-temp + ``FileSystem.rename`` — the HDFS LogStore
+    shape the public formats use: the payload is FULLY written and closed
+    under a dot-prefixed temp name (invisible: ``_versions`` only lists
+    ``v*.json``), then renamed onto the version name.  On HDFS the rename
+    is one namenode RPC that returns false when the destination exists —
+    an atomic claim with all-or-nothing content visibility (the earlier
+    claim-then-write form left a window where a crashed writer published
+    a permanently torn manifest).  A crash before the rename leaves only
+    the invisible temp file.  Correct on any FileSystem with
+    namenode-style rename arbitration; NOT safe on RawLocalFileSystem
+    (java renameTo overwrites an existing destination there) — TxTable
+    auto-selects :class:`LocalFsLogStore` for file-scheme roots."""
 
     def __init__(self, fs, jvm, root: str):
         self._fs = fs
@@ -117,16 +123,25 @@ class HadoopLogStore(LogStore):
         self._root = root
 
     def try_create(self, name: str, payload: bytes) -> bool:
-        if _pre_claim_hook is not None:
-            _pre_claim_hook()
-        p = _jpath(self._jvm, self._root, LOG_DIR, name)
-        try:
-            out = self._fs.create(p, False)
-        except Exception:  # FileAlreadyExistsException — lost the race
-            return False
+        tmp = _jpath(
+            self._jvm, self._root, LOG_DIR,
+            f".claim-{uuid.uuid4().hex}-{name}",
+        )
+        out = self._fs.create(tmp, True)
         out.write(bytearray(payload))
         out.close()
-        return True
+        claimed = False
+        try:
+            if _pre_claim_hook is not None:
+                _pre_claim_hook()
+            final = _jpath(self._jvm, self._root, LOG_DIR, name)
+            if self._fs.exists(final):
+                return False  # fast path; the rename below is the truth
+            claimed = bool(self._fs.rename(tmp, final))
+            return claimed
+        finally:
+            if not claimed and self._fs.exists(tmp):
+                self._fs.delete(tmp, False)
 
 
 class LocalFsLogStore(LogStore):
@@ -200,10 +215,13 @@ class TxTable:
         self._fs.mkdirs(_jpath(self._jvm, self.root, DATA_DIR))
         if log_store is not None:
             self._log_store = log_store
-        elif self.root.startswith("file:") or ":" not in self.root.split("/")[0]:
-            # local root (plain path, file:/x, file:///x): Hadoop's
-            # RawLocalFileSystem create(overwrite=false) is
-            # check-then-create, so claim through the atomic-link store
+        elif str(self._fs.getUri().getScheme() or "file") == "file":
+            # decide on the RESOLVED filesystem, not the path string: a
+            # scheme-less root resolves through fs.defaultFS, and a
+            # string-based check would bolt a local-disk log store onto
+            # an HDFS-resident table (split-brain commits).  For a truly
+            # local FS, Hadoop's rename/create primitives are
+            # check-then-act, so claim through the atomic-link store.
             local_root = self.root
             if local_root.startswith("file:"):
                 local_root = "/" + local_root[5:].lstrip("/")

@@ -32,7 +32,32 @@ def write_bucketed(
     if sort_col is not None:
         cols = [sort_col] if isinstance(sort_col, str) else list(sort_col)
         writer = writer.sortBy(*cols)
-    writer.saveAsTable(table)
+    try:
+        writer.saveAsTable(table)
+    except Exception as e:  # noqa: BLE001
+        if mode != "overwrite" or "LOCATION_ALREADY_EXISTS" not in str(e):
+            raise
+        # an interrupted earlier writer left the managed location on disk
+        # while the metastore lost the table entry (crash residue of
+        # managed tables — the metastore write and the directory create
+        # are not atomic).  Overwrite semantics already promise the old
+        # data is gone, so clear the orphan and retry once.  The location
+        # is taken from the ERROR ITSELF — reconstructing it from
+        # warehouse-dir + table name would ignore the session's current
+        # database and custom LOCATIONs and could delete an unrelated
+        # table's data.  Local-FS remove: managed warehouses here are
+        # file: (an HDFS warehouse would route this through
+        # FileSystem.delete).
+        import re
+        import shutil
+        from urllib.parse import urlparse
+
+        m = re.search(r"location '([^']+)' already exists", str(e))
+        if m is None:
+            raise
+        loc = urlparse(m.group(1)).path or m.group(1)
+        shutil.rmtree(loc, ignore_errors=True)
+        writer.saveAsTable(table)
 
 
 def write_events_bucketed(

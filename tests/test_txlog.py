@@ -732,14 +732,17 @@ def _mk_table(spark, tmp_path, store: str) -> TxTable:
     )
 
 
-@pytest.mark.parametrize("store", ["local", "hadoop"])
-def test_logstore_exactly_one_winner(spark, tmp_path, store):
-    """N concurrent claims of the SAME version: exactly one try_create
-    returns True and the committed manifest is the winner's complete,
-    parseable payload (no torn write)."""
+def test_logstore_exactly_one_winner_local(spark, tmp_path):
+    """N concurrent claims of the SAME version through the local store:
+    exactly one try_create returns True (the kernel's link(2) EEXIST
+    arbitration) and the committed manifest is the winner's complete,
+    parseable payload (no torn write).  Local-only on purpose: the
+    HADOOP store's single-winner guarantee is namenode arbitration,
+    which RawLocalFileSystem cannot emulate (its rename overwrites) —
+    its documented limitation, covered sequentially below."""
     import json
 
-    t = _mk_table(spark, tmp_path, store)
+    t = _mk_table(spark, tmp_path, "local")
     t.append(_df(spark, 0, 3))
     results = []
     lock = threading.Lock()
@@ -761,6 +764,27 @@ def test_logstore_exactly_one_winner(spark, tmp_path, store):
     assert len(winners) == 1, results
     body = t._read_version(2)
     assert body["winner"] == winners[0]  # complete payload, the winner's
+
+
+@pytest.mark.parametrize("store", ["local", "hadoop"])
+def test_logstore_lost_claim_and_no_temp_residue(spark, tmp_path, store):
+    """Sequential protocol contract both stores share: claiming an
+    already-claimed version returns False, never corrupts the winner's
+    payload, and leaves no visible residue (temp claim files are invisible
+    to the version listing and removed on the losing path)."""
+    import json
+
+    t = _mk_table(spark, tmp_path, store)
+    t.append(_df(spark, 0, 3))
+    name = "v000000000002.json"
+    assert t._log_store.try_create(
+        name, json.dumps({"version": 2, "files": [], "w": "first"}).encode()
+    )
+    assert not t._log_store.try_create(
+        name, json.dumps({"version": 2, "files": [], "w": "second"}).encode()
+    )
+    assert t._read_version(2)["w"] == "first"  # loser never tore the payload
+    assert t._versions() == [1, 2]  # no temp residue in the listing
 
 
 @pytest.mark.parametrize("store", ["local", "hadoop"])

@@ -32,6 +32,16 @@ import sys
 def compare(old: dict, new: dict, threshold: float = 1.2) -> dict:
     oq, nq = old.get("queries", {}), new.get("queries", {})
     nsig = new.get("queries_sigma", {})
+    # apples-to-apples statistic selection: when EITHER side only has
+    # steady-state means (recovered from the compact summary line), compare
+    # mean-vs-mean on both sides if the other side recorded means —
+    # mean-vs-min ratios are systematically inflated (mean ≥ min) and
+    # would over-flag regressions with no real slowdown
+    mean_based = "queries_mean" in {old.get("recovered_from"),
+                                    new.get("recovered_from")}
+    if mean_based:
+        oq = old.get("queries_mean", oq)
+        nq = new.get("queries_mean", nq)
     shared = sorted(set(oq) & set(nq))
     ratios: dict[str, float] = {}
     regressions: list[dict] = []
@@ -88,19 +98,28 @@ def load_bench(path: str) -> dict:
     if isinstance(parsed, dict) and "queries" in parsed:
         return parsed
     tail = doc.get("tail", "")
+    # prefer a surviving COMPLETE metrics line (min-based "queries" map)
+    # over the compact summary: the summary exists for when truncation ate
+    # the full line, not to displace it
+    summary = None
     for line in reversed(tail.splitlines()):
         line = line.strip()
-        if line.startswith("{") and (
+        if not (line.startswith("{") and (
             '"queries"' in line or '"queries_mean"' in line
-        ):
-            try:
-                got = json.loads(line)
-            except json.JSONDecodeError:
-                break
-            if "queries" not in got and "queries_mean" in got:
-                got["queries"] = got["queries_mean"]
-                got["recovered_from"] = "queries_mean"
+        )):
+            continue
+        try:
+            got = json.loads(line)
+        except json.JSONDecodeError:
+            continue
+        if "queries" in got:
             return got
+        if summary is None and "queries_mean" in got:
+            summary = got
+    if summary is not None:
+        summary["queries"] = summary["queries_mean"]
+        summary["recovered_from"] = "queries_mean"
+        return summary
     import re
 
     out: dict = {}

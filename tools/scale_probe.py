@@ -73,18 +73,37 @@ def _docs_x(spark, factor: int):
 
 
 def _emb_x(spark, factor: int):
+    """Amplified embeddings with near-dup structure PROPORTIONAL to the
+    corpus: copy k applies the orthogonal rotation pair
+    (first half circularly rotated by k mod 32, second half by
+    (k div 32) mod 32) — 32×32 = 1024 distinct maps, covering factor
+    1000.  Same-k copies of a base pair keep their exact dot product
+    (both halves rotate identically), so every base near-dup pair
+    replicates once per copy: output ∝ factor.  Cross-k copies
+    decorrelate (measured cos ≈ ±0.1 on the fixture), so no copy chains.
+    The previous single-component +0.01k shift was fine for top-k probes
+    but made low-k copies near-duplicates of EACH OTHER — a K² pair
+    explosion that would measure the amplifier, not the operator, for
+    threshold near-dup ops (r7 verdict #6 probe extension)."""
     from pyspark.sql import functions as F
 
     base = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
     copies = F.explode(F.sequence(F.lit(0), F.lit(factor - 1))).alias("k")
     out = base.select("*", copies)
-    shift = F.col("k").cast("float") * F.lit(0.01)
+    h = 32  # fixture embeddings are dim 64: two 32-component halves
+    ka = (F.col("k") % h).cast("int")
+    kb = ((F.col("k") / h).cast("int") % h).cast("int")
+    first, second = F.slice("embedding", 1, h), F.slice("embedding", h + 1, h)
+
+    def rot(half, off):
+        return F.concat(
+            F.slice(half, off + F.lit(1), F.lit(h) - off),
+            F.slice(half, F.lit(1), off),
+        )
+
     return out.select(
         (F.col("vec_id") + F.col("k") * F.lit(10_000_000)).alias("vec_id"),
-        F.concat(
-            F.array(F.element_at("embedding", 1) + shift),
-            F.slice("embedding", 2, 10_000),
-        ).alias("embedding"),
+        F.concat(rot(first, ka), rot(second, kb)).alias("embedding"),
         "label",
     )
 
@@ -130,8 +149,40 @@ def _tree_edges(spark, factor: int):
     )
 
 
+def _cell_seeds(emb) -> list[list[float]]:
+    """Pinned seed centers for the exact cell-pruned near-dup probe,
+    spread across the amplified corpus by a deterministic multiplicative
+    hash over vec_id (plain first-N would sample only the k=0 base
+    directions and leave every rotated copy in a huge-radius cell).
+    nlist grows ~sqrt(N) (the IVF convention), capped at 256 so the
+    literal-center assignment map stays cheap; exactness never depends
+    on the centers — only pruning volume does."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    n = emb.count()
+    nlist = min(256, max(16, int(16 * math.sqrt(n / 2000))))
+    # reduce mod p BEFORE the multiply: amplified vec_ids reach ~1e10 at
+    # factor 1000 and a raw id×2654435761 overflows BIGINT under ANSI;
+    # (id mod p) ≤ 1e9 keeps the product under 2.7e18
+    rows = (
+        emb.orderBy(
+            ((F.col("vec_id") % 1_000_000_007) * 2654435761)
+            % 1_000_000_007
+        )
+        .limit(nlist)
+        .collect()
+    )
+    out = []
+    for r in rows:
+        nrm = math.sqrt(sum(float(x) * float(x) for x in r.embedding)) or 1.0
+        out.append([float(x) / nrm for x in r.embedding])
+    return out
+
+
 def _ops(spark, docs, emb, edges, ivf_index, ivf_centers, events,
-         pq_artifacts=None):
+         pq_artifacts=None, cell_seeds=None):
     from pyspark.sql import functions as F
 
     from indra_db_spark.operators import analytics as AN
@@ -170,6 +221,15 @@ def _ops(spark, docs, emb, edges, ivf_index, ivf_centers, events,
         # prebuilt index — the crossover between them is the measurement
         "emb_topk_exact": lambda: S.brute_force_topk(emb, queries, k=5),
         "srp_topk": lambda: S.srp_topk(emb, queries, k=5, planes=6),
+        # the exact threshold near-dup scale path (r7 verdict #6): cell
+        # assignment + triangle-inequality prune + exact verify — the
+        # operator that replaced the guarded quadratic on the bench;
+        # output ∝ factor by the amplifier's rotation-pair construction.
+        # Seeds are prebuilt by the caller (untimed, like the IVF index:
+        # center selection is build-time cost, the probe times the scan)
+        "cells": lambda: S.cosine_neardup_cells(
+            emb, threshold=0.35, centers=cell_seeds
+        ),
         "ivf_probe": lambda: S.ivf_probe(
             ivf_index, ivf_centers, queries, k=5, nprobe=2
         ),
@@ -623,8 +683,13 @@ def main() -> None:
         only = {
             s for s in os.environ.get("SPARK_GRAFT_PROBE_OPS", "").split(",") if s
         }
+        # cell seeds prebuilt once per corpus (untimed, like the IVF index)
+        # and only when the cells probe will actually run
+        cell_seeds = (
+            _cell_seeds(emb) if (not only or "cells" in only) else None
+        )
         for name, build in _ops(spark, docs, emb, edges, index, centers,
-                                events, pq_artifacts).items():
+                                events, pq_artifacts, cell_seeds).items():
             if only and name not in only:
                 continue
             # one op blowing up at high amplification (e.g. an executor OOM)
@@ -674,20 +739,26 @@ def main() -> None:
     }
 
     # slopes are recomputed from the MERGED timings (not just this run's
-    # factors), so a single-factor partial re-run updates estimates instead
-    # of wiping the previously recorded slopes
+    # factors), PER OP over the factor range that op was actually probed
+    # at — so extending only the heaviest families a third decade
+    # (r7 verdict #6) cannot wipe the other operators' recorded slopes,
+    # and a single-factor partial re-run updates estimates instead of
+    # clobbering them
     slopes = {}
     merged_factors = sorted(int(f) for f in results if results.get(f))
-    if len(merged_factors) >= 2:
-        lo, hi = str(min(merged_factors)), str(max(merged_factors))
-        ratio = math.log(max(merged_factors) / min(merged_factors))
-        for op in results[lo]:
-            if op not in results.get(hi, {}):
-                continue
-            t_lo, t_hi = results[lo][op], results[hi][op]
-            # subtract nothing: fixed overhead makes slopes UNDER-estimate,
-            # so a slope ≤ 1 is conservative evidence of linearity
-            slopes[op] = round(math.log(max(t_hi, 1e-9) / max(t_lo, 1e-9)) / ratio, 3)
+    all_ops = {op for t in results.values() for op in t}
+    for op in sorted(all_ops):
+        fs = [f for f in merged_factors if op in results.get(str(f), {})]
+        if len(fs) < 2:
+            continue
+        lo, hi = str(min(fs)), str(max(fs))
+        ratio = math.log(max(fs) / min(fs))
+        t_lo, t_hi = results[lo][op], results[hi][op]
+        # subtract nothing: fixed overhead makes slopes UNDER-estimate,
+        # so a slope ≤ 1 is conservative evidence of linearity
+        slopes[op] = round(
+            math.log(max(t_hi, 1e-9) / max(t_lo, 1e-9)) / ratio, 3
+        )
 
     payload = {
         "metric": "scale_probe",
