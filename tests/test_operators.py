@@ -1629,6 +1629,119 @@ def test_cosine_neardup_cells_borderline_pairs(spark):
         assert got == want, (nlist, got, want)
 
 
+def _product_corpus(spark, n: int, m: int = 20, noise: float = 0.12):
+    """Product-structured embedding corpus (the IMI design regime): an
+    s×s factor grid of half-codewords, each point = (A[i] ⧺ B[j]) + small
+    full-dim noise, m members per code combo.  Near-dup pairs are the
+    within-combo pairs (cos ≈ 0.97), so output ∝ n; cross-combo pairs
+    differ in at least one half (distance ≈ 1), so the per-half prune has
+    real structure to find.  Deterministic (xxhash64)."""
+    import math
+
+    s = max(2, int(math.isqrt(n // m)))
+    dims = F.sequence(F.lit(0), F.lit(63))
+    code = F.expr(f"id div {m}")
+    i_ = F.pmod(code, F.lit(s))
+    j_ = F.pmod(code / s, F.lit(s)).cast("long")
+
+    def comp(d):
+        h1 = (F.pmod(F.xxhash64(F.lit(11), i_, d), F.lit(1000)).cast("double")) / 500.0 - 1.0
+        h2 = (F.pmod(F.xxhash64(F.lit(22), j_, d), F.lit(1000)).cast("double")) / 500.0 - 1.0
+        base = F.when(d < 32, h1).otherwise(h2)
+        jitter = (F.pmod(F.xxhash64(F.col("id"), d, F.lit(7)), F.lit(1000)).cast("double")) / 500.0 - 1.0
+        return base + noise * jitter
+
+    return spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.transform(dims, lambda d: comp(d).cast("float")).alias("embedding"),
+    )
+
+
+def test_cosine_neardup_imi_exact_parity(spark, sf_dir):
+    """The inverted-multi-index near-dup is EXACT: bit-identical pair set
+    to the brute-force all-pairs join on real fixture data (isotropic —
+    the prune is vacuous there, exactness must survive that) and on a
+    product-structured corpus (the design regime, where the prune
+    engages), at two codebook resolutions."""
+    from indra_db_spark.operators.similarity import cosine_neardup_imi
+    from indra_db_spark.testing import cosine_neardup_pairs
+    from indra_db_spark.sources.lake import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    for t in (0.35, 0.8):
+        want = {
+            (r.id_a, r.id_b, r.sim)
+            for r in cosine_neardup_pairs(emb, threshold=t, max_rows=None).collect()
+        }
+        for k_half in (3, 8):
+            got = {
+                (r.id_a, r.id_b, r.sim)
+                for r in cosine_neardup_imi(emb, threshold=t, k_half=k_half).collect()
+            }
+            assert got == want, (t, k_half, len(got), len(want))
+
+    prod = _product_corpus(spark, 2000)
+    want = {
+        (r.id_a, r.id_b, r.sim)
+        for r in cosine_neardup_pairs(prod, threshold=0.9, max_rows=None).collect()
+    }
+    got = {
+        (r.id_a, r.id_b, r.sim)
+        for r in cosine_neardup_imi(
+            prod, threshold=0.9, target_cell_rows=20
+        ).collect()
+    }
+    assert got == want and len(got) > 1000, (len(got), len(want))
+
+
+def test_cosine_neardup_imi_borderline_pairs(spark):
+    """Same adversarial threshold-boundary set as the flat-cell prune: the
+    IMI bound's slack margin must never eat a qualifying boundary pair,
+    at several codebook resolutions including k=1 (single cell — prune
+    disabled, pure verify) and odd-dimension vectors (unequal halves)."""
+    from indra_db_spark.operators.similarity import cosine_neardup_imi
+    from indra_db_spark.testing import cosine_neardup_pairs
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.8, 0.6, 0.0, 0.0]),
+        (3, [0.7999999, 0.6000001340, 0.0, 0.0]),
+        (4, [0.6, 0.8, 0.0, 0.0]),
+        (5, [0.0, 0.0, 1.0, 0.0]),
+        (6, [0.0, 0.0, 0.99, 0.14106735979665894]),
+        (7, [-1.0, 0.0, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id INT, embedding ARRAY<DOUBLE>",
+    )
+    want = {
+        (r.id_a, r.id_b, r.sim)
+        for r in cosine_neardup_pairs(emb, threshold=0.8, max_rows=None).collect()
+    }
+    assert {(1, 2), (1, 3), (5, 6)} <= {(a, b) for a, b, _ in want}
+    for k_half in (1, 2, 3):
+        got = {
+            (r.id_a, r.id_b, r.sim)
+            for r in cosine_neardup_imi(emb, threshold=0.8, k_half=k_half).collect()
+        }
+        assert got == want, (k_half, got, want)
+    # odd dimension: 5-dim vectors, halves of 2 and 3 coordinates
+    emb5 = spark.createDataFrame(
+        [(i, [float(x) for x in v] + [0.0]) for i, v in rows],
+        "vec_id INT, embedding ARRAY<DOUBLE>",
+    )
+    want5 = {
+        (r.id_a, r.id_b, r.sim)
+        for r in cosine_neardup_pairs(emb5, threshold=0.8, max_rows=None).collect()
+    }
+    got5 = {
+        (r.id_a, r.id_b, r.sim)
+        for r in cosine_neardup_imi(emb5, threshold=0.8, k_half=2).collect()
+    }
+    assert got5 == want5
+
+
 def test_dup_cluster_representatives_semantics(spark):
     """Keep-the-longest per component with id tie-break; unclustered docs
     keep themselves as singleton components labeled by their own id."""
