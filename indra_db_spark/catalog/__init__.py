@@ -129,8 +129,11 @@ WINDOW_ORDER = [
     "events_paths",
     "events_rate_anomaly",
     # training-data: similarity (bucketed scale paths checked;
-    # emb_srp_neardup rotated past-window r8 — SRP is kept by emb_srp_topk)
-    "emb_topk",
+    # emb_srp_neardup rotated past-window r8 — SRP is kept by emb_srp_topk;
+    # emb_topk rotated past-window r8.2: the brute-force baseline's ranking
+    # tail and scoring expression are both exercised in-window by
+    # emb_srp_topk / emb_ivfpq_topk and by the IMI entry's verify stage)
+    "emb_neardup_imi",
     "emb_srp_topk",
     # r7.2: the composed IVF+PQ production ANN layout
     "emb_ivfpq_topk",

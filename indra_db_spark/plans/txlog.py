@@ -22,9 +22,10 @@ commits, Iceberg's snapshot manifests), reduced to what this lake needs:
   (:class:`HadoopLogStore`); bare local filesystems claim via
   write-temp + ``link(2)`` (:class:`LocalFsLogStore` — kernel-atomic
   EEXIST exclusivity, the O_CREAT|O_EXCL guarantee, plus atomic
-  full-content visibility); object stores plug a conditional-put
-  adapter into the same two-method contract.  Losing the race
-  means re-reading the new latest
+  full-content visibility); object stores claim through ONE
+  service-arbitrated conditional put (:class:`ObjectStoreLogStore` —
+  ``If-None-Match: *`` semantics over any injected SDK client).
+  Losing the race means re-reading the new latest
   version, REBASING, and retrying:
 
   * appends never conflict — rebase = (their list) ∪ (my adds);
@@ -186,6 +187,39 @@ class LocalFsLogStore(LogStore):
         finally:
             os.close(dfd)
         return True
+
+
+class ObjectStoreLogStore(LogStore):
+    """Conditional-put claim for object stores (the S3 class): the claim
+    is ONE service-side conditional write — ``PUT If-None-Match: *`` on
+    S3, ``if_generation_match=0`` on GCS, ETag ``If-None-Match`` on
+    Azure Blob.  Exactly one racing PUT succeeds (the service
+    arbitrates), every loser gets a precondition failure, and object
+    stores publish whole objects atomically — so there is no
+    torn-manifest window and, unlike the filesystem stores, no temp
+    object to clean up on ANY path (success, loss, or crash).
+
+    The adapter is SDK-agnostic: pass any ``client`` exposing
+    ``put_if_absent(key: str, payload: bytes) -> bool`` (True = created;
+    False = the key already existed — the HTTP 412 case).  Mapping the
+    real SDKs onto that is one call each; this module deliberately
+    imports none of them.  Reads still flow through the table's Hadoop
+    filesystem (s3a:// and friends list and read the same keys), so only
+    the CLAIM routes through the SDK — the same split the public table
+    formats use for S3 multi-writer commits.  ``key_prefix`` is the
+    store key of the table's ``_txlog/`` directory (bucket-relative or
+    absolute, whatever the client expects)."""
+
+    def __init__(self, client, key_prefix: str = LOG_DIR + "/"):
+        self._client = client
+        self._key_prefix = key_prefix
+
+    def try_create(self, name: str, payload: bytes) -> bool:
+        if _pre_claim_hook is not None:
+            _pre_claim_hook()
+        return bool(
+            self._client.put_if_absent(self._key_prefix + name, payload)
+        )
 
 
 def _jpath(jvm, *parts):

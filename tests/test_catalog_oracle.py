@@ -74,6 +74,9 @@ CRITICAL_IN_WINDOW = [
     "doc_langid_confusion",
     "graph_neighbor_agg",
     "lake_zorder_value",
+    # round-8.2 rotation: the IMI exact near-dup (growing-cell-count scale
+    # path) replaces the brute-force emb_topk baseline in the window
+    "emb_neardup_imi",
 ]
 
 

@@ -6,6 +6,7 @@ is rebuilt wholesale per release, readonly_dumping/)."""
 
 from __future__ import annotations
 
+import os
 import threading
 
 import pytest
@@ -720,11 +721,45 @@ def test_history_describes_the_log(spark, tmp_path):
 # claim point leaves the table clean — must hold identically).
 
 
+class _DirObjectClient:
+    """Object-store emulator for the conditional-put contract: one lock
+    plays the service's arbitration (exactly one ``If-None-Match: *``
+    PUT per key succeeds), publication is an atomic rename so readers —
+    the table's Hadoop filesystem over the same directory — can never
+    observe a partial object.  The emulator is keyed bucket-relative,
+    exactly how a real client would be."""
+
+    def __init__(self, root: str):
+        self._root = root
+        self._lock = threading.Lock()
+
+    def put_if_absent(self, key: str, payload: bytes) -> bool:
+        import uuid
+
+        path = os.path.join(self._root, key)
+        with self._lock:
+            if os.path.exists(path):
+                return False
+            tmp = path + f".put-{uuid.uuid4().hex}"
+            with open(tmp, "wb") as f:
+                f.write(payload)
+                f.flush()
+                os.fsync(f.fileno())
+            os.rename(tmp, path)
+            return True
+
+
 def _mk_table(spark, tmp_path, store: str) -> TxTable:
     root = str(tmp_path / f"t_{store}")
     if store == "local":
         return TxTable(spark, root)
     probe = TxTable(spark, root)  # creates dirs + fs handle
+    if store == "object":
+        return TxTable(
+            spark,
+            root,
+            log_store=txlog.ObjectStoreLogStore(_DirObjectClient(root)),
+        )
     return TxTable(
         spark,
         root,
@@ -766,7 +801,44 @@ def test_logstore_exactly_one_winner_local(spark, tmp_path):
     assert body["winner"] == winners[0]  # complete payload, the winner's
 
 
-@pytest.mark.parametrize("store", ["local", "hadoop"])
+def test_logstore_exactly_one_winner_object(spark, tmp_path):
+    """N concurrent conditional-put claims of the SAME version through
+    ONE object-store client: the service-side arbitration (the
+    emulator's lock standing in for S3's ``If-None-Match: *``) admits
+    exactly one PUT, the committed manifest is the winner's complete
+    payload, and — the object-store-specific property — NO residue
+    exists on any path: no temp objects, no cleanup step, the log
+    directory holds exactly the version manifests."""
+    import json
+
+    t = _mk_table(spark, tmp_path, "object")
+    t.append(_df(spark, 0, 3))
+    results = []
+    lock = threading.Lock()
+
+    def claim(i):
+        ok = t._log_store.try_create(
+            "v000000000002.json",
+            json.dumps({"version": 2, "files": [], "winner": i}).encode(),
+        )
+        with lock:
+            results.append((i, ok))
+
+    threads = [threading.Thread(target=claim, args=(i,)) for i in range(8)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    winners = [i for i, ok in results if ok]
+    assert len(winners) == 1, results
+    assert t._read_version(2)["winner"] == winners[0]
+    log_dir = os.path.join(str(tmp_path / "t_object"), txlog.LOG_DIR)
+    assert sorted(os.listdir(log_dir)) == [
+        "v000000000001.json", "v000000000002.json"
+    ]
+
+
+@pytest.mark.parametrize("store", ["local", "hadoop", "object"])
 def test_logstore_lost_claim_and_no_temp_residue(spark, tmp_path, store):
     """Sequential protocol contract both stores share: claiming an
     already-claimed version returns False, never corrupts the winner's
@@ -787,7 +859,7 @@ def test_logstore_lost_claim_and_no_temp_residue(spark, tmp_path, store):
     assert t._versions() == [1, 2]  # no temp residue in the listing
 
 
-@pytest.mark.parametrize("store", ["local", "hadoop"])
+@pytest.mark.parametrize("store", ["local", "hadoop", "object"])
 def test_logstore_race_at_claim_point_rebases(spark, tmp_path, store):
     """A racing commit lands INSIDE try_create, after the payload is
     prepared and immediately before the atomic claim — the tightest
@@ -814,7 +886,7 @@ def test_logstore_race_at_claim_point_rebases(spark, tmp_path, store):
     assert t.snapshot()[0] == 3
 
 
-@pytest.mark.parametrize("store", ["local", "hadoop"])
+@pytest.mark.parametrize("store", ["local", "hadoop", "object"])
 def test_logstore_crash_at_claim_leaves_table_clean(spark, tmp_path, store):
     """An injected crash EXACTLY at the claim point: the version is never
     published, readers still see the old snapshot, no partial manifest
