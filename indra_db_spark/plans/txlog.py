@@ -38,6 +38,13 @@ commits, Iceberg's snapshot manifests), reduced to what this lake needs:
   files under ``data/`` — invisible to every reader, reclaimed by
   :func:`TxTable.vacuum` (which only ever deletes files referenced by NO
   retained version).
+- Small deletes go MERGE-ON-READ (``delete_where(mode="dv")``): the
+  manifest maps data files to deletion-vector sidecars of (physical file,
+  row index) pairs; readers apply them with one anti-join, compaction
+  materializes them, and any rewrite racing a DV on the same file
+  conflicts instead of resurrecting the deleted rows.  Integrity rides
+  the same manifests: CHECK constraints (batch-validated pre-stage,
+  re-validated on rebase) and RESTORE-to-version rollback commits.
 
 The reference has no analog (its readonly store is rebuilt wholesale per
 release, readonly_dumping/); this closes the "table-format transaction
@@ -69,6 +76,11 @@ _pre_claim_hook = None
 
 class CommitConflict(RuntimeError):
     """A competing commit removed files this transaction rewrote."""
+
+
+class ConstraintViolation(ValueError):
+    """An incoming batch (or the existing table, when adding a
+    constraint) violates a CHECK constraint; nothing was committed."""
 
 
 class LogStore:
@@ -297,16 +309,28 @@ class TxTable:
     def snapshot(self) -> tuple[int, list[str]]:
         """(version, live file names) of the latest committed version;
         (0, []) for an empty table."""
-        v, files, _, _ = self._snapshot_full()
+        v, files, _, _, _, _ = self._snapshot_full()
         return v, files
 
-    def _snapshot_full(self) -> tuple[int, list[str], dict, dict | None]:
+    def _snapshot_full(
+        self,
+    ) -> tuple[int, list[str], dict, dict | None, dict, dict]:
+        """(version, files, txns, schema, constraints, dv) of the latest
+        manifest — every commit loop re-reads this ONE manifest and
+        carries all five metadata maps forward into its claim."""
         vs = self._versions()
         if not vs:
-            return 0, [], {}, None
+            return 0, [], {}, None, {}, {}
         v = vs[-1]
         body = self._read_version(v)
-        return v, body["files"], body.get("txns", {}), body.get("schema")
+        return (
+            v,
+            body["files"],
+            body.get("txns", {}),
+            body.get("schema"),
+            body.get("constraints", {}),
+            body.get("dv", {}),
+        )
 
     def _try_claim(
         self,
@@ -315,6 +339,8 @@ class TxTable:
         action: str,
         txns: dict | None = None,
         schema: dict | None = None,
+        constraints: dict | None = None,
+        dv: dict | None = None,
     ) -> bool:
         """Atomically create the version file; False if somebody else
         already holds that version number (the optimistic-concurrency
@@ -340,6 +366,10 @@ class TxTable:
             body["txns"] = txns
         if schema is not None:
             body["schema"] = schema
+        if constraints:
+            body["constraints"] = constraints
+        if dv:
+            body["dv"] = dv
         return self._log_store.try_create(
             f"v{version:012d}.json", json.dumps(body).encode("utf-8")
         )
@@ -379,6 +409,39 @@ class TxTable:
 
             reader = reader.schema(StructType.fromJson(schema_json))
         return reader.parquet(*[f"{self.root}/data/{n}" for n in names])
+
+    def _read_files_dv(
+        self, names: list[str], schema_json: dict | None, dv: dict
+    ):
+        """The DATA-correct view of a file set: :meth:`_read_files` with
+        the files' deletion vectors applied — one left-anti join of
+        (physical file name, parquet row index) against the union of the
+        relevant DV sidecars.  Every row-reading path (read, merge
+        rewrite, delete rewrite, compact) MUST come through here: a raw
+        read of a DV-carrying file resurrects its deleted rows."""
+        df = self._read_files(names, schema_json)
+        rel = sorted({n for f in names for n in dv.get(f, [])})
+        if not rel:
+            return df
+        from pyspark.sql import functions as F
+
+        dvdf = self.spark.read.parquet(
+            *[f"{self.root}/data/{n}" for n in rel]
+        ).select(
+            F.col("file").alias("_txdv_file"),
+            F.col("pos").alias("_txdv_pos"),
+        )
+        return (
+            df.withColumn("_txdv_f", F.col("_metadata.file_name"))
+            .withColumn("_txdv_p", F.col("_metadata.row_index"))
+            .join(
+                dvdf,
+                (F.col("_txdv_f") == F.col("_txdv_file"))
+                & (F.col("_txdv_p") == F.col("_txdv_pos")),
+                "left_anti",
+            )
+            .drop("_txdv_f", "_txdv_p")
+        )
 
     @staticmethod
     def _union_schema_json(a: dict | None, b: dict | None) -> dict | None:
@@ -422,7 +485,7 @@ class TxTable:
         snapshot's parquet schema; None for an empty table."""
         from pyspark.sql.types import StructType
 
-        v, files, _, schema = self._snapshot_full()
+        v, files, _, schema, _, _ = self._snapshot_full()
         if schema is not None:
             return StructType.fromJson(schema)
         if not files:
@@ -474,6 +537,103 @@ class TxTable:
         )
         return union.jsonValue()
 
+    # ---- CHECK constraints ----------------------------------------------
+
+    def constraints(self) -> dict[str, str]:
+        """The table's current CHECK constraints: {name: SQL expression}."""
+        return dict(self._snapshot_full()[4])
+
+    def _check_constraints(self, df: DataFrame, cons: dict, what: str):
+        """Enforce every CHECK constraint on ``df`` in ONE distributed
+        pass (a single select of conditional sums — no per-constraint
+        scan).  Standard SQL three-valued CHECK semantics: a row violates
+        only when the expression is FALSE; NULL (unknown) passes — so
+        ``x > 0`` admits null x, and rejecting nulls is spelled
+        ``x IS NOT NULL`` explicitly."""
+        if not cons:
+            return
+        from pyspark.sql import functions as F
+
+        counts = df.select(
+            *[
+                F.sum(
+                    F.when(~F.expr(expr), F.lit(1)).otherwise(F.lit(0))
+                ).alias(name)
+                for name, expr in cons.items()
+            ]
+        ).first()
+        bad = {
+            name: int(counts[name] or 0)
+            for name in cons
+            if (counts[name] or 0) > 0
+        }
+        if bad:
+            raise ConstraintViolation(
+                f"{what} violates CHECK constraint(s) "
+                + ", ".join(
+                    f"{n!r} ({cons[n]}): {c} row(s)" for n, c in bad.items()
+                )
+                + "; nothing committed"
+            )
+
+    def add_check_constraint(
+        self, name: str, expr: str, max_retries: int = 20
+    ) -> int:
+        """Add a CHECK constraint (Delta ``ALTER TABLE ADD CONSTRAINT``
+        analog): a metadata-only commit whose manifest carries
+        {name: SQL expr}; every later append/merge batch is validated
+        against it in one distributed pass BEFORE any file is staged.
+        The EXISTING rows are validated first — a constraint the table
+        already violates is refused (re-validated on every rebase, since
+        a racing append may have landed violating rows in the window).
+        Enforcement composes with the race rules the same way schema
+        evolution does: a violating batch racing the constraint commit
+        is caught on ITS rebase (append re-validates constraints that
+        appeared after its pre-stage check)."""
+        for _ in range(max_retries):
+            base, files, txns, schema, cons, dv = self._snapshot_full()
+            if cons.get(name) == expr:
+                return base  # idempotent re-add
+            if name in cons:
+                raise ValueError(
+                    f"constraint {name!r} already exists with a different "
+                    f"expression ({cons[name]!r}); drop it first"
+                )
+            if files:
+                self._check_constraints(
+                    self._read_files_dv(files, schema, dv),
+                    {name: expr},
+                    "existing table",
+                )
+            new_cons = dict(cons)
+            new_cons[name] = expr
+            if self._try_claim(
+                base + 1, files, "set_constraint", txns, schema, new_cons,
+                dv,
+            ):
+                return base + 1
+        raise RuntimeError(
+            f"add_check_constraint lost {max_retries} commit races"
+        )
+
+    def drop_check_constraint(
+        self, name: str, max_retries: int = 20
+    ) -> int:
+        """Remove a CHECK constraint (metadata-only commit)."""
+        for _ in range(max_retries):
+            base, files, txns, schema, cons, dv = self._snapshot_full()
+            if name not in cons:
+                return base  # idempotent
+            new_cons = {k: v for k, v in cons.items() if k != name}
+            if self._try_claim(
+                base + 1, files, "drop_constraint", txns, schema, new_cons,
+                dv,
+            ):
+                return base + 1
+        raise RuntimeError(
+            f"drop_check_constraint lost {max_retries} commit races"
+        )
+
     # ---- transactions ---------------------------------------------------
 
     def append(
@@ -489,11 +649,24 @@ class TxTable:
         :meth:`_check_schema`); ``merge_schema=True`` lets new columns
         evolve the recorded union schema instead of failing."""
         evolved = self._check_schema(df, merge_schema)
+        checked_cons = self._snapshot_full()[4]
+        # validate BEFORE staging: a violating batch costs one scan of
+        # ITSELF and leaves zero garbage
+        self._check_constraints(df, checked_cons, "append")
         staged = self._stage(df)
         if _pre_commit_hook is not None:
             _pre_commit_hook(self)
         for _ in range(max_retries):
-            base, files, txns, schema = self._snapshot_full()
+            base, files, txns, schema, cons, dv = self._snapshot_full()
+            # a constraint that appeared AFTER the pre-stage check (a
+            # racing add_check_constraint) must be enforced on this batch
+            # before the claim, or the race would admit violating rows
+            fresh = {
+                n: e for n, e in cons.items() if checked_cons.get(n) != e
+            }
+            if fresh:
+                self._check_constraints(df, fresh, "append (rebase)")
+                checked_cons = {**checked_cons, **fresh}
             # rebase rule for racing evolutions: claim the UNION of this
             # append's evolved schema and whatever the current snapshot
             # recorded — claiming `evolved` verbatim would erase a column
@@ -504,7 +677,7 @@ class TxTable:
                 else schema
             )
             if self._try_claim(
-                base + 1, files + staged, "append", txns, claim
+                base + 1, files + staged, "append", txns, claim, cons, dv
             ):
                 return base + 1
         raise RuntimeError(f"append lost {max_retries} commit races")
@@ -527,22 +700,32 @@ class TxTable:
         committed.  The idempotency check re-runs inside the retry loop:
         losing a race to ONESELF (a zombie retry of the same writer) is
         detected on the rebase."""
-        base, files, txns, schema = self._snapshot_full()
+        base, files, txns, schema, checked_cons, _ = self._snapshot_full()
         if txns.get(app_id, -1) >= batch_id:
             return None
         # streaming writers stay STRICT: a drifted producer must fail the
         # batch, not silently evolve the table mid-stream
         self._check_schema(df, merge_schema=False)
+        self._check_constraints(df, checked_cons, "append_batch")
         staged = self._stage(df)
         if _pre_commit_hook is not None:
             _pre_commit_hook(self)
         for _ in range(max_retries):
-            base, files, txns, schema = self._snapshot_full()
+            base, files, txns, schema, cons, dv = self._snapshot_full()
             if txns.get(app_id, -1) >= batch_id:
                 return None  # a concurrent replay committed this batch
+            fresh = {
+                n: e for n, e in cons.items() if checked_cons.get(n) != e
+            }
+            if fresh:
+                self._check_constraints(df, fresh, "append_batch (rebase)")
+                checked_cons = {**checked_cons, **fresh}
             merged = dict(txns)
             merged[app_id] = batch_id
-            if self._try_claim(base + 1, files + staged, "append", merged, schema):
+            if self._try_claim(
+                base + 1, files + staged, "append", merged, schema, cons,
+                dv,
+            ):
                 return base + 1
         raise RuntimeError(f"append_batch lost {max_retries} commit races")
 
@@ -555,10 +738,14 @@ class TxTable:
         of the rewritten files raises :class:`CommitConflict` and leaves
         the staged rewrite as invisible garbage for :func:`vacuum`.
         Returns the new version, or None for an empty table."""
-        base, files, _, schema = self._snapshot_full()
+        base, files, _, schema, _, dv0 = self._snapshot_full()
         if not files:
             return None
-        df = self._read_files(files, schema)
+        # DV-applied read: compaction MATERIALIZES the deletion vectors —
+        # the rewrite carries only surviving rows, and the swap drops the
+        # rewritten files' dv entries (a new DV racing in conflicts, see
+        # _swap_commit)
+        df = self._read_files_dv(files, schema, dv0)
         rows = df.count()
         total = sum(
             self._fs.getFileStatus(
@@ -569,7 +756,7 @@ class TxTable:
         n_out = max(1, -(-int(total) // (target_file_mb * 1024 * 1024)))
         staged = self._stage(df, n_files=n_out)
         return self._swap_commit(
-            set(files), staged, rows, "compaction", max_retries
+            set(files), staged, rows, "compaction", max_retries, dv0
         )
 
     def optimize(
@@ -594,17 +781,17 @@ class TxTable:
         """
         from indra_db_spark.plans.skipindex import zorder_arrange
 
-        base, files = self.snapshot()
+        base, files, _, schema, _, dv0 = self._snapshot_full()
         if not files:
             return None
-        df = self.read(base)
+        df = self._read_files_dv(files, schema, dv0)
         rows = df.count()
         arranged, _ = zorder_arrange(df, x_col, y_col, n_files)
         # no n_files to _stage: its repartition would destroy the
         # clustering being bought here
         staged = self._stage(arranged)
         return self._swap_commit(
-            set(files), staged, rows, "optimize", max_retries
+            set(files), staged, rows, "optimize", max_retries, dv0
         )
 
     def _swap_commit(
@@ -614,12 +801,20 @@ class TxTable:
         expected_rows: int,
         what: str,
         max_retries: int,
+        dv_at_read: dict | None = None,
     ) -> int:
         """The shared tail of every whole-snapshot rewrite (compact,
         optimize): verify the staged row count BEFORE any commit attempt,
         then swap rewritten→staged under the compaction conflict rules —
         concurrent appends rebase, a racing commit that removed a
-        rewritten file aborts with :class:`CommitConflict`."""
+        rewritten file aborts with :class:`CommitConflict`.  Deletion
+        vectors: the rewrite read the rewritten files through
+        ``dv_at_read``, so those entries are MATERIALIZED by the swap and
+        dropped from the claim; a dv entry that appeared on a rewritten
+        file AFTER the read conflicts (the staged rows still contain what
+        it deleted — committing would resurrect them); dv entries on
+        files this rewrite never touched (concurrent appends + their
+        deletes) are carried forward untouched."""
         got = self.spark.read.parquet(
             *[f"{self.root}/data/{n}" for n in staged]
         ).count()
@@ -630,16 +825,30 @@ class TxTable:
             )
         if _pre_commit_hook is not None:
             _pre_commit_hook(self)
+        dv_at_read = dv_at_read or {}
         for _ in range(max_retries):
-            cur, cur_files, txns, schema = self._snapshot_full()
+            cur, cur_files, txns, schema, cons, dv = self._snapshot_full()
             cur_set = set(cur_files)
             if not rewritten <= cur_set:
                 raise CommitConflict(
                     f"a concurrent commit removed files this {what} "
                     "rewrote; staged rewrite abandoned (vacuum reclaims it)"
                 )
+            for f in rewritten:
+                if set(dv.get(f, [])) - set(dv_at_read.get(f, [])):
+                    raise CommitConflict(
+                        f"a deletion vector landed on a file this {what} "
+                        "rewrote after it was read; committing would "
+                        "resurrect the deleted rows — staged rewrite "
+                        "abandoned (vacuum reclaims it)"
+                    )
+            claim_dv = {
+                f: lst for f, lst in dv.items() if f not in rewritten
+            }
             merged = sorted((cur_set - rewritten) | set(staged))
-            if self._try_claim(cur + 1, merged, "compact", txns, schema):
+            if self._try_claim(
+                cur + 1, merged, "compact", txns, schema, cons, claim_dv
+            ):
                 return cur + 1
         raise RuntimeError(f"{what} lost {max_retries} commit races")
 
@@ -695,7 +904,11 @@ class TxTable:
         self._check_schema(updates, merge_schema=False)
         from pyspark.sql import functions as F
 
-        base, files, _, schema = self._snapshot_full()
+        base, files, _, schema, checked_cons, dv0 = self._snapshot_full()
+        # validate the incoming rows BEFORE any staging work; survivors of
+        # rewritten files were already in the table and stay unvalidated
+        # (re-checking them would make merge cost scale with table bytes)
+        self._check_constraints(updates, checked_cons, "merge")
         keys = updates.select(*key_cols).distinct()
         # broadcast only when the key set is provably small (r7 ADVICE):
         # n_up is already computed, so the gate is free.  A large upsert
@@ -720,7 +933,9 @@ class TxTable:
 
         affected = _files_with_keys(files)
         if affected:
-            aff_df = self._read_files(affected, schema)
+            # DV-applied read: a raw rewrite of a DV-carrying file would
+            # resurrect its deleted rows as merge "survivors"
+            aff_df = self._read_files_dv(affected, schema, dv0)
             survivors = aff_df.join(keys, key_cols, "left_anti")
             rewritten_rows = survivors.unionByName(updates)
         else:
@@ -730,10 +945,24 @@ class TxTable:
         if _pre_commit_hook is not None:
             _pre_commit_hook(self)
         for _ in range(max_retries):
-            cur, cur_files, txns, schema = self._snapshot_full()
+            cur, cur_files, txns, schema, cons, dv = self._snapshot_full()
             cur_set = set(cur_files)
             if _txn is not None and txns.get(_txn[0], -1) >= _txn[1]:
                 return None  # a concurrent replay committed this batch
+            fresh = {
+                n: e for n, e in cons.items() if checked_cons.get(n) != e
+            }
+            if fresh:
+                self._check_constraints(updates, fresh, "merge (rebase)")
+                checked_cons = {**checked_cons, **fresh}
+            for f in removed:
+                if set(dv.get(f, [])) - set(dv0.get(f, [])):
+                    raise CommitConflict(
+                        "a deletion vector landed on a file this merge "
+                        "rewrote after it was read; committing would "
+                        "resurrect the deleted rows — retry the merge on "
+                        "the new snapshot"
+                    )
             if not removed <= cur_set:
                 raise CommitConflict(
                     "a concurrent commit removed files this merge rewrote; "
@@ -749,10 +978,13 @@ class TxTable:
                     "on the new snapshot"
                 )
             merged = sorted((cur_set - removed) | set(staged))
+            claim_dv = {f: lst for f, lst in dv.items() if f not in removed}
             if _txn is not None:
                 txns = dict(txns)
                 txns[_txn[0]] = _txn[1]
-            if self._try_claim(cur + 1, merged, "merge", txns, schema):
+            if self._try_claim(
+                cur + 1, merged, "merge", txns, schema, cons, claim_dv
+            ):
                 return cur + 1
         raise RuntimeError(f"merge lost {max_retries} commit races")
 
@@ -774,7 +1006,7 @@ class TxTable:
         later batch updated (the watermark makes both impossible).
         Returns the new version; None when skipped as a replay or when
         ``updates`` is empty."""
-        base, files, txns, schema = self._snapshot_full()
+        base, files, txns, schema, _, _ = self._snapshot_full()
         if txns.get(app_id, -1) >= batch_id:
             return None
         return self.merge(
@@ -782,7 +1014,9 @@ class TxTable:
             _txn=(app_id, batch_id),
         )
 
-    def delete_where(self, predicate, max_retries: int = 20) -> int | None:
+    def delete_where(
+        self, predicate, max_retries: int = 20, mode: str = "copy"
+    ) -> int | None:
         """Row-level DELETE: copy-on-write rewrite of exactly the files
         holding matching rows (located via ``input_file_name()``; the
         skip index prunes candidates at scale).  Files with no match
@@ -792,45 +1026,121 @@ class TxTable:
         removed an affected file aborts with :class:`CommitConflict`;
         concurrent appends rebase freely (their rows were never visible
         to this predicate's snapshot — standard snapshot-isolation
-        delete semantics)."""
+        delete semantics).
+
+        ``mode="dv"`` is the MERGE-ON-READ path (Delta/Iceberg deletion
+        vectors): instead of rewriting any data file, the matching
+        (physical file, parquet row index) pairs are staged as one tiny
+        sidecar parquet and the manifest maps each touched data file to
+        its DV sidecars.  Readers apply DVs with one anti-join
+        (:meth:`_read_files_dv`); compaction/OPTIMIZE materialize them
+        away.  Deleting a needle then costs one sidecar write regardless
+        of data file sizes — the at-scale small-delete shape.  Conflict
+        rule: positions are physical, so a concurrent commit that
+        REWROTE a touched file (compact/merge/delete) invalidates the
+        vector — abort; concurrent appends and other DV deletes compose
+        (the anti-join dedups overlapping positions).  DV commits use
+        action "dv_delete": file-level :meth:`changes` refuses ranges
+        crossing them (like merge/delete) — :meth:`row_changes` sees
+        the deletes exactly, because both ends read DV-applied."""
         from pyspark.sql import functions as F
 
-        base, files, _, schema = self._snapshot_full()
+        if mode not in ("copy", "dv"):
+            raise ValueError(f"delete_where mode must be copy|dv, got {mode!r}")
+        base, files, _, schema, _, dv0 = self._snapshot_full()
         if not files:
             return None
-        basename = F.element_at(F.split(F.input_file_name(), "/"), -1)
-        df = self._read_files(files, schema)
+        # physical attribution (_metadata) does not survive a join —
+        # alias it to REAL columns first, then apply the snapshot's
+        # existing DVs so already-deleted rows neither re-match nor
+        # resurrect in a rewrite
+        ann = self._read_files(files, schema).select(
+            "*",
+            F.col("_metadata.file_name").alias("_txf"),
+            F.col("_metadata.row_index").alias("_txp"),
+        )
+        rel = sorted({n for f in files for n in dv0.get(f, [])})
+        if rel:
+            dvdf = self.spark.read.parquet(
+                *[f"{self.root}/data/{n}" for n in rel]
+            ).select(
+                F.col("file").alias("_txdv_file"),
+                F.col("pos").alias("_txdv_pos"),
+            )
+            ann = ann.join(
+                dvdf,
+                (F.col("_txf") == F.col("_txdv_file"))
+                & (F.col("_txp") == F.col("_txdv_pos")),
+                "left_anti",
+            )
+        matched = ann.filter(predicate)
         affected = [
-            r["_f"]
-            for r in df.filter(predicate)
-            .withColumn("_f", basename)
-            .select("_f")
-            .distinct()
-            .collect()
+            r["_txf"] for r in matched.select("_txf").distinct().collect()
         ]
         if not affected:
             return None
-        aff_df = self._read_files(affected, schema)
+        if mode == "dv":
+            dv_staged = self._stage(
+                matched.select(
+                    F.col("_txf").alias("file"), F.col("_txp").alias("pos")
+                ),
+                n_files=1,
+            )
+            removed = set(affected)
+            if _pre_commit_hook is not None:
+                _pre_commit_hook(self)
+            for _ in range(max_retries):
+                cur, cur_files, txns, schema, cons, dv = self._snapshot_full()
+                cur_set = set(cur_files)
+                if not removed <= cur_set:
+                    raise CommitConflict(
+                        "a concurrent commit rewrote a file this DV delete "
+                        "targets; its row positions are stale — retry the "
+                        "delete on the new snapshot (sidecar becomes "
+                        "vacuum garbage)"
+                    )
+                claim_dv = {f: list(lst) for f, lst in dv.items()}
+                for f in affected:
+                    claim_dv[f] = claim_dv.get(f, []) + dv_staged
+                if self._try_claim(
+                    cur + 1, cur_files, "dv_delete", txns, schema, cons,
+                    claim_dv,
+                ):
+                    return cur + 1
+            raise RuntimeError(f"dv delete lost {max_retries} commit races")
         # SQL DELETE three-valued logic: only predicate=TRUE rows go; a
         # NULL-predicate row sharing a file with a match must SURVIVE the
         # rewrite (plain ~predicate would silently drop it)
-        survivors = aff_df.filter(
-            ~F.coalesce(predicate, F.lit(False))
+        survivors = (
+            ann.filter(F.col("_txf").isin(affected))
+            .filter(~F.coalesce(predicate, F.lit(False)))
+            .drop("_txf", "_txp")
         )
         staged = self._stage(survivors) if survivors.limit(1).count() else []
         removed = set(affected)
         if _pre_commit_hook is not None:
             _pre_commit_hook(self)
         for _ in range(max_retries):
-            cur, cur_files, txns, schema = self._snapshot_full()
+            cur, cur_files, txns, schema, cons, dv = self._snapshot_full()
             cur_set = set(cur_files)
             if not removed <= cur_set:
                 raise CommitConflict(
                     "a concurrent commit removed files this delete rewrote; "
                     "staged rewrite abandoned (vacuum reclaims it)"
                 )
+            for f in removed:
+                if set(dv.get(f, [])) - set(dv0.get(f, [])):
+                    raise CommitConflict(
+                        "a deletion vector landed on a file this delete "
+                        "rewrote after it was read; committing would "
+                        "resurrect the deleted rows — retry on the new "
+                        "snapshot"
+                    )
             merged = sorted((cur_set - removed) | set(staged))
-            if self._try_claim(cur + 1, merged, "delete", txns, schema):
+            claim_dv = {f: lst for f, lst in dv.items() if f not in removed}
+            if self._try_claim(
+                cur + 1, merged, "delete", txns, schema, cons, claim_dv
+            ):
                 return cur + 1
         raise RuntimeError(f"delete lost {max_retries} commit races")
 
@@ -838,23 +1148,23 @@ class TxTable:
 
     def read(self, version: int | None = None) -> DataFrame:
         """Scan exactly one committed snapshot (latest by default) —
-        concurrent commits after the version resolution are invisible."""
+        concurrent commits after the version resolution are invisible.
+        Deletion vectors recorded by that version are applied
+        (:meth:`_read_files_dv`); a version with none reads the plain
+        parquet union."""
         if version is None:
             version, files = self.snapshot()
-        else:
-            files = self._read_version(version)["files"]
+            if version == 0 or not files:
+                # raise BEFORE touching any manifest: an empty table has
+                # no v0 manifest to open, and callers (the streaming
+                # sinks' first micro-batch) catch exactly this ValueError
+                raise ValueError(f"{self.root} has no committed data")
+        body = self._read_version(version)
+        files = body["files"]
         if not files:
             raise ValueError(f"{self.root} has no committed data")
-        schema = self._read_version(version).get("schema")
-        reader = self.spark.read
-        if schema is not None:
-            from pyspark.sql.types import StructType
-
-            # the recorded union schema projects EVERY file: columns a
-            # file predates come back null — no mergeSchema footer sweep
-            reader = reader.schema(StructType.fromJson(schema))
-        return reader.parquet(
-            *[f"{self.root}/data/{n}" for n in files]
+        return self._read_files_dv(
+            files, body.get("schema"), body.get("dv", {})
         )
 
     def version_at(self, ts_ms: int) -> int:
@@ -902,7 +1212,7 @@ class TxTable:
         for v in range(since_version + 1, hi + 1):
             body = self._read_version(v)
             action = body.get("action")
-            if action in ("merge", "delete"):
+            if action in ("merge", "delete", "dv_delete", "restore"):
                 # a row-mutating commit breaks file-level attribution: its
                 # rewritten files mix surviving old rows with new ones, so
                 # an append-only feed over this range would be silently
@@ -1030,12 +1340,76 @@ class TxTable:
                     "n_added": len(files - prev),
                     "n_removed": len(prev - files),
                     "schema_evolved": "schema" in body,
+                    "n_dv_files": sum(
+                        len(v) for v in body.get("dv", {}).values()
+                    ),
                 }
             )
             prev = files
         return out
 
     # ---- maintenance ----------------------------------------------------
+
+    def restore(self, version: int, max_retries: int = 20) -> int:
+        """Roll the table back to ``version``'s contents (Delta
+        ``RESTORE TABLE ... TO VERSION AS OF`` analog) as a NEW commit:
+        the old version's file list is re-claimed at the head of the
+        log, so history is preserved (the rolled-back versions remain
+        time-travelable until vacuum's retention drops them) and
+        concurrent readers never see a version disappear.  Metadata-only
+        — no data file is read, written, or moved; the restored files
+        must still exist, i.e. the target must be within vacuum's
+        retained window (checked).  Schema and constraints also roll
+        back to the target's (restoring past a tightening constraint
+        would otherwise wedge the table: its own rows would violate it);
+        the idempotent-writer watermark map ``txns`` does NOT roll back
+        — replay protection must survive a restore or every already-
+        committed streaming batch would re-apply.  Appends landing
+        during the restore's optimistic window win: the restore rebases
+        and re-claims ONLY when the head still equals the snapshot it
+        read, else it aborts with :class:`CommitConflict` (restoring
+        over an unseen commit would silently drop it)."""
+        body = self._read_version(version)  # raises if pruned/unknown
+        needed = list(body["files"]) + [
+            n for lst in body.get("dv", {}).values() for n in lst
+        ]
+        missing = [
+            n
+            for n in needed
+            if not self._fs.exists(
+                _jpath(self._jvm, self.root, DATA_DIR, n)
+            )
+        ]
+        if missing:
+            raise ValueError(
+                f"restore target v{version} references {len(missing)} "
+                "vacuumed file(s); only versions inside the retention "
+                "window can be restored"
+            )
+        entry_head = self.snapshot()[0]
+        if entry_head == version:
+            return entry_head  # restoring to the head is a no-op
+        if _pre_commit_hook is not None:
+            _pre_commit_hook(self)
+        for _ in range(max_retries):
+            cur, _, txns, _, _, _ = self._snapshot_full()
+            if cur != entry_head:
+                raise CommitConflict(
+                    f"a concurrent commit moved the head past "
+                    f"v{entry_head} during restore; re-examine the table "
+                    "and retry (blind re-claim would drop that commit)"
+                )
+            if self._try_claim(
+                cur + 1,
+                body["files"],
+                "restore",
+                txns,
+                body.get("schema"),
+                body.get("constraints", {}),
+                body.get("dv", {}),
+            ):
+                return cur + 1
+        raise RuntimeError(f"restore lost {max_retries} commit races")
 
     def vacuum(
         self, keep_versions: int = 2, keep_since_ms: int | None = None
@@ -1062,7 +1436,11 @@ class TxTable:
         keep = sorted(keep)
         live: set[str] = set()
         for v in keep:
-            live |= set(self._read_version(v)["files"])
+            body = self._read_version(v)
+            live |= set(body["files"])
+            # DV sidecars referenced by a retained version are as live as
+            # the data files they mask — deleting one would resurrect rows
+            live |= {n for lst in body.get("dv", {}).values() for n in lst}
         deleted = []
         for f in self._fs.listStatus(_jpath(self._jvm, self.root, DATA_DIR)):
             name = f.getPath().getName()

@@ -712,6 +712,279 @@ def test_history_describes_the_log(spark, tmp_path):
     assert h[3]["schema_evolved"] and not h[0]["schema_evolved"]
 
 
+# ---- CHECK constraints (round 8) ------------------------------------------
+
+
+def test_check_constraint_enforced_on_append(spark, tmp_path):
+    """A CHECK constraint is a metadata-only commit; a violating batch is
+    refused in one distributed pass BEFORE anything is staged — zero
+    garbage, no version consumed — and a conforming batch then passes."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, 0, 5))
+    v = t.add_check_constraint("k_nonneg", "k >= 0")
+    assert t.constraints() == {"k_nonneg": "k >= 0"}
+    with pytest.raises(txlog.ConstraintViolation, match="k_nonneg"):
+        t.append(_df(spark, -3, 2))
+    assert t.snapshot()[0] == v
+    assert t.vacuum(keep_versions=1) == []  # validated pre-stage: no garbage
+    t.append(_df(spark, 5, 8))
+    assert t.read().count() == 8
+    # exactly-once writers get the same gate
+    with pytest.raises(txlog.ConstraintViolation):
+        t.append_batch(_df(spark, -9, -5), "writerX", 0)
+
+
+def test_check_constraint_rejects_violating_table(spark, tmp_path):
+    """Adding a constraint the EXISTING rows violate is refused (the
+    Delta ADD CONSTRAINT contract), leaving the constraint set empty."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, -5, 5))
+    with pytest.raises(txlog.ConstraintViolation, match="existing table"):
+        t.add_check_constraint("k_nonneg", "k >= 0")
+    assert t.constraints() == {}
+
+
+def test_check_constraint_null_semantics_and_idempotence(spark, tmp_path):
+    """Standard SQL three-valued CHECK: NULL passes ``k >= 0`` (unknown
+    is not a violation); rejecting nulls is ``k IS NOT NULL`` spelled
+    out.  Re-adding the same (name, expr) is idempotent; a different
+    expr under the same name is refused."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, 0, 3))
+    v = t.add_check_constraint("k_nonneg", "k >= 0")
+    assert t.add_check_constraint("k_nonneg", "k >= 0") == v  # idempotent
+    with pytest.raises(ValueError, match="different"):
+        t.add_check_constraint("k_nonneg", "k > 10")
+    t.append(
+        spark.createDataFrame([(None, "w")], "k bigint, src string")
+    )  # NULL passes the CHECK
+    with pytest.raises(txlog.ConstraintViolation):
+        t.add_check_constraint("k_notnull", "k IS NOT NULL")
+
+
+def test_check_constraint_survives_compact_merge_drop(spark, tmp_path):
+    """Constraints ride every manifest like the schema: a compaction
+    carries them forward, merge validates its update rows against them,
+    and dropping re-opens the gate."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, 0, 5))
+    t.add_check_constraint("k_nonneg", "k >= 0")
+    t.compact()
+    assert t.constraints() == {"k_nonneg": "k >= 0"}
+    with pytest.raises(txlog.ConstraintViolation, match="merge"):
+        t.merge(_df(spark, -2, 1, tag="up"), ["k"])
+    t.merge(_df(spark, 2, 6, tag="up"), ["k"])
+    assert {r.src for r in t.read().filter("k >= 2").collect()} == {"up"}
+    t.drop_check_constraint("k_nonneg")
+    assert t.constraints() == {}
+    t.append(_df(spark, -3, 0))
+    assert t.read().count() == 9
+
+
+def test_check_constraint_race_caught_on_rebase(spark, tmp_path):
+    """A constraint committed INSIDE a violating append's optimistic
+    window (after its pre-stage validation, before its claim) must still
+    reject the batch: the rebase re-validates constraints that appeared
+    since.  The staged files become invisible vacuum garbage — the same
+    clean-abort path as a compaction conflict."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, 0, 3))
+    fired = {"done": False}
+
+    def racer(_table):
+        if fired["done"]:
+            return
+        fired["done"] = True
+        txlog._pre_commit_hook = None
+        TxTable(spark, str(tmp_path / "t")).add_check_constraint(
+            "k_small", "k < 100"
+        )
+
+    txlog._pre_commit_hook = racer
+    with pytest.raises(txlog.ConstraintViolation, match="rebase"):
+        t.append(_df(spark, 200, 203))
+    txlog._pre_commit_hook = None
+    assert t.constraints() == {"k_small": "k < 100"}
+    assert {r.k for r in t.read().collect()} == {0, 1, 2}
+    assert t.vacuum(keep_versions=1)  # the aborted batch's staged files
+    assert {r.k for r in t.read().collect()} == {0, 1, 2}
+
+
+# ---- deletion vectors (round 8) --------------------------------------------
+
+
+def test_dv_delete_no_rewrite_and_read_applies(spark, tmp_path):
+    """mode="dv" deletes without touching any data file: the manifest
+    gains a sidecar mapping, the file list is unchanged, reads apply the
+    vector, and time travel to the pre-delete version still sees the
+    rows."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, 0, 10))
+    _, files_before = t.snapshot()
+    v = t.delete_where(F.col("k") % 3 == 0, mode="dv")
+    assert v == 2
+    _, files_after = t.snapshot()
+    assert files_after == files_before  # no data file rewritten
+    assert {r.k for r in t.read().collect()} == {
+        k for k in range(10) if k % 3 != 0
+    }
+    assert {r.k for r in t.read(1).collect()} == set(range(10))
+    assert t.history()[-1]["action"] == "dv_delete"
+    assert t.history()[-1]["n_dv_files"] >= 1
+    # no-match predicate: no commit
+    assert t.delete_where(F.col("k") > 999, mode="dv") is None
+
+
+def test_dv_deletes_compose_and_do_not_rematch(spark, tmp_path):
+    """A second DV delete composes with the first (union of vectors) and
+    matches against the DV-applied view — already-deleted rows are not
+    re-recorded; NULL-predicate rows survive (SQL 3VL)."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(
+        spark.createDataFrame(
+            [(0, "w"), (1, "w"), (2, "w"), (None, "w")],
+            "k bigint, src string",
+        )
+    )
+    t.delete_where(F.col("k") == 0, mode="dv")
+    t.delete_where(F.col("k") <= 1, mode="dv")  # only k=1 newly matches
+    got = [(r.k, r.src) for r in t.read().collect()]
+    assert sorted(got, key=str) == sorted([(2, "w"), (None, "w")], key=str)
+
+
+def test_dv_materialized_by_compact_and_merge(spark, tmp_path):
+    """Compaction materializes deletion vectors (rewrite carries only
+    survivors, manifest dv map empties); a merge rewriting a DV-carrying
+    file must NOT resurrect its deleted rows."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, 0, 10))
+    t.delete_where(F.col("k") >= 8, mode="dv")
+    t.compact()
+    assert t._snapshot_full()[5] == {}  # materialized
+    assert {r.k for r in t.read().collect()} == set(range(8))
+    # fresh DV then merge over the same file
+    t.delete_where(F.col("k") == 0, mode="dv")
+    t.merge(_df(spark, 5, 7, tag="up"), ["k"])
+    rows = {(r.k, r.src) for r in t.read().collect()}
+    assert (0, "w") not in rows  # merge did not resurrect the DV'd row
+    assert {(5, "up"), (6, "up")} <= rows
+    assert {r.k for r in t.read().collect()} == {1, 2, 3, 4, 5, 6, 7}
+
+
+def test_dv_conflicts_with_racing_rewrite(spark, tmp_path):
+    """Positions are physical: a compaction landing inside the DV
+    delete's window invalidates the staged vector — the DV commit must
+    abort, and symmetrically a DV landing inside a compaction's window
+    aborts the compaction (resurrection check)."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, 0, 10))
+    fired = {"done": False}
+
+    def compactor(_table):
+        if fired["done"]:
+            return
+        fired["done"] = True
+        txlog._pre_commit_hook = None
+        TxTable(spark, str(tmp_path / "t")).compact()
+
+    txlog._pre_commit_hook = compactor
+    with pytest.raises(CommitConflict, match="stale"):
+        t.delete_where(F.col("k") == 0, mode="dv")
+    txlog._pre_commit_hook = None
+    assert t.read().count() == 10
+    # symmetric: DV lands during a compaction
+    fired2 = {"done": False}
+
+    def dv_racer(_table):
+        if fired2["done"]:
+            return
+        fired2["done"] = True
+        txlog._pre_commit_hook = None
+        TxTable(spark, str(tmp_path / "t")).delete_where(
+            F.col("k") == 1, mode="dv"
+        )
+
+    txlog._pre_commit_hook = dv_racer
+    with pytest.raises(CommitConflict, match="resurrect"):
+        t.compact()
+    txlog._pre_commit_hook = None
+    assert {r.k for r in t.read().collect()} == set(range(10)) - {1}
+
+
+def test_dv_vacuum_keeps_live_sidecars(spark, tmp_path):
+    """Vacuum treats DV sidecars referenced by retained versions as
+    live; after retention passes the pre-delete version, the rows stay
+    deleted and the table reads clean."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, 0, 10))
+    t.delete_where(F.col("k") < 3, mode="dv")
+    t.vacuum(keep_versions=1)
+    assert {r.k for r in t.read().collect()} == set(range(3, 10))
+    # restore carries the dv map (and its sidecar survives retention)
+    t.append(_df(spark, 50, 52))
+    t.restore(2)
+    assert {r.k for r in t.read().collect()} == set(range(3, 10))
+
+
+# ---- RESTORE (round 8) -----------------------------------------------------
+
+
+def test_restore_rolls_back_contents_preserving_history(spark, tmp_path):
+    """restore(v) re-claims v's file list as a NEW head commit: contents
+    roll back, the rolled-back versions stay time-travelable, and no
+    data file moves (metadata-only)."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, 0, 5))
+    t.append(_df(spark, 5, 10))
+    v = t.restore(1)
+    assert v == 3
+    assert {r.k for r in t.read().collect()} == set(range(5))
+    assert t.read(2).count() == 10  # history preserved until vacuum
+    assert t.history()[-1]["action"] == "restore"
+    assert t.restore(3) == 3  # restoring to the head is a no-op
+
+
+def test_restore_rolls_back_constraints_but_not_txns(spark, tmp_path):
+    """Schema/constraints roll back with the contents (a restore past a
+    tightening constraint must not wedge the table); the idempotent-
+    writer watermark map does NOT (replay protection survives)."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append_batch(_df(spark, 0, 5), "w1", 0)         # v1
+    t.add_check_constraint("k_small", "k < 100")       # v2
+    t.append_batch(_df(spark, 5, 10), "w1", 1)         # v3
+    t.restore(1)                                       # v4
+    assert t.constraints() == {}
+    t.append(_df(spark, 200, 202))  # violates the rolled-back constraint: ok
+    # replay protection survived the restore: batch 1 is still recorded
+    assert t.append_batch(_df(spark, 5, 10), "w1", 1) is None
+    assert t.append_batch(_df(spark, 10, 12), "w1", 2) is not None
+
+
+def test_restore_refuses_vacuumed_target_and_concurrent_head(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, 0, 5))
+    t.compact()
+    t.vacuum(keep_versions=1)
+    with pytest.raises(Exception):  # pruned manifest OR vacuumed files
+        t.restore(1)
+    # concurrent commit inside the restore window: abort, never drop it
+    t.append(_df(spark, 5, 8))
+    fired = {"done": False}
+
+    def racer(_table):
+        if fired["done"]:
+            return
+        fired["done"] = True
+        txlog._pre_commit_hook = None
+        TxTable(spark, str(tmp_path / "t")).append(_df(spark, 50, 53))
+
+    txlog._pre_commit_hook = racer
+    with pytest.raises(CommitConflict, match="restore"):
+        t.restore(2)
+    txlog._pre_commit_hook = None
+    assert {r.k for r in t.read().collect()} >= {50, 51, 52}
+
+
 # ---- LogStore claim-primitive contract (r7 verdict #3) -------------------
 #
 # The same race matrix drives BOTH stores: LocalFsLogStore (the default for
