@@ -97,6 +97,10 @@ HEADLINE = [
     "events_scd2",
     "events_pit_join",
     "events_cooccur",
+    # round 8: exact near-dup via inverted multi-index — the
+    # growing-cell-count scale path (k² product cells at k+k assignment
+    # cost; SCALING.md §6g)
+    "emb_neardup_imi",
 ]
 
 

@@ -35,8 +35,25 @@ def _materialize(df: DataFrame) -> DataFrame:
     at scale.  ``localCheckpoint(eager=False)`` persists the partitions on
     first computation and truncates lineage, so every subsequent use reads
     the materialized rows instead of recomputing the plan.
+
+    Storage is SERIALIZED (``StorageLevel.MEMORY_AND_DISK`` — in the
+    PySpark API that level has ``deserialized=False``; the deserialized
+    variant is ``MEMORY_AND_DISK_DESER``, localCheckpoint's default),
+    not deserialized rows: the frames this barrier holds are text-heavy
+    (rewritten documents, shingle sets), and deserialized Java rows
+    inflate them several-fold — the factor-1000 probe's composed
+    pipeline exhausted a 90 GiB heap exactly here
+    (UNABLE_TO_ACQUIRE_MEMORY, then BlockManager timeouts while
+    thrash-spilling).  Serialized blocks store compact bytes, spill
+    gracefully, and cost one cheap deserialization per reuse — the same
+    trade the iterative graph loops made in round 5
+    (`operators/graph.py:_ckpt_level`).
     """
-    return df.localCheckpoint(eager=False)
+    from pyspark import StorageLevel
+
+    return df.localCheckpoint(
+        eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK
+    )
 
 
 def normalize_text(col):

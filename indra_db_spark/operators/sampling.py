@@ -432,9 +432,38 @@ def corpus_pipeline_v2(
     )
     from indra_db_spark.operators.text import bigram_lm_score
 
-    rw = _materialize(
-        remove_duplicate_spans(docs, k=span_k, id_col=id_col, text_col=text_col)
+    rw = remove_duplicate_spans(
+        docs, k=span_k, id_col=id_col, text_col=text_col
     )
+    # stage handoff: checkpoint blocks for ordinary sizes, a compressed
+    # parquet barrier past the gate — the §7 "persists become
+    # write.parquet barriers" seam made automatic.  At the sf100-
+    # equivalent probe (5M docs) the rewritten-text checkpoint plus the
+    # downstream LM shuffles overran a single node's scratch disk
+    # (SPILL_OUT_OF_MEMORY: No space left on device); columnar snappy
+    # parquet stores the same handoff ~10× smaller and reads back with
+    # full column pruning.  The gate samples Catalyst's size estimate —
+    # zero extra jobs, same discipline as operators/graph.py:_sized_ckpt.
+    # gate calibration: Catalyst's estimate for this plan tracks the
+    # input scan bytes (~0.5× the parquet size on the fixtures — 301 KB
+    # at sf0.1, ~0.4 GB at the 853 MB sf100-equivalent corpus), so
+    # 256 MB ≈ a ~0.5 GB parquet input: two decades above every bench
+    # fixture, safely below the scale where checkpoint blocks overran
+    # the probe node's disk
+    est_bytes = (
+        rw._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    )
+    if int(min(est_bytes, 2**62)) > 256 * 1024**2:
+        import atexit
+        import shutil
+        import tempfile
+
+        barrier_dir = tempfile.mkdtemp(prefix="corpus_v2_barrier_")
+        atexit.register(shutil.rmtree, barrier_dir, ignore_errors=True)
+        rw.write.mode("overwrite").parquet(barrier_dir)
+        rw = docs.sparkSession.read.parquet(barrier_dir)
+    else:
+        rw = _materialize(rw)
     lm = bigram_lm_score(rw, id_col=id_col, text_col="clean_text")
     lmkeep = lm.filter(
         F.col("sum_p_micro")

@@ -336,7 +336,7 @@ def cosine_neardup_imi(
     structure (isotropic high-dim), concentration of measure makes every
     bound vacuous and ANY exact method degrades to all-pairs — that
     regime is output-bound by definition, not an indexing failure (see
-    SCALING.md §6d for the measured evidence).
+    SCALING.md §6g for the measured evidence).
     """
     import math
 
@@ -353,8 +353,8 @@ def cosine_neardup_imi(
         return spark.createDataFrame([], empty_schema)
     dim = int(first["d"])
     half = dim // 2
+    n_rows = emb.count()
     if k_half is None:
-        n_rows = emb.count()
         k_half = min(
             max_k_half,
             max(2, int(math.ceil(math.sqrt(max(n_rows, 1) / target_cell_rows)))),
@@ -457,17 +457,34 @@ def cosine_neardup_imi(
         )
         keep = D <= eps + R[:, None] + R[None, :] + slack
         ii, jj = np.nonzero(keep)
-        return [(int(i), int(j), float(D[i, j] ** 2)) for i, j in zip(ii, jj)]
+        return ii, jj, (D[ii, jj] ** 2)
 
-    d1_rows = _half_pairs("_c1", C1)
-    d2_rows = _half_pairs("_c2", C2)
-    d1p = spark.createDataFrame(d1_rows, "c1a INT, c1b INT, d1sq DOUBLE")
-    d2p = spark.createDataFrame(d2_rows, "c2a INT, c2b INT, d2sq DOUBLE")
+    def _pairs_df(cols, half):
+        import pandas as pd
+
+        ii, jj, dsq = half
+        # Arrow path, not a Python tuple list: the unpruned worst case is
+        # k² rows and row-by-row Py4J serialization would dominate
+        return spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    cols[0]: ii.astype("int32"),
+                    cols[1]: jj.astype("int32"),
+                    cols[2]: dsq,
+                }
+            ),
+            f"{cols[0]} INT, {cols[1]} INT, {cols[2]} DOUBLE",
+        )
+
+    h1 = _half_pairs("_c1", C1)
+    h2 = _half_pairs("_c2", C2)
+    d1p = _pairs_df(("c1a", "c1b", "d1sq"), h1)
+    d2p = _pairs_df(("c2a", "c2b", "d2sq"), h2)
     # only hint the broadcast when the survivor list is provably small —
     # an unpruned k² list forced past AQE's threshold risks executor OOM
-    if len(d1_rows) <= 500_000:
+    if len(h1[0]) <= 500_000:
         d1p = F.broadcast(d1p)
-    if len(d2_rows) <= 500_000:
+    if len(h2[0]) <= 500_000:
         d2p = F.broadcast(d2p)
 
     ca = cells.select(
@@ -507,11 +524,23 @@ def cosine_neardup_imi(
         F.col("_n").alias("nb"),
         F.col("_c1").alias("c1b"), F.col("_c2").alias("c2b"),
     )
+    # small-corpus parallelism spreader, same gate as the flat prune:
+    # the verify join's INPUT bytes are tiny, so AQE coalesces it onto
+    # ~1 task while its OUTPUT is the pair volume — spread side a and
+    # broadcast side b so every core verifies a slice (measured 3× on
+    # the sf0.1 bench fixture)
+    if n_rows <= 200_000:
+        a = a.repartition(spark.sparkContext.defaultParallelism)
+        b = F.broadcast(b)
     sim = _pair_sim(
         F.col("va"), F.col("vb"), F.col("na"), F.col("nb"), sim_decimals
     )
+    # the survivor list scales with nonempty cells — hint the broadcast
+    # only while the cell space is provably small, else let AQE decide
+    if k_half * k_half <= 500_000:
+        surv = F.broadcast(surv)
     return (
-        a.join(F.broadcast(surv), ["c1a", "c2a"])
+        a.join(surv, ["c1a", "c2a"])
         .join(b, ["c1b", "c2b"])
         .filter(
             ((F.col("c1a") != F.col("c1b")) | (F.col("c2a") != F.col("c2b")))

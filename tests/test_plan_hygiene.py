@@ -294,6 +294,60 @@ def test_neardup_cells_prunes_and_stays_jvm_side(spark, sf_dir):
         assert d > eps + 2 * radius  # pruned by construction
 
 
+def test_neardup_imi_plan_and_prune(spark, sf_dir):
+    """The IMI exact near-dup's plan contract: (a) NO CartesianProduct —
+    candidates flow through equi-joins on the product-cell keys; (b) the
+    ONLY Python in the plan is the Arrow-batched assignment
+    (MapInPandas — two numpy matmuls per batch, the sanctioned
+    vectorized path), never row-at-a-time BatchEvalPython; the
+    pair-verify stage is a JVM column expression.  Prune effectiveness
+    uses the same orthogonal-cluster geometry as the flat-cell test:
+    4 tight clusters on axes — half-1 carries the cluster identity, so
+    the per-half bound certifies every cross-cluster cell pair empty,
+    and the result stays exactly the brute force's."""
+    from indra_db_spark.operators.similarity import cosine_neardup_imi
+    from indra_db_spark.sources.lake import load_table
+    from indra_db_spark.testing import cosine_neardup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    df = cosine_neardup_imi(emb, threshold=0.9, k_half=4)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    # the pair/verify stage is pure JVM: the Arrow assignment
+    # (MapInPandas) sits BEHIND the materialization barrier — the final
+    # plan scans the checkpointed assignment (Scan ExistingRDD) and must
+    # contain no Python evaluation of any kind
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "MapInPandas" not in plan and "ExistingRDD" in plan
+
+    rows = []
+    vid = 0
+    for axis in range(4):
+        for jitter in (0.0, 0.02, 0.04, -0.03):
+            v = [0.0] * 8
+            v[axis] = 1.0
+            v[(axis + 4) % 8] = jitter
+            rows.append((vid, v))
+            vid += 1
+    clustered = spark.createDataFrame(
+        rows, "vec_id INT, embedding ARRAY<DOUBLE>"
+    )
+    got = {
+        (r.id_a, r.id_b)
+        for r in cosine_neardup_imi(
+            clustered, threshold=0.9, k_half=4
+        ).collect()
+    }
+    want = {
+        (r.id_a, r.id_b)
+        for r in cosine_neardup_pairs(
+            clustered, threshold=0.9, max_rows=None
+        ).collect()
+    }
+    assert got == want and got
+    assert all(a // 4 == b // 4 for a, b in got)
+
+
 def test_quality_classifier_broadcasts_weights(spark, sf_dir):
     """The classifier's only state is the bounded weight table: scoring
     must broadcast it (never shuffle the corpus side for the join) and

@@ -54,8 +54,9 @@ def _docs_x(spark, factor: int):
     copies = F.explode(F.sequence(F.lit(0), F.lit(factor - 1))).alias("k")
     out = base.select("*", copies)
     suffix = F.concat(F.lit("_"), F.col("k").cast("string"))
+    # long k: int k * 1e7 overflows 32-bit under ANSI at factor >= 215
     return out.select(
-        (F.col("doc_id") + F.col("k") * F.lit(10_000_000)).alias("doc_id"),
+        (F.col("doc_id") + F.col("k").cast("long") * F.lit(10_000_000)).alias("doc_id"),
         F.when(F.col("k") == 0, F.col("text"))
         .otherwise(
             F.concat_ws(
@@ -101,8 +102,9 @@ def _emb_x(spark, factor: int):
             F.slice(half, F.lit(1), off),
         )
 
+    # long k: int k * 1e7 overflows 32-bit under ANSI at factor >= 215
     return out.select(
-        (F.col("vec_id") + F.col("k") * F.lit(10_000_000)).alias("vec_id"),
+        (F.col("vec_id") + F.col("k").cast("long") * F.lit(10_000_000)).alias("vec_id"),
         F.concat(rot(first, ka), rot(second, kb)).alias("embedding"),
         "label",
     )
@@ -149,40 +151,56 @@ def _tree_edges(spark, factor: int):
     )
 
 
-def _cell_seeds(emb) -> list[list[float]]:
-    """Pinned seed centers for the exact cell-pruned near-dup probe,
-    spread across the amplified corpus by a deterministic multiplicative
-    hash over vec_id (plain first-N would sample only the k=0 base
-    directions and leave every rotated copy in a huge-radius cell).
-    nlist grows ~sqrt(N) (the IVF convention), capped at 256 so the
-    literal-center assignment map stays cheap; exactness never depends
-    on the centers — only pruning volume does."""
+def _emb_product(spark, factor: int):
+    """Product-structured embedding corpus — the EXACT-near-dup design
+    regime (SCALING.md §6g): an s×s grid of half-codewords
+    (s = sqrt(n/20), so the factor structure grows WITH the corpus),
+    each point = (A[i] ⧺ B[j]) + small full-dim noise, 20 members per
+    code combo.  Near-dup pairs (cos ≈ 0.97) are the within-combo
+    pairs → output ∝ n; cross-combo points differ in at least one half
+    (distance ≈ 1 on the unit sphere) → the per-half prune has real
+    structure to certify.  The ISOTROPIC amplifier deliberately does NOT
+    feed the exact near-dup probe: concentration of measure makes every
+    metric bound vacuous there and ANY exact method is provably
+    all-pairs — that regime is measured once and documented, not
+    re-probed (§6g)."""
     import math
 
     from pyspark.sql import functions as F
 
-    n = emb.count()
-    nlist = min(256, max(16, int(16 * math.sqrt(n / 2000))))
-    # reduce mod p BEFORE the multiply: amplified vec_ids reach ~1e10 at
-    # factor 1000 and a raw id×2654435761 overflows BIGINT under ANSI;
-    # (id mod p) ≤ 1e9 keeps the product under 2.7e18
-    rows = (
-        emb.orderBy(
-            ((F.col("vec_id") % 1_000_000_007) * 2654435761)
-            % 1_000_000_007
-        )
-        .limit(nlist)
-        .collect()
+    n = 2000 * factor
+    m = 20
+    s = max(2, int(math.isqrt(n // m)))
+    dims = F.sequence(F.lit(0), F.lit(63))
+    code = F.expr(f"id div {m}")
+    i_ = F.pmod(code, F.lit(s))
+    j_ = F.pmod(code / s, F.lit(s)).cast("long")
+
+    def comp(d):
+        h1 = (F.pmod(F.xxhash64(F.lit(11), i_, d), F.lit(1000)).cast("double")) / 500.0 - 1.0
+        h2 = (F.pmod(F.xxhash64(F.lit(22), j_, d), F.lit(1000)).cast("double")) / 500.0 - 1.0
+        base = F.when(d < 32, h1).otherwise(h2)
+        jitter = (F.pmod(F.xxhash64(F.col("id"), d, F.lit(7)), F.lit(1000)).cast("double")) / 500.0 - 1.0
+        return base + 0.12 * jitter
+
+    return spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.transform(dims, lambda d: comp(d).cast("float")).alias("embedding"),
     )
-    out = []
-    for r in rows:
-        nrm = math.sqrt(sum(float(x) * float(x) for x in r.embedding)) or 1.0
-        out.append([float(x) / nrm for x in r.embedding])
-    return out
+
+
+def _srp_planes(factor: int) -> int:
+    """SRP bucket-count growth law for the near-dup probe: planes grows
+    log₂ with the corpus so the per-bucket population stays constant —
+    the knob a real deployment turns, and the reason the LSH path stays
+    linear where any fixed-bucket scheme is quadratic-within-bucket."""
+    import math
+
+    return 6 + int(round(math.log2(factor)))
 
 
 def _ops(spark, docs, emb, edges, ivf_index, ivf_centers, events,
-         pq_artifacts=None, cell_seeds=None):
+         pq_artifacts=None, emb_prod=None, factor=1):
     from pyspark.sql import functions as F
 
     from indra_db_spark.operators import analytics as AN
@@ -199,7 +217,7 @@ def _ops(spark, docs, emb, edges, ivf_index, ivf_centers, events,
     from indra_db_spark.operators import text as X
 
     is_test = F.col("doc_id") % 41 == 0
-    queries = emb.filter(F.col("vec_id") < 10)
+    queries = emb.filter(F.col("vec_id") < 10) if emb is not None else None
 
     return {
         "exact_dedup": lambda: D.exact_dedup(docs),
@@ -221,14 +239,28 @@ def _ops(spark, docs, emb, edges, ivf_index, ivf_centers, events,
         # prebuilt index — the crossover between them is the measurement
         "emb_topk_exact": lambda: S.brute_force_topk(emb, queries, k=5),
         "srp_topk": lambda: S.srp_topk(emb, queries, k=5, planes=6),
-        # the exact threshold near-dup scale path (r7 verdict #6): cell
-        # assignment + triangle-inequality prune + exact verify — the
-        # operator that replaced the guarded quadratic on the bench;
-        # output ∝ factor by the amplifier's rotation-pair construction.
-        # Seeds are prebuilt by the caller (untimed, like the IVF index:
-        # center selection is build-time cost, the probe times the scan)
-        "cells": lambda: S.cosine_neardup_cells(
-            emb, threshold=0.35, centers=cell_seeds
+        # the exact threshold near-dup scale paths (r7 verdict #6 /
+        # r8 triage): "imi" is the inverted-multi-index exact prune on
+        # the product-structured corpus — its DESIGN regime, cell count
+        # growing with the corpus, candidates ∝ output.  "srp_neardup"
+        # is the LSH generate-then-verify path on the ISOTROPIC corpus
+        # with planes growing log₂(n) (constant per-bucket population) —
+        # each probed where its geometry assumption holds: SRP's
+        # axis-aligned sign bits need SPREAD data (on the product corpus
+        # they collapse onto the half-1 codeword and the bucket count
+        # stops growing — measured 3.7 s → 45 s over 10×→100× before the
+        # corpus swap, the predicted n^1.5), while the exact metric
+        # prune needs STRUCTURE (on the isotropic corpus concentration
+        # of measure makes every bound vacuous and ANY exact method is
+        # provably all-pairs — measured 7.4 s → 84.8 s over 1×→10× when
+        # the retired flat-"cells" row probed it).  The complementarity
+        # is the point: SCALING.md §6g documents which regime routes to
+        # which operator.
+        "imi": lambda: S.cosine_neardup_imi(
+            emb_prod, threshold=0.9, target_cell_rows=20
+        ),
+        "srp_neardup": lambda: S.srp_neardup_pairs(
+            emb, threshold=0.35, planes=_srp_planes(factor)
         ),
         "ivf_probe": lambda: S.ivf_probe(
             ivf_index, ivf_centers, queries, k=5, nprobe=2
@@ -360,16 +392,10 @@ def _ops(spark, docs, emb, edges, ivf_index, ivf_centers, events,
             docs.filter(F.col("doc_id") % 23 != 0),
         ),
         # round-7 addition: canonical-copy selection over the LSH cluster
-        # map.  cosine_neardup_cells is deliberately NOT probed on this
-        # corpus: the amplified embeddings are structure-free (copies are
-        # component-shifted, pairwise cosines concentrate near 0), so the
-        # triangle bound can prune nothing and the candidate volume is the
-        # inherent N² of exact similarity join on unstructured data —
-        # measured 3.5 s → 68 s over 1×→10× at fixed nlist before the row
-        # was removed, exactly the predicted quadratic.  The operator's
-        # scaling story (SCALING.md §6) is conditional on cluster
-        # structure + nlist growing with it, and is validated on clustered
-        # fixtures in test_plan_hygiene instead.
+        # map.  The exact near-dup probes live above ("imi" /
+        # "srp_neardup", on the product-structured corpus) — see the
+        # comment there and SCALING.md §6g for why the isotropic
+        # amplifier cannot host an exact-near-dup slope.
         # round-7.2: supervised classifier gate (train + score, one
         # lineage — training is the dominant ≤n_buckets-key agg) and the
         # PQ family: build (train+encode) vs the per-query-batch ADC scan
@@ -512,7 +538,7 @@ def _ops(spark, docs, emb, edges, ivf_index, ivf_centers, events,
                     F.expr("child div 4").alias("parent"),
                 )
             ),
-            events.sparkSession.range(1, 3),
+            edges.sparkSession.range(1, 3),
             rounds=4, left_col="child", right_col="parent",
         ),
         "feature_scale": lambda: _feature_scale(events),
@@ -656,40 +682,80 @@ def main() -> None:
 
     from indra_db_spark.operators import similarity as S
 
+    # input needs per op family: with SPARK_GRAFT_PROBE_OPS set, only the
+    # inputs a selected op touches are amplified/built — a factor-1000
+    # docs probe must not pay a 100M-row events amplification it never
+    # reads (r7 verdict #6: the third-decade runs are per-family)
+    EMB_OPS = {
+        "emb_topk_exact", "srp_topk", "ivf_probe", "pq_build", "pq_adc",
+        "ivfpq", "label_centroids", "srp_neardup",
+    }
+    PROD_OPS = {"imi"}
+    EDGE_OPS = {"closure_auto", "closure_dist", "triangles", "kcore",
+                "labelprop", "bfs"}
+    EVENT_OPS = {
+        "asof_join", "band_join", "funnel", "cohort_retention",
+        "hier_rollup", "kmv_distinct", "group_quantiles", "asof_skew",
+        "asof_skew_chunked", "funnel_skew", "paths_skew",
+        "paths_skew_chunked", "event_paths", "rate_anomaly", "attribution",
+        "gapfill", "scd2", "pit_join", "rolling", "cooccur", "ab_daily",
+        "feature_scale", "winsorized", "attribution_model", "skew_report",
+    }
+
     results: dict[str, dict[str, float]] = {}
     errors: dict[str, str] = {}
+    only = {
+        s for s in os.environ.get("SPARK_GRAFT_PROBE_OPS", "").split(",") if s
+    }
+
+    def _needs(group: set[str]) -> bool:
+        return not only or bool(only & group)
+
+    all_names: set[str] = set()  # filled from _ops keys on first factor
     for factor in factors:
-        docs = _amplified(spark, "documents", factor, _docs_x)
-        emb = _amplified(spark, "embeddings", factor, _emb_x)
-        events = _amplified(spark, "events", factor, _events_x)
-        docs.count(), emb.count(), events.count()  # warm footers
-        edges = _tree_edges(spark, factor).localCheckpoint(eager=True)
-        # IVF index built ONCE per corpus (untimed: index construction is a
-        # build-time cost; the probe is what runs per query batch)
-        centers = S.ivf_train_centroids(emb, nlist=16)
-        index = S.ivf_build_index(emb, centers).persist()
-        index.count()
-        # PQ artifacts built once per corpus (untimed, like the IVF index)
-        from indra_db_spark.operators import pq as _PQ
-        _cb = _PQ.pq_train(emb, m=16, k=16, rounds=2).persist()
-        _codes = _PQ.pq_encode(emb, _cb, m=16).persist()
-        _codes.count()
-        pq_artifacts = {
-            "cb": _cb,
-            "codes": _codes,
-            "coarse": _PQ.coarse_cells_from_seeds(emb, 8).persist(),
-        }
+        docs = emb = events = edges = emb_prod = None
+        index = centers = None
+        pq_artifacts = {"cb": None, "codes": None, "coarse": None}
+        persisted = []
+        # docs feed every op not in another family; build unless the
+        # selection is entirely emb/edges/events/product
+        if not only or (only - EMB_OPS - PROD_OPS - EDGE_OPS - EVENT_OPS):
+            docs = _amplified(spark, "documents", factor, _docs_x)
+            docs.count()
+        if _needs(EMB_OPS):
+            emb = _amplified(spark, "embeddings", factor, _emb_x)
+            emb.count()
+        if _needs(EMB_OPS - {"srp_neardup"}):
+            # IVF index + PQ artifacts built ONCE per corpus (untimed:
+            # index construction is a build-time cost; the probe is what
+            # runs per query batch) — skipped when only the SRP probe
+            # touches the isotropic corpus
+            centers = S.ivf_train_centroids(emb, nlist=16)
+            index = S.ivf_build_index(emb, centers).persist()
+            index.count()
+            from indra_db_spark.operators import pq as _PQ
+            _cb = _PQ.pq_train(emb, m=16, k=16, rounds=2).persist()
+            _codes = _PQ.pq_encode(emb, _cb, m=16).persist()
+            _codes.count()
+            pq_artifacts = {
+                "cb": _cb,
+                "codes": _codes,
+                "coarse": _PQ.coarse_cells_from_seeds(emb, 8).persist(),
+            }
+            persisted += [index, _cb, _codes, pq_artifacts["coarse"]]
+        if _needs(PROD_OPS):
+            emb_prod = _amplified(spark, "emb_product", factor, _emb_product)
+            emb_prod.count()
+        if _needs(EVENT_OPS):
+            events = _amplified(spark, "events", factor, _events_x)
+            events.count()
+        if _needs(EDGE_OPS):
+            edges = _tree_edges(spark, factor).localCheckpoint(eager=True)
         timings: dict[str, float] = {}
-        only = {
-            s for s in os.environ.get("SPARK_GRAFT_PROBE_OPS", "").split(",") if s
-        }
-        # cell seeds prebuilt once per corpus (untimed, like the IVF index)
-        # and only when the cells probe will actually run
-        cell_seeds = (
-            _cell_seeds(emb) if (not only or "cells" in only) else None
-        )
         for name, build in _ops(spark, docs, emb, edges, index, centers,
-                                events, pq_artifacts, cell_seeds).items():
+                                events, pq_artifacts, emb_prod,
+                                factor).items():
+            all_names.add(name)
             if only and name not in only:
                 continue
             # one op blowing up at high amplification (e.g. an executor OOM)
@@ -711,8 +777,8 @@ def main() -> None:
                 file=sys.stderr,
                 flush=True,
             )
-        index.unpersist()
-        _cb.unpersist(), _codes.unpersist(), pq_artifacts["coarse"].unpersist()
+        for frame in persisted:
+            frame.unpersist()
         results[str(factor)] = timings
 
     # partial runs (SPARK_GRAFT_PROBE_OPS) merge into the existing probe
@@ -723,7 +789,12 @@ def main() -> None:
             with open(out_path) as f:
                 prev = json.load(f)
             for fct, t in prev.get("timings_s", {}).items():
-                merged = dict(t)
+                # retired ops (no longer in _ops) drop out of the merged
+                # report — a probe row nobody can re-run is stale evidence
+                merged = {
+                    op: v for op, v in t.items()
+                    if not all_names or op in all_names
+                }
                 merged.update(results.get(fct, {}))
                 results[fct] = merged
             for k, v in prev.get("errors", {}).items():
