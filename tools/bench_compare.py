@@ -66,6 +66,12 @@ def compare(old: dict, new: dict, threshold: float = 1.2) -> dict:
     tot_new = round(sum(nq[n] for n in shared), 3)
     return {
         "shared_queries": len(shared),
+        # which statistic each side actually carried: min (full line),
+        # mean (compact summary), or cold single-shots (last-resort
+        # recovery) — cross-KIND ratios, cold especially, are noisy and
+        # systematically ≥ 1; read regressions below with that in mind
+        "old_stat": old.get("recovered_from", "queries"),
+        "new_stat": new.get("recovered_from", "queries"),
         "only_old": sorted(set(oq) - set(nq)),
         "only_new": sorted(set(nq) - set(oq)),
         "total_old": tot_old,
@@ -125,8 +131,11 @@ def load_bench(path: str) -> dict:
     out: dict = {}
     # fallback order: the min map, then the mean map (when the truncation
     # cut the min map's opener — compare means against mins consciously:
-    # mean ≥ min, so an old-mean baseline only UNDER-flags regressions)
-    for key in ("queries", "queries_mean"):
+    # mean ≥ min, so an old-mean baseline only UNDER-flags regressions),
+    # then the cold single-shot map as the last resort (BENCH_r07's tail
+    # kept ONLY sigma+cold: cold ≥ warm numbers, so treat cross-kind
+    # ratios as noisy — recovered_from says which kind you got)
+    for key in ("queries", "queries_mean", "queries_cold"):
         frag = re.search(r'"%s": \{(.*?)\}' % key, tail)
         if frag:
             out["queries"] = {
