@@ -401,6 +401,77 @@ def write_corpus_shards(
     )
 
 
+#: stage-barrier dirs written by :func:`corpus_pipeline_v2` and not yet
+#: released.  Cleanup is EXPLICIT (:func:`release_barriers`) with an atexit
+#: backstop, not GC-triggered: any DataFrame *derived* from the barrier
+#: read still needs the parquet files at execution time, and those JVM
+#: plan references are invisible to Python refcounting — deleting on
+#: Python-handle GC would break `out2 = out.select(...); del out` callers.
+#: Long-lived drivers call release_barriers() once downstream results are
+#: materialized; short-lived jobs lean on the atexit backstop.
+_BARRIER_DIRS: list[tuple[object, str]] = []
+
+
+def release_barriers() -> int:
+    """Delete every live corpus-pipeline stage-barrier dir (local or
+    cluster scratch) → number removed.  Safe to call repeatedly; the
+    same function is the atexit backstop."""
+    from indra_db_spark.plans import fsutil
+
+    n = 0
+    while _BARRIER_DIRS:
+        spark, path = _BARRIER_DIRS.pop()
+        try:
+            fsutil.delete(spark, path)
+            n += 1
+        except Exception:
+            pass  # backstop may outlive the JVM; local paths still rmtree
+    return n
+
+
+def _barrier_dir(spark, prefix: str) -> str:
+    """A fresh scratch dir for the >256 MB parquet stage barrier that is
+    visible to EVERY executor — on a cluster the barrier write commits
+    task files from many hosts, so a driver-local tempdir would read back
+    missing/partial data (r8 ADVICE #1).  Resolution order:
+
+    1. ``spark.indra_db_spark.barrierDir`` (explicit scratch root),
+    2. the Spark checkpoint dir (already required to be cluster-visible),
+    3. local tempdir — ONLY under a ``local[*]`` master; a cluster master
+       with neither setting raises instead of silently corrupting.
+    """
+    import uuid
+
+    from indra_db_spark.plans import fsutil
+
+    root = spark.conf.get("spark.indra_db_spark.barrierDir", None)
+    if not root:
+        try:
+            root = spark.sparkContext.getCheckpointDir()
+        except Exception:
+            root = None
+    if root:
+        path = fsutil.join(root, prefix + uuid.uuid4().hex)
+        fsutil.mkdirs(spark, path)
+    else:
+        if not spark.sparkContext.master.startswith("local"):
+            raise RuntimeError(
+                "corpus_pipeline_v2's parquet stage barrier needs a "
+                "cluster-visible scratch dir on non-local masters: set "
+                "spark.indra_db_spark.barrierDir or "
+                "sparkContext.setCheckpointDir(...)"
+            )
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix=prefix)
+    if not _BARRIER_DIRS:
+        import atexit
+
+        atexit.register(release_barriers)
+    _BARRIER_DIRS.append((spark, path))
+    return path
+
+
 def corpus_pipeline_v2(
     docs: DataFrame,
     span_k: int = 4,
@@ -450,16 +521,19 @@ def corpus_pipeline_v2(
     # 256 MB ≈ a ~0.5 GB parquet input: two decades above every bench
     # fixture, safely below the scale where checkpoint blocks overran
     # the probe node's disk
-    est_bytes = (
-        rw._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
-    )
-    if int(min(est_bytes, 2**62)) > 256 * 1024**2:
-        import atexit
-        import shutil
-        import tempfile
-
-        barrier_dir = tempfile.mkdtemp(prefix="corpus_v2_barrier_")
-        atexit.register(shutil.rmtree, barrier_dir, ignore_errors=True)
+    try:
+        est_bytes = int(min(
+            rw._jdf.queryExecution().optimizedPlan().stats().sizeInBytes(),
+            2**62,
+        ))
+    except Exception:
+        # stats shape varies across Spark versions (non-int JavaObject,
+        # absent stats) — default to the barrier, the side that survives
+        # scale; the small-scale cost is one extra parquet write
+        # (same guard discipline as operators/graph.py:_sized_ckpt)
+        est_bytes = 2**62
+    if est_bytes > 256 * 1024**2:
+        barrier_dir = _barrier_dir(docs.sparkSession, "corpus_v2_barrier_")
         rw.write.mode("overwrite").parquet(barrier_dir)
         rw = docs.sparkSession.read.parquet(barrier_dir)
     else:

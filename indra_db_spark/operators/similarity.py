@@ -204,7 +204,7 @@ def cosine_neardup_cells(
     n_rows = sum(r["n"] for r in cell_stats)
     # slack margin: the final filter works on sim rounded to sim_decimals,
     # so a pair at threshold − ½ulp must survive the prune
-    margin = 10.0 ** (-(sim_decimals or 9)) * 5
+    margin = 10.0 ** (-(9 if sim_decimals is None else sim_decimals)) * 5
     eps = math.sqrt(max(0.0, 2.0 - 2.0 * (threshold - margin)))
     cand = []
     cells = sorted(radii)
@@ -432,7 +432,7 @@ def cosine_neardup_imi(
         F.sqrt(F.max("_dsq")).alias("r")
     )
 
-    margin = 10.0 ** (-(sim_decimals or 9)) * 5
+    margin = 10.0 ** (-(9 if sim_decimals is None else sim_decimals)) * 5
     eps = math.sqrt(max(0.0, 2.0 - 2.0 * (threshold - margin)))
     slack = 1e-9
 

@@ -10,26 +10,19 @@ that routing here.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 
+from indra_db_spark.plans import fsutil
 from indra_db_spark.schemas import READONLY_SCHEMAS
 
-def _dir_bytes(path: str) -> int:
+def _dir_bytes(spark: SparkSession, path: str) -> int:
     """Total bytes of data files under ``path`` — the one statistic the
-    layout chooser keys off (os.walk: the chooser runs driver-side over
-    local/NFS roots; an object-store deployment would sum the listing the
-    same way)."""
-    total = 0
-    for dirpath, _dirs, files in os.walk(path):
-        for f in files:
-            if not f.startswith((".", "_")):
-                try:
-                    total += os.path.getsize(os.path.join(dirpath, f))
-                except OSError:
-                    pass
-    return total
+    layout chooser keys off.  Scheme-aware (r8 verdict #1): local roots
+    take the ``os.walk`` fast path, ``s3a://``/``hdfs://``/… roots walk
+    the Hadoop ``FileSystem`` recursive listing the txlog already routes
+    through — the chooser's docstring targets the 100-TB tier, so it has
+    to be able to open the filesystems where 100 TB actually lives."""
+    return fsutil.dir_bytes(spark, path)
 
 
 #: tables every lake must provide for the query algebra
@@ -100,8 +93,8 @@ class ReadonlyLake:
     def from_parquet(cls, spark: SparkSession, root: str) -> "ReadonlyLake":
         tables = {}
         for name in READONLY_SCHEMAS:
-            path = os.path.join(root, name)
-            if os.path.exists(path):
+            path = fsutil.join(root, name)
+            if fsutil.exists(spark, path):
                 tables[name] = spark.read.parquet(path)
         return cls(tables)
 
@@ -117,7 +110,7 @@ class ReadonlyLake:
         from indra_db_spark.plans.txlog import TxTable
 
         return {
-            name: TxTable(spark, os.path.join(root, name)).append(df)
+            name: TxTable(spark, fsutil.join(root, name)).append(df)
             for name, df in self._tables.items()
         }
 
@@ -144,8 +137,8 @@ class ReadonlyLake:
 
         tables: dict[str, DataFrame] = dict(extra or {})
         for name in READONLY_SCHEMAS:
-            path = os.path.join(root, name)
-            if not os.path.isdir(os.path.join(path, LOG_DIR)):
+            path = fsutil.join(root, name)
+            if not fsutil.is_dir(spark, fsutil.join(path, LOG_DIR)):
                 continue
             tx = TxTable(spark, path)
             if tx.snapshot()[0] == 0:
@@ -228,10 +221,10 @@ class ReadonlyLake:
         for name in READONLY_SCHEMAS:
             if name in tables:
                 continue
-            tx_path = tx_root and os.path.join(tx_root, name)
-            plain_path = root and os.path.join(root, name)
-            has_plain = bool(plain_path) and os.path.exists(plain_path)
-            if tx_path and os.path.isdir(os.path.join(tx_path, LOG_DIR)):
+            tx_path = tx_root and fsutil.join(tx_root, name)
+            plain_path = root and fsutil.join(root, name)
+            has_plain = bool(plain_path) and fsutil.exists(spark, plain_path)
+            if tx_path and fsutil.is_dir(spark, fsutil.join(tx_path, LOG_DIR)):
                 from indra_db_spark.plans.txlog import TxTable
 
                 tx = TxTable(spark, tx_path)
@@ -243,7 +236,7 @@ class ReadonlyLake:
                 # other layouts instead of bricking the open
             if name in bucketed_names and (
                 not has_plain
-                or _dir_bytes(plain_path) >= cls.BUCKETED_MIN_BYTES
+                or _dir_bytes(spark, plain_path) >= cls.BUCKETED_MIN_BYTES
             ):
                 # the catalog copy serves when it's the ONLY copy, or
                 # when the table's bytes clear the measured crossover
@@ -254,7 +247,7 @@ class ReadonlyLake:
 
     def write_parquet(self, root: str, mode: str = "overwrite") -> None:
         for name, df in self._tables.items():
-            df.write.mode(mode).parquet(os.path.join(root, name))
+            df.write.mode(mode).parquet(fsutil.join(root, name))
 
     #: tables served sorted by ev_count (the algebra's default sort key) —
     #: range-partitioned + sorted files let parquet row-group min/max stats
@@ -285,7 +278,7 @@ class ReadonlyLake:
                 out = df.repartition(partitions, "sid")
             else:
                 out = df
-            out.write.mode(mode).parquet(os.path.join(root, name))
+            out.write.mode(mode).parquet(fsutil.join(root, name))
 
     def write_bucketed(
         self,

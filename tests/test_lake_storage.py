@@ -374,3 +374,112 @@ def test_open_layout_chooser(spark, tmp_path, monkeypatch):
         assert {r.mk_hash for r in get_hashes(q, lake).collect()} == want
     finally:
         spark.sql("DROP DATABASE IF EXISTS chooser_db CASCADE")
+
+
+def test_fsutil_hadoop_branch_matches_local(spark, tmp_path, monkeypatch):
+    """The scheme-aware helpers give identical answers through both
+    branches — os.* for local roots, the Hadoop FileSystem for scheme'd
+    roots (r8 verdict #1: the chooser must open s3a/hdfs roots; forcing
+    the remote branch over file: URIs executes the exact same
+    Path.getFileSystem / listFiles / getContentSummary code path the
+    cluster schemes resolve through)."""
+    from indra_db_spark.plans import fsutil
+
+    d = tmp_path / "tbl"
+    spark.range(100).write.parquet(str(d))
+    (d / "_SUCCESS_extra").write_text("x" * 999)  # hidden: both must skip
+    uri = "file:" + str(tmp_path)
+    local_bytes = fsutil.dir_bytes(spark, str(d))
+    assert local_bytes > 0
+    monkeypatch.setattr(fsutil, "_is_local", lambda spark, path: False)
+    assert fsutil.exists(spark, fsutil.join(uri, "tbl"))
+    assert fsutil.is_dir(spark, fsutil.join(uri, "tbl"))
+    assert not fsutil.exists(spark, fsutil.join(uri, "nope"))
+    assert fsutil.dir_bytes(spark, fsutil.join(uri, "tbl")) == local_bytes
+    assert fsutil.dir_bytes(spark, fsutil.join(uri, "nope")) == 0
+    fsutil.mkdirs(spark, fsutil.join(uri, "made"))
+    fsutil.delete(spark, fsutil.join(uri, "tbl"))
+    monkeypatch.undo()
+    assert (tmp_path / "made").is_dir() and not d.exists()
+
+
+def test_fsutil_scheme_parsing(spark):
+    from indra_db_spark.plans import fsutil
+
+    assert fsutil.scheme_of("s3a://bucket/k") == "s3a"
+    assert fsutil.scheme_of("hdfs://nn:8020/x") == "hdfs"
+    assert fsutil.scheme_of("file:/x/y") == "file"
+    assert fsutil.scheme_of("/plain/path") is None
+    assert fsutil.scheme_of("rel/path") is None
+    assert fsutil.scheme_of("C:/windowsish") is None  # drive, not scheme
+    assert fsutil.strip_file_scheme("file:///a/b") == "/a/b"
+    assert fsutil.strip_file_scheme("file:/a/b") == "/a/b"
+    assert fsutil.strip_file_scheme("/a/b") == "/a/b"
+    assert fsutil.join("s3a://b/root", "t", "f") == "s3a://b/root/t/f"
+    # scheme-less paths resolve through fs.defaultFS (file:/// here)
+    assert fsutil._is_local(spark, "/x") and fsutil._is_local(spark, "file:/x")
+    assert not fsutil._is_local(spark, "s3a://b/x")
+
+
+def test_open_layout_chooser_nonlocal_root(spark, tmp_path, monkeypatch):
+    """The layout chooser (the ONE serving entry point) opens a
+    NON-local-branch root end to end: with the local fast path disabled,
+    every exists/is_dir/dir_bytes decision routes through the Hadoop
+    FileSystem — plain-parquet discovery, the txlog trump, and
+    from_txlog all still work on a scheme'd root (r8 verdict #1)."""
+    from indra_db_spark.plans import fsutil
+    from indra_db_spark.plans.txlog import TxTable
+
+    mem_lake, _, _ = fixture_lake(spark)
+    root = str(tmp_path / "plain")
+    mem_lake.write_parquet(root)
+    tx_root = str(tmp_path / "tx")
+    TxTable(spark, f"{tx_root}/name_meta").append(mem_lake["name_meta"])
+
+    monkeypatch.setattr(fsutil, "_is_local", lambda spark, path: False)
+    uri_root = "file:" + root
+    uri_tx = "file:" + tx_root
+    lake = ReadonlyLake.open(spark, root=uri_root, tx_root=uri_tx)
+    assert any("/tx/name_meta/data/" in f
+               for f in lake["name_meta"].inputFiles())
+    assert any("/plain/source_meta/" in f
+               for f in lake["source_meta"].inputFiles())
+    tx_lake = ReadonlyLake.from_txlog(
+        spark, uri_tx,
+        extra={n: mem_lake[n] for n in mem_lake.tables() if n != "name_meta"},
+    )
+    monkeypatch.undo()
+    q = HasAgent("MEK") & HasType(["Phosphorylation"])
+    want = {r.mk_hash for r in get_hashes(q, mem_lake).collect()}
+    assert {r.mk_hash for r in get_hashes(q, lake).collect()} == want
+    assert {r.mk_hash for r in get_hashes(q, tx_lake).collect()} == want
+
+
+def test_corpus_barrier_dir_resolution(spark, tmp_path, monkeypatch):
+    """The >256 MB parquet stage barrier lands in a CLUSTER-VISIBLE
+    scratch root — explicit conf first, then the checkpoint dir — and
+    release_barriers() reclaims it deterministically (long-lived
+    drivers), with local temp only as the local[*] fallback
+    (r8 ADVICE #1)."""
+    from indra_db_spark.operators import sampling
+
+    scratch = str(tmp_path / "scratch")
+    spark.conf.set("spark.indra_db_spark.barrierDir", scratch)
+    try:
+        p = sampling._barrier_dir(spark, "t_")
+        assert p.startswith(scratch)
+        import os
+        assert os.path.isdir(p)
+        assert sampling.release_barriers() >= 1
+        assert not os.path.exists(p)
+    finally:
+        spark.conf.unset("spark.indra_db_spark.barrierDir")
+    # checkpoint dir is the second choice
+    ckpt = spark.sparkContext.getCheckpointDir()
+    if ckpt:
+        p = sampling._barrier_dir(spark, "t_")
+        assert p.startswith(ckpt)
+        sampling.release_barriers()
+    # local[*] master without either falls back to tempdir
+    p = sampling._barrier_dir(spark, "t_")
+    assert p and sampling.release_barriers() >= 1

@@ -1642,7 +1642,7 @@ def _product_corpus(spark, n: int, m: int = 20, noise: float = 0.12):
     dims = F.sequence(F.lit(0), F.lit(63))
     code = F.expr(f"id div {m}")
     i_ = F.pmod(code, F.lit(s))
-    j_ = F.pmod(code / s, F.lit(s)).cast("long")
+    j_ = F.pmod(F.expr(f"(id div {m}) div {s}"), F.lit(s))
 
     def comp(d):
         h1 = (F.pmod(F.xxhash64(F.lit(11), i_, d), F.lit(1000)).cast("double")) / 500.0 - 1.0

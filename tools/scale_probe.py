@@ -174,7 +174,7 @@ def _emb_product(spark, factor: int):
     dims = F.sequence(F.lit(0), F.lit(63))
     code = F.expr(f"id div {m}")
     i_ = F.pmod(code, F.lit(s))
-    j_ = F.pmod(code / s, F.lit(s)).cast("long")
+    j_ = F.pmod(F.expr(f"(id div {m}) div {s}"), F.lit(s))
 
     def comp(d):
         h1 = (F.pmod(F.xxhash64(F.lit(11), i_, d), F.lit(1000)).cast("double")) / 500.0 - 1.0
