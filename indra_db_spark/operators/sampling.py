@@ -425,7 +425,11 @@ def release_barriers() -> int:
             fsutil.delete(spark, path)
             n += 1
         except Exception:
-            pass  # backstop may outlive the JVM; local paths still rmtree
+            # backstop may outlive the JVM: fsutil.delete itself falls
+            # back to shutil.rmtree for file:/scheme-less paths when the
+            # gateway is gone; only remote schemes land here, where
+            # nothing driver-side can remove them anyway
+            pass
     return n
 
 
@@ -463,7 +467,11 @@ def _barrier_dir(spark, prefix: str) -> str:
             )
         import tempfile
 
-        path = tempfile.mkdtemp(prefix=prefix)
+        # pin the fallback to the LOCAL filesystem explicitly: a
+        # scheme-less path resolves through fs.defaultFS, which can be
+        # non-local even under a local[*] master, and the mkdtemp dir
+        # would then never be the dir Spark writes to (r9 ADVICE #2)
+        path = "file://" + tempfile.mkdtemp(prefix=prefix)
     if not _BARRIER_DIRS:
         import atexit
 

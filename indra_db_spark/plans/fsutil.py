@@ -42,13 +42,17 @@ __all__ = [
 def scheme_of(path: str) -> str | None:
     """URI scheme of ``path``, or None for a bare filesystem path.
 
-    A scheme must appear before any ``/`` and be at least 2 chars
-    (so Windows-style ``C:`` drive letters are not mistaken for one —
-    matching Hadoop ``Path``'s own rule)."""
+    A scheme must be immediately followed by ``/`` (``file:/x``,
+    ``s3a://b/k``) and be at least 2 chars (so Windows-style ``C:``
+    drive letters are not mistaken for one — matching Hadoop ``Path``'s
+    own rule).  A relative path whose first component merely CONTAINS a
+    colon (``run:2026/data``) is a bare path, not a URI — treating it
+    as scheme ``run`` would route a local path to ``Path.getFileSystem``
+    and fail on the unknown scheme (r9 ADVICE #3)."""
     head = path.split("/", 1)[0]
-    if ":" not in head:
+    if not head.endswith(":") or head.count(":") != 1:
         return None
-    s = head.split(":", 1)[0]
+    s = head[:-1]
     # RFC-3986 scheme chars (s3a has a digit); ≥2 chars rules out drives
     ok = (
         len(s) >= 2
@@ -137,8 +141,24 @@ def dir_bytes(spark, path: str) -> int:
 
 
 def delete(spark, path: str) -> None:
-    """Recursive delete, missing-ok."""
-    if _is_local(spark, path):
+    """Recursive delete, missing-ok.
+
+    Gateway-down fallback (r9 ADVICE #1): the atexit barrier backstop
+    can run after the py4j gateway closed, where ``_is_local``'s
+    ``fs.defaultFS`` lookup raises.  A ``file:``/scheme-less path can
+    still be removed with ``os`` tools (harmless if it actually lived
+    on a remote defaultFS — the local rmtree is missing-ok); a remote
+    scheme genuinely cannot, so that failure propagates."""
+    try:
+        local = _is_local(spark, path)
+    except Exception:
+        if scheme_of(path) in (None, "file"):
+            import shutil
+
+            shutil.rmtree(strip_file_scheme(path), ignore_errors=True)
+            return
+        raise
+    if local:
         import shutil
 
         shutil.rmtree(strip_file_scheme(path), ignore_errors=True)

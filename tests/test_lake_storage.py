@@ -412,6 +412,11 @@ def test_fsutil_scheme_parsing(spark):
     assert fsutil.scheme_of("/plain/path") is None
     assert fsutil.scheme_of("rel/path") is None
     assert fsutil.scheme_of("C:/windowsish") is None  # drive, not scheme
+    # colon INSIDE the first component is not a scheme (r9 ADVICE #3):
+    # relative paths like run:2026/data stay on the local fast path
+    assert fsutil.scheme_of("run:2026/data") is None
+    assert fsutil.scheme_of("a:b:c/d") is None
+    assert fsutil._is_local(spark, "run:2026/data")
     assert fsutil.strip_file_scheme("file:///a/b") == "/a/b"
     assert fsutil.strip_file_scheme("file:/a/b") == "/a/b"
     assert fsutil.strip_file_scheme("/a/b") == "/a/b"
@@ -480,6 +485,36 @@ def test_corpus_barrier_dir_resolution(spark, tmp_path, monkeypatch):
         p = sampling._barrier_dir(spark, "t_")
         assert p.startswith(ckpt)
         sampling.release_barriers()
-    # local[*] master without either falls back to tempdir
+    # local[*] master without either falls back to tempdir, pinned to
+    # the local filesystem with an explicit file: scheme so a non-local
+    # fs.defaultFS can't hijack the scheme-less path (r9 ADVICE #2)
     p = sampling._barrier_dir(spark, "t_")
-    assert p and sampling.release_barriers() >= 1
+    assert p.startswith("file://")
+    import os
+    assert os.path.isdir(p[len("file://"):])
+    assert sampling.release_barriers() >= 1
+    assert not os.path.exists(p[len("file://"):])
+
+
+def test_fsutil_delete_survives_dead_gateway(spark, tmp_path, monkeypatch):
+    """The atexit barrier backstop can fire after the py4j gateway is
+    gone; fsutil.delete must still reclaim file:/scheme-less scratch via
+    shutil and propagate the failure for remote schemes (r9 ADVICE #1)."""
+    from indra_db_spark.plans import fsutil
+
+    d = tmp_path / "scratch"
+    d.mkdir()
+    (d / "part-0").write_text("x")
+
+    def _dead(spark, path):
+        raise RuntimeError("py4j gateway is down")
+
+    monkeypatch.setattr(fsutil, "_is_local", _dead)
+    fsutil.delete(spark, str(d))  # scheme-less → shutil fallback
+    assert not d.exists()
+    d2 = tmp_path / "scratch2"
+    d2.mkdir()
+    fsutil.delete(spark, "file:" + str(d2))  # file: → shutil fallback
+    assert not d2.exists()
+    with pytest.raises(RuntimeError, match="gateway"):
+        fsutil.delete(spark, "s3a://bucket/scratch")
