@@ -104,10 +104,25 @@ HEADLINE = [
 ]
 
 
+def _loadavg() -> list[float] | None:
+    """1/5/15-minute load averages, or None where unsupported.
+
+    Recorded at bench start (BEFORE Spark spins up: a nonzero 1-min load
+    here is OTHER work competing for the cores — the signal that tainted
+    the r3 and r8 artifacts) and again at the end (dominated by the
+    bench's own local[*] load; kept for the 15-min component, which
+    still mostly reflects pre-existing contention)."""
+    try:
+        return [round(x, 2) for x in os.getloadavg()]
+    except OSError:
+        return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else None
+    load_start = _loadavg()
 
     from indra_db_spark import catalog
     from indra_db_spark.session import get_spark
@@ -163,6 +178,12 @@ def main() -> None:
         )
 
     total = round(sum(timings.values()), 3)
+    load_end = _loadavg()
+    env = {
+        "load_start": load_start,
+        "load_end": load_end,
+        "cpus": os.cpu_count(),
+    }
     print(
         json.dumps(
             {
@@ -176,6 +197,7 @@ def main() -> None:
                 "queries_cold": cold_timings,
                 "value_cold": round(sum(cold_timings.values()), 3),
                 "sf": sf,
+                **env,
             }
         )
     )
@@ -196,6 +218,7 @@ def main() -> None:
                 "sf": sf,
                 "n_steady": N_STEADY,
                 "queries_mean": means,
+                **env,
             }
         )
     )

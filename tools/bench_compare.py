@@ -29,6 +29,41 @@ import json
 import sys
 
 
+#: pre-existing 1-min load ÷ cores above this at bench START means the run
+#: competed with other work — the exact condition that inflated the r3 and
+#: r8 artifacts and twice needed a judge re-run to interpret
+LOAD_BAND = 0.25
+#: median per-query σ/mean above this marks a run whose steady-state spread
+#: is too wide to compare at the default ratio threshold
+SPREAD_BAND = 0.10
+
+
+def run_warnings(side: str, doc: dict) -> list[str]:
+    """Machine-condition warnings for ONE bench artifact: taints the
+    comparison rather than any single query, so they ride a top-level
+    ``warnings`` list instead of the per-query regression flags."""
+    out: list[str] = []
+    load = doc.get("load_start")
+    cpus = doc.get("cpus")
+    if load and cpus and load[0] / cpus > LOAD_BAND:
+        out.append(
+            f"{side}: 1-min loadavg {load[0]} at bench start on {cpus} "
+            f"cores (>{LOAD_BAND:.0%} busy) — timings likely inflated by "
+            "concurrent work; re-run idle before adjudicating regressions"
+        )
+    means, sigmas = doc.get("queries_mean", {}), doc.get("queries_sigma", {})
+    rels = sorted(
+        sigmas[q] / means[q] for q in sigmas if q in means and means[q]
+    )
+    if rels and rels[len(rels) // 2] > SPREAD_BAND:
+        out.append(
+            f"{side}: median per-query sigma/mean "
+            f"{rels[len(rels) // 2]:.2f} exceeds {SPREAD_BAND} — "
+            "steady-state runs are too noisy for the ratio threshold"
+        )
+    return out
+
+
 def compare(old: dict, new: dict, threshold: float = 1.2) -> dict:
     oq, nq = old.get("queries", {}), new.get("queries", {})
     nsig = new.get("queries_sigma", {})
@@ -81,6 +116,7 @@ def compare(old: dict, new: dict, threshold: float = 1.2) -> dict:
         "ratios": ratios,
         "regressions": regressions,
         "improvements": improvements,
+        "warnings": run_warnings("old", old) + run_warnings("new", new),
     }
 
 
