@@ -41,6 +41,7 @@ def register(name: str, oracle: str | None = None):
 from indra_db_spark.catalog import relational  # noqa: E402,F401
 from indra_db_spark.catalog import training  # noqa: E402,F401
 from indra_db_spark.catalog import temporal  # noqa: E402,F401
+from indra_db_spark.catalog import transactional  # noqa: E402,F401
 
 # The correctness gate checks the first 50 entries in registration order, so
 # the order is chosen deliberately rather than left to module text order:
@@ -104,8 +105,13 @@ WINDOW_ORDER = [
     "kb_union_merge",
     "curation_anonymize",
     # §2.7 scalar functions (scalar_strings rotated past-window r8;
-    # json_extract + curation_anonymize keep the scalar family checked)
-    "json_extract",
+    # json_extract rotated past-window r10 — curation_anonymize keeps the
+    # scalar family checked and json_extract stays in the 3-SF sweep)
+    # r10 rotation (r8 verdict #5 / r9 top-next): the txlog SERVING path
+    # under the hard gate — two appends, a DV merge-on-read delete, a
+    # second delete rolled back by RESTORE, and the snapshot read whose
+    # survivors must hash-match plain SQL with only the first delete
+    "txlog_dv_read",
     # §2.11 streaming twin (batch form; sessionize stays past-window — the
     # session-window semantics are pinned by tests/test_streaming parity)
     "time_window_agg",

@@ -1,0 +1,68 @@
+"""Transaction-log catalog entries — the txlog SERVING path under the
+driver's hard oracle gate.
+
+The txlog layer (plans/txlog.py: optimistic manifests, DV merge-on-read
+deletes, RESTORE) is the engine's largest post-r7 component and was
+previously verified only by pytest (the 50+ race/conflict/crash matrix);
+``txlog_dv_read`` puts its READ path — the thing a 100-TB serving tier
+actually executes — under the same DuckDB oracle every relational entry
+answers to (r8 verdict #5 / r9 top-next).
+
+Reference parity: the reference serves its readonly tier from dumped
+principal snapshots (indra_db/readonly_dumping + util/dump_mgmt); the
+txlog-served lake is this engine's equivalent of that snapshot serving
+boundary, with row-level deletes and rollback added.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from indra_db_spark.catalog import register
+from indra_db_spark.sources.lake import load_table as T
+
+#: columns the entry round-trips through the transaction log
+_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
+
+
+@register(
+    "txlog_dv_read",
+    f"""
+    SELECT {', '.join(_COLS)}
+    FROM orders
+    WHERE o_orderkey % 97 = 0 AND NOT (o_orderstatus = 'F')
+    """,
+)
+def txlog_dv_read(spark, sf):
+    """End-to-end txlog serving check: write a deterministic ``orders``
+    slice through :class:`~indra_db_spark.plans.txlog.TxTable` as TWO
+    appends (the snapshot read unions multiple manifests' file lists),
+    apply a merge-on-read deletion-vector DELETE, apply a SECOND DV
+    delete, RESTORE to the boundary between them, and read the head
+    snapshot.  The surviving rows must equal plain SQL over the source
+    table with only the FIRST delete applied — so the oracle hash fails
+    if DV sidecars are not anti-joined at read, if the second delete
+    leaks through the restore, or if the restore rolls back too far.
+
+    Scratch resolution reuses the corpus barrier's cluster-visible rule
+    (explicit conf -> checkpoint dir -> local temp only under local[*])
+    with process-exit cleanup; the returned DataFrame reads the txlog
+    snapshot lazily, so the data path stays fully distributed — nothing
+    is collected to the driver."""
+    from indra_db_spark.operators.sampling import _barrier_dir
+    from indra_db_spark.plans.txlog import TxTable
+
+    sliced = (
+        T(spark, sf, "orders")
+        .filter(F.col("o_orderkey") % 97 == 0)
+        .select(*_COLS)
+    )
+    root = _barrier_dir(spark, "txlog_dv_read_", what="txlog_dv_read")
+    tx = TxTable(spark, root)
+    tx.append(sliced.filter(F.col("o_orderkey") % 194 == 0))
+    tx.append(sliced.filter(F.col("o_orderkey") % 194 != 0))
+    v_first = tx.delete_where(F.col("o_orderstatus") == "F", mode="dv")
+    v_second = tx.delete_where(F.col("o_totalprice") > 150000.0, mode="dv")
+    if v_first is not None and v_second is not None:
+        tx.restore(v_first)
+    return tx.read().select(*_COLS)

@@ -433,7 +433,7 @@ def release_barriers() -> int:
     return n
 
 
-def _barrier_dir(spark, prefix: str) -> str:
+def _barrier_dir(spark, prefix: str, what: str = "the parquet stage barrier") -> str:
     """A fresh scratch dir for the >256 MB parquet stage barrier that is
     visible to EVERY executor — on a cluster the barrier write commits
     task files from many hosts, so a driver-local tempdir would read back
@@ -460,10 +460,9 @@ def _barrier_dir(spark, prefix: str) -> str:
     else:
         if not spark.sparkContext.master.startswith("local"):
             raise RuntimeError(
-                "corpus_pipeline_v2's parquet stage barrier needs a "
-                "cluster-visible scratch dir on non-local masters: set "
-                "spark.indra_db_spark.barrierDir or "
-                "sparkContext.setCheckpointDir(...)"
+                f"{what} needs a cluster-visible scratch dir on "
+                "non-local masters: set spark.indra_db_spark.barrierDir "
+                "or sparkContext.setCheckpointDir(...)"
             )
         import tempfile
 

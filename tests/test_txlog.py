@@ -1225,3 +1225,30 @@ def test_local_store_no_partial_manifest_window(spark, tmp_path):
     txlog._pre_claim_hook = None
     assert seen == {"exists_at_claim_point": False}
     assert t._read_version(2)["version"] == 2
+
+
+def test_catalog_dv_read_entry_commit_sequence(spark, sf_dir, monkeypatch):
+    """The driver-gate entry ``txlog_dv_read`` must keep exercising the
+    merge-on-read serving path: two appends, two DV (not copy) deletes,
+    and a RESTORE — a refactor that silently downgraded the deletes to
+    copy-on-write rewrites would still hash-match the oracle, so the
+    action sequence is pinned here."""
+    from indra_db_spark.catalog.transactional import txlog_dv_read
+    from indra_db_spark.plans.txlog import TxTable
+
+    captured: list[TxTable] = []
+    orig_init = TxTable.__init__
+
+    def spy_init(self, *a, **kw):
+        orig_init(self, *a, **kw)
+        captured.append(self)
+
+    monkeypatch.setattr(TxTable, "__init__", spy_init)
+    out = txlog_dv_read(spark, sf_dir)
+    assert out.count() > 0
+    (tx,) = captured
+    actions = [h["action"] for h in tx.history()]
+    assert actions == ["append", "append", "dv_delete", "dv_delete", "restore"]
+    # the restore re-claims the first delete's exact file list + DV map
+    v2, v5 = tx._read_version(3), tx._read_version(5)
+    assert v5["files"] == v2["files"] and v5.get("dv") == v2.get("dv")
