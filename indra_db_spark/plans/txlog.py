@@ -213,9 +213,11 @@ class ObjectStoreLogStore(LogStore):
 
     The adapter is SDK-agnostic: pass any ``client`` exposing
     ``put_if_absent(key: str, payload: bytes) -> bool`` (True = created;
-    False = the key already existed — the HTTP 412 case).  Mapping the
-    real SDKs onto that is one call each; this module deliberately
-    imports none of them.  Reads still flow through the table's Hadoop
+    False = the key already existed — the HTTP 412 case).
+    :class:`S3ConditionalPutClient` below is the executable boto3
+    mapping (imported lazily, so the SDK stays an optional dependency);
+    GCS (``if_generation_match=0``) and Azure (ETag ``If-None-Match``)
+    map the same way.  Reads still flow through the table's Hadoop
     filesystem (s3a:// and friends list and read the same keys), so only
     the CLAIM routes through the SDK — the same split the public table
     formats use for S3 multi-writer commits.  ``key_prefix`` is the
@@ -231,6 +233,72 @@ class ObjectStoreLogStore(LogStore):
             _pre_claim_hook()
         return bool(
             self._client.put_if_absent(self._key_prefix + name, payload)
+        )
+
+
+class S3ConditionalPutClient:
+    """The ``put_if_absent`` contract over the real AWS SDK — the one
+    executable mapping :class:`ObjectStoreLogStore` needs to commit
+    against S3 (r8 verdict #4): a single ``PutObject`` with
+    ``IfNoneMatch="*"``.  S3 arbitrates server-side — exactly one racing
+    PUT returns 200; losers get **412 PreconditionFailed** (the key
+    exists → ``False``) or **409 ConditionalRequestConflict** (another
+    conditional write on the same key was still in flight, outcome
+    undecided → back off and re-attempt; if that writer won, the retry
+    sees 412).  Object publication is atomic and whole, so there is no
+    torn-manifest window and no temp residue on any path.
+
+    boto3 is an OPTIONAL dependency imported only when no ``client`` is
+    injected; tests drive the adapter against moto's S3, which enforces
+    the same 412 semantics server-side.
+
+    Claims route here; READS still flow through the table's ``s3a://``
+    Hadoop filesystem (the same split the public formats use for S3
+    multi-writer commits) — so construct the table as::
+
+        store = ObjectStoreLogStore(
+            S3ConditionalPutClient("bucket"), key_prefix="lake/tbl/_txlog/"
+        )
+        TxTable(spark, "s3a://bucket/lake/tbl", log_store=store)
+    """
+
+    def __init__(self, bucket: str, client=None, **client_kwargs):
+        if client is None:
+            import boto3  # deferred: optional dependency
+
+            client = boto3.client("s3", **client_kwargs)
+        self._s3 = client
+        self._bucket = bucket
+
+    def put_if_absent(
+        self, key: str, payload: bytes, max_retries: int = 8
+    ) -> bool:
+        from botocore.exceptions import ClientError
+
+        for attempt in range(max_retries):
+            try:
+                self._s3.put_object(
+                    Bucket=self._bucket,
+                    Key=key,
+                    Body=payload,
+                    IfNoneMatch="*",
+                )
+                return True
+            except ClientError as e:
+                code = e.response.get("Error", {}).get("Code")
+                status = e.response.get("ResponseMetadata", {}).get(
+                    "HTTPStatusCode"
+                )
+                if code == "PreconditionFailed" or status == 412:
+                    return False
+                if code == "ConditionalRequestConflict" or status == 409:
+                    time.sleep(min(0.05 * 2**attempt, 1.0))
+                    continue
+                raise
+        raise RuntimeError(
+            f"s3://{self._bucket}/{key}: conditional PUT still conflicted "
+            f"after {max_retries} attempts — a writer storm on one "
+            "version key; re-read the snapshot and rebase"
         )
 
 

@@ -1252,3 +1252,115 @@ def test_catalog_dv_read_entry_commit_sequence(spark, sf_dir, monkeypatch):
     # the restore re-claims the first delete's exact file list + DV map
     v2, v5 = tx._read_version(3), tx._read_version(5)
     assert v5["files"] == v2["files"] and v5.get("dv") == v2.get("dv")
+
+
+# ---- real-SDK object-store adapter (boto3 over moto's S3) ----------------
+
+
+@pytest.fixture()
+def s3_bucket():
+    boto3 = pytest.importorskip("boto3")
+    moto = pytest.importorskip("moto")
+    with moto.mock_aws():
+        client = boto3.client("s3", region_name="us-east-1")
+        client.create_bucket(Bucket="tx-test-bucket")
+        yield client, "tx-test-bucket"
+
+
+def test_s3_put_if_absent_single_winner_and_no_residue(s3_bucket):
+    """The boto3 adapter under the same contract the emulated client
+    answers: N racing conditional PUTs of one version key through ONE
+    client — exactly one True (S3's If-None-Match arbitration, enforced
+    server-side by moto), the surviving object is the winner's complete
+    payload, and the bucket holds exactly the claimed keys (no temp
+    residue on any path — the object-store-specific property)."""
+    import json as _json
+
+    client, bucket = s3_bucket
+    adapter = txlog.S3ConditionalPutClient(bucket, client=client)
+    results = []
+    lock = threading.Lock()
+
+    def claim(i):
+        ok = adapter.put_if_absent(
+            "tbl/_txlog/v000000000002.json",
+            _json.dumps({"version": 2, "winner": i}).encode(),
+        )
+        with lock:
+            results.append((i, ok))
+
+    threads = [threading.Thread(target=claim, args=(i,)) for i in range(8)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    winners = [i for i, ok in results if ok]
+    assert len(winners) == 1, results
+    body = client.get_object(
+        Bucket=bucket, Key="tbl/_txlog/v000000000002.json"
+    )["Body"].read()
+    assert _json.loads(body)["winner"] == winners[0]
+    keys = [
+        o["Key"]
+        for o in client.list_objects_v2(Bucket=bucket).get("Contents", [])
+    ]
+    assert keys == ["tbl/_txlog/v000000000002.json"]
+
+
+def test_s3_adapter_through_object_store_log_store(s3_bucket):
+    """ObjectStoreLogStore wired to the real-SDK adapter: a lost claim
+    returns False and never tears the winner's payload — the protocol
+    face TxTable actually calls."""
+    client, bucket = s3_bucket
+    store = txlog.ObjectStoreLogStore(
+        txlog.S3ConditionalPutClient(bucket, client=client),
+        key_prefix="lake/tbl/_txlog/",
+    )
+    assert store.try_create("v000000000001.json", b'{"w": "first"}')
+    assert not store.try_create("v000000000001.json", b'{"w": "second"}')
+    got = client.get_object(
+        Bucket=bucket, Key="lake/tbl/_txlog/v000000000001.json"
+    )["Body"].read()
+    assert got == b'{"w": "first"}'
+
+
+def test_s3_adapter_409_conflict_retries_then_resolves():
+    """AWS can answer a racing conditional PUT with 409
+    ConditionalRequestConflict (outcome undecided) before the winner's
+    412 becomes observable; the adapter must re-attempt through 409s and
+    convert the eventual 412 to False — and give up loudly on a
+    persistent conflict storm."""
+    from botocore.exceptions import ClientError
+
+    class Flaky:
+        def __init__(self, answers):
+            self.answers = list(answers)
+
+        def put_object(self, **kw):
+            a = self.answers.pop(0)
+            if a == "ok":
+                return {}
+            raise ClientError(
+                {
+                    "Error": {"Code": a},
+                    "ResponseMetadata": {
+                        "HTTPStatusCode": 409
+                        if a == "ConditionalRequestConflict"
+                        else 412
+                    },
+                },
+                "PutObject",
+            )
+
+    conflict = "ConditionalRequestConflict"
+    win = txlog.S3ConditionalPutClient("b", client=Flaky([conflict, "ok"]))
+    assert win.put_if_absent("k", b"x") is True
+    lose = txlog.S3ConditionalPutClient(
+        "b", client=Flaky([conflict, conflict, "PreconditionFailed"])
+    )
+    assert lose.put_if_absent("k", b"x") is False
+    storm = txlog.S3ConditionalPutClient(
+        "b", client=Flaky([conflict] * 3)
+    )
+    with pytest.raises(RuntimeError, match="conflicted"):
+        storm.put_if_absent("k", b"x", max_retries=3)
