@@ -1444,6 +1444,62 @@ def events_ivm_rollup(spark, sf):
 
 
 @register(
+    "events_ivm_minmax",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           min(vm) AS min_vm,
+           max(vm) AS max_vm
+    FROM (SELECT event_type,
+                 CAST(floor(value * 1000000) AS BIGINT) AS vm,
+                 event_id
+          FROM events
+          WHERE value IS NOT NULL AND event_id IS NOT NULL)
+    WHERE NOT (event_id % 10 <> 0 AND event_id % 7 = 0)
+    GROUP BY event_type
+    """,
+)
+def events_ivm_minmax(spark, sf):
+    """Min/max view maintenance under RETRACTION, oracle-checked end to
+    end (r8 verdict #6): bootstrap the per-type count/min/max view from
+    the ~90% base slice, then fold in a CDF feed that both INSERTS the
+    held-out slice and DELETES every 7th base row — deletions that
+    provably remove some groups' stored extrema, forcing the dirty-group
+    path.  plans/ivm.py:incremental_minmax folds clean groups from the
+    delta alone and re-aggregates dirty groups from the new snapshot via
+    a broadcast-semi-join prune; the maintained view must hash-match the
+    oracle's straight GROUP BY over the post-change row set.  Values
+    compare in integer micros so both engines agree bit-for-bit."""
+    from indra_db_spark.plans.ivm import grouped_snapshot, incremental_minmax
+
+    e = (
+        T(spark, sf, "events")
+        .filter(F.col("value").isNotNull() & F.col("event_id").isNotNull())
+        .select(
+            "event_type",
+            "event_id",
+            F.floor(F.col("value") * 1_000_000).cast("bigint").alias("vm"),
+        )
+    )
+    base = e.filter(F.col("event_id") % 10 != 0)
+    inserts = e.filter(F.col("event_id") % 10 == 0).withColumn(
+        "_change_type", F.lit("insert")
+    )
+    deletes = base.filter(F.col("event_id") % 7 == 0).withColumn(
+        "_change_type", F.lit("delete")
+    )
+    feed = inserts.unionByName(deletes)
+    new_snapshot = e.filter(
+        ~((F.col("event_id") % 10 != 0) & (F.col("event_id") % 7 == 0))
+    )
+    view = grouped_snapshot(base, ["event_type"], minmax_cols=["vm"])
+    maintained = incremental_minmax(
+        view, feed, new_snapshot, ["event_type"], ["vm"]
+    )
+    return maintained.select("event_type", "n", "min_vm", "max_vm")
+
+
+@register(
     "events_ohlc",
     """
     WITH v AS (

@@ -5,7 +5,13 @@ MAINTAINED: apply the delta between two snapshots to the materialized
 aggregate with work proportional to the CHANGE, not the table.  This is
 the classic IVM result for distributive aggregates (count/sum are
 self-maintainable from the delta alone; min/max are not — a deleted
-minimum needs a rescan of its group, so they are deliberately excluded).
+minimum needs a rescan of its group).  :func:`incremental_agg` covers
+count/sum; :func:`incremental_minmax` adds min/max with the standard
+dirty-group protocol: groups whose retractions cannot have touched the
+extremum fold the delta in directly, groups where a deleted value ties
+or beats the stored extremum are re-aggregated from the NEW snapshot —
+pruned to exactly those groups by a broadcast semi-join, so the rescan
+is O(rows of dirty groups), never a fact rescan.
 
 Two feed shapes, matching :class:`plans.txlog.TxTable`'s two reads:
 
@@ -111,11 +117,124 @@ def grouped_snapshot(
     group_cols: list[str],
     sum_cols: list[str] | None = None,
     count_col: str = "n",
+    minmax_cols: list[str] | None = None,
 ) -> DataFrame:
-    """The bootstrap (and the oracle): the keyed count/sum aggregate of a
-    full snapshot, in :func:`incremental_agg`'s column shape."""
+    """The bootstrap (and the oracle): the keyed count/sum(/min/max)
+    aggregate of a full snapshot, in :func:`incremental_agg` /
+    :func:`incremental_minmax`'s column shape."""
     sum_cols = sum_cols or []
     aggs = [F.count(F.lit(1)).alias(count_col)] + [
         F.sum(c).alias(f"sum_{c}") for c in sum_cols
     ]
+    for c in minmax_cols or []:
+        aggs.append(F.min(c).alias(f"min_{c}"))
+        aggs.append(F.max(c).alias(f"max_{c}"))
     return snapshot.groupBy(*group_cols).agg(*aggs)
+
+
+def incremental_minmax(
+    base_agg: DataFrame,
+    feed: DataFrame,
+    new_snapshot: DataFrame,
+    group_cols: list[str],
+    minmax_cols: list[str],
+    count_col: str = "n",
+    change_type_col: str | None = "_change_type",
+) -> DataFrame:
+    """Maintain a keyed count/min/max aggregate from a change feed.
+
+    Min/max are NOT self-maintainable under retraction — deleting the
+    row that held a group's minimum leaves the new minimum unknowable
+    from (old aggregate, delta) alone.  The classic fix, implemented
+    here: classify each group by whether its retractions could have
+    touched an extremum.
+
+    - **Clean groups** (no retraction, or every retracted value is
+      strictly inside the stored [min, max] envelope): fold the delta
+      in directly — ``min' = least(min, min of inserted)``, symmetric
+      for max, count from the signed delta.  O(delta) work.
+    - **Dirty groups** (some retracted value ties or beats the stored
+      extremum — the deleted row may BE the extremum; also any group
+      retracted before it ever had a base row, where no envelope
+      exists): re-aggregate from ``new_snapshot``, pruned to exactly
+      the dirty keys by a semi-join.  On a 100-TB fact table keyed or
+      bucketed by ``group_cols`` this reads only those groups'
+      partitions; the rescan cost is Θ(rows of dirty groups) and the
+      dirty set is empty whenever a delta only appends (the common
+      feed), so steady-state maintenance stays O(delta).
+
+    ``new_snapshot`` must be the POST-change table (e.g.
+    ``TxTable.read()`` after the commits the feed spans — the row set
+    equal to base ⊕ feed).  ``base_agg`` carries ``group_cols``,
+    ``count_col`` and ``min_<c>``/``max_<c>`` per entry of
+    ``minmax_cols`` — :func:`grouped_snapshot`'s shape.  Groups whose
+    count reaches zero are dropped; the result is pinned ≡ a
+    from-scratch :func:`grouped_snapshot` of ``new_snapshot``."""
+    if not minmax_cols:
+        raise ValueError("minmax_cols must name at least one column")
+    if change_type_col is None:
+        sign = F.lit(1)
+    else:
+        sign = (
+            F.when(F.col(change_type_col).isin(*_POS), F.lit(1))
+            .when(F.col(change_type_col).isin(*_NEG), F.lit(-1))
+        )
+        unknown = feed.filter(sign.isNull()).limit(1).count()
+        if unknown:
+            raise ValueError(
+                f"feed contains a {change_type_col} outside the CDF row "
+                f"types {_POS + _NEG}"
+            )
+    pos, neg = sign == 1, sign == -1
+    aggs = [F.sum(sign).alias("d_n")]
+    for c in minmax_cols:
+        aggs += [
+            F.min(F.when(pos, F.col(c))).alias(f"ins_min_{c}"),
+            F.max(F.when(pos, F.col(c))).alias(f"ins_max_{c}"),
+            F.min(F.when(neg, F.col(c))).alias(f"del_min_{c}"),
+            F.max(F.when(neg, F.col(c))).alias(f"del_max_{c}"),
+        ]
+    d = feed.groupBy(*group_cols).agg(*aggs)
+    merged = base_agg.join(d, group_cols, "full_outer")
+
+    # a group is dirty when any retracted value reaches the stored
+    # envelope boundary (the retraction may have removed the extremum),
+    # or when retractions hit a group the base never aggregated
+    dirty = F.lit(False)
+    for c in minmax_cols:
+        touched = F.col(f"del_min_{c}").isNotNull() | F.col(
+            f"del_max_{c}"
+        ).isNotNull()
+        no_envelope = F.col(f"min_{c}").isNull()
+        at_boundary = (F.col(f"del_min_{c}") <= F.col(f"min_{c}")) | (
+            F.col(f"del_max_{c}") >= F.col(f"max_{c}")
+        )
+        dirty = dirty | (touched & (no_envelope | at_boundary))
+    merged = merged.withColumn("_ivm_dirty", dirty)
+
+    n = F.coalesce(F.col(count_col), F.lit(0)) + F.coalesce(
+        F.col("d_n"), F.lit(0)
+    )
+    clean_cols = list(group_cols) + [n.alias(count_col)]
+    for c in minmax_cols:
+        clean_cols.append(
+            F.least(F.col(f"min_{c}"), F.col(f"ins_min_{c}")).alias(f"min_{c}")
+        )
+        clean_cols.append(
+            F.greatest(F.col(f"max_{c}"), F.col(f"ins_max_{c}")).alias(
+                f"max_{c}"
+            )
+        )
+    clean = (
+        merged.filter(~F.col("_ivm_dirty"))
+        .select(*clean_cols)
+        .filter(F.col(count_col) > 0)
+    )
+    dirty_keys = merged.filter(F.col("_ivm_dirty")).select(*group_cols)
+    rescanned = grouped_snapshot(
+        new_snapshot.join(F.broadcast(dirty_keys), group_cols, "semi"),
+        group_cols,
+        count_col=count_col,
+        minmax_cols=minmax_cols,
+    ).select(*[c for c in clean.columns])
+    return clean.unionByName(rescanned)

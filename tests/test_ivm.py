@@ -198,3 +198,97 @@ def test_streaming_scd2_matches_batch_build(spark, tmp_path):
     assert rows[(1, "C")] == (None, True)
     assert rows[(3, "W")] == (None, True)
     assert (3, "Z") not in rows  # same-instant argmax by eid
+
+
+# ---- min/max maintenance under retraction (r8 verdict #6) -----------------
+
+
+def test_ivm_minmax_tracks_txlog_mutations_end_to_end(spark, tmp_path):
+    """count/min/max maintained from the txlog's row_changes CDF across
+    merge (update), delete, and append must equal the from-scratch
+    rebuild — including groups whose deleted row WAS the extremum (the
+    retraction-rescan path) and groups untouched at the boundary (the
+    delta-only path)."""
+    from indra_db_spark.plans.ivm import incremental_minmax
+
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a", 10), (2, "a", 20), (3, "b", 5), (4, "b", 9)]))
+    v1 = t.snapshot()[0]
+    view = grouped_snapshot(t.read(v1), ["grp"], minmax_cols=["v"])
+
+    t.delete_where(F.col("k") == 2)   # removes a's MAX → dirty
+    t.merge(_df(spark, [(4, "b", 8), (5, "a", 3), (6, "c", 1)]), ["k"])
+    v2 = t.snapshot()[0]
+
+    feed = t.row_changes(["k"], since_version=v1, to_version=v2)
+    maintained = incremental_minmax(
+        view, feed, t.read(v2), ["grp"], ["v"]
+    )
+    _assert_same(
+        maintained, grouped_snapshot(t.read(v2), ["grp"], minmax_cols=["v"])
+    )
+    got = {r.grp: (r.n, r.min_v, r.max_v) for r in maintained.collect()}
+    assert got == {"a": (2, 3, 10), "b": (2, 5, 8), "c": (1, 1, 1)}
+
+
+def test_ivm_minmax_rescans_only_dirty_groups(spark, tmp_path):
+    """The rescan is PRUNED: with the new snapshot replaced by only the
+    dirty groups' rows, maintenance still agrees — proof the clean
+    groups never consulted the snapshot (the property that keeps
+    steady-state maintenance O(delta) at 100 TB)."""
+    from indra_db_spark.plans.ivm import incremental_minmax
+
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a", 10), (2, "a", 20), (3, "b", 5), (4, "b", 9)]))
+    v1 = t.snapshot()[0]
+    view = grouped_snapshot(t.read(v1), ["grp"], minmax_cols=["v"])
+    t.delete_where(F.col("k") == 1)   # removes a's MIN → a dirty
+    t.append(_df(spark, [(5, "b", 7)]))  # insert inside b's envelope → clean
+    v2 = t.snapshot()[0]
+    feed = t.row_changes(["k"], since_version=v1, to_version=v2)
+    # poison pill: b's rows are ABSENT from the snapshot handed to the
+    # maintainer — if the clean path consulted it, b would come out wrong
+    snapshot_dirty_only = t.read(v2).filter(F.col("grp") == "a")
+    maintained = incremental_minmax(
+        view, feed, snapshot_dirty_only, ["grp"], ["v"]
+    )
+    got = {r.grp: (r.n, r.min_v, r.max_v) for r in maintained.collect()}
+    assert got == {"a": (1, 20, 20), "b": (3, 5, 9)}
+
+
+def test_ivm_minmax_group_born_and_killed_inside_feed(spark, tmp_path):
+    """A group created and fully retracted within one feed window (no
+    base row, no surviving row) must not resurface, and a group with no
+    base row whose feed both inserts and deletes must resolve through
+    the rescan (insert-side min alone would be wrong when the deleted
+    value was the inserted extremum)."""
+    from indra_db_spark.plans.ivm import incremental_minmax
+
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a", 10)]))
+    v1 = t.snapshot()[0]
+    view = grouped_snapshot(t.read(v1), ["grp"], minmax_cols=["v"])
+    t.append(_df(spark, [(2, "x", 1), (3, "x", 9), (4, "y", 2)]))
+    t.delete_where(F.col("k").isin(2, 4))  # x loses its min; y emptied
+    v2 = t.snapshot()[0]
+    feed = t.row_changes(["k"], since_version=v1, to_version=v2)
+    maintained = incremental_minmax(
+        view, feed, t.read(v2), ["grp"], ["v"]
+    )
+    got = {r.grp: (r.n, r.min_v, r.max_v) for r in maintained.collect()}
+    assert got == {"a": (1, 10, 10), "x": (1, 9, 9)}
+
+
+def test_ivm_minmax_rejects_unknown_change_types(spark):
+    from indra_db_spark.plans.ivm import incremental_minmax
+
+    base = grouped_snapshot(
+        _df(spark, [(1, "a", 1)]), ["grp"], minmax_cols=["v"]
+    )
+    bad = _df(spark, [(2, "a", 2)]).withColumn(
+        "_change_type", F.lit("upsert")
+    )
+    with pytest.raises(ValueError, match="CDF row types"):
+        incremental_minmax(
+            base, bad, _df(spark, [(1, "a", 1)]), ["grp"], ["v"]
+        ).collect()
