@@ -518,3 +518,51 @@ def test_fsutil_delete_survives_dead_gateway(spark, tmp_path, monkeypatch):
     assert not d2.exists()
     with pytest.raises(RuntimeError, match="gateway"):
         fsutil.delete(spark, "s3a://bucket/scratch")
+
+
+def test_fsutil_and_chooser_over_real_second_scheme(spark, tmp_path):
+    """Genuine second-scheme resolution (r9 verdict #8): mount a
+    ``viewfs://`` namespace (hadoop-common's client-side federation FS)
+    over local disk and drive fsutil plus the layout-chooser entry point
+    against it WITHOUT monkeypatching — scheme_of must classify the root
+    as remote, every metadata op must resolve the FileSystem by scheme
+    from the Hadoop conf, and the data path must read parquet back
+    through the same URIs."""
+    from indra_db_spark.plans import fsutil
+
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    key = "fs.viewfs.mounttable.r10test.link./lake"
+    conf.set(key, "file://" + str(tmp_path))
+    try:
+        root = "viewfs://r10test/lake"
+        assert fsutil.scheme_of(root) == "viewfs"
+        assert not fsutil._is_local(spark, root)
+
+        spark.range(100).write.parquet(str(tmp_path / "tbl"))
+        (tmp_path / "tbl" / "_hidden").write_text("x" * 999)
+        assert fsutil.exists(spark, root + "/tbl")
+        assert fsutil.is_dir(spark, root + "/tbl")
+        assert not fsutil.exists(spark, root + "/nope")
+        assert fsutil.dir_bytes(spark, root + "/tbl") == fsutil.dir_bytes(
+            spark, str(tmp_path / "tbl")
+        )
+        fsutil.mkdirs(spark, root + "/made")
+        assert (tmp_path / "made").is_dir()
+        fsutil.delete(spark, root + "/made")
+        assert not (tmp_path / "made").exists()
+
+        # the serving entry point over the mounted scheme, end to end:
+        # chooser metadata decisions AND the parquet data path both
+        # resolve viewfs:// URIs
+        mem_lake, _, _ = fixture_lake(spark)
+        mem_lake.write_parquet(root + "/plain")
+        lake = ReadonlyLake.open(spark, root=root + "/plain")
+        assert all(
+            f.startswith("viewfs://r10test/lake/plain/")
+            for f in lake["name_meta"].inputFiles()
+        )
+        q = HasAgent("MEK") & HasType(["Phosphorylation"])
+        want = {r.mk_hash for r in get_hashes(q, mem_lake).collect()}
+        assert {r.mk_hash for r in get_hashes(q, lake).collect()} == want
+    finally:
+        conf.unset(key)
