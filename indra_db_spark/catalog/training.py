@@ -2400,9 +2400,7 @@ _PQ_FULLDIST = (
 )
 
 
-@register(
-    "emb_ivfpq_topk",
-    f"""
+_IVFPQ_SQL = f"""
     WITH sub AS (
       SELECT vec_id AS id, s,
              {_pq_quant_sql(f"embedding[s * {_PQ_DSUB} + 1 : s * {_PQ_DSUB} + {_PQ_DSUB}]")} AS q
@@ -2455,8 +2453,10 @@ _PQ_FULLDIST = (
       SELECT *, row_number() OVER (
         PARTITION BY query_id ORDER BY adist, neighbor_id) AS rank
       FROM sc) WHERE rank <= {_PQ_TOPK}
-    """,
-)
+    """
+
+
+@register("emb_ivfpq_topk", _IVFPQ_SQL)
 def emb_ivfpq_topk(spark, sf):
     """IVF coarse pruning composed with PQ asymmetric-distance scoring —
     the FAISS IVFADC production layout, with by_residual=False (shared
@@ -2476,6 +2476,34 @@ def emb_ivfpq_topk(spark, sf):
         m=_PQ_M,
         k=_PQ_K,
         rounds=_PQ_ROUNDS,
+        k_top=_PQ_TOPK,
+    )
+
+
+@register("emb_ivfpq_served", _IVFPQ_SQL)
+def emb_ivfpq_served(spark, sf):
+    """The SERVED twin of emb_ivfpq_topk — identical results (same
+    oracle string), produced from the on-disk FAISS inverted-list layout
+    instead of inline lineage: ivfpq_write_index materializes PQ codes
+    partitioned by coarse cell plus the coarse/codebook sidecars into
+    scratch, and ivfpq_query_index answers the batch by resolving the
+    probed cells driver-side and reading ONLY those partitions (the plan
+    pins `PartitionFilters: cell IN …`).  This is the path a 100-TB ANN
+    deployment actually runs — build once per index window, prune
+    nprobe/ncell of the corpus per query batch — and the round-10 probe
+    row (``ivfpq_served``, ncell ≈ √N) measures it."""
+    from indra_db_spark.operators.sampling import _barrier_dir
+
+    emb = T(spark, sf, "embeddings")
+    path = _barrier_dir(spark, "ivfpq_idx_", what="emb_ivfpq_served")
+    PQ.ivfpq_write_index(
+        emb, path, ncell=_IVFPQ_NCELL, m=_PQ_M, k=_PQ_K, rounds=_PQ_ROUNDS
+    )
+    return PQ.ivfpq_query_index(
+        spark,
+        path,
+        emb.filter(F.col("vec_id") < 10),
+        nprobe=_IVFPQ_NPROBE,
         k_top=_PQ_TOPK,
     )
 

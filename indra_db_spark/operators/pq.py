@@ -309,6 +309,7 @@ def ivfpq_topk(
     coarse: DataFrame | None = None,
     codebook: DataFrame | None = None,
     codes: DataFrame | None = None,
+    assign: DataFrame | None = None,
 ) -> DataFrame:
     """IVF + PQ composed — the FAISS IVFADC layout with
     ``by_residual=False``: the coarse quantizer PRUNES (each query scores
@@ -329,7 +330,13 @@ def ivfpq_topk(
     all broadcast; the big side exchanges once for the (query, neighbor)
     partial-agg sum.  Pass pre-built ``coarse``/``codebook``/``codes``
     to amortize index construction across query batches (the
-    build-once/probe-many production path)."""
+    build-once/probe-many production path); pass ``assign`` (the
+    corpus→cell map, i.e. the inverted lists — (neighbor_id, cell)) to
+    also amortize the corpus-wide coarse assignment, which is otherwise
+    recomputed per call and dominates at scale (Θ(N·ncell) — the
+    round-9 probe's super-linear final decade was exactly this).  The
+    fully-served path with cell-partitioned storage is
+    :func:`ivfpq_write_index` / :func:`ivfpq_query_index`."""
     from pyspark.sql import Window
 
     if coarse is None:
@@ -341,11 +348,12 @@ def ivfpq_topk(
     if codes is None:
         codes = pq_encode(emb, codebook, m, id_col, vec_col, scale, offset)
 
-    assign = (
-        _cell_rank(emb, coarse, id_col, vec_col, scale, offset)
-        .filter(F.col("crn") == 1)
-        .select(F.col("id").alias("neighbor_id"), "cell")
-    )
+    if assign is None:
+        assign = (
+            _cell_rank(emb, coarse, id_col, vec_col, scale, offset)
+            .filter(F.col("crn") == 1)
+            .select(F.col("id").alias("neighbor_id"), "cell")
+        )
     probes = (
         _cell_rank(queries, coarse, id_col, vec_col, scale, offset)
         .filter(F.col("crn") <= nprobe)
@@ -372,6 +380,173 @@ def ivfpq_topk(
         cand.join(
             codes.withColumnRenamed("id", "neighbor_id"), "neighbor_id"
         )
+        .join(F.broadcast(lut), ["query_id", "s", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("ld").cast("long").alias("adist"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adist", "neighbor_id")
+    return (
+        scores.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k_top)
+    )
+
+
+def cell_assign_arrow(
+    emb: DataFrame,
+    coarse: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = SCALE,
+    offset: int = OFFSET,
+) -> DataFrame:
+    """(id, cell) — nearest coarse cell per corpus vector, computed as
+    ONE Arrow matmul per batch instead of :func:`_cell_rank`'s N×ncell
+    expression join.  The build-time assignment path for LARGE cell
+    counts: at the production sizing ncell ≈ √N, the expression join is
+    Θ(N·√N) exploded rows, while here each batch costs one
+    (batch × d) @ (d × ncell) product.
+
+    Exactness: quantized components are integers and every intermediate
+    (squares ≤ d·(2·offset)², cross terms) stays far below 2⁵³, so the
+    float64 matmul is EXACT integer arithmetic; ties break (distance,
+    cell) like ``_cell_rank`` because ``argmin`` scans cells in
+    ascending cell order.  Parity with the expression join is pinned in
+    tests.  The coarse table is an index artifact (ncell rows) —
+    collected once, shipped in the task closure."""
+    rows = coarse.orderBy("cell").collect()
+    if not rows:
+        raise ValueError("cell_assign_arrow: empty coarse quantizer")
+    id_type = dict(emb.dtypes)[id_col]
+
+    def _assign_batches(batches):
+        import numpy as np
+        import pandas as pd
+
+        C = np.array([r["cvec"] for r in rows], dtype=np.float64)
+        cell_ids = np.array([r["cell"] for r in rows], dtype=np.int64)
+        c_sq = (C * C).sum(axis=1)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = (
+                np.array(list(pdf[vec_col]), dtype=np.float64) * scale
+            )
+            V = np.floor(V) + offset
+            d = (V * V).sum(axis=1, keepdims=True) - 2.0 * (V @ C.T) + c_sq
+            a = d.argmin(axis=1)
+            yield pd.DataFrame({"id": pdf["id"], "cell": cell_ids[a]})
+
+    src = emb.select(F.col(id_col).alias("id"), vec_col)
+    return src.mapInPandas(_assign_batches, f"id {id_type}, cell int")
+
+
+def ivfpq_write_index(
+    emb: DataFrame,
+    path: str,
+    ncell: int = 8,
+    m: int = 8,
+    k: int = 16,
+    rounds: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = SCALE,
+    offset: int = OFFSET,
+    coarse: DataFrame | None = None,
+    codebook: DataFrame | None = None,
+) -> None:
+    """Materialize the FAISS inverted-list layout on disk: PQ codes
+    stored PARTITIONED BY COARSE CELL (``<path>/codes/cell=<i>/``), plus
+    the coarse quantizer and codebook as tiny sidecar tables.  This is
+    the build half of the served ANN path — run it per index rebuild,
+    then answer every query batch with :func:`ivfpq_query_index`, which
+    reads ONLY the probed cells' partitions.
+
+    Why this beats recomputing: :func:`ivfpq_topk`'s per-batch cost has
+    two corpus-proportional terms even with prebuilt artifacts — the
+    corpus→cell assignment join and the full codes scan.  Storing codes
+    by cell eliminates both: assignment happens once HERE (Arrow
+    matmul, :func:`cell_assign_arrow`), and the query path's partition
+    pruning reduces the scan to nprobe/ncell of the corpus.  At the
+    production sizing ncell ≈ √N the per-batch cost is
+    Θ(nq·(ncell + nprobe·N/ncell)) = Θ(nq·√N) — measured in
+    SCALE_PROBE.json (``ivfpq_served``).
+
+    One shuffle on cell sizes output files ≈ one per cell (the
+    inverted-list file layout); everything else is the narrow encode
+    lineage."""
+    if coarse is None:
+        coarse = coarse_cells_from_seeds(
+            emb, ncell, id_col, vec_col, scale, offset
+        )
+    if codebook is None:
+        codebook = pq_train(emb, m, k, rounds, id_col, vec_col, scale, offset)
+    codes = pq_encode(emb, codebook, m, id_col, vec_col, scale, offset)
+    assign = cell_assign_arrow(emb, coarse, id_col, vec_col, scale, offset)
+    coarse.write.mode("overwrite").parquet(f"{path}/coarse")
+    codebook.write.mode("overwrite").parquet(f"{path}/codebook")
+    (
+        codes.withColumnRenamed("id", "neighbor_id")
+        .join(assign.withColumnRenamed("id", "neighbor_id"), "neighbor_id")
+        .repartition("cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(f"{path}/codes")
+    )
+
+
+def ivfpq_query_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    nprobe: int = 3,
+    k_top: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = SCALE,
+    offset: int = OFFSET,
+) -> DataFrame:
+    """Serve an ANN query batch from an :func:`ivfpq_write_index` layout
+    → (query_id, neighbor_id, adist, rank), bit-identical to
+    :func:`ivfpq_topk` over the same artifacts (pinned in tests).
+
+    The probed cells are resolved DRIVER-side (≤ min(nq·nprobe, ncell)
+    values — a bounded index-metadata read, the same resolution FAISS
+    does in-process) and pushed into the codes read as a STATIC
+    partition filter, so the scan plans `PartitionFilters: cell IN …`
+    and touches only those directories — never the corpus.  m and the
+    subspace geometry come from the stored codebook, not from caller
+    arguments that could drift from the index."""
+    from pyspark.sql import Window
+
+    coarse = spark.read.parquet(f"{path}/coarse")
+    codebook = spark.read.parquet(f"{path}/codebook")
+    mrow = codebook.agg(F.max("s").alias("m")).first()
+    m = int(mrow["m"]) + 1
+    probes = (
+        _cell_rank(queries, coarse, id_col, vec_col, scale, offset)
+        .filter(F.col("crn") <= nprobe)
+        .select(F.col("id").alias("query_id"), "cell")
+    )
+    probe_rows = probes.collect()  # bounded: ≤ nq·nprobe rows
+    cells = sorted({r["cell"] for r in probe_rows})
+    probe_df = spark.createDataFrame(probe_rows, probes.schema)
+
+    qsub = quantize_subvectors(queries, m, id_col, vec_col, scale, offset)
+    lut = (
+        qsub.withColumnRenamed("id", "query_id")
+        .join(codebook, "s")
+        .select(
+            "query_id",
+            "s",
+            F.col("c").alias("code"),
+            _sqdist(F.col("q"), F.col("cent")).alias("ld"),
+        )
+    )
+    scores = (
+        spark.read.parquet(f"{path}/codes")
+        .filter(F.col("cell").isin(cells))
+        .join(F.broadcast(probe_df), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
         .join(F.broadcast(lut), ["query_id", "s", "code"])
         .groupBy("query_id", "neighbor_id")
         .agg(F.sum("ld").cast("long").alias("adist"))

@@ -2539,3 +2539,102 @@ def test_bfs_ignores_sources_absent_from_graph(spark):
 
     out = {r.id: r.dist for r in bfs_distances(edges, src, rounds=2).collect()}
     assert out == {1: 0, 2: 1}  # 99 seeds nothing (oracle semantics)
+
+
+def test_cell_assign_arrow_matches_expression_join(spark, sf_dir):
+    """The Arrow-matmul build-time assignment (cell_assign_arrow) must
+    agree with _cell_rank's expression join cell for cell — including
+    the (distance, cell) tie-break — because the served index and the
+    inline lineage must prune identically.  Float64 matmul over the
+    integer-quantized vectors is exact (everything < 2^53)."""
+    from indra_db_spark.operators.pq import (
+        SCALE,
+        OFFSET,
+        _cell_rank,
+        cell_assign_arrow,
+        coarse_cells_from_seeds,
+    )
+    from indra_db_spark.sources.lake import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    coarse = coarse_cells_from_seeds(emb, 8)
+    got = {
+        r.id: r.cell for r in cell_assign_arrow(emb, coarse).collect()
+    }
+    want = {
+        r.id: r.cell
+        for r in _cell_rank(emb, coarse, "vec_id", "embedding", SCALE, OFFSET)
+        .filter(F.col("crn") == 1)
+        .collect()
+    }
+    assert got == want and got
+
+
+def test_ivfpq_served_index_matches_inline_and_prunes(spark, sf_dir, tmp_path):
+    """ivfpq_write_index + ivfpq_query_index — the on-disk inverted-list
+    serving path — returns results BIT-IDENTICAL to ivfpq_topk over the
+    same parameters, and its executed plan carries a static
+    `PartitionFilters: cell IN (…)` (the codes scan reads only probed
+    cells' directories — the property that makes per-batch cost
+    nprobe/ncell of the corpus instead of a full scan)."""
+    from indra_db_spark.operators.pq import (
+        ivfpq_query_index,
+        ivfpq_topk,
+        ivfpq_write_index,
+    )
+    from indra_db_spark.sources.lake import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    path = str(tmp_path / "ivfpq_index")
+    ivfpq_write_index(emb, path, ncell=8, m=16, k=16)
+    served = ivfpq_query_index(spark, path, queries, nprobe=3, k_top=5)
+    inline = ivfpq_topk(emb, queries, ncell=8, nprobe=3, m=16, k=16, k_top=5)
+    s = sorted(
+        (r.query_id, r.neighbor_id, r.adist, r.rank) for r in served.collect()
+    )
+    i = sorted(
+        (r.query_id, r.neighbor_id, r.adist, r.rank) for r in inline.collect()
+    )
+    assert s == i and s
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [cell" in plan and " IN (" in plan
+
+
+def test_ivfpq_topk_prebuilt_assign_parity(spark, sf_dir):
+    """Passing the prebuilt corpus→cell map (the inverted lists) must not
+    change results — it only removes the per-batch Θ(N·ncell)
+    reassignment (the round-9 probe's super-linear final decade)."""
+    from indra_db_spark.operators.pq import (
+        SCALE,
+        OFFSET,
+        _cell_rank,
+        coarse_cells_from_seeds,
+        ivfpq_topk,
+        pq_encode,
+        pq_train,
+    )
+    from indra_db_spark.sources.lake import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    coarse = coarse_cells_from_seeds(emb, 8)
+    cb = pq_train(emb, m=16, k=16, rounds=2)
+    codes = pq_encode(emb, cb, m=16)
+    assign = (
+        _cell_rank(emb, coarse, "vec_id", "embedding", SCALE, OFFSET)
+        .filter(F.col("crn") == 1)
+        .select(F.col("id").alias("neighbor_id"), "cell")
+    )
+    with_a = ivfpq_topk(
+        emb, queries, nprobe=3, m=16, k=16,
+        coarse=coarse, codebook=cb, codes=codes, assign=assign,
+    )
+    without = ivfpq_topk(
+        emb, queries, nprobe=3, m=16, k=16,
+        coarse=coarse, codebook=cb, codes=codes,
+    )
+    key = lambda r: (r.query_id, r.neighbor_id, r.adist, r.rank)  # noqa: E731
+    assert sorted(map(key, with_a.collect())) == sorted(
+        map(key, without.collect())
+    )

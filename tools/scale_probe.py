@@ -419,6 +419,15 @@ def _ops(spark, docs, emb, edges, ivf_index, ivf_centers, events,
             coarse=pq_artifacts["coarse"], codebook=pq_artifacts["cb"],
             codes=pq_artifacts["codes"],
         ),
+        # round-10 triage of ivfpq's super-linear final decade (r8 verdict
+        # #2): the SERVED path — codes stored partitioned by coarse cell
+        # (ncell ≈ √N, built untimed like every index artifact), query
+        # batch reads ONLY the probed cells' partitions.  ivfpq above
+        # keeps timing the fixed-ncell recompute-per-batch configuration,
+        # whose Θ(N·ncell + N) per batch is the documented asymptote.
+        "ivfpq_served": lambda: PQm.ivfpq_query_index(
+            spark, pq_artifacts["served_path"], queries, nprobe=3, k_top=5,
+        ),
         # round-7.3: bounded-round k-core peel (shrinking edge set per
         # round), stream-stream-shaped interval attribution run in batch
         # (one key shuffle + post-condition), and bloom-guarded
@@ -669,6 +678,79 @@ def _skewed(events):
     )
 
 
+DV_SIDECAR_COUNTS = (0, 8, 64)
+
+
+def _dv_probe(
+    spark, events, sidecar_counts=DV_SIDECAR_COUNTS
+) -> dict[str, float]:
+    """Deletion-vector READ amplification vs sidecar count (r8 verdict
+    #7): commit the amplified event log into a TxTable once, then time
+    the snapshot read under s accumulated DV sidecars PER DATA FILE —
+    the state a table reaches after s small merge-on-read deletes with
+    no intervening OPTIMIZE.  The deleted surface is fixed (2% of rows,
+    attributed once); only the sidecar FILE COUNT varies, so the
+    s0→s64 ratio isolates pure read amplification: sidecar opens plus
+    the widening anti-join build side.
+
+    Sidecar states are crafted through the manifest (one commit per s
+    with the staged sidecars mapped to every data file) rather than s
+    sequential delete_where calls — the probe measures the READ path;
+    s full delete scans at factor 1000 would measure the writer."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from indra_db_spark.plans.txlog import TxTable
+
+    root = tempfile.mkdtemp(prefix="txlog_dv_probe_")
+    out: dict[str, float] = {}
+    try:
+        tx = TxTable(spark, root)
+        tx.append(events.select("event_id", "user_id", "event_type", "value"))
+        version, files = tx.snapshot()
+        body = tx._read_version(version)
+        schema = body.get("schema")
+        matched = (
+            tx._read_files(files, schema)
+            .select(
+                F.col("_metadata.file_name").alias("file"),
+                F.col("_metadata.row_index").alias("pos"),
+                "event_id",
+            )
+            .filter(F.col("event_id") % 50 == 0)
+            .select("file", "pos")
+        )
+        for s in sidecar_counts:
+            if s == 0:
+                read_v = version
+            else:
+                dv_names = tx._stage(matched, n_files=s)
+                cur, cur_files, txns, sch, cons, _ = tx._snapshot_full()
+                dvmap = {f: list(dv_names) for f in files}
+                ok = tx._try_claim(
+                    cur + 1, cur_files, "dv_delete", txns, sch, cons, dvmap
+                )
+                assert ok, "dv probe claim lost (single writer)"
+                read_v = cur + 1
+            tx.read(read_v).write.mode("overwrite").format("noop").save()
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.monotonic()
+                tx.read(read_v).write.mode("overwrite").format("noop").save()
+                best = min(best, time.monotonic() - t0)
+            out[f"txlog_dv_s{s}"] = round(best, 3)
+            print(
+                f"probe txlog_dv s={s}: {out[f'txlog_dv_s{s}']}",
+                file=sys.stderr,
+                flush=True,
+            )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 def main() -> None:
     factors = [int(a) for a in sys.argv[1:]] or [1, 10, 100]
     # the 100x closure holds ~40M (child, anc) pairs in retained checkpoint
@@ -688,7 +770,7 @@ def main() -> None:
     # reads (r7 verdict #6: the third-decade runs are per-family)
     EMB_OPS = {
         "emb_topk_exact", "srp_topk", "ivf_probe", "pq_build", "pq_adc",
-        "ivfpq", "label_centroids", "srp_neardup",
+        "ivfpq", "ivfpq_served", "label_centroids", "srp_neardup",
     }
     PROD_OPS = {"imi"}
     EDGE_OPS = {"closure_auto", "closure_dist", "triangles", "kcore",
@@ -701,6 +783,7 @@ def main() -> None:
         "gapfill", "scd2", "pit_join", "rolling", "cooccur", "ab_daily",
         "feature_scale", "winsorized", "attribution_model", "skew_report",
     }
+    TX_OPS = {"txlog_dv"}
 
     results: dict[str, dict[str, float]] = {}
     errors: dict[str, str] = {}
@@ -712,6 +795,9 @@ def main() -> None:
         return not only or bool(only & group)
 
     all_names: set[str] = set()  # filled from _ops keys on first factor
+    # the DV read-amplification rows live outside _ops; keep them from
+    # being treated as retired by the merge
+    all_names.update(f"txlog_dv_s{s}" for s in DV_SIDECAR_COUNTS)
     for factor in factors:
         docs = emb = events = edges = emb_prod = None
         index = centers = None
@@ -719,7 +805,8 @@ def main() -> None:
         persisted = []
         # docs feed every op not in another family; build unless the
         # selection is entirely emb/edges/events/product
-        if not only or (only - EMB_OPS - PROD_OPS - EDGE_OPS - EVENT_OPS):
+        if not only or (only - EMB_OPS - PROD_OPS - EDGE_OPS - EVENT_OPS
+                        - TX_OPS):
             docs = _amplified(spark, "documents", factor, _docs_x)
             docs.count()
         if _needs(EMB_OPS):
@@ -743,10 +830,25 @@ def main() -> None:
                 "coarse": _PQ.coarse_cells_from_seeds(emb, 8).persist(),
             }
             persisted += [index, _cb, _codes, pq_artifacts["coarse"]]
+            if _needs({"ivfpq_served"}):
+                # the served layout: production cell sizing ncell ≈ √N
+                # (the FAISS rule), index materialized ONCE per corpus and
+                # cached like the amplified inputs — query batches are
+                # what the probe times
+                n_emb = emb.count()
+                ncell_scaled = max(8, min(4096, math.isqrt(n_emb)))
+                served_path = os.path.join(
+                    CACHE, f"ivfpq_index_x{factor}_c{ncell_scaled}"
+                )
+                if not os.path.exists(served_path):
+                    _PQ.ivfpq_write_index(
+                        emb, served_path, ncell=ncell_scaled, m=16, k=16
+                    )
+                pq_artifacts["served_path"] = served_path
         if _needs(PROD_OPS):
             emb_prod = _amplified(spark, "emb_product", factor, _emb_product)
             emb_prod.count()
-        if _needs(EVENT_OPS):
+        if _needs(EVENT_OPS) or _needs(TX_OPS):
             events = _amplified(spark, "events", factor, _events_x)
             events.count()
         if _needs(EDGE_OPS):
@@ -779,6 +881,8 @@ def main() -> None:
             )
         for frame in persisted:
             frame.unpersist()
+        if _needs(TX_OPS):
+            timings.update(_dv_probe(spark, events))
         results[str(factor)] = timings
 
     # partial runs (SPARK_GRAFT_PROBE_OPS) merge into the existing probe
