@@ -7,9 +7,16 @@ multi-writer story as a minimal snapshot-style transaction log — the same
 protocol shape the public table formats use (Delta's `_delta_log` JSON
 commits, Iceberg's snapshot manifests), reduced to what this lake needs:
 
-- ``_txlog/v{N:012d}.json`` holds the COMPLETE live file list of version
-  N (snapshot manifests, not action deltas — every version file doubles
-  as its own checkpoint, so readers never replay a log chain).
+- ``_txlog/v{N:012d}.json`` resolves the COMPLETE live file list of
+  version N (snapshot manifests, not action deltas — every version
+  doubles as its own checkpoint, so readers never replay a log chain).
+  Small tables inline the list; past :data:`INLINE_MANIFEST_FILES` the
+  manifest references immutable ``seg-<uuid>.json`` SEGMENTS of the list
+  (the Iceberg manifest-list idea, one level): an append reuses every
+  surviving segment by name and writes one new one — O(delta) commit
+  bytes where the inline form wrote O(table) — and a remove rewrites
+  only the segments it intersected.  Readers resolve segments once and
+  cache them (immutable ⇒ name determines content).
 - Readers resolve the latest version once and scan exactly those files:
   snapshot isolation by construction.  Data files are never mutated and
   never visible before their commit, so a reader can hold a snapshot
@@ -62,6 +69,24 @@ from pyspark.sql import DataFrame, SparkSession
 
 LOG_DIR = "_txlog"
 DATA_DIR = "data"
+
+#: manifest segmentation (the Iceberg manifest-list idea, reduced to one
+#: level): past this many live files a manifest stores SEGMENT references
+#: (immutable ``seg-<uuid>.json`` chunks of the file list, written once
+#: and reused by later manifests) instead of the inline list — so a
+#: commit writes O(delta + segments) bytes, not O(table).  At or below
+#: the threshold the inline format is kept: tiny tables stay one-file
+#: readable and every pre-segmentation manifest parses unchanged.
+INLINE_MANIFEST_FILES = 64
+#: target files per segment: at 100 TB / 1 GB files = 100k data files,
+#: this is ~100 segments — an append rewrites ONE segment-name list plus
+#: one new segment, ~0.1% of the bytes the full-snapshot form rewrote
+SEGMENT_TARGET_FILES = 1024
+#: appends create one (usually small) segment each; when more than this
+#: many under-half-full segments would be carried forward, the smallest
+#: are re-packed into fresh full segments — amortized O(delta·log) bytes
+#: per commit, segment count stays O(files/target + fanin)
+SEGMENT_MERGE_FANIN = 16
 
 #: test seam, called between staging data files and the version-claim
 #: attempt — lands a racing commit exactly inside the optimistic window
@@ -344,6 +369,14 @@ class TxTable:
             )
         else:
             self._log_store = HadoopLogStore(self._fs, self._jvm, self.root)
+        # segment membership cache: segments are IMMUTABLE (uuid-named,
+        # written once, never rewritten), so a name fully determines its
+        # contents — cache hits make changes()/vacuum() manifest walks and
+        # rebase reuse O(new segments), not O(versions × segments)
+        self._seg_cache: dict[str, tuple[str, ...]] = {}
+        # the manifest this writer last rebased against (_snapshot_full),
+        # consulted by _try_claim to carry its segments forward
+        self._rebase_base: dict | None = None
 
     # ---- log primitives -------------------------------------------------
 
@@ -363,8 +396,8 @@ class TxTable:
                 out.append(v)
         return sorted(out)
 
-    def _read_version(self, v: int) -> dict:
-        p = _jpath(self._jvm, self.root, LOG_DIR, f"v{v:012d}.json")
+    def _read_log_json(self, name: str) -> dict | list:
+        p = _jpath(self._jvm, self.root, LOG_DIR, name)
         stream = self._fs.open(p)
         try:
             text = self._jvm.org.apache.commons.io.IOUtils.toString(
@@ -373,6 +406,31 @@ class TxTable:
         finally:
             stream.close()
         return json.loads(text)
+
+    def _read_segment(self, name: str) -> tuple[str, ...]:
+        """Members of one immutable manifest segment, cached by name."""
+        hit = self._seg_cache.get(name)
+        if hit is not None:
+            return hit
+        members = tuple(self._read_log_json(name))
+        if len(self._seg_cache) >= 4096:
+            # crude bound (~4096 × target-files × ~50 B names ≈ 200 MB
+            # worst case); segments re-read transparently after a clear
+            self._seg_cache.clear()
+        self._seg_cache[name] = members
+        return members
+
+    def _read_version(self, v: int) -> dict:
+        body = self._read_log_json(f"v{v:012d}.json")
+        if "files" not in body:
+            # segmented manifest: expand the segment references so every
+            # consumer keeps seeing the flat list; "segments" stays on the
+            # body for the writer-side carry-forward
+            body["files"] = [
+                f for s in body.get("segments", ())
+                for f in self._read_segment(s)
+            ]
+        return body
 
     def snapshot(self) -> tuple[int, list[str]]:
         """(version, live file names) of the latest committed version;
@@ -388,9 +446,11 @@ class TxTable:
         carries all five metadata maps forward into its claim."""
         vs = self._versions()
         if not vs:
+            self._rebase_base = None
             return 0, [], {}, None, {}, {}
         v = vs[-1]
         body = self._read_version(v)
+        self._rebase_base = body
         return (
             v,
             body["files"],
@@ -423,13 +483,23 @@ class TxTable:
         body = {
             "version": version,
             "action": action,
-            "files": sorted(files),
             # wall-clock commit stamp for AS OF <timestamp> reads and
             # age-based vacuum.  Informational ordering only: versions are
             # the truth, and version_at() tolerates clock skew by scanning
             # ALL manifests instead of binary-searching the stamps.
             "ts_ms": int(time.time() * 1000),
         }
+        files_sorted = sorted(files)
+        if len(files_sorted) <= INLINE_MANIFEST_FILES:
+            body["files"] = files_sorted
+        else:
+            # O(delta) commit: reference immutable segments, reusing the
+            # rebase base's wherever their members all survive.  Segments
+            # written by a LOSING claim are unreferenced garbage in
+            # _txlog/, reclaimed by vacuum() exactly like staged data
+            # files — a reader can never resolve them.
+            body["segments"] = self._plan_segments(files_sorted, version)
+            body["n_files"] = len(files_sorted)
         if txns:
             body["txns"] = txns
         if schema is not None:
@@ -441,6 +511,66 @@ class TxTable:
         return self._log_store.try_create(
             f"v{version:012d}.json", json.dumps(body).encode("utf-8")
         )
+
+    def _write_segment(self, members: list[str]) -> str:
+        """Write one immutable segment file under ``_txlog/``.  No claim
+        primitive needed: the uuid name is contention-free and nothing
+        references the segment until a manifest that lists it WINS its
+        claim — a reader can only ever open a fully-written segment.  A
+        crash mid-write leaves an unreferenced file for vacuum()."""
+        name = f"seg-{uuid.uuid4().hex}.json"
+        p = _jpath(self._jvm, self.root, LOG_DIR, name)
+        out = self._fs.create(p, False)
+        try:
+            out.write(bytearray(json.dumps(members).encode("utf-8")))
+        finally:
+            out.close()
+        self._seg_cache[name] = tuple(members)
+        return name
+
+    def _plan_segments(self, files_sorted: list[str], version: int) -> list[str]:
+        """Segment references for a manifest holding ``files_sorted``.
+
+        Reuse: every segment of the rebase base (the manifest this commit
+        loop last read — version-1 on the claim that wins) whose members
+        ALL survive is referenced as-is; files it doesn't cover (the adds,
+        plus survivors of segments broken by removes) pack into new
+        segments of :data:`SEGMENT_TARGET_FILES`.  An append therefore
+        writes one small segment + the reference list; a remove rewrites
+        only the segments it intersected.  When the carried tail of
+        under-half-full segments exceeds :data:`SEGMENT_MERGE_FANIN`
+        (one tiny segment per append accumulates), they are re-packed —
+        the standard LSM-ish amortization, O(delta·log) bytes per commit.
+
+        Falls back to packing everything fresh when the base is absent or
+        not version-1 (first segmented commit, or a rebase that skipped
+        versions) — correct, just not incremental."""
+        fileset = set(files_sorted)
+        reused: list[str] = []
+        covered: set[str] = set()
+        base = self._rebase_base
+        if base and base.get("version") == version - 1:
+            for seg in base.get("segments", ()):
+                members = self._read_segment(seg)
+                mset = set(members)
+                if mset <= fileset and not (mset & covered):
+                    reused.append(seg)
+                    covered |= mset
+        small = [
+            s for s in reused
+            if len(self._seg_cache[s]) < SEGMENT_TARGET_FILES // 2
+        ]
+        if len(small) > SEGMENT_MERGE_FANIN:
+            demoted = set(small)
+            for s in small:
+                covered -= set(self._seg_cache[s])
+            reused = [s for s in reused if s not in demoted]
+        leftover = sorted(fileset - covered)
+        new = [
+            self._write_segment(leftover[i : i + SEGMENT_TARGET_FILES])
+            for i in range(0, len(leftover), SEGMENT_TARGET_FILES)
+        ]
+        return reused + new
 
     # ---- staging --------------------------------------------------------
 
@@ -1503,12 +1633,14 @@ class TxTable:
             }
         keep = sorted(keep)
         live: set[str] = set()
+        live_segs: set[str] = set()
         for v in keep:
             body = self._read_version(v)
             live |= set(body["files"])
             # DV sidecars referenced by a retained version are as live as
             # the data files they mask — deleting one would resurrect rows
             live |= {n for lst in body.get("dv", {}).values() for n in lst}
+            live_segs |= set(body.get("segments", ()))
         deleted = []
         for f in self._fs.listStatus(_jpath(self._jvm, self.root, DATA_DIR)):
             name = f.getPath().getName()
@@ -1523,4 +1655,16 @@ class TxTable:
                 _jpath(self._jvm, self.root, LOG_DIR, f"v{v:012d}.json"),
                 False,
             )
+        # segments referenced by NO retained manifest: pruned versions'
+        # exclusive segments plus losing claims' orphans.  Deleted last —
+        # every manifest that could resolve them is already gone.
+        for f in self._fs.listStatus(_jpath(self._jvm, self.root, LOG_DIR)):
+            name = f.getPath().getName()
+            if (
+                name.startswith("seg-")
+                and name.endswith(".json")
+                and name not in live_segs
+            ):
+                self._fs.delete(f.getPath(), False)
+                self._seg_cache.pop(name, None)
         return sorted(deleted)

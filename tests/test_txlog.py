@@ -1364,3 +1364,167 @@ def test_s3_adapter_409_conflict_retries_then_resolves():
     )
     with pytest.raises(RuntimeError, match="conflicted"):
         storm.put_if_absent("k", b"x", max_retries=3)
+
+
+# ---- segmented manifests: O(delta) commits on large tables ----------------
+# Past INLINE_MANIFEST_FILES live files, a manifest references immutable
+# seg-*.json chunks (Iceberg's manifest-reuse idea) instead of inlining the
+# full list — an append writes one small segment + the reference list, not
+# O(table) bytes.  The thresholds are forced low here so the whole protocol
+# (reuse, remove-rewrite, repack, vacuum, races) runs on tiny tables.
+
+
+@pytest.fixture()
+def _segmented(monkeypatch):
+    monkeypatch.setattr(txlog, "INLINE_MANIFEST_FILES", 0)
+    monkeypatch.setattr(txlog, "SEGMENT_TARGET_FILES", 4)
+    monkeypatch.setattr(txlog, "SEGMENT_MERGE_FANIN", 3)
+
+
+def _raw(t, v):
+    """Manifest body as WRITTEN (no segment resolution)."""
+    return t._read_log_json(f"v{v:012d}.json")
+
+
+def _disk_segs(t):
+    return {
+        f.getPath().getName()
+        for f in t._fs.listStatus(
+            txlog._jpath(t._jvm, t.root, txlog.LOG_DIR)
+        )
+        if f.getPath().getName().startswith("seg-")
+    }
+
+
+def test_segmented_roundtrip_snapshot_isolation(spark, tmp_path, _segmented):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, 0, 100).repartition(10))
+    raw = _raw(t, 1)
+    assert "files" not in raw and len(raw["segments"]) >= 3
+    assert raw["n_files"] == 10
+    v1, files = t.snapshot()
+    assert v1 == 1 and len(files) == 10
+    assert {r.k for r in t.read().collect()} == set(range(100))
+    t.append(_df(spark, 100, 120).repartition(2))
+    # pinned snapshot still resolves through v1's segments
+    assert t.read(v1).count() == 100
+    assert t.read().count() == 120
+
+
+def test_segment_reuse_makes_append_o_delta(spark, tmp_path, _segmented):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, 0, 80).repartition(8))      # v1: 2 full segments
+    t.append(_df(spark, 80, 90).repartition(1))     # v2: +1 file
+    raw1, raw2 = _raw(t, 1), _raw(t, 2)
+    # every v1 segment is REFERENCED, not rewritten
+    assert set(raw1["segments"]) < set(raw2["segments"])
+    new = set(raw2["segments"]) - set(raw1["segments"])
+    assert len(new) == 1
+    # the commit's bytes are the delta: no v1 file name reappears in the
+    # raw v2 manifest or in the one new segment
+    v1_files = set(t._read_version(1)["files"])
+    raw2_text = __import__("json").dumps(raw2)
+    assert not any(n in raw2_text for n in v1_files)
+    seg_new = t._read_segment(next(iter(new)))
+    assert not (set(seg_new) & v1_files) and len(seg_new) == 1
+    assert t.read().count() == 90
+
+
+def test_segment_rewrite_only_on_intersecting_remove(
+    spark, tmp_path, _segmented
+):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, 0, 4).repartition(4))        # v1: segment A
+    t.append(_df(spark, 1000, 1004).repartition(4))  # v2: + segment B
+    raw2 = _raw(t, 2)
+    t.delete_where(F.col("k") >= 1000)               # v3: hits only B's files
+    raw3 = _raw(t, 3)
+    survivors = set(raw2["segments"]) & set(raw3["segments"])
+    # at least the all-survivor segment(s) carry over untouched, and the
+    # low-key rows are intact while the high keys are gone
+    assert survivors
+    assert {r.k for r in t.read().collect()} == {0, 1, 2, 3}
+
+
+def test_segment_repack_bounds_segment_count(spark, tmp_path, _segmented):
+    t = TxTable(spark, str(tmp_path / "t"))
+    for i in range(12):
+        t.append(_df(spark, i * 10, i * 10 + 10).repartition(1))
+        raw = _raw(t, i + 1)
+        n_small_allowed = txlog.SEGMENT_MERGE_FANIN + 1
+        full = (i + 1) // txlog.SEGMENT_TARGET_FILES + 1
+        assert len(raw["segments"]) <= full + n_small_allowed
+    assert t.read().count() == 120
+    assert {r.k for r in t.read().collect()} == {
+        k for i in range(12) for k in range(i * 10, i * 10 + 10)
+    }
+
+
+def test_vacuum_reclaims_unreferenced_segments(spark, tmp_path, _segmented):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, 0, 40).repartition(4))
+    t.append(_df(spark, 40, 80).repartition(4))
+    t.compact()                                      # v3 repacks everything
+    orphan = t._write_segment(["never-referenced.parquet"])
+    before = _disk_segs(t)
+    assert orphan in before
+    t.vacuum(keep_versions=1)
+    after = _disk_segs(t)
+    assert orphan not in after
+    assert after == set(_raw(t, 3)["segments"])      # exactly the live set
+    assert t.read().count() == 80                    # retained version reads
+
+
+def test_segmented_concurrent_appends_rebase(spark, tmp_path, _segmented):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, 0, 40).repartition(4))
+    errs = []
+
+    def worker(i):
+        try:
+            TxTable(spark, str(tmp_path / "t")).append(
+                _df(spark, 100 + i * 10, 110 + i * 10, tag=f"w{i}")
+                .repartition(1)
+            )
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(4)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errs
+    v, files = t.snapshot()
+    assert v == 5 and len(files) == 8
+    assert t.read().count() == 80
+    # the losing attempts' segments are garbage until vacuum, never resolved
+    live = set()
+    for ver in range(1, 6):
+        live |= set(_raw(t, ver).get("segments", ()))
+    assert live <= _disk_segs(t)
+
+
+def test_segmented_restore_changes_history(spark, tmp_path, _segmented):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, 0, 30).repartition(3))       # v1
+    t.append(_df(spark, 30, 60).repartition(3))      # v2
+    feed = t.changes(since_version=1)
+    assert feed.count() == 30 and {r.k for r in feed.collect()} == set(
+        range(30, 60)
+    )
+    t.restore(1)                                     # v3 == v1's content
+    assert {r.k for r in t.read().collect()} == set(range(30))
+    assert t._read_version(3)["files"] == t._read_version(1)["files"]
+
+
+def test_segmented_dv_delete_reads(spark, tmp_path, _segmented):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, 0, 50).repartition(5))
+    t.delete_where(F.col("k") % 10 == 0, mode="dv")
+    assert {r.k for r in t.read().collect()} == {
+        k for k in range(50) if k % 10 != 0
+    }
+    # DV map and segments coexist on the same manifest
+    raw = _raw(t, 2)
+    assert raw.get("dv") and "segments" in raw and "files" not in raw
