@@ -976,6 +976,15 @@ class TxTable:
         committed as action "compact" so the change feed stays silent
         (layout changes no rows).  At 100 TB this runs per maintenance
         window; every read between windows inherits the clustering free.
+
+        DV-materialization threshold (measured, SCALE_PROBE.json
+        ``txlog_dv_s*`` / SCALING.md round 10): snapshot reads pay a
+        ~2.7-2.8× tax once a file carries 8 accumulated DV sidecars and
+        the tax PLATEAUS ≈3× beyond (the anti-join build dominates;
+        extra sidecar opens are metadata noise) — so schedule this (or
+        :meth:`compact`, both materialize DVs) once any file reaches
+        **≥8 sidecars**: one rewrite of the DV'd files repays itself by
+        the second subsequent snapshot read.
         """
         from indra_db_spark.plans.skipindex import zorder_arrange
 
