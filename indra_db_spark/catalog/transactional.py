@@ -59,8 +59,13 @@ def txlog_dv_read(spark, sf):
     )
     root = _barrier_dir(spark, "txlog_dv_read_", what="txlog_dv_read")
     tx = TxTable(spark, root)
-    tx.append(sliced.filter(F.col("o_orderkey") % 194 == 0))
-    tx.append(sliced.filter(F.col("o_orderkey") % 194 != 0))
+    # the second append pushes the live file count past
+    # INLINE_MANIFEST_FILES, so from v2 on the manifests are SEGMENTED
+    # (round 10) — the gate then also fails if segment write/resolution,
+    # the remove-rewrite of intersected segments, or restore-over-segments
+    # corrupts the file list
+    tx.append(sliced.filter(F.col("o_orderkey") % 194 == 0).repartition(24))
+    tx.append(sliced.filter(F.col("o_orderkey") % 194 != 0).repartition(48))
     v_first = tx.delete_where(F.col("o_orderstatus") == "F", mode="dv")
     v_second = tx.delete_where(F.col("o_totalprice") > 150000.0, mode="dv")
     if v_first is not None and v_second is not None:
