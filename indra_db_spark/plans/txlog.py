@@ -981,10 +981,12 @@ class TxTable:
         ``txlog_dv_s*`` / SCALING.md round 10): snapshot reads pay a
         ~2.7-2.8× tax once a file carries 8 accumulated DV sidecars and
         the tax PLATEAUS ≈3× beyond (the anti-join build dominates;
-        extra sidecar opens are metadata noise) — so schedule this (or
-        :meth:`compact`, both materialize DVs) once any file reaches
-        **≥8 sidecars**: one rewrite of the DV'd files repays itself by
-        the second subsequent snapshot read.
+        extra sidecar opens are metadata noise) — so run
+        :meth:`materialize_dv` (targeted: rewrites ONLY files at
+        **≥8 sidecars**, its default) between maintenance windows; this
+        and :meth:`compact` also materialize every DV as a side effect.
+        One rewrite of the hot files repays itself by the second
+        subsequent snapshot read.
         """
         from indra_db_spark.plans.skipindex import zorder_arrange
 
@@ -999,6 +1001,39 @@ class TxTable:
         staged = self._stage(arranged)
         return self._swap_commit(
             set(files), staged, rows, "optimize", max_retries, dv0
+        )
+
+    def materialize_dv(
+        self,
+        min_sidecars: int = 8,
+        max_retries: int = 20,
+    ) -> int | None:
+        """Targeted deletion-vector materialization: rewrite ONLY the
+        data files carrying at least ``min_sidecars`` accumulated DV
+        sidecars, folding their deletes into fresh files and dropping
+        those DV entries from the manifest.  Files below the threshold —
+        and their DVs — are untouched, so on a 100 TB table this rewrites
+        the handful of delete-hot files, never the table (compact/optimize
+        materialize everything as a side effect; this is the maintenance
+        op you run BETWEEN those windows).
+
+        The default threshold is the measured one (SCALE_PROBE.json
+        ``txlog_dv_s*``, SCALING.md round 10): snapshot-read tax plateaus
+        ≈3× by 8 sidecars per file, and one rewrite of the hot files
+        repays itself by the second subsequent read.  Returns the new
+        version, or None when no file meets the threshold.  Commits as a
+        layout action (feed-silent — no live row changes); the conflict
+        rules are :meth:`_swap_commit`'s, so a DV landing on a hot file
+        after its read aborts instead of resurrecting rows."""
+        base, files, _, schema, _, dv0 = self._snapshot_full()
+        hot = {f: dv0[f] for f in files if len(dv0.get(f, ())) >= min_sidecars}
+        if not hot:
+            return None
+        df = self._read_files_dv(list(hot), schema, hot)
+        rows = df.count()
+        staged = self._stage(df)
+        return self._swap_commit(
+            set(hot), staged, rows, "dv materialization", max_retries, hot
         )
 
     def _swap_commit(
@@ -1022,9 +1057,15 @@ class TxTable:
         it deleted — committing would resurrect them); dv entries on
         files this rewrite never touched (concurrent appends + their
         deletes) are carried forward untouched."""
-        got = self.spark.read.parquet(
-            *[f"{self.root}/data/{n}" for n in staged]
-        ).count()
+        # a rewrite whose sources are fully deleted (every row of every
+        # rewritten file masked by DVs) legitimately stages nothing
+        got = (
+            self.spark.read.parquet(
+                *[f"{self.root}/data/{n}" for n in staged]
+            ).count()
+            if staged
+            else 0
+        )
         if got != expected_rows:
             raise RuntimeError(
                 f"{what} row mismatch ({expected_rows} -> {got}); "

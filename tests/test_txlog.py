@@ -1528,3 +1528,65 @@ def test_segmented_dv_delete_reads(spark, tmp_path, _segmented):
     # DV map and segments coexist on the same manifest
     raw = _raw(t, 2)
     assert raw.get("dv") and "segments" in raw and "files" not in raw
+
+
+def test_commit_bytes_o_delta_at_10k_files(spark, tmp_path):
+    """Default thresholds, 10k synthetic names through the claim path
+    itself (pure metadata, no Spark jobs): appending ONE file to a
+    10k-file table writes the reference list + one tiny segment — orders
+    of magnitude below restating the table's file list."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    names = [f"{i:05d}.parquet" for i in range(10_000)]
+
+    def log_bytes():
+        return {
+            f.getPath().getName(): f.getLen()
+            for f in t._fs.listStatus(
+                txlog._jpath(t._jvm, t.root, txlog.LOG_DIR)
+            )
+        }
+
+    t._snapshot_full()
+    assert t._try_claim(1, names, "append")
+    before = log_bytes()
+    t._snapshot_full()
+    assert t._try_claim(2, names + ["new-file.parquet"], "append")
+    new_bytes = sum(
+        sz for n, sz in log_bytes().items() if n not in before
+    )
+    inline_floor = sum(len(n) for n in names)  # O(table) would restate these
+    assert new_bytes < inline_floor / 20
+    body = t._read_version(2)
+    assert body["n_files"] == 10_001 and len(body["files"]) == 10_001
+
+
+def test_materialize_dv_targets_hot_files_only(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, 0, 10).repartition(1))       # file A
+    t.append(_df(spark, 100, 110).repartition(1))    # file B, never deleted
+    for k in (0, 1, 2):                              # 3 sidecars, all on A
+        t.delete_where(F.col("k") == k, mode="dv")
+    before = {r.k for r in t.read().collect()}
+    assert t.materialize_dv(min_sidecars=5) is None  # below threshold
+    _, files_pre, _, _, _, dv_pre = t._snapshot_full()
+    (hot,) = [f for f in files_pre if len(dv_pre.get(f, ())) >= 3]
+    v = t.materialize_dv(min_sidecars=3)
+    assert v is not None
+    _, files, _, _, _, dv = t._snapshot_full()
+    assert not dv                                    # A's DVs folded in
+    assert hot not in files                          # A rewritten...
+    assert set(files_pre) - {hot} <= set(files)      # ...B untouched
+    assert {r.k for r in t.read().collect()} == before
+    # layout-only commit: the change feed stays silent
+    assert t.changes(since_version=v - 1, to_version=v).count() == 0
+
+
+def test_materialize_dv_fully_deleted_file(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, 0, 5).repartition(1))
+    t.append(_df(spark, 100, 105).repartition(1))
+    t.delete_where(F.col("k") < 5, mode="dv")        # masks ALL of file 1
+    v = t.materialize_dv(min_sidecars=1)
+    assert v is not None
+    assert {r.k for r in t.read().collect()} == set(range(100, 105))
+    assert not t._snapshot_full()[5]
