@@ -1590,3 +1590,50 @@ def test_materialize_dv_fully_deleted_file(spark, tmp_path):
     assert v is not None
     assert {r.k for r in t.read().collect()} == set(range(100, 105))
     assert not t._snapshot_full()[5]
+
+
+def test_stream_sink_over_segmented_manifests(spark, tmp_path, _segmented):
+    """The exactly-once streaming sink composes with manifest
+    segmentation untouched: append_batch goes through the same claim
+    path, so batch watermarks (txns), segment reuse, and idempotent
+    replay all ride the segmented manifests."""
+    from indra_db_spark.streaming.ingest import read_stream, write_stream_txlog
+
+    src = str(tmp_path / "src")
+    _df(spark, 0, 60).repartition(6).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    table = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    write_stream_txlog(read_stream(spark, src, schema), table, ckpt)
+    t = TxTable(spark, table)
+    assert t.read().count() == 60
+    assert "segments" in _raw(t, t.snapshot()[0])
+    # idempotent replay over a segmented manifest: version unchanged
+    v = t.snapshot()[0]
+    assert t.append_batch(_df(spark, 0, 60), ckpt, 0) is None
+    assert t.snapshot()[0] == v and t.read().count() == 60
+
+
+def test_materialize_dv_aborts_on_racing_dv(spark, tmp_path):
+    """A DV landing on a hot file AFTER materialize_dv read it must
+    abort the swap — committing would resurrect the racing delete."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, 0, 10).repartition(1))
+    t.delete_where(F.col("k") == 0, mode="dv")
+
+    def race(_tx):
+        txlog._pre_commit_hook = None   # fire once, and not in the racer
+        TxTable(spark, str(tmp_path / "t")).delete_where(
+            F.col("k") == 1, mode="dv"
+        )
+
+    txlog._pre_commit_hook = race
+    with pytest.raises(CommitConflict, match="deletion vector"):
+        t.materialize_dv(min_sidecars=1)
+    txlog._pre_commit_hook = None
+    # nothing was lost: both deletes visible, staged rewrite is garbage
+    assert {r.k for r in t.read().collect()} == set(range(2, 10))
+    # and a rerun AFTER the race succeeds and folds both DVs in
+    assert t.materialize_dv(min_sidecars=1) is not None
+    assert not t._snapshot_full()[5]
+    assert {r.k for r in t.read().collect()} == set(range(2, 10))
