@@ -547,6 +547,8 @@ class TxTable:
         versions) — correct, just not incremental."""
         fileset = set(files_sorted)
         reused: list[str] = []
+        # members pinned locally: the by-name cache may evict mid-plan
+        members_of: dict[str, tuple[str, ...]] = {}
         covered: set[str] = set()
         base = self._rebase_base
         if base and base.get("version") == version - 1:
@@ -555,15 +557,16 @@ class TxTable:
                 mset = set(members)
                 if mset <= fileset and not (mset & covered):
                     reused.append(seg)
+                    members_of[seg] = members
                     covered |= mset
         small = [
             s for s in reused
-            if len(self._seg_cache[s]) < SEGMENT_TARGET_FILES // 2
+            if len(members_of[s]) < SEGMENT_TARGET_FILES // 2
         ]
         if len(small) > SEGMENT_MERGE_FANIN:
             demoted = set(small)
             for s in small:
-                covered -= set(self._seg_cache[s])
+                covered -= set(members_of[s])
             reused = [s for s in reused if s not in demoted]
         leftover = sorted(fileset - covered)
         new = [
