@@ -66,8 +66,13 @@ def txlog_dv_read(spark, sf):
     # corrupts the file list
     tx.append(sliced.filter(F.col("o_orderkey") % 194 == 0).repartition(24))
     tx.append(sliced.filter(F.col("o_orderkey") % 194 != 0).repartition(48))
-    v_first = tx.delete_where(F.col("o_orderstatus") == "F", mode="dv")
+    tx.delete_where(F.col("o_orderstatus") == "F", mode="dv")
     v_second = tx.delete_where(F.col("o_totalprice") > 150000.0, mode="dv")
-    if v_first is not None and v_second is not None:
-        tx.restore(v_first)
+    # roll back whenever the second delete COMMITTED — even when the
+    # first matched nothing (then v_second-1 is the last append): the
+    # oracle applies only the first predicate, so a v_first-gated guard
+    # would leak the second delete at a scale factor where no 'F' row
+    # falls in the slice
+    if v_second is not None:
+        tx.restore(v_second - 1)
     return tx.read().select(*_COLS)

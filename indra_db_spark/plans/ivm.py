@@ -46,6 +46,25 @@ _POS = ("insert", "update_postimage")
 _NEG = ("delete", "update_preimage")
 
 
+def _feed_sign(feed: DataFrame, change_type_col: str | None):
+    """±1 sign expression for a change feed (all +1 when
+    ``change_type_col`` is None = append-only); raises on a row type
+    outside the CDF vocabulary — shared by every maintenance entry so the
+    row-type set and its validation live in one place."""
+    if change_type_col is None:
+        return F.lit(1)
+    sign = (
+        F.when(F.col(change_type_col).isin(*_POS), F.lit(1))
+        .when(F.col(change_type_col).isin(*_NEG), F.lit(-1))
+    )
+    if feed.filter(sign.isNull()).limit(1).count():
+        raise ValueError(
+            f"feed contains a {change_type_col} outside the CDF row "
+            f"types {_POS + _NEG}"
+        )
+    return sign
+
+
 def delta_agg(
     feed: DataFrame,
     group_cols: list[str],
@@ -57,19 +76,7 @@ def delta_agg(
     None the feed is treated as append-only (all +1).  One partial-agg
     shuffle of the delta."""
     sum_cols = sum_cols or []
-    if change_type_col is None:
-        sign = F.lit(1)
-    else:
-        sign = (
-            F.when(F.col(change_type_col).isin(*_POS), F.lit(1))
-            .when(F.col(change_type_col).isin(*_NEG), F.lit(-1))
-        )
-        unknown = feed.filter(sign.isNull()).limit(1).count()
-        if unknown:
-            raise ValueError(
-                f"feed contains a {change_type_col} outside the CDF row "
-                f"types {_POS + _NEG}"
-            )
+    sign = _feed_sign(feed, change_type_col)
     aggs = [F.sum(sign).alias("d_n")] + [
         F.sum(sign * F.col(c)).alias(f"d_sum_{c}") for c in sum_cols
     ]
@@ -172,19 +179,7 @@ def incremental_minmax(
     from-scratch :func:`grouped_snapshot` of ``new_snapshot``."""
     if not minmax_cols:
         raise ValueError("minmax_cols must name at least one column")
-    if change_type_col is None:
-        sign = F.lit(1)
-    else:
-        sign = (
-            F.when(F.col(change_type_col).isin(*_POS), F.lit(1))
-            .when(F.col(change_type_col).isin(*_NEG), F.lit(-1))
-        )
-        unknown = feed.filter(sign.isNull()).limit(1).count()
-        if unknown:
-            raise ValueError(
-                f"feed contains a {change_type_col} outside the CDF row "
-                f"types {_POS + _NEG}"
-            )
+    sign = _feed_sign(feed, change_type_col)
     pos, neg = sign == 1, sign == -1
     aggs = [F.sum(sign).alias("d_n")]
     for c in minmax_cols:

@@ -315,7 +315,17 @@ class S3ConditionalPutClient:
                     "HTTPStatusCode"
                 )
                 if code == "PreconditionFailed" or status == 412:
-                    return False
+                    # 412 does NOT always mean another writer won: if our
+                    # own successful PUT's 200 was lost to the network,
+                    # the SDK's transport retry re-sends and gets 412
+                    # against OUR object.  Misreporting that as a loss
+                    # makes the commit loop rebase over its own manifest
+                    # (duplicate file refs / spurious conflicts), so read
+                    # the key back and claim the win iff the content is
+                    # byte-identical to this payload.  Racing payloads
+                    # can't collide: manifests differ in ts_ms/action/
+                    # segments even for identical file lists.
+                    return self._self_win(key, payload)
                 if code == "ConditionalRequestConflict" or status == 409:
                     time.sleep(min(0.05 * 2**attempt, 1.0))
                     continue
@@ -325,6 +335,19 @@ class S3ConditionalPutClient:
             f"after {max_retries} attempts — a writer storm on one "
             "version key; re-read the snapshot and rebase"
         )
+
+    def _self_win(self, key: str, payload: bytes) -> bool:
+        """412 disambiguation: True iff the object at ``key`` is OUR
+        payload (a lost-200 transport retry racing our own success).
+        Staged data-file names are uuid-per-writer, so byte-identical
+        content implies the same writer."""
+        try:
+            got = self._s3.get_object(Bucket=self._bucket, Key=key)[
+                "Body"
+            ].read()
+        except Exception:  # noqa: BLE001 — unreadable ⇒ treat as a loss
+            return False
+        return got == payload
 
 
 def _jpath(jvm, *parts):
@@ -489,7 +512,10 @@ class TxTable:
             # ALL manifests instead of binary-searching the stamps.
             "ts_ms": int(time.time() * 1000),
         }
-        files_sorted = sorted(files)
+        # set(): a file name is a manifest reference, never a multiset —
+        # defense in depth against any rebase that concatenates its own
+        # already-committed adds (e.g. a claim misreported as lost)
+        files_sorted = sorted(set(files))
         if len(files_sorted) <= INLINE_MANIFEST_FILES:
             body["files"] = files_sorted
         else:
@@ -525,6 +551,11 @@ class TxTable:
             out.write(bytearray(json.dumps(members).encode("utf-8")))
         finally:
             out.close()
+        if len(self._seg_cache) >= 4096:
+            # same bound as _read_segment: a per-trigger streaming writer
+            # mints one segment per commit for weeks — the write path
+            # must not grow the cache past what the read path allows
+            self._seg_cache.clear()
         self._seg_cache[name] = tuple(members)
         return name
 

@@ -1637,3 +1637,51 @@ def test_materialize_dv_aborts_on_racing_dv(spark, tmp_path):
     assert t.materialize_dv(min_sidecars=1) is not None
     assert not t._snapshot_full()[5]
     assert {r.k for r in t.read().collect()} == set(range(2, 10))
+
+
+def test_s3_put_412_self_win_disambiguation(spark_noop=None):
+    """A 412 after a transport-level retry of OUR OWN successful PUT must
+    report a WIN (the adapter reads the key back and compares bytes);
+    a genuine loss (someone else's bytes) stays False."""
+    from botocore.exceptions import ClientError
+
+    class LostAck:
+        """put_object succeeded server-side but the 200 was lost: every
+        visible call raises 412; the object holds `stored`."""
+
+        def __init__(self, stored):
+            self.stored = stored
+
+        def put_object(self, **kw):
+            raise ClientError(
+                {
+                    "Error": {"Code": "PreconditionFailed"},
+                    "ResponseMetadata": {"HTTPStatusCode": 412},
+                },
+                "PutObject",
+            )
+
+        def get_object(self, **kw):
+            import io
+
+            return {"Body": io.BytesIO(self.stored)}
+
+    mine = b'{"version": 1, "mine": true}'
+    win = txlog.S3ConditionalPutClient("b", client=LostAck(mine))
+    assert win.put_if_absent("k", mine) is True
+    lose = txlog.S3ConditionalPutClient(
+        "b", client=LostAck(b'{"version": 1, "theirs": true}')
+    )
+    assert lose.put_if_absent("k", mine) is False
+
+    class Unreadable(LostAck):
+        def get_object(self, **kw):
+            raise RuntimeError("AccessDenied")
+
+    # unreadable read-back degrades to the safe answer: a loss
+    assert (
+        txlog.S3ConditionalPutClient(
+            "b", client=Unreadable(mine)
+        ).put_if_absent("k", mine)
+        is False
+    )

@@ -840,10 +840,18 @@ def main() -> None:
                 served_path = os.path.join(
                     CACHE, f"ivfpq_index_x{factor}_c{ncell_scaled}"
                 )
-                if not os.path.exists(served_path):
+                # completion marker: a crash mid-build leaves a partial
+                # index dir that plain exists() would happily reuse,
+                # corrupting the served timing on the next run
+                done = os.path.join(served_path, "_PROBE_DONE")
+                if not os.path.exists(done):
+                    import shutil as _sh
+
+                    _sh.rmtree(served_path, ignore_errors=True)
                     _PQ.ivfpq_write_index(
                         emb, served_path, ncell=ncell_scaled, m=16, k=16
                     )
+                    open(done, "w").close()
                 pq_artifacts["served_path"] = served_path
         if _needs(PROD_OPS):
             emb_prod = _amplified(spark, "emb_product", factor, _emb_product)
@@ -882,7 +890,13 @@ def main() -> None:
         for frame in persisted:
             frame.unpersist()
         if _needs(TX_OPS):
-            timings.update(_dv_probe(spark, events))
+            # same one-op-must-not-void-the-run rule as the _ops loop
+            try:
+                timings.update(_dv_probe(spark, events))
+            except Exception as e:  # noqa: BLE001
+                msg = str(e).splitlines()[0][:200] if str(e) else type(e).__name__
+                errors[f"txlog_dv@x{factor}"] = msg
+                print(f"ERROR txlog_dv@x{factor}: {msg}", file=sys.stderr)
         results[str(factor)] = timings
 
     # partial runs (SPARK_GRAFT_PROBE_OPS) merge into the existing probe
