@@ -75,4 +75,8 @@ def txlog_dv_read(spark, sf):
     # falls in the slice
     if v_second is not None:
         tx.restore(v_second - 1)
+    # targeted DV materialization is a LAYOUT action: folding the
+    # surviving delete into fresh files must leave the answer untouched,
+    # so the same oracle also gates materialize_dv (round 10)
+    tx.materialize_dv(min_sidecars=1)
     return tx.read().select(*_COLS)

@@ -1248,7 +1248,11 @@ def test_catalog_dv_read_entry_commit_sequence(spark, sf_dir, monkeypatch):
     assert out.count() > 0
     (tx,) = captured
     actions = [h["action"] for h in tx.history()]
-    assert actions == ["append", "append", "dv_delete", "dv_delete", "restore"]
+    # the trailing compact is the targeted materialize_dv (round 10) —
+    # a layout action the oracle must not see
+    assert actions == [
+        "append", "append", "dv_delete", "dv_delete", "restore", "compact",
+    ]
     # the restore re-claims the first delete's exact file list + DV map
     v2, v5 = tx._read_version(3), tx._read_version(5)
     assert v5["files"] == v2["files"] and v5.get("dv") == v2.get("dv")
