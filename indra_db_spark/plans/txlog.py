@@ -350,6 +350,16 @@ class S3ConditionalPutClient:
         return got == payload
 
 
+def _json_safe(v):
+    """Stats values must survive a JSON round trip ORDER-INTACT: ints,
+    floats, strs, bools, None pass through; everything else (timestamps,
+    decimals) serializes as str — orderable iff the string order matches
+    the value order, which holds for ISO timestamps and same-scale
+    decimals (document per column; pruning is conservative only when the
+    stored order is the value order)."""
+    return v if isinstance(v, (int, float, str, bool)) or v is None else str(v)
+
+
 def _jpath(jvm, *parts):
     p = jvm.org.apache.hadoop.fs.Path(parts[0])
     for more in parts[1:]:
@@ -400,6 +410,10 @@ class TxTable:
         # the manifest this writer last rebased against (_snapshot_full),
         # consulted by _try_claim to carry its segments forward
         self._rebase_base: dict | None = None
+        # per-file skipping stats collected at stage time, claimed by the
+        # next winning commit (keys are staged uuid names — they cannot
+        # collide across commits)
+        self._pending_stats: dict[str, dict] = {}
 
     # ---- log primitives -------------------------------------------------
 
@@ -430,18 +444,39 @@ class TxTable:
             stream.close()
         return json.loads(text)
 
-    def _read_segment(self, name: str) -> tuple[str, ...]:
-        """Members of one immutable manifest segment, cached by name."""
+    def _read_segment_full(
+        self, name: str
+    ) -> tuple[tuple[str, ...], dict]:
+        """(members, per-file stats) of one immutable manifest segment,
+        cached by name.  Two formats: a bare JSON list of file names
+        (pre-stats segments) and ``{"files": [...], "stats": {...}}``."""
         hit = self._seg_cache.get(name)
         if hit is not None:
             return hit
-        members = tuple(self._read_log_json(name))
+        raw = self._read_log_json(name)
+        if isinstance(raw, dict):
+            entry = (tuple(raw["files"]), raw.get("stats") or {})
+        else:
+            entry = (tuple(raw), {})
         if len(self._seg_cache) >= 4096:
             # crude bound (~4096 × target-files × ~50 B names ≈ 200 MB
             # worst case); segments re-read transparently after a clear
             self._seg_cache.clear()
-        self._seg_cache[name] = members
-        return members
+        self._seg_cache[name] = entry
+        return entry
+
+    def _read_segment(self, name: str) -> tuple[str, ...]:
+        """Members of one immutable manifest segment, cached by name."""
+        return self._read_segment_full(name)[0]
+
+    def _stats_of(self, body: dict) -> dict[str, dict]:
+        """Per-file skipping stats a manifest resolves: inline
+        ``"stats"`` plus every referenced segment's.  Files with no entry
+        are simply never pruned."""
+        out = dict(body.get("stats") or {})
+        for s in body.get("segments", ()):
+            out.update(self._read_segment_full(s)[1])
+        return out
 
     def _read_version(self, v: int) -> dict:
         body = self._read_log_json(f"v{v:012d}.json")
@@ -492,6 +527,7 @@ class TxTable:
         schema: dict | None = None,
         constraints: dict | None = None,
         dv: dict | None = None,
+        stats_cols: list[str] | None = None,
     ) -> bool:
         """Atomically create the version file; False if somebody else
         already holds that version number (the optimistic-concurrency
@@ -502,7 +538,15 @@ class TxTable:
         carried-forward {writer_app_id: last_batch_id} watermark map —
         every manifest holds the complete map (like the file list, each
         version is its own checkpoint), so idempotent-writer recovery
-        reads ONE manifest, never a log chain."""
+        reads ONE manifest, never a log chain.
+
+        Skipping stats carry THEMSELVES: the stats-column config and each
+        surviving file's (n, min/max) entries are pulled forward from the
+        rebase base, merged with the stats :meth:`_stage` collected for
+        this commit's new files — no caller threads them (``stats_cols``
+        is passed only by :meth:`set_stats_columns` to change the
+        config).  Files nobody collected stats for simply have no entry
+        and are never pruned."""
         body = {
             "version": version,
             "action": action,
@@ -516,15 +560,32 @@ class TxTable:
         # defense in depth against any rebase that concatenates its own
         # already-committed adds (e.g. a claim misreported as lost)
         files_sorted = sorted(set(files))
+        base = self._rebase_base
+        if base is not None and base.get("version") != version - 1:
+            base = None
+        eff_stats_cols = (
+            stats_cols
+            if stats_cols is not None
+            else (base or {}).get("stats_cols")
+        )
+        if eff_stats_cols:
+            body["stats_cols"] = list(eff_stats_cols)
+        known = dict(self._stats_of(base)) if base else {}
+        known.update(self._pending_stats)
+        stats = {f: known[f] for f in files_sorted if f in known}
         if len(files_sorted) <= INLINE_MANIFEST_FILES:
             body["files"] = files_sorted
+            if stats:
+                body["stats"] = stats
         else:
             # O(delta) commit: reference immutable segments, reusing the
             # rebase base's wherever their members all survive.  Segments
             # written by a LOSING claim are unreferenced garbage in
             # _txlog/, reclaimed by vacuum() exactly like staged data
-            # files — a reader can never resolve them.
-            body["segments"] = self._plan_segments(files_sorted, version)
+            # files — a reader can only ever resolve a winner's.
+            body["segments"] = self._plan_segments(
+                files_sorted, version, stats
+            )
             body["n_files"] = len(files_sorted)
         if txns:
             body["txns"] = txns
@@ -534,11 +595,18 @@ class TxTable:
             body["constraints"] = constraints
         if dv:
             body["dv"] = dv
-        return self._log_store.try_create(
+        ok = self._log_store.try_create(
             f"v{version:012d}.json", json.dumps(body).encode("utf-8")
         )
+        if ok and self._pending_stats:
+            # claimed into a manifest (directly or via its segments);
+            # a LOST claim keeps them for the rebase retry
+            self._pending_stats = {}
+        return ok
 
-    def _write_segment(self, members: list[str]) -> str:
+    def _write_segment(
+        self, members: list[str], stats: dict[str, dict] | None = None
+    ) -> str:
         """Write one immutable segment file under ``_txlog/``.  No claim
         primitive needed: the uuid name is contention-free and nothing
         references the segment until a manifest that lists it WINS its
@@ -546,20 +614,31 @@ class TxTable:
         crash mid-write leaves an unreferenced file for vacuum()."""
         name = f"seg-{uuid.uuid4().hex}.json"
         p = _jpath(self._jvm, self.root, LOG_DIR, name)
+        seg_stats = {
+            f: stats[f] for f in members if f in (stats or {})
+        } if stats else {}
+        payload = (
+            {"files": members, "stats": seg_stats} if seg_stats else members
+        )
         out = self._fs.create(p, False)
         try:
-            out.write(bytearray(json.dumps(members).encode("utf-8")))
+            out.write(bytearray(json.dumps(payload).encode("utf-8")))
         finally:
             out.close()
         if len(self._seg_cache) >= 4096:
-            # same bound as _read_segment: a per-trigger streaming writer
-            # mints one segment per commit for weeks — the write path
-            # must not grow the cache past what the read path allows
+            # same bound as _read_segment_full: a per-trigger streaming
+            # writer mints one segment per commit for weeks — the write
+            # path must not grow the cache past what the read path allows
             self._seg_cache.clear()
-        self._seg_cache[name] = tuple(members)
+        self._seg_cache[name] = (tuple(members), seg_stats)
         return name
 
-    def _plan_segments(self, files_sorted: list[str], version: int) -> list[str]:
+    def _plan_segments(
+        self,
+        files_sorted: list[str],
+        version: int,
+        stats: dict[str, dict] | None = None,
+    ) -> list[str]:
         """Segment references for a manifest holding ``files_sorted``.
 
         Reuse: every segment of the rebase base (the manifest this commit
@@ -601,7 +680,9 @@ class TxTable:
             reused = [s for s in reused if s not in demoted]
         leftover = sorted(fileset - covered)
         new = [
-            self._write_segment(leftover[i : i + SEGMENT_TARGET_FILES])
+            self._write_segment(
+                leftover[i : i + SEGMENT_TARGET_FILES], stats
+            )
             for i in range(0, len(leftover), SEGMENT_TARGET_FILES)
         ]
         return reused + new
@@ -628,7 +709,53 @@ class TxTable:
                 raise RuntimeError(f"staging rename failed for {name}")
             staged.append(final)
         self._fs.delete(_jpath(self._jvm, tmp), True)
+        stats_cols = (self._rebase_base or {}).get("stats_cols")
+        if stats_cols:
+            cols = [c for c in stats_cols if c in df.columns]
+            if cols:
+                self._pending_stats.update(
+                    self._collect_stats(staged, cols)
+                )
         return staged
+
+    def _collect_stats(
+        self, names: list[str], cols: list[str]
+    ) -> dict[str, dict]:
+        """Per-file (row count, min/max per stats column) for
+        just-staged files — ONE scan of exactly those files (page-warm,
+        O(delta)), collected at write time so the manifest's skipping
+        stats are always fresh and no read-side index rebuild ever scans
+        the table (the Iceberg column-stats-in-manifest shape; contrast
+        :func:`plans.skipindex.index_tx_table`, which re-scans the
+        snapshot per refresh)."""
+        from pyspark.sql import functions as F
+
+        aggs = [F.count(F.lit(1)).alias("_n")]
+        for c in cols:
+            aggs += [F.min(c).alias(f"_lo_{c}"), F.max(c).alias(f"_hi_{c}")]
+        rows = (
+            self.spark.read.parquet(
+                *[f"{self.root}/data/{n}" for n in names]
+            )
+            .groupBy(
+                F.element_at(
+                    F.split(F.input_file_name(), "/"), -1
+                ).alias("_file")
+            )
+            .agg(*aggs)
+            .collect()
+        )
+        out: dict[str, dict] = {}
+        for r in rows:
+            d = r.asDict()
+            out[d["_file"]] = {
+                "n": d["_n"],
+                "c": {
+                    c: [_json_safe(d[f"_lo_{c}"]), _json_safe(d[f"_hi_{c}"])]
+                    for c in cols
+                },
+            }
+        return out
 
     def _read_files(self, names: list[str], schema_json: dict | None):
         """Read data files THROUGH the manifest-recorded union schema when
@@ -1069,6 +1196,102 @@ class TxTable:
         return self._swap_commit(
             set(hot), staged, rows, "dv materialization", max_retries, hot
         )
+
+    def set_stats_columns(self, *cols: str, max_retries: int = 20) -> int:
+        """Record the skipping-stats columns in the manifest (like CHECK
+        constraints, the config rides the log so EVERY writer obeys it):
+        from the next commit on, :meth:`_stage` collects per-file
+        (row count, min/max) for these columns in one O(delta) scan of
+        the just-staged files, the manifest carries the entries (inline
+        or inside segments), and :meth:`skip_read` prunes files
+        manifest-side with zero table scans — the Iceberg
+        column-stats-in-manifest shape, vs
+        :func:`plans.skipindex.index_tx_table`'s rebuild-by-rescan.
+
+        Files committed BEFORE this call (and segments reused from then)
+        have no entries and are never pruned; a :meth:`compact` /
+        :meth:`optimize` rewrites them and collects stats as a side
+        effect.  Columns must be orderable primitives; non-JSON values
+        are stored as strings and prune correctly iff string order
+        matches value order (ISO timestamps yes, mixed-sign decimals
+        no)."""
+        if not cols:
+            raise ValueError("set_stats_columns needs at least one column")
+        for _ in range(max_retries):
+            base, files, txns, schema, cons, dv = self._snapshot_full()
+            if self._try_claim(
+                base + 1, files, "set_stats_cols", txns, schema, cons, dv,
+                stats_cols=list(cols),
+            ):
+                return base + 1
+        raise RuntimeError(
+            f"set_stats_columns lost {max_retries} commit races"
+        )
+
+    def skip_read(
+        self,
+        predicates: dict[str, tuple] | None = None,
+        eq: dict[str, object] | None = None,
+        version: int | None = None,
+    ) -> tuple[DataFrame, int, int]:
+        """Snapshot read that opens ONLY the files the manifest stats
+        cannot rule out — min/max box intersection per ``predicates``
+        entry ``col: (lo, hi)``, point lookups via ``eq`` — then
+        re-applies the exact predicate to the survivors, THROUGH their
+        deletion vectors.  Returns (result, files_read, files_total).
+
+        Correctness never depends on the stats: a file is skipped only
+        when its recorded [min, max] provably excludes the box, a file
+        with no entry is always read, and the residual filter is exact —
+        the stats only save I/O.  The pruning runs driver-side over the
+        already-resolved manifest (one dict pass, no Spark job), which is
+        exactly where Delta's log replay prunes."""
+        from pyspark.sql import functions as F
+
+        boxes = dict(predicates or {})
+        for c, v in (eq or {}).items():
+            boxes[c] = (v, v)
+        if not boxes:
+            raise ValueError("skip_read needs predicates and/or eq")
+        vs = self._versions()
+        if not vs:
+            return self.spark.createDataFrame([], "x int").limit(0), 0, 0
+        body = self._read_version(version if version is not None else vs[-1])
+        files = body["files"]
+        stats = self._stats_of(body)
+
+        def _maybe(f: str) -> bool:
+            st = stats.get(f)
+            if not st:
+                return True
+            for c, (lo, hi) in boxes.items():
+                rng = st.get("c", {}).get(c)
+                if not rng or rng[0] is None or rng[1] is None:
+                    continue
+                if (hi is not None and rng[0] > hi) or (
+                    lo is not None and rng[1] < lo
+                ):
+                    return False
+            return True
+
+        survivors = [f for f in files if _maybe(f)]
+        if not survivors and files:
+            # keep one file so the result carries the table schema; the
+            # exact residual filter empties it (files_read stays honest)
+            survivors = files[:1]
+        dv = body.get("dv", {})
+        df = self._read_files_dv(
+            survivors,
+            body.get("schema"),
+            {f: dv[f] for f in survivors if f in dv},
+        )
+        cond = F.lit(True)
+        for c, (lo, hi) in boxes.items():
+            if lo is not None:
+                cond = cond & (F.col(c) >= F.lit(lo))
+            if hi is not None:
+                cond = cond & (F.col(c) <= F.lit(hi))
+        return df.filter(cond), len(survivors), len(files)
 
     def _swap_commit(
         self,

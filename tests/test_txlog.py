@@ -1689,3 +1689,79 @@ def test_s3_put_412_self_win_disambiguation(spark_noop=None):
         ).put_if_absent("k", mine)
         is False
     )
+
+
+# ---- manifest-carried skipping stats + skip_read --------------------------
+
+
+def test_manifest_stats_skip_read(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.set_stats_columns("k")
+    t.append(_df(spark, 0, 100).repartitionByRange(4, "k"))
+    t.append(_df(spark, 100, 200).repartitionByRange(4, "k"))
+    df, nread, ntotal = t.skip_read(predicates={"k": (150, 160)})
+    assert ntotal == 8 and 0 < nread < ntotal
+    assert {r.k for r in df.collect()} == set(range(150, 161))
+    df2, n2, _ = t.skip_read(eq={"k": 7})
+    assert n2 < ntotal and [r.k for r in df2.collect()] == [7]
+    # a box beyond every file's range: zero matches, schema intact
+    df3, n3, _ = t.skip_read(predicates={"k": (10_000, None)})
+    assert n3 == 1 and df3.count() == 0 and "k" in df3.columns
+
+
+def test_stats_ride_segments_dvs_and_rewrites(spark, tmp_path, _segmented):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.set_stats_columns("k")
+    t.append(_df(spark, 0, 40).repartitionByRange(4, "k"))
+    t.append(_df(spark, 40, 80).repartitionByRange(4, "k"))
+    raw = _raw(t, t.snapshot()[0])
+    assert "segments" in raw and "stats" not in raw  # stats live IN segments
+    seg_stats = {}
+    for s in raw["segments"]:
+        seg_stats.update(t._read_segment_full(s)[1])
+    assert len(seg_stats) == 8 and all("c" in v for v in seg_stats.values())
+    df, nread, ntotal = t.skip_read(predicates={"k": (0, 5)})
+    assert nread < ntotal == 8
+    assert {r.k for r in df.collect()} == set(range(6))
+    # skip_read applies deletion vectors on the surviving files
+    t.delete_where(F.col("k") == 3, mode="dv")
+    df, _, _ = t.skip_read(predicates={"k": (0, 5)})
+    assert {r.k for r in df.collect()} == {0, 1, 2, 4, 5}
+    # a rewrite collects fresh stats for its output files
+    t.compact()
+    df, _, ntotal2 = t.skip_read(predicates={"k": (0, 5)})
+    assert {r.k for r in df.collect()} == {0, 1, 2, 4, 5}
+    head_stats = t._stats_of(t._read_version(t.snapshot()[0]))
+    assert len(head_stats) == ntotal2  # every live file has an entry
+
+
+def test_pre_stats_files_never_pruned(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, 0, 50).repartitionByRange(2, "k"))   # no stats yet
+    t.set_stats_columns("k")
+    t.append(_df(spark, 50, 100).repartitionByRange(2, "k"))
+    df, nread, ntotal = t.skip_read(predicates={"k": (60, 70)})
+    # both pre-stats files are unprunable and stay in the read set
+    assert ntotal == 4 and nread == 3
+    assert {r.k for r in df.collect()} == set(range(60, 71))
+
+
+def test_stats_survive_concurrent_rebase(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.set_stats_columns("k")
+    t.append(_df(spark, 0, 50).repartitionByRange(2, "k"))
+
+    def race(_tx):
+        txlog._pre_commit_hook = None
+        TxTable(spark, str(tmp_path / "t")).append(
+            _df(spark, 1000, 1050).repartitionByRange(2, "k")
+        )
+
+    txlog._pre_commit_hook = race
+    t.append(_df(spark, 100, 150).repartitionByRange(2, "k"))
+    txlog._pre_commit_hook = None
+    head = t._read_version(t.snapshot()[0])
+    assert len(t._stats_of(head)) == 6  # all three appends' files
+    df, nread, ntotal = t.skip_read(predicates={"k": (1000, 1010)})
+    assert ntotal == 6 and nread == 1
+    assert {r.k for r in df.collect()} == set(range(1000, 1011))
