@@ -80,3 +80,44 @@ def txlog_dv_read(spark, sf):
     # so the same oracle also gates materialize_dv (round 10)
     tx.materialize_dv(min_sidecars=1)
     return tx.read().select(*_COLS)
+
+
+@register(
+    "txlog_skip_read",
+    f"""
+    SELECT {', '.join(_COLS)}
+    FROM orders
+    WHERE o_orderkey % 7 = 0
+      AND o_totalprice >= 50000.0 AND o_totalprice <= 100000.0
+    """,
+)
+def txlog_skip_read(spark, sf):
+    """Manifest-stats pruning under the oracle (round 10): write an
+    ``orders`` slice through the txlog range-partitioned on
+    ``o_totalprice`` with ``set_stats_columns`` active, then answer a box
+    predicate via :meth:`TxTable.skip_read` — the driver-side
+    manifest-stats prune plus the exact residual filter must equal plain
+    SQL, and the entry asserts the prune actually engaged (files_read <
+    files_total) so a silently stats-less manifest fails loudly rather
+    than degrading to a full scan."""
+    from indra_db_spark.operators.sampling import _barrier_dir
+    from indra_db_spark.plans.txlog import TxTable
+
+    sliced = (
+        T(spark, sf, "orders")
+        .filter(F.col("o_orderkey") % 7 == 0)
+        .select(*_COLS)
+    )
+    root = _barrier_dir(spark, "txlog_skip_read_", what="txlog_skip_read")
+    tx = TxTable(spark, root)
+    tx.set_stats_columns("o_totalprice")
+    tx.append(sliced.repartitionByRange(8, "o_totalprice"))
+    df, files_read, files_total = tx.skip_read(
+        predicates={"o_totalprice": (50000.0, 100000.0)}
+    )
+    if not files_read < files_total:
+        raise AssertionError(
+            f"manifest-stats prune did not engage: read {files_read} of "
+            f"{files_total} files for a box on the range-partition key"
+        )
+    return df.select(*_COLS)
