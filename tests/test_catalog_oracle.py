@@ -45,7 +45,6 @@ CRITICAL_IN_WINDOW = [
     "closure_ancestors",
     "belief_ancestor_agg",
     "multimodal_meta",
-    "json_extract",
     "doc_dup_clusters",
     # round-7 rotation (r6 verdict #5): the end-to-end compositions and the
     # newest operator families must sit inside the externally-enforced gate
@@ -77,6 +76,12 @@ CRITICAL_IN_WINDOW = [
     # round-8.2 rotation: the IMI exact near-dup (growing-cell-count scale
     # path) replaces the brute-force emb_topk baseline in the window
     "emb_neardup_imi",
+    # round-10 rotation (r8 verdict #5 / r9 top-next): the txlog SERVING
+    # read path — segmented manifests, DV anti-join, restore boundary,
+    # targeted materialization — displaces json_extract (the scalar
+    # family stays checked through curation_anonymize, and json_extract
+    # stays in the 3-SF sweep)
+    "txlog_dv_read",
 ]
 
 
