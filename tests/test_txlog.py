@@ -1765,3 +1765,43 @@ def test_stats_survive_concurrent_rebase(spark, tmp_path):
     df, nread, ntotal = t.skip_read(predicates={"k": (1000, 1010)})
     assert ntotal == 6 and nread == 1
     assert {r.k for r in df.collect()} == set(range(1000, 1011))
+
+
+def test_optimize_then_skip_read_prunes_tight(spark, tmp_path):
+    """OPTIMIZE's z-order rewrite goes through _stage, so its output
+    files get fresh stats and a box skip_read prunes the clustered
+    layout without any separate index build."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.set_stats_columns("k")
+    import random
+
+    rnd = random.Random(7)
+    rows = [(k, f"s{k % 9}") for k in rnd.sample(range(10_000), 2_000)]
+    t.append(
+        spark.createDataFrame(rows, "k long, src string").repartition(8)
+    )
+    t.optimize("k", "k", n_files=8)
+    df, nread, ntotal = t.skip_read(predicates={"k": (100, 400)})
+    assert ntotal == 8 and nread <= 2
+    assert {r.k for r in df.collect()} == {
+        k for k, _ in rows if 100 <= k <= 400
+    }
+
+
+def test_stream_sink_collects_manifest_stats(spark, tmp_path):
+    """A streaming writer inherits the log-carried stats config: its
+    batches' files get entries with no code on the writer's side."""
+    from indra_db_spark.streaming.ingest import read_stream, write_stream_txlog
+
+    table = str(tmp_path / "table")
+    TxTable(spark, table).set_stats_columns("k")
+    src = str(tmp_path / "src")
+    _df(spark, 0, 100).repartitionByRange(4, "k").write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    write_stream_txlog(
+        read_stream(spark, src, schema), table, str(tmp_path / "ckpt")
+    )
+    t = TxTable(spark, table)
+    df, nread, ntotal = t.skip_read(predicates={"k": (0, 10)})
+    assert ntotal >= 2 and nread < ntotal
+    assert {r.k for r in df.collect()} == set(range(11))
