@@ -351,12 +351,13 @@ class S3ConditionalPutClient:
 
 
 def _json_safe(v):
-    """Stats values must survive a JSON round trip ORDER-INTACT: ints,
-    floats, strs, bools, None pass through; everything else (timestamps,
-    decimals) serializes as str — orderable iff the string order matches
-    the value order, which holds for ISO timestamps and same-scale
-    decimals (document per column; pruning is conservative only when the
-    stored order is the value order)."""
+    """Stats values must survive a JSON round trip ORDER-INTACT, so only
+    ints/floats/strs/bools/None pass through; anything else stringifies
+    as a LAST-RESORT representation that :meth:`TxTable.skip_read` will
+    never compare against a non-str bound (its type guard treats
+    cross-type comparisons as unprunable).  ``_stage`` filters stats
+    columns to numeric/string/boolean dtypes up front, so in practice
+    this branch never fires for freshly-collected stats."""
     return v if isinstance(v, (int, float, str, bool)) or v is None else str(v)
 
 
@@ -711,7 +712,19 @@ class TxTable:
         self._fs.delete(_jpath(self._jvm, tmp), True)
         stats_cols = (self._rebase_base or {}).get("stats_cols")
         if stats_cols:
-            cols = [c for c in stats_cols if c in df.columns]
+            # only types whose Python min/max order survives a JSON round
+            # trip get entries: numeric + string.  A timestamp/decimal
+            # column would stringify, and LEXICOGRAPHIC order on those
+            # strings does not match value order ('99.0' > '130.0') —
+            # pruning on it would silently drop matching files.  Skipped
+            # columns simply never prune (correct, just unhelped).
+            ok_prefix = ("int", "bigint", "smallint", "tinyint",
+                         "float", "double", "string", "boolean")
+            dtypes = dict(df.dtypes)
+            cols = [
+                c for c in stats_cols
+                if c in dtypes and dtypes[c].startswith(ok_prefix)
+            ]
             if cols:
                 self._pending_stats.update(
                     self._collect_stats(staged, cols)
@@ -777,7 +790,20 @@ class TxTable:
         (physical file name, parquet row index) against the union of the
         relevant DV sidecars.  Every row-reading path (read, merge
         rewrite, delete rewrite, compact) MUST come through here: a raw
-        read of a DV-carrying file resurrects its deleted rows."""
+        read of a DV-carrying file resurrects its deleted rows.
+
+        The sidecar side is explicitly broadcast while its on-disk bytes
+        fit the gate: Catalyst's size estimate for a multi-file parquet
+        union exceeds autoBroadcastJoinThreshold (10 MB default) well
+        before the sidecars are actually big, demoting the anti-join to
+        a sort-merge that SHUFFLES THE WHOLE FACT SIDE.  On local[32]
+        the two shapes are within run noise (shuffle is in-memory), but
+        on a cluster a full exchange of the fact table vs shipping tens
+        of MB of sidecars is the difference that matters at 100 TB — the
+        broadcast keeps the fact side exchange-free by construction
+        (plan-pinned in tests).  Past the gate (≈256 MB of sidecar bytes
+        ≫ any sane pre-materialization state) the planner's choice
+        stands."""
         df = self._read_files(names, schema_json)
         rel = sorted({n for f in names for n in dv.get(f, [])})
         if not rel:
@@ -790,6 +816,21 @@ class TxTable:
             F.col("file").alias("_txdv_file"),
             F.col("pos").alias("_txdv_pos"),
         )
+        try:
+            sidecar_bytes = sum(
+                self._fs.getFileStatus(
+                    _jpath(self._jvm, self.root, DATA_DIR, n)
+                ).getLen()
+                for n in rel[:4096]
+            )
+        except Exception:  # noqa: BLE001 — sizing is an optimization only
+            sidecar_bytes = None
+        if (
+            sidecar_bytes is not None
+            and len(rel) <= 4096
+            and sidecar_bytes < 256 * 1024 * 1024
+        ):
+            dvdf = F.broadcast(dvdf)
         return (
             df.withColumn("_txdv_f", F.col("_metadata.file_name"))
             .withColumn("_txdv_p", F.col("_metadata.row_index"))
@@ -1211,10 +1252,11 @@ class TxTable:
         Files committed BEFORE this call (and segments reused from then)
         have no entries and are never pruned; a :meth:`compact` /
         :meth:`optimize` rewrites them and collects stats as a side
-        effect.  Columns must be orderable primitives; non-JSON values
-        are stored as strings and prune correctly iff string order
-        matches value order (ISO timestamps yes, mixed-sign decimals
-        no)."""
+        effect.  Only numeric/string/boolean columns collect entries —
+        types whose order would not survive the JSON round trip
+        (timestamps, decimals) are skipped at stage time and never prune
+        (store a long epoch / scaled integer twin column to prune on
+        time)."""
         if not cols:
             raise ValueError("set_stats_columns needs at least one column")
         for _ in range(max_retries):
@@ -1255,10 +1297,30 @@ class TxTable:
             raise ValueError("skip_read needs predicates and/or eq")
         vs = self._versions()
         if not vs:
-            return self.spark.createDataFrame([], "x int").limit(0), 0, 0
+            # same contract as read(): an empty table is a clean error,
+            # never a made-up schema
+            raise ValueError(f"{self.root} has no committed data")
         body = self._read_version(version if version is not None else vs[-1])
         files = body["files"]
+        if not files:
+            raise ValueError(f"{self.root} has no committed data")
         stats = self._stats_of(body)
+
+        def _excludes(rng_edge, bound, flip: bool) -> bool:
+            """True iff the comparison PROVES emptiness.  Cross-type
+            comparisons (a str-encoded legacy stat vs a native bound)
+            must degrade to unprunable, never crash or lexicographically
+            mis-prune — correctness may not depend on the stats."""
+            if rng_edge is None or bound is None:
+                return False
+            num = (int, float)
+            same = (
+                (isinstance(rng_edge, num) and isinstance(bound, num))
+                or (isinstance(rng_edge, str) and isinstance(bound, str))
+            )
+            if not same:
+                return False
+            return rng_edge > bound if flip else rng_edge < bound
 
         def _maybe(f: str) -> bool:
             st = stats.get(f)
@@ -1266,11 +1328,9 @@ class TxTable:
                 return True
             for c, (lo, hi) in boxes.items():
                 rng = st.get("c", {}).get(c)
-                if not rng or rng[0] is None or rng[1] is None:
+                if not rng:
                     continue
-                if (hi is not None and rng[0] > hi) or (
-                    lo is not None and rng[1] < lo
-                ):
+                if _excludes(rng[0], hi, True) or _excludes(rng[1], lo, False):
                     return False
             return True
 
@@ -1894,6 +1954,11 @@ class TxTable:
         entry_head = self.snapshot()[0]
         if entry_head == version:
             return entry_head  # restoring to the head is a no-op
+        # the target's skipping stats roll back WITH its files: the head
+        # manifest only covers its own file set, so without this, files
+        # re-entering via restore would lose their entries and every
+        # skip_read would degrade to a full scan until the next rewrite
+        self._pending_stats.update(self._stats_of(body))
         if _pre_commit_hook is not None:
             _pre_commit_hook(self)
         for _ in range(max_retries):

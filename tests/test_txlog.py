@@ -1805,3 +1805,71 @@ def test_stream_sink_collects_manifest_stats(spark, tmp_path):
     df, nread, ntotal = t.skip_read(predicates={"k": (0, 10)})
     assert ntotal >= 2 and nread < ntotal
     assert {r.k for r in df.collect()} == set(range(11))
+
+
+def test_restore_carries_target_stats(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.set_stats_columns("k")                                   # v1
+    t.append(_df(spark, 0, 100).repartitionByRange(4, "k"))    # v2
+    t.compact()                                                # v3
+    t.restore(2)                                               # v4
+    df, nread, ntotal = t.skip_read(predicates={"k": (0, 10)})
+    assert ntotal == 4 and nread == 1                          # still prunes
+    assert {r.k for r in df.collect()} == set(range(11))
+
+
+def test_unorderable_stats_column_skipped_not_wrong(spark, tmp_path):
+    """A timestamp stats column collects NO entries (its string form
+    orders wrong), so pruning degrades to a full scan — never a crash on
+    native bounds, never a mis-prune."""
+    import datetime
+
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.set_stats_columns("ts", "k")
+    rows = [
+        (k, datetime.datetime(2026, 1, 1 + k % 20)) for k in range(100)
+    ]
+    t.append(
+        spark.createDataFrame(rows, "k long, ts timestamp")
+        .repartitionByRange(4, "k")
+    )
+    head = t._read_version(t.snapshot()[0])
+    st = t._stats_of(head)
+    assert st and all("ts" not in v["c"] and "k" in v["c"] for v in st.values())
+    df, nread, ntotal = t.skip_read(
+        predicates={
+            "ts": (
+                datetime.datetime(2026, 1, 5),
+                datetime.datetime(2026, 1, 10),
+            )
+        }
+    )
+    assert nread == ntotal  # unprunable, and exact
+    assert df.count() == sum(
+        1 for _, d in rows
+        if datetime.datetime(2026, 1, 5) <= d <= datetime.datetime(2026, 1, 10)
+    )
+
+
+def test_skip_read_empty_table_contract(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    with pytest.raises(ValueError, match="no committed data"):
+        t.skip_read(eq={"k": 1})
+    t.set_stats_columns("k")
+    t.append(_df(spark, 0, 10).repartition(1))
+    t.delete_where(F.col("k") >= 0)          # copy-mode: removes every file
+    with pytest.raises(ValueError, match="no committed data"):
+        t.skip_read(eq={"k": 1})
+
+
+def test_dv_antijoin_broadcasts_under_gate(spark, tmp_path):
+    """The DV anti-join must keep the fact side exchange-free while the
+    sidecar bytes fit the broadcast gate: Catalyst's multi-file size
+    estimate demotes it to a sort-merge join (a full fact-side exchange)
+    long before the sidecars are actually broadcast-hostile."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, 0, 2_000).repartition(4))
+    t.delete_where(F.col("k") % 7 == 0, mode="dv")
+    plan = t.read()._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
