@@ -284,8 +284,37 @@ def index_tx_table(
     table format actually ships: the log provides the file set, the
     index provides per-file pruning stats, and both are rebuilt together
     per commit (plans/txlog.py:TxTable).
-    """
+
+    When the manifest already CARRIES stats for every live file and
+    every requested column (``TxTable.set_stats_columns`` — collected
+    O(delta) at stage time), the index frame is assembled driver-side
+    from the manifest with ZERO table scan; the rescan below is the
+    fallback for pre-stats tables and for bloom columns (blooms are not
+    manifest-carried — they need the raw values)."""
     version, files = tx.snapshot()
+    body = tx._read_version(version)
+    stats = tx._stats_of(body)
+    if (
+        not bloom_cols
+        and files
+        and all(
+            f in stats and all(c in stats[f].get("c", {}) for c in cols)
+            for f in files
+        )
+    ):
+        names = ["file", "n_rows"] + [
+            f"{c}_{mm}" for c in cols for mm in ("min", "max")
+        ]
+        rows = []
+        for f in files:
+            st = stats[f]
+            rows.append(
+                tuple(
+                    [f"{tx.root}/data/{f}", st["n"]]
+                    + [v for c in cols for v in st["c"][c]]
+                )
+            )
+        return version, tx.spark.createDataFrame(rows, names)
     paths = [f"{tx.root}/data/{n}" for n in files]
     return version, build_file_index(
         tx.spark, paths, *cols, bloom_cols=bloom_cols

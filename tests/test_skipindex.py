@@ -270,3 +270,47 @@ def test_extend_file_index_matches_full_rebuild(spark, tmp_path_factory):
     # and the extended index serves lookups over the whole table
     got, nread, ntotal = skip_scan(spark, inc, eq={"k": 201})
     assert [r.k for r in got.collect()] == [201] and nread <= ntotal
+
+
+def test_index_tx_table_from_manifest_stats(spark, tmp_path_factory):
+    """With manifest-carried stats covering every file+column, the index
+    frame comes straight off the manifest (no table scan) and prunes
+    identically to the scan-built index."""
+    from pyspark.sql import functions as F
+
+    from indra_db_spark.plans.skipindex import (
+        build_file_index,
+        index_tx_table,
+        skip_scan,
+    )
+    from indra_db_spark.plans.txlog import TxTable
+
+    root = str(tmp_path_factory.mktemp("txstats") / "t")
+    t = TxTable(spark, root)
+    t.set_stats_columns("k")
+    t.append(
+        spark.range(0, 1_000)
+        .select(F.col("id").alias("k"), (F.col("id") % 7).alias("g"))
+        .repartitionByRange(5, "k")
+    )
+    version, idx = index_tx_table(t, "k")
+    scan_idx = build_file_index(
+        spark, [f"{root}/data/{n}" for n in t.snapshot()[1]], "k"
+    )
+    a = {
+        r["file"].split("/")[-1]: (r["n_rows"], r["k_min"], r["k_max"])
+        for r in idx.collect()
+    }
+    b = {
+        r["file"].split("/")[-1]: (r["n_rows"], r["k_min"], r["k_max"])
+        for r in scan_idx.collect()
+    }
+    assert a == b
+    out, n_read, n_total = skip_scan(
+        spark, idx, predicates={"k": (100, 220)}
+    )
+    assert n_read < n_total == 5
+    assert {r.k for r in out.collect()} == set(range(100, 221))
+    # a bloom request (not manifest-carried) still takes the scan path
+    _, idx_bloom = index_tx_table(t, "k", bloom_cols=("k",))
+    assert "k_bloom" in idx_bloom.columns
