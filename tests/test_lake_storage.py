@@ -566,3 +566,28 @@ def test_fsutil_and_chooser_over_real_second_scheme(spark, tmp_path):
         assert {r.mk_hash for r in get_hashes(q, lake).collect()} == want
     finally:
         conf.unset(key)
+
+
+def test_algebra_served_from_segmented_txlog(spark, tmp_path, monkeypatch):
+    """The serving path resolves SEGMENTED manifests transparently: with
+    the inline threshold forced to zero, every release table's manifest
+    references segment files, and the algebra's results are identical to
+    the in-memory lake."""
+    from indra_db_spark.plans import txlog as _txlog
+
+    monkeypatch.setattr(_txlog, "INLINE_MANIFEST_FILES", 0)
+    monkeypatch.setattr(_txlog, "SEGMENT_TARGET_FILES", 4)
+    mem_lake, _, _ = fixture_lake(spark)
+    root = str(tmp_path / "txlake")
+    versions = mem_lake.write_txlog(spark, root)
+    # every committed manifest is segmented under the forced threshold
+    name, v = next(iter(versions.items()))
+    t = _txlog.TxTable(spark, f"{root}/{name}")
+    body = t._read_log_json(f"v{v:012d}.json")
+    assert "segments" in body and "files" not in body
+
+    tx_lake = ReadonlyLake.from_txlog(spark, root)
+    q = HasAgent("MEK", role="SUBJECT") & HasType(["Phosphorylation"])
+    want = {r.mk_hash for r in get_hashes(q, mem_lake).collect()}
+    got = {r.mk_hash for r in get_hashes(q, tx_lake).collect()}
+    assert got == want and got
