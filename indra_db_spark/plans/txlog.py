@@ -238,7 +238,13 @@ class ObjectStoreLogStore(LogStore):
 
     The adapter is SDK-agnostic: pass any ``client`` exposing
     ``put_if_absent(key: str, payload: bytes) -> bool`` (True = created;
-    False = the key already existed — the HTTP 412 case).
+    False = the key already existed — the HTTP 412 case).  Contract
+    fine print every client must honor: a 412 seen AFTER the SDK's own
+    transport retry can be the client racing ITS OWN successful PUT
+    whose 200 was lost — the client must read the key back and return
+    True iff the stored bytes equal ``payload`` (see
+    :meth:`S3ConditionalPutClient._self_win`); misreporting a self-win
+    as a loss makes the commit loop rebase over its own manifest.
     :class:`S3ConditionalPutClient` below is the executable boto3
     mapping (imported lazily, so the SDK stays an optional dependency);
     GCS (``if_generation_match=0``) and Azure (ETag ``If-None-Match``)
