@@ -1165,6 +1165,75 @@ class TxTable:
             set(files), staged, rows, "compaction", max_retries, dv0
         )
 
+    def compact_small(
+        self,
+        max_file_mb: float = 16,
+        target_file_mb: int = 128,
+        min_files: int = 2,
+        max_retries: int = 20,
+    ) -> int | None:
+        """Bin-packing compaction (the Delta ``OPTIMIZE`` default, no
+        Z-order): rewrite ONLY the files under ``max_file_mb`` into
+        ~``target_file_mb`` outputs, leaving every right-sized file — the
+        overwhelming majority of a 100 TB table — untouched.
+        :meth:`compact` rewrites the whole snapshot, which is a release
+        operation, not maintenance: per-append small files are the thing
+        that accumulates, and rewriting 100 TB to fix 100 MB of them
+        cannot scale.  DVs on the rewritten files are materialized by the
+        swap (same rules as compact); DVs on untouched files carry
+        forward.  Returns the new version, or None when fewer than
+        ``min_files`` files qualify (one small file gains nothing)."""
+        base, files, _, schema, _, dv0 = self._snapshot_full()
+        gate = int(max_file_mb * 1024 * 1024)
+        sized = [
+            (n, self._fs.getFileStatus(
+                _jpath(self._jvm, self.root, DATA_DIR, n)
+            ).getLen())
+            for n in files
+        ]
+        small = [n for n, sz in sized if sz < gate]
+        if len(small) < min_files:
+            return None
+        hot_dv = {f: dv0[f] for f in small if f in dv0}
+        df = self._read_files_dv(small, schema, hot_dv)
+        rows = df.count()
+        total = sum(sz for n, sz in sized if n in set(small))
+        n_out = max(1, -(-int(total) // (target_file_mb * 1024 * 1024)))
+        staged = self._stage(df, n_files=n_out)
+        return self._swap_commit(
+            set(small), staged, rows, "small-file compaction",
+            max_retries, hot_dv,
+        )
+
+    def maintain(
+        self,
+        dv_sidecar_threshold: int = 8,
+        max_file_mb: float = 16,
+        target_file_mb: int = 128,
+        small_min_files: int = 17,
+    ) -> dict[str, int]:
+        """One maintenance pass wiring the measured policies together:
+        materialize deletion vectors where a file reached
+        ``dv_sidecar_threshold`` sidecars (the probe-measured read-tax
+        plateau, :meth:`materialize_dv`), then bin-pack once at least
+        ``small_min_files`` under-``max_file_mb`` files accumulated
+        (:meth:`compact_small` — at one small file per streaming batch
+        this fires about once per ``small_min_files`` triggers).  Returns
+        {action: committed version} for whatever actually ran — a no-op
+        pass commits nothing.  Run it per maintenance window; both steps
+        are targeted, so the cost scales with the CHURN since the last
+        pass, never the table."""
+        out: dict[str, int] = {}
+        v = self.materialize_dv(dv_sidecar_threshold)
+        if v is not None:
+            out["materialize_dv"] = v
+        v = self.compact_small(
+            max_file_mb, target_file_mb, min_files=small_min_files
+        )
+        if v is not None:
+            out["compact_small"] = v
+        return out
+
     def optimize(
         self,
         x_col: str,

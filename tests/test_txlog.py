@@ -1873,3 +1873,59 @@ def test_dv_antijoin_broadcasts_under_gate(spark, tmp_path):
     plan = t.read()._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
     assert "SortMergeJoin" not in plan
+
+
+# ---- bin-packing maintenance ---------------------------------------------
+
+
+def test_compact_small_rewrites_only_small_files(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    # one big-ish file and a spray of tiny per-append files
+    t.append(_df(spark, 0, 50_000).repartition(1))
+    for i in range(5):
+        t.append(_df(spark, 100_000 + i * 10, 100_010 + i * 10).repartition(1))
+    _, files_pre = t.snapshot()
+    sizes = {
+        n: t._fs.getFileStatus(
+            txlog._jpath(t._jvm, t.root, txlog.DATA_DIR, n)
+        ).getLen()
+        for n in files_pre
+    }
+    big = max(sizes, key=sizes.get)
+    before = {r.k for r in t.read().collect()}
+    v = t.compact_small(max_file_mb=0.05, min_files=2)
+    assert v is not None
+    _, files_post = t.snapshot()
+    assert big in files_post                      # the big file is untouched
+    assert len(files_post) < len(files_pre)       # tinies packed together
+    assert {r.k for r in t.read().collect()} == before
+
+
+def test_compact_small_materializes_dvs_on_rewritten_only(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, 0, 50_000).repartition(1))            # big
+    t.append(_df(spark, 100_000, 100_020).repartition(1))     # small
+    t.delete_where(F.col("k") == 100_005, mode="dv")          # DV on small
+    t.delete_where(F.col("k") == 1, mode="dv")                # DV on big
+    before = {r.k for r in t.read().collect()}
+    v = t.compact_small(max_file_mb=0.05, min_files=1)
+    assert v is not None
+    _, files, _, _, _, dv = t._snapshot_full()
+    # the small file's DV materialized; the big file keeps its sidecar
+    assert len(dv) == 1 and {r.k for r in t.read().collect()} == before
+    assert t.compact_small(max_file_mb=0.05, min_files=2) is None  # 1 small left
+
+
+def test_maintain_runs_measured_policies(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, 0, 100).repartition(1))
+    for k in range(9):                            # 9 sidecars on one file
+        t.delete_where(F.col("k") == k, mode="dv")
+    for i in range(3):
+        t.append(_df(spark, 1000 + i * 10, 1010 + i * 10).repartition(1))
+    before = {r.k for r in t.read().collect()}
+    out = t.maintain(max_file_mb=0.05, small_min_files=3)
+    assert "materialize_dv" in out and "compact_small" in out
+    assert not t._snapshot_full()[5]              # all DVs gone
+    assert {r.k for r in t.read().collect()} == before
+    assert t.maintain(max_file_mb=0.05, small_min_files=3) == {}  # idempotent
