@@ -1929,3 +1929,22 @@ def test_maintain_runs_measured_policies(spark, tmp_path):
     assert not t._snapshot_full()[5]              # all DVs gone
     assert {r.k for r in t.read().collect()} == before
     assert t.maintain(max_file_mb=0.05, small_min_files=3) == {}  # idempotent
+
+
+def test_compact_small_reuses_untouched_segments(spark, tmp_path, _segmented):
+    """Bin-packing over a segmented manifest: segments covering only
+    untouched (right-sized) files are referenced unchanged; only the
+    small files' segments are replaced."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, 0, 400_000).repartition(4))   # 4 right-sized files
+    raw_before = _raw(t, t.snapshot()[0])
+    for i in range(4):
+        t.append(_df(spark, 100_000 + i, 100_001 + i).repartition(1))
+    raw_mid = _raw(t, t.snapshot()[0])
+    kept = set(raw_before["segments"]) & set(raw_mid["segments"])
+    assert kept                                       # appends reuse v1 segs
+    before = {r.k for r in t.read().collect()}
+    assert t.compact_small(max_file_mb=0.05, min_files=2) is not None
+    raw_after = _raw(t, t.snapshot()[0])
+    assert kept <= set(raw_after["segments"])         # untouched segs survive
+    assert {r.k for r in t.read().collect()} == before
