@@ -289,19 +289,44 @@ def index_tx_table(
     every requested column (``TxTable.set_stats_columns`` — collected
     O(delta) at stage time), the index frame is assembled driver-side
     from the manifest with ZERO table scan; the rescan below is the
-    fallback for pre-stats tables and for bloom columns (blooms are not
-    manifest-carried — they need the raw values)."""
-    version, files = tx.snapshot()
-    body = tx._read_version(version)
+    fallback for pre-stats tables, for bloom columns (blooms are not
+    manifest-carried — they need the raw values), and for a column whose
+    recorded stats are all-NULL (no type to build the frame from)."""
+    vs = tx._versions()
+    if not vs:
+        raise ValueError(f"{tx.root} has no committed data")
+    version = vs[-1]
+    body = tx._read_version(version)  # ONE manifest read for body+files
+    files = body["files"]
+    if not files:
+        raise ValueError(f"{tx.root} has no committed data")
     stats = tx._stats_of(body)
-    if (
-        not bloom_cols
-        and files
-        and all(
-            f in stats and all(c in stats[f].get("c", {}) for c in cols)
+
+    def _qualified(name: str) -> str:
+        # match build_file_index's input_file_name() URIs so the two
+        # index forms join/extend interchangeably on the "file" key:
+        # always scheme://authority/path (input_file_name emits
+        # file:///x where Path.toString would print file:/x)
+        from indra_db_spark.plans.txlog import DATA_DIR, _jpath
+
+        u = tx._fs.makeQualified(
+            _jpath(tx._jvm, tx.root, DATA_DIR, name)
+        ).toUri()
+        return f"{u.getScheme()}://{u.getAuthority() or ''}{u.getPath()}"
+
+    covered = not bloom_cols and all(
+        f in stats and all(c in stats[f].get("c", {}) for c in cols)
+        for f in files
+    )
+    typed = covered and all(
+        any(
+            v is not None
             for f in files
+            for v in stats[f]["c"][c]
         )
-    ):
+        for c in cols
+    )
+    if covered and typed:
         names = ["file", "n_rows"] + [
             f"{c}_{mm}" for c in cols for mm in ("min", "max")
         ]
@@ -310,7 +335,7 @@ def index_tx_table(
             st = stats[f]
             rows.append(
                 tuple(
-                    [f"{tx.root}/data/{f}", st["n"]]
+                    [_qualified(f), st["n"]]
                     + [v for c in cols for v in st["c"][c]]
                 )
             )

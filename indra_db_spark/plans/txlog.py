@@ -1185,19 +1185,25 @@ class TxTable:
         ``min_files`` files qualify (one small file gains nothing)."""
         base, files, _, schema, _, dv0 = self._snapshot_full()
         gate = int(max_file_mb * 1024 * 1024)
-        sized = [
-            (n, self._fs.getFileStatus(
-                _jpath(self._jvm, self.root, DATA_DIR, n)
-            ).getLen())
-            for n in files
-        ]
-        small = [n for n, sz in sized if sz < gate]
+        # ONE listing RPC for the whole data dir, intersected with the
+        # live set — a per-file getFileStatus loop would be O(n_files)
+        # serial namenode/S3 HEADs per maintenance pass, i.e. cost
+        # proportional to the TABLE, exactly what this op exists to avoid
+        live = set(files)
+        sizes = {
+            f.getPath().getName(): f.getLen()
+            for f in self._fs.listStatus(
+                _jpath(self._jvm, self.root, DATA_DIR)
+            )
+            if f.getPath().getName() in live
+        }
+        small = [n for n in files if sizes.get(n, gate) < gate]
         if len(small) < min_files:
             return None
         hot_dv = {f: dv0[f] for f in small if f in dv0}
         df = self._read_files_dv(small, schema, hot_dv)
         rows = df.count()
-        total = sum(sz for n, sz in sized if n in set(small))
+        total = sum(sizes[n] for n in small)
         n_out = max(1, -(-int(total) // (target_file_mb * 1024 * 1024)))
         staged = self._stage(df, n_files=n_out)
         return self._swap_commit(

@@ -298,13 +298,15 @@ def test_index_tx_table_from_manifest_stats(spark, tmp_path_factory):
         spark, [f"{root}/data/{n}" for n in t.snapshot()[1]], "k"
     )
     a = {
-        r["file"].split("/")[-1]: (r["n_rows"], r["k_min"], r["k_max"])
+        r["file"]: (r["n_rows"], r["k_min"], r["k_max"])
         for r in idx.collect()
     }
     b = {
-        r["file"].split("/")[-1]: (r["n_rows"], r["k_min"], r["k_max"])
+        r["file"]: (r["n_rows"], r["k_min"], r["k_max"])
         for r in scan_idx.collect()
     }
+    # exact-key parity: manifest-built and scan-built indexes must be
+    # interchangeable (extend_file_index joins on "file")
     assert a == b
     out, n_read, n_total = skip_scan(
         spark, idx, predicates={"k": (100, 220)}
