@@ -72,11 +72,14 @@ from indra_db_spark.catalog import transactional  # noqa: E402,F401
 WINDOW_ORDER = [
     # §2.2 query-algebra leaves (hash_isin rotated past-window r8: the
     # 1-element IN fast path is a strict subset of type_in's IN routing)
+    # (only_source rotated past-window r11 for the streaming matview
+    # entry: its null-safe ≠ comparison stays checked by the
+    # nullsafe_compare sweep entry and the §2.2 source-column family
+    # stays in-window through sources_and)
     "scan_filter_project",
     "type_in",
     "evidence_bound",
     "sources_and",
-    "only_source",
     "source_pivot",
     "papers_semijoin",
     "invert_anti",
@@ -112,6 +115,11 @@ WINDOW_ORDER = [
     # second delete rolled back by RESTORE, and the snapshot read whose
     # survivors must hash-match plain SQL with only the first delete
     "txlog_dv_read",
+    # r11 rotation (r10 verdict next-round #6): the streaming exactly-once
+    # protocol under the hard gate — a real foreachBatch stream appending
+    # into a fact TxTable and maintaining an IVM rollup view, then fully
+    # REPLAYED to prove the batch-id watermark skips every batch
+    "stream_matview_rollup",
     # §2.11 streaming twin (batch form; sessionize stays past-window — the
     # session-window semantics are pinned by tests/test_streaming parity)
     "time_window_agg",

@@ -121,3 +121,145 @@ def txlog_skip_read(spark, sf):
             f"{files_total} files for a box on the range-partition key"
         )
     return df.select(*_COLS)
+
+
+@register(
+    "algebra_txlog_hash_lookup",
+    """
+    SELECT o_orderkey AS mk_hash,
+           o_custkey  AS ev_count,
+           o_totalprice AS belief
+    FROM orders WHERE o_orderkey IN (1, 7, 77, 777, 1337)
+    """,
+)
+def algebra_txlog_hash_lookup(spark, sf):
+    """The query algebra's point-lookup leaf served THROUGH the
+    transaction log's manifest stats (round 11, r10 verdict next-round
+    #7): ``orders`` is committed as a txlog-backed ``source_meta`` with
+    mk_hash bloom words + ev_count range stats
+    (``set_stats_columns(..., bloom=...)``), the lake records the
+    handle, and :class:`plans.queries.HasHash` routes its IN-list
+    through :meth:`TxTable.skip_read` — the entry asserts the prune
+    ENGAGED (files_read < files_total), i.e. the btree-replacement path
+    runs end to end, before the oracle hash-match against plain SQL.
+    The reference answers the same query via the clustered mk_hash
+    btree (readonly_schema.py:635-637)."""
+    from indra_db_spark.operators.sampling import _barrier_dir
+    from indra_db_spark.plans.lake import CORE_TABLES, ReadonlyLake
+    from indra_db_spark.plans.queries import HasHash
+    from indra_db_spark.plans.txlog import TxTable
+
+    sm = T(spark, sf, "orders").select(
+        F.col("o_orderkey").alias("mk_hash"),
+        F.col("o_custkey").alias("ev_count"),
+        F.col("o_totalprice").alias("belief"),
+    )
+    root = _barrier_dir(spark, "algebra_tx_", what="algebra_txlog")
+    tx = TxTable(spark, f"{root}/source_meta")
+    # bloom budget sized for the largest sweep SF: sf0.1 puts ~19k
+    # distinct hashes in each of the 8 files; 2^17 bits / k=3 keeps the
+    # per-file load ≈ 0.43 (FPR ≈ 4%), so a 5-hash probe admits ~5 files
+    tx.set_stats_columns("ev_count", bloom=("mk_hash",), bloom_m=1 << 17)
+    tx.append(sm.repartition(8))
+    lake = ReadonlyLake.from_txlog(
+        spark,
+        root,
+        extra={t: sm.limit(0) for t in CORE_TABLES if t != "source_meta"},
+    )
+    keys = [1, 7, 77, 777, 1337]
+    out = HasHash(keys).hashes(lake)
+    if lake.last_prune is None:
+        raise AssertionError("HasHash did not route through skip_read")
+    files_read, files_total = lake.last_prune
+    if not files_read < files_total:
+        raise AssertionError(
+            f"manifest bloom prune did not engage: read {files_read} of "
+            f"{files_total} files for a 5-hash point lookup"
+        )
+    return out.select("mk_hash", "ev_count", "belief")
+
+
+@register(
+    "stream_matview_rollup",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT)
+             AS sum_vm
+    FROM (SELECT event_type, value FROM events
+          WHERE value IS NOT NULL AND event_id IS NOT NULL
+            AND event_id % 3 = 0)
+    GROUP BY event_type
+    """,
+)
+def stream_matview_rollup(spark, sf):
+    """The streaming exactly-once protocol under the hard oracle gate
+    (round 11, r10 verdict next-round #6): a REAL Structured Streaming
+    query (parquet source, maxFilesPerTrigger=1, availableNow) drives
+    :func:`streaming.ingest.maintain_rollup_stream` — per micro-batch,
+    ``append_batch`` lands the rows in a fact TxTable and ``merge_batch``
+    folds :func:`plans.ivm.incremental_agg`'s recomputed groups into a
+    view TxTable, both idempotent via the per-writer batch-id watermark
+    the manifests carry.  The stream is then REPLAYED from a fresh
+    checkpoint under the same writer id: every batch must be recognized
+    and skipped — the view table's version may not move — before the
+    maintained view is returned for the hash match against the oracle's
+    monolithic GROUP BY.  Fails if the watermark protocol duplicates a
+    batch, if the IVM fold diverges from the rebuild, or if the replayed
+    stream commits anything.  Values fold in integer micros so both
+    engines agree bit-for-bit."""
+    from indra_db_spark.operators.sampling import _barrier_dir
+    from indra_db_spark.plans.txlog import TxTable
+    from indra_db_spark.streaming.ingest import maintain_rollup_stream
+
+    src = (
+        T(spark, sf, "events")
+        .filter(
+            F.col("value").isNotNull()
+            & F.col("event_id").isNotNull()
+            & (F.col("event_id") % 3 == 0)
+        )
+        .select(
+            "event_type",
+            F.floor(F.col("value") * 1_000_000).cast("bigint").alias("vm"),
+        )
+    )
+    root = _barrier_dir(spark, "stream_mv_", what="stream_matview_rollup")
+    in_dir = f"{root}/in"
+    src.repartition(3).write.parquet(in_dir)  # 3 files -> 3 micro-batches
+    n_src = src.count()
+
+    def _run(ckpt: str):
+        stream = (
+            spark.readStream.schema(src.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        maintain_rollup_stream(
+            stream,
+            f"{root}/fact",
+            f"{root}/view",
+            ["event_type"],
+            ["vm"],
+            checkpoint_dir=ckpt,
+            app_id="stream_mv_writer",
+        )
+
+    _run(f"{root}/ckpt1")
+    view = TxTable(spark, f"{root}/view")
+    fact = TxTable(spark, f"{root}/fact")
+    v_view, v_fact = view.snapshot()[0], fact.snapshot()[0]
+    if fact.read().count() != n_src:
+        raise AssertionError("fact table missed or duplicated batches")
+    # full replay, fresh checkpoint, SAME writer id: the manifests'
+    # watermark must skip every batch — exactly-once under replay
+    _run(f"{root}/ckpt2")
+    if (view.snapshot()[0], fact.snapshot()[0]) != (v_view, v_fact):
+        raise AssertionError(
+            "replayed stream committed: batch-id watermark failed"
+        )
+    return view.read().select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("sum_vm").cast("bigint").alias("sum_vm"),
+    )

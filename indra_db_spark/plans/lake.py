@@ -42,6 +42,13 @@ class ReadonlyLake:
         if missing:
             raise ValueError(f"readonly lake missing core tables: {missing}")
         self._tables = dict(tables)
+        # txlog handles for tables served through the log (set by
+        # from_txlog/open): lets leaf scans route through manifest-stats
+        # pruning (TxTable.skip_read) — {name: (TxTable, pinned version)}
+        self._tx: dict[str, tuple] = {}
+        # (files_read, files_total) of the last pruned scan, for tests
+        # and entries asserting the prune ENGAGED
+        self.last_prune: tuple[int, int] | None = None
 
     def __getitem__(self, name: str) -> DataFrame:
         return self._tables[name]
@@ -100,19 +107,51 @@ class ReadonlyLake:
 
     # ---- transaction-logged serving (r7 verdict #8) ----------------------
 
-    def write_txlog(self, spark: SparkSession, root: str) -> dict[str, int]:
+    #: the serving-tier skipping config :meth:`write_txlog` applies with
+    #: ``stats=True``: range stats on the algebra's primary sort/filter
+    #: key (ev_count — HasEvidenceBound, ranked pagination) and bloom
+    #: words on the point-lookup key (mk_hash — HasHash), for every table
+    #: the algebra scans by hash.  This is the lake's replacement for the
+    #: reference's btree indexes on those columns
+    #: (readonly_schema.py:635-637 clustered mk_hash index).
+    TXLOG_STATS = {
+        "source_meta": {"cols": ("ev_count",), "bloom": ("mk_hash",)},
+        "name_meta": {"cols": ("ev_count",), "bloom": ("mk_hash",)},
+        "text_meta": {"cols": ("ev_count",), "bloom": ("mk_hash",)},
+        "other_meta": {"cols": ("ev_count",), "bloom": ("mk_hash",)},
+    }
+
+    def write_txlog(
+        self,
+        spark: SparkSession,
+        root: str,
+        stats: bool | dict = False,
+    ) -> dict[str, int]:
         """Commit every lake table into a :class:`plans.txlog.TxTable` at
         ``root/<name>`` — the multi-writer layout: incremental releases
         become appends/merges instead of wholesale rebuilds, every reader
         gets snapshot isolation, and the algebra can time-travel to any
         retained release (:meth:`from_txlog`).  Returns
-        {table: committed version}."""
+        {table: committed version}.
+
+        ``stats=True`` applies :data:`TXLOG_STATS` (or pass a
+        {table: {"cols": ..., "bloom": ...}} dict) BEFORE each append, so
+        the manifests carry skipping stats from the first commit and
+        :meth:`pruned` can serve point/range leaf queries without
+        touching non-matching files."""
         from indra_db_spark.plans.txlog import TxTable
 
-        return {
-            name: TxTable(spark, fsutil.join(root, name)).append(df)
-            for name, df in self._tables.items()
-        }
+        spec = self.TXLOG_STATS if stats is True else (stats or {})
+        out = {}
+        for name, df in self._tables.items():
+            tx = TxTable(spark, fsutil.join(root, name))
+            cfg = spec.get(name)
+            if cfg:
+                tx.set_stats_columns(
+                    *cfg.get("cols", ()), bloom=tuple(cfg.get("bloom", ()))
+                )
+            out[name] = tx.append(df)
+        return out
 
     @classmethod
     def from_txlog(
@@ -136,6 +175,7 @@ class ReadonlyLake:
         from indra_db_spark.plans.txlog import LOG_DIR, TxTable
 
         tables: dict[str, DataFrame] = dict(extra or {})
+        handles: dict[str, tuple] = {}
         for name in READONLY_SCHEMAS:
             path = fsutil.join(root, name)
             if not fsutil.is_dir(spark, fsutil.join(path, LOG_DIR)):
@@ -153,8 +193,50 @@ class ReadonlyLake:
                 v = version.get(name)
             else:
                 v = version
+            if v is None:
+                # resolve "latest" ONCE: the lake's frame and any later
+                # pruned() scan must read the same snapshot even when a
+                # writer commits in between
+                v = tx.snapshot()[0]
             tables[name] = tx.read(v)
-        return cls(tables)
+            handles[name] = (tx, v)
+        lake = cls(tables)
+        lake._tx = handles
+        return lake
+
+    def pruned(
+        self,
+        name: str,
+        predicates: dict | None = None,
+        eq: dict | None = None,
+    ) -> DataFrame | None:
+        """A manifest-pruned scan of table ``name`` with the given box /
+        point predicates ALREADY applied (exactly), or None when the
+        table is not served through a transaction log — the caller then
+        falls back to filtering the plain scan.
+
+        This is the btree-replacement story end to end: the reference
+        answers HasHash/HasEvidenceBound through clustered mk_hash /
+        ev_count btrees (readonly_schema.py:635-637); a txlog-served
+        lake answers them through :meth:`TxTable.skip_read` — manifest
+        range stats + bloom words decide per FILE, driver-side, before
+        any scan task launches, honoring the lake's pinned version.
+        ``self.last_prune`` records (files_read, files_total) of the
+        most recent pruned scan so callers/tests can assert engagement.
+        Correctness never depends on the stats (unknown files are always
+        read; the residual filter is exact)."""
+        handle = self._tx.get(name)
+        if handle is None:
+            return None
+        tx, pinned = handle
+        try:
+            df, files_read, files_total = tx.skip_read(
+                predicates=predicates, eq=eq, version=pinned
+            )
+        except ValueError:
+            return None  # empty table / no boxes — plain path decides
+        self.last_prune = (files_read, files_total)
+        return df
 
     # ---- layout chooser (r7 verdict #7) ----------------------------------
 
@@ -202,6 +284,7 @@ class ReadonlyLake:
         from indra_db_spark.plans.txlog import LOG_DIR
 
         tables: dict[str, DataFrame] = dict(extra or {})
+        handles: dict[str, tuple] = {}
         pinned = version is not None or timestamp_ms is not None
         if pinned and tx_root is None:
             raise ValueError("version/timestamp pins need tx_root")
@@ -228,8 +311,12 @@ class ReadonlyLake:
                 from indra_db_spark.plans.txlog import TxTable
 
                 tx = TxTable(spark, tx_path)
-                if tx.snapshot()[0] > 0:
-                    tables[name] = tx.read()
+                v = tx.snapshot()[0]
+                if v > 0:
+                    # pin the resolved version so the frame and any later
+                    # pruned() scan share one snapshot
+                    tables[name] = tx.read(v)
+                    handles[name] = (tx, v)
                     continue
                 # zero commits = the table doesn't exist in the log yet
                 # (crashed pre-first-commit writer) — fall through to the
@@ -243,7 +330,9 @@ class ReadonlyLake:
                 tables[name] = spark.table(f"{database}.{name}")
             elif has_plain:
                 tables[name] = spark.read.parquet(plain_path)
-        return cls(tables)
+        lake = cls(tables)
+        lake._tx = handles
+        return lake
 
     def write_parquet(self, root: str, mode: str = "overwrite") -> None:
         for name, df in self._tables.items():

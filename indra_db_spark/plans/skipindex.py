@@ -288,10 +288,15 @@ def index_tx_table(
     When the manifest already CARRIES stats for every live file and
     every requested column (``TxTable.set_stats_columns`` — collected
     O(delta) at stage time), the index frame is assembled driver-side
-    from the manifest with ZERO table scan; the rescan below is the
-    fallback for pre-stats tables, for bloom columns (blooms are not
-    manifest-carried — they need the raw values), and for a column whose
-    recorded stats are all-NULL (no type to build the frame from)."""
+    from the manifest with ZERO table scan — including ``bloom_cols``
+    when the manifest packs bloom words for them
+    (``set_stats_columns(..., bloom=...)``, r10 verdict next-round #2;
+    probe the returned ``<c>_bloom`` maps with the m/k from
+    ``tx.bloom_spec()``, not the module constants).  The rescan below is
+    the fallback for pre-stats tables, for bloom columns the manifest
+    does not pack (or packs under inconsistent m/k), and for a column
+    whose recorded stats are all-NULL or type-mixed (no sound frame to
+    build)."""
     vs = tx._versions()
     if not vs:
         raise ValueError(f"{tx.root} has no committed data")
@@ -314,32 +319,80 @@ def index_tx_table(
         ).toUri()
         return f"{u.getScheme()}://{u.getAuthority() or ''}{u.getPath()}"
 
-    covered = not bloom_cols and all(
+    covered = all(
         f in stats and all(c in stats[f].get("c", {}) for c in cols)
         for f in files
     )
-    typed = covered and all(
-        any(
-            v is not None
-            for f in files
-            for v in stats[f]["c"][c]
-        )
-        for c in cols
-    )
+    bloom_meta: dict[str, tuple[int, int]] = {}
+    if covered and bloom_cols:
+        for c in bloom_cols:
+            mks = set()
+            for f in files:
+                b = stats[f].get("b", {}).get(c)
+                if b is None:
+                    mks = None
+                    break
+                mks.add((b[0], b[1]))
+            if mks is None or len(mks) != 1:
+                # not packed, or packed under shifting m/k: words from
+                # different configs cannot be probed soundly — rescan
+                covered = False
+                break
+            bloom_meta[c] = next(iter(mks))
+
+    def _col_typed(c: str) -> bool:
+        # the fast path builds the frame with createDataFrame, which
+        # merges per-column Python types — so beyond "some value exists"
+        # (None everywhere = no type to infer) the non-null values must
+        # be HOMOGENEOUS per column (bool/int/float count as one numeric
+        # family): one segment carrying a _json_safe-stringified legacy
+        # stat next to native numerics would otherwise crash the type
+        # merge instead of falling back to the rescan (r10 ADVICE #3)
+        seen_num = seen_str = seen_other = False
+        any_val = False
+        for f in files:
+            for v in stats[f]["c"][c]:
+                if v is None:
+                    continue
+                any_val = True
+                if isinstance(v, (bool, int, float)):
+                    seen_num = True
+                elif isinstance(v, str):
+                    seen_str = True
+                else:
+                    seen_other = True
+        return any_val and not seen_other and not (seen_num and seen_str)
+
+    typed = covered and all(_col_typed(c) for c in cols)
     if covered and typed:
-        names = ["file", "n_rows"] + [
-            f"{c}_{mm}" for c in cols for mm in ("min", "max")
-        ]
+        names = (
+            ["file", "n_rows"]
+            + [f"{c}_{mm}" for c in cols for mm in ("min", "max")]
+            + [f"{c}_bloom" for c in bloom_cols]
+        )
         rows = []
+        any_words = {c: False for c in bloom_cols}
         for f in files:
             st = stats[f]
+            blooms = []
+            for c in bloom_cols:
+                words = {
+                    int(w): mask for w, mask in st["b"][c][2].items()
+                }
+                any_words[c] = any_words[c] or bool(words)
+                blooms.append(words)
             rows.append(
                 tuple(
                     [_qualified(f), st["n"]]
                     + [v for c in cols for v in st["c"][c]]
+                    + blooms
                 )
             )
-        return version, tx.spark.createDataFrame(rows, names)
+        if all(any_words.values()):
+            # (a column whose every file packs an EMPTY map — an all-NULL
+            # table — leaves createDataFrame no map type to infer; the
+            # rescan fallback below handles that degenerate case)
+            return version, tx.spark.createDataFrame(rows, names)
     paths = [f"{tx.root}/data/{n}" for n in files]
     return version, build_file_index(
         tx.spark, paths, *cols, bloom_cols=bloom_cols
@@ -367,6 +420,8 @@ def skip_scan(
     index: DataFrame,
     predicates: dict[str, tuple[int, int]] | None = None,
     eq: dict[str, object] | None = None,
+    bloom_m: int | None = None,
+    bloom_k: int | None = None,
 ) -> tuple[DataFrame, int, int]:
     """Read ONLY the files the index cannot rule out — min/max range
     intersection for every ``predicates`` box, bloom membership for every
@@ -380,20 +435,37 @@ def skip_scan(
     only EXCLUDES files it can prove empty of matches (min/max is exact
     evidence, bloom misses are proof of absence; bloom hits are merely
     unpruned).
+
+    ``bloom_m``/``bloom_k`` default to the scan-built index's constants
+    (:data:`operators.sampling.BLOOM_M`/``BLOOM_K``); a manifest-built
+    index packs its words under the table's recorded budget — pass
+    ``TxTable.bloom_spec()``'s m/k or every probe hashes wrong.
     """
     from indra_db_spark.operators.sampling import BLOOM_K, BLOOM_M
 
+    bloom_m = BLOOM_M if bloom_m is None else bloom_m
+    bloom_k = BLOOM_K if bloom_k is None else bloom_k
     predicates = predicates or {}
     eq = eq or {}
     rows = index.collect()
     files = [r["file"] for r in rows]
+
+    def _rng_ok(mn, mx, lo, hi) -> bool:
+        # an all-NULL column records None min/max in BOTH index forms
+        # (scan-built and manifest-sourced); NULL never satisfies a
+        # between/eq predicate, so the file is safely PRUNED — the naive
+        # `None >= lo` comparison raised TypeError here (r10 verdict #1)
+        if mn is None or mx is None:
+            return False
+        return mx >= lo and mn <= hi
+
     keep = []
     for r in rows:
         ok = all(
-            r[f"{c}_max"] >= lo and r[f"{c}_min"] <= hi
+            _rng_ok(r[f"{c}_min"], r[f"{c}_max"], lo, hi)
             for c, (lo, hi) in predicates.items()
         ) and all(
-            _py_bloom_hit(r[f"{c}_bloom"], v, BLOOM_M, BLOOM_K)
+            _py_bloom_hit(r[f"{c}_bloom"], v, bloom_m, bloom_k)
             for c, v in eq.items()
         )
         if ok:

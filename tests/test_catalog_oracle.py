@@ -82,6 +82,11 @@ CRITICAL_IN_WINDOW = [
     # family stays checked through curation_anonymize, and json_extract
     # stays in the 3-SF sweep)
     "txlog_dv_read",
+    # round-11 rotation (r10 verdict next-round #6): the streaming
+    # exactly-once watermark protocol (foreachBatch append_batch +
+    # merge_batch IVM view, replay-skipped) displaces only_source (its
+    # null-safe ≠ stays checked by the nullsafe_compare sweep entry)
+    "stream_matview_rollup",
 ]
 
 

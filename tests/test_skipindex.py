@@ -316,3 +316,167 @@ def test_index_tx_table_from_manifest_stats(spark, tmp_path_factory):
     # a bloom request (not manifest-carried) still takes the scan path
     _, idx_bloom = index_tx_table(t, "k", bloom_cols=("k",))
     assert "k_bloom" in idx_bloom.columns
+
+
+# ---- round 11: all-NULL stats + mixed-type manifest stats ------------------
+
+
+def test_skip_scan_all_null_stats_file_pruned(spark, tmp_path_factory):
+    """A file whose stats column is entirely NULL records None min/max in
+    the index; skip_scan must PRUNE it (NULL never satisfies a
+    between/eq predicate) instead of raising TypeError on None >= int
+    (r10 verdict finding #1)."""
+    root = tmp_path_factory.mktemp("nullstats")
+    spark.createDataFrame([(1, 10), (2, 20)], "k int, v int").coalesce(
+        1
+    ).write.parquet(str(root / "a"))
+    spark.createDataFrame(
+        [(3, None), (4, None)], "k int, v int"
+    ).coalesce(1).write.parquet(str(root / "b"))
+    idx = build_file_index(
+        spark, [str(root / "a"), str(root / "b")], "v"
+    )
+    out, n_read, n_total = skip_scan(
+        spark, idx, predicates={"v": (5, 25)}
+    )
+    assert n_total == 2 and n_read == 1
+    assert {r.k for r in out.collect()} == {1, 2}
+
+
+def test_skip_scan_manifest_all_null_file_pruned(spark, tmp_path_factory):
+    """Same guard through the manifest-sourced index form: a txlog file
+    with an all-NULL stats column carries [None, None] and must be
+    pruned, not crash the driver-side filter."""
+    from indra_db_spark.plans.skipindex import index_tx_table
+    from indra_db_spark.plans.txlog import TxTable
+
+    root = str(tmp_path_factory.mktemp("txnull") / "t")
+    t = TxTable(spark, root)
+    t.set_stats_columns("v")
+    t.append(
+        spark.createDataFrame([(1, 10), (2, 20)], "k int, v int")
+        .coalesce(1)
+    )
+    t.append(
+        spark.createDataFrame([(3, None), (4, None)], "k int, v int")
+        .coalesce(1)
+    )
+    _, idx = index_tx_table(t, "v")
+    out, n_read, n_total = skip_scan(
+        spark, idx, predicates={"v": (5, 25)}
+    )
+    assert n_total == 2 and n_read == 1
+    assert {r.k for r in out.collect()} == {1, 2}
+
+
+def test_index_tx_table_mixed_type_stats_fall_back(spark, tmp_path_factory):
+    """One file carrying a _json_safe-STRINGIFIED legacy stat next to
+    native numerics must route index_tx_table to the rescan fallback
+    (createDataFrame would crash merging str with int), and the fallback
+    index still prunes correctly (r10 ADVICE #3)."""
+    from indra_db_spark.plans.skipindex import index_tx_table
+    from indra_db_spark.plans.txlog import TxTable
+
+    root = str(tmp_path_factory.mktemp("txmixed") / "t")
+    t = TxTable(spark, root)
+    t.set_stats_columns("v")
+    t.append(
+        spark.createDataFrame([(1, 10), (2, 20)], "k int, v int")
+        .coalesce(1)
+    )
+    t.append(
+        spark.createDataFrame([(3, 90), (4, 95)], "k int, v int")
+        .coalesce(1)
+    )
+    real = t._stats_of(t._read_version(t.snapshot()[0]))
+    doctored = {f: dict(st) for f, st in real.items()}
+    legacy = sorted(doctored)[0]
+    doctored[legacy] = {
+        "n": real[legacy]["n"],
+        "c": {"v": [str(real[legacy]["c"]["v"][0]),
+                    str(real[legacy]["c"]["v"][1])]},
+    }
+    t._stats_of = lambda body: doctored  # forge a legacy mixed manifest
+    _, idx = index_tx_table(t, "v")      # must not crash: rescan fallback
+    out, n_read, n_total = skip_scan(
+        spark, idx, predicates={"v": (85, 100)}
+    )
+    assert n_total == 2 and n_read == 1
+    assert {r.k for r in out.collect()} == {3, 4}
+
+
+def test_index_tx_table_manifest_blooms_zero_scan(
+    spark, tmp_path_factory, monkeypatch
+):
+    """When the manifest packs bloom words for the requested bloom_cols,
+    index_tx_table assembles the bloom index driver-side — the rescan
+    path must never run (r10 verdict next-round #2); skip_scan probes
+    with the table's recorded m/k."""
+    import indra_db_spark.plans.skipindex as si
+    from indra_db_spark.plans.txlog import TxTable
+
+    root = str(tmp_path_factory.mktemp("txbloom") / "t")
+    t = TxTable(spark, root)
+    t.set_stats_columns("k", bloom=("g",))
+    for lo in (0, 1000):
+        t.append(
+            spark.range(lo, lo + 1000)
+            .select(
+                F.col("id").alias("k"),
+                (F.col("id") / 10).cast("long").alias("g"),
+            )
+            .coalesce(1)
+        )
+    monkeypatch.setattr(
+        si,
+        "build_file_index",
+        lambda *a, **kw: pytest.fail("bloom index rescanned the table"),
+    )
+    version, idx = si.index_tx_table(t, "k", bloom_cols=("g",))
+    assert "g_bloom" in idx.columns and "k_min" in idx.columns
+    cols, m, k = t.bloom_spec()
+    assert cols == ("g",)
+    out, n_read, n_total = si.skip_scan(
+        spark, idx, eq={"g": 150}, bloom_m=m, bloom_k=k
+    )
+    assert n_total == 2 and n_read == 1
+    assert {r.k for r in out.collect()} == set(range(1500, 1510))
+    # proof of absence: a g value in neither file prunes both
+    _, n0, _ = si.skip_scan(
+        spark, idx, eq={"g": 10_000}, bloom_m=m, bloom_k=k
+    )
+    assert n0 == 0
+
+
+def test_index_tx_table_shifting_bloom_mk_falls_back(
+    spark, tmp_path_factory
+):
+    """Bloom words packed under DIFFERENT m/k across files cannot be
+    probed soundly — index_tx_table must take the rescan fallback, not
+    return a silently wrong index."""
+    import indra_db_spark.plans.skipindex as si
+    from indra_db_spark.plans.txlog import TxTable
+
+    root = str(tmp_path_factory.mktemp("txmk") / "t")
+    t = TxTable(spark, root)
+    t.set_stats_columns("k", bloom=("k",))
+    t.append(
+        spark.createDataFrame([(1,), (2,)], "k int").coalesce(1)
+    )
+    t.append(
+        spark.createDataFrame([(3,), (4,)], "k int").coalesce(1)
+    )
+    real = t._stats_of(t._read_version(t.snapshot()[0]))
+    doctored = {
+        f: {**st, "b": {"k": [st["b"]["k"][0], st["b"]["k"][1],
+                              dict(st["b"]["k"][2])]}}
+        for f, st in real.items()
+    }
+    first = sorted(doctored)[0]
+    doctored[first]["b"]["k"][0] = 4096  # legacy budget on one file
+    t._stats_of = lambda body: doctored
+    _, idx = si.index_tx_table(t, "k", bloom_cols=("k",))
+    # the fallback is the scan-built index (module BLOOM_M/K words)
+    out, n_read, n_total = si.skip_scan(spark, idx, eq={"k": 3})
+    assert n_total == 2 and n_read == 1
+    assert {r.k for r in out.collect()} == {3}

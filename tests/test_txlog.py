@@ -135,7 +135,7 @@ def test_compact_conflict_aborts_cleanly(spark, tmp_path):
     # the winning compaction's snapshot is intact; loser staged invisible
     # garbage only
     assert t.read().count() == 20
-    reclaimed = t.vacuum(keep_versions=1)
+    reclaimed = t.vacuum(keep_versions=1, min_age_ms=0)
     assert reclaimed  # the aborted rewrite's files existed and were removed
     assert t.read().count() == 20
 
@@ -146,7 +146,7 @@ def test_crashed_writer_is_invisible_and_vacuumed(spark, tmp_path):
     # a writer that staged files and died before claiming a version
     t._stage(_df(spark, 500, 600, tag="crash"))
     assert t.read().count() == 10
-    removed = t.vacuum(keep_versions=2)
+    removed = t.vacuum(keep_versions=2, min_age_ms=0)
     assert removed and t.read().count() == 10
 
 
@@ -155,7 +155,7 @@ def test_vacuum_keeps_retained_versions_readable(spark, tmp_path):
     t.append(_df(spark, 0, 10))
     t.append(_df(spark, 10, 20))
     t.compact()  # v3 rewrites; v1's files now only referenced by old log
-    t.vacuum(keep_versions=1)
+    t.vacuum(keep_versions=1, min_age_ms=0)
     assert t.read().count() == 20
     with pytest.raises(Exception):
         t.read(version=1)  # pruned log entry is gone
@@ -482,11 +482,15 @@ def test_vacuum_time_retention_keeps_as_of_reads(spark, tmp_path):
     ts1 = t._read_version(1)["ts_ms"]
     # version-count retention alone would keep only v3/v4; time retention
     # spanning the whole history must preserve every manifest + its files
-    t.vacuum(keep_versions=2, keep_since_ms=ts1)
+    t.vacuum(keep_versions=2, keep_since_ms=ts1, min_age_ms=0)
     assert t.read(1).count() == 5
     assert t.read(t.version_at(ts1)).count() == 5
     # with the horizon past the end, only the version-count floor remains
-    t.vacuum(keep_versions=2, keep_since_ms=t._read_version(4)["ts_ms"] + 1)
+    t.vacuum(
+        keep_versions=2,
+        keep_since_ms=t._read_version(4)["ts_ms"] + 1,
+        min_age_ms=0,
+    )
     assert t.read().count() == 12
     with pytest.raises(Exception):
         t.read(1)
@@ -726,7 +730,7 @@ def test_check_constraint_enforced_on_append(spark, tmp_path):
     with pytest.raises(txlog.ConstraintViolation, match="k_nonneg"):
         t.append(_df(spark, -3, 2))
     assert t.snapshot()[0] == v
-    assert t.vacuum(keep_versions=1) == []  # validated pre-stage: no garbage
+    assert t.vacuum(keep_versions=1, min_age_ms=0) == []  # validated pre-stage: no garbage
     t.append(_df(spark, 5, 8))
     assert t.read().count() == 8
     # exactly-once writers get the same gate
@@ -806,7 +810,7 @@ def test_check_constraint_race_caught_on_rebase(spark, tmp_path):
     txlog._pre_commit_hook = None
     assert t.constraints() == {"k_small": "k < 100"}
     assert {r.k for r in t.read().collect()} == {0, 1, 2}
-    assert t.vacuum(keep_versions=1)  # the aborted batch's staged files
+    assert t.vacuum(keep_versions=1, min_age_ms=0)  # the aborted batch's staged files
     assert {r.k for r in t.read().collect()} == {0, 1, 2}
 
 
@@ -918,7 +922,7 @@ def test_dv_vacuum_keeps_live_sidecars(spark, tmp_path):
     t = TxTable(spark, str(tmp_path / "t"))
     t.append(_df(spark, 0, 10))
     t.delete_where(F.col("k") < 3, mode="dv")
-    t.vacuum(keep_versions=1)
+    t.vacuum(keep_versions=1, min_age_ms=0)
     assert {r.k for r in t.read().collect()} == set(range(3, 10))
     # restore carries the dv map (and its sidecar survives retention)
     t.append(_df(spark, 50, 52))
@@ -964,7 +968,7 @@ def test_restore_refuses_vacuumed_target_and_concurrent_head(spark, tmp_path):
     t = TxTable(spark, str(tmp_path / "t"))
     t.append(_df(spark, 0, 5))
     t.compact()
-    t.vacuum(keep_versions=1)
+    t.vacuum(keep_versions=1, min_age_ms=0)
     with pytest.raises(Exception):  # pruned manifest OR vacuumed files
         t.restore(1)
     # concurrent commit inside the restore window: abort, never drop it
@@ -1184,7 +1188,7 @@ def test_logstore_crash_at_claim_leaves_table_clean(spark, tmp_path, store):
         assert t._read_version(v)["version"] == v
     assert {r.k for r in t.read().collect()} == {0, 1, 2}
     # the crashed writer's staged files are invisible garbage → vacuum
-    t.vacuum(keep_versions=1)
+    t.vacuum(keep_versions=1, min_age_ms=0)
     assert {r.k for r in t.read().collect()} == {0, 1, 2}
     # recovery: the same writer object retries fine
     assert t.append(_df(spark, 10, 13, tag="retry")) == 2
@@ -1472,7 +1476,7 @@ def test_vacuum_reclaims_unreferenced_segments(spark, tmp_path, _segmented):
     orphan = t._write_segment(["never-referenced.parquet"])
     before = _disk_segs(t)
     assert orphan in before
-    t.vacuum(keep_versions=1)
+    t.vacuum(keep_versions=1, min_age_ms=0)
     after = _disk_segs(t)
     assert orphan not in after
     assert after == set(_raw(t, 3)["segments"])      # exactly the live set
@@ -1948,3 +1952,242 @@ def test_compact_small_reuses_untouched_segments(spark, tmp_path, _segmented):
     raw_after = _raw(t, t.snapshot()[0])
     assert kept <= set(raw_after["segments"])         # untouched segs survive
     assert {r.k for r in t.read().collect()} == before
+
+
+# ---- round 11: vacuum age gate + manifest DV row counts --------------------
+
+
+def test_vacuum_age_gate_spares_inflight_files(spark, tmp_path, _segmented):
+    """Unreferenced-but-FRESH staged files and segments survive a default
+    vacuum: an in-flight commit's files are unreferenced by definition
+    until its claim wins, so ungated GC racing it would let the winning
+    manifest reference deleted segments — corrupting the log itself
+    (r10 ADVICE #2).  min_age_ms=0 restores the immediate-reclaim
+    behavior for tests / known-quiescent tables."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, 0, 8).repartition(2))
+    t.append(_df(spark, 8, 16).repartition(2))
+    orphan_seg = t._write_segment(["in-flight.parquet"])
+    staged = t._stage(_df(spark, 100, 104))  # an in-flight commit's files
+    t.vacuum(keep_versions=1)  # default horizon: everything is too fresh
+    assert orphan_seg in _disk_segs(t)
+    for n in staged:
+        assert t._fs.exists(
+            txlog._jpath(t._jvm, t.root, txlog.DATA_DIR, n)
+        )
+    assert t.read().count() == 16
+    # past the horizon the same garbage is reclaimed
+    t.vacuum(keep_versions=1, min_age_ms=0)
+    assert orphan_seg not in _disk_segs(t)
+    for n in staged:
+        assert not t._fs.exists(
+            txlog._jpath(t._jvm, t.root, txlog.DATA_DIR, n)
+        )
+    assert t.read().count() == 16
+
+
+def test_dv_rows_ride_manifest_and_gate_broadcast(spark, tmp_path):
+    """DV sidecar row counts are recorded at delete time, carried by the
+    manifest, and drive the read anti-join's broadcast gate as a
+    zero-RPC row-count decision (r10 ADVICE #1: compressed sidecar bytes
+    under-estimate the decoded hash relation 10-50x)."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, 0, 100))
+    t.delete_where(F.col("k") < 10, mode="dv")
+    t.delete_where(F.col("k") >= 95, mode="dv")
+    body = t._read_version(t.snapshot()[0])
+    sidecars = {n for lst in body["dv"].values() for n in lst}
+    assert set(body["dv_rows"]) == sidecars
+    assert sum(body["dv_rows"].values()) == 15
+    rel = sorted(sidecars)
+    # all counts known and small -> broadcast, no size RPC issued
+    assert t._dv_broadcast_ok(rel, body["dv_rows"]) is True
+    assert t._size_cache == {}
+    # counted rows past the cap -> no forced broadcast (monkeypatch-free:
+    # feed inflated counts)
+    assert (
+        t._dv_broadcast_ok(rel, {n: 10_000_000 for n in rel}) is False
+    )
+    # unknown counts fall back to CACHED sizes under the low byte ceiling
+    assert t._dv_broadcast_ok(rel, {}) is True       # tiny sidecars
+    assert set(t._size_cache) == sidecars            # sizes now cached
+    import indra_db_spark.plans.txlog as txmod
+
+    orig = txmod.DV_BROADCAST_MAX_BYTES
+    try:
+        txmod.DV_BROADCAST_MAX_BYTES = 0
+        assert t._dv_broadcast_ok(rel, {}) is False
+    finally:
+        txmod.DV_BROADCAST_MAX_BYTES = orig
+    # the read itself still answers correctly and plan-pins the broadcast
+    assert {r.k for r in t.read().collect()} == set(range(10, 95))
+    plan = t.read()._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_dv_rows_survive_restore_and_rewrites(spark, tmp_path):
+    """dv_rows stays consistent with dv across restore (re-entering
+    sidecars keep their counts) and swap commits (materialized sidecars
+    drop their entries)."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, 0, 50))
+    v_del = t.delete_where(F.col("k") < 5, mode="dv")
+    t.delete_where(F.col("k") >= 45, mode="dv")
+    t.restore(v_del)
+    body = t._read_version(t.snapshot()[0])
+    assert set(body["dv_rows"]) == {
+        n for lst in body["dv"].values() for n in lst
+    }
+    assert sum(body["dv_rows"].values()) == 5
+    t.materialize_dv(min_sidecars=1)
+    body2 = t._read_version(t.snapshot()[0])
+    assert "dv" not in body2 or not body2["dv"]
+    assert "dv_rows" not in body2 or not body2["dv_rows"]
+    assert {r.k for r in t.read().collect()} == set(range(5, 50))
+
+
+# ---- round 11: segment-level pruning stats (manifest-list aggregates) -----
+
+
+def test_skip_read_prunes_whole_segments_before_opening(
+    spark, tmp_path, _segmented
+):
+    """Segmented manifests carry per-segment pruning aggregates
+    (seg_meta); skip_read must exclude whole segments from the DRIVER
+    read path — physical segment opens scale with the segments the box
+    admits, not the table's segment count (r10 verdict next-round #1,
+    the Iceberg manifest-list shape)."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.set_stats_columns("k")
+    for i in range(6):  # 6 disjoint key ranges -> 6 full 4-file segments
+        t.append(
+            _df(spark, i * 100, i * 100 + 100).repartitionByRange(4, "k")
+        )
+    raw = _raw(t, t.snapshot()[0])
+    assert set(raw["seg_meta"]) == set(raw["segments"])
+    assert all(
+        "c" in m and "k" in m["c"] for m in raw["seg_meta"].values()
+    )
+    # a cold reader (empty segment cache) resolving a box inside ONE
+    # append's range opens exactly the segments admitting the box
+    admits = [
+        s
+        for s in raw["segments"]
+        if not (
+            raw["seg_meta"][s]["c"]["k"][1] < 250
+            or raw["seg_meta"][s]["c"]["k"][0] > 260
+        )
+    ]
+    assert len(admits) < len(raw["segments"])
+    r = TxTable(spark, str(tmp_path / "t"))
+    assert r.seg_opens == 0
+    df, files_read, files_total = r.skip_read(predicates={"k": (250, 260)})
+    assert files_total == 24 and files_read < files_total
+    assert r.seg_opens == len(admits)
+    assert {x.k for x in df.collect()} == set(range(250, 261))
+    # a box outside every segment opens ONE segment (schema carrier)
+    r2 = TxTable(spark, str(tmp_path / "t"))
+    empty, _, _ = r2.skip_read(predicates={"k": (10_000, 10_010)})
+    assert r2.seg_opens == 1 and empty.count() == 0
+
+
+def test_seg_meta_survives_reuse_and_removes(spark, tmp_path, _segmented):
+    """Reused segments carry their aggregates forward from the rebase
+    base (no re-read needed); a remove that breaks a segment repacks the
+    survivors with fresh aggregates — seg_meta always covers exactly the
+    referenced segments."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.set_stats_columns("k")
+    t.append(_df(spark, 0, 100).repartitionByRange(4, "k"))
+    t.append(_df(spark, 100, 200).repartitionByRange(4, "k"))
+    t.delete_where(F.col("k") >= 150)  # breaks only the second segment(s)
+    raw = _raw(t, t.snapshot()[0])
+    assert set(raw["seg_meta"]) == set(raw["segments"])
+    r = TxTable(spark, str(tmp_path / "t"))
+    df, files_read, files_total = r.skip_read(predicates={"k": (10, 20)})
+    assert files_read < files_total
+    assert {x.k for x in df.collect()} == set(range(10, 21))
+
+
+# ---- round 11: manifest-carried bloom bitmaps ------------------------------
+
+
+def test_manifest_blooms_prove_absence(spark, tmp_path):
+    """set_stats_columns(..., bloom=...) packs per-file bloom words into
+    the manifest stats at stage time; skip_read's eq probes then prove
+    absence per file with ZERO table scans (r10 verdict next-round #2).
+    A miss prunes, an absent value prunes everything but the schema
+    carrier, and the residual filter keeps hits exact."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.set_stats_columns("k", bloom=("src",))
+    for i, tag in enumerate(("a", "b", "c")):
+        t.append(_df(spark, i * 10, i * 10 + 10, tag=tag).coalesce(1))
+    body = t._read_version(t.snapshot()[0])
+    assert body["bloom_cols"] == ["src"]
+    stats = t._stats_of(body)
+    assert len(stats) == 3
+    for st in stats.values():
+        m, k, words = st["b"]["src"]
+        assert m == 8192 and k == 3 and words
+    df, files_read, files_total = t.skip_read(eq={"src": "b"})
+    assert files_total == 3 and files_read == 1
+    assert {r.k for r in df.collect()} == set(range(10, 20))
+    df2, fr2, _ = t.skip_read(eq={"src": "zzz"})
+    assert fr2 == 1 and df2.count() == 0  # schema carrier only
+
+
+def test_manifest_bloom_int_probe_through_dvs(spark, tmp_path):
+    """Int bloom columns probe via the same CAST-AS-STRING preimage, and
+    skip_read's survivors still read THROUGH their deletion vectors —
+    a bloom hit must never resurrect a deleted row."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.set_stats_columns(bloom=("k",))
+    t.append(_df(spark, 0, 50).repartition(2))
+    t.append(_df(spark, 50, 100).repartition(2))
+    t.delete_where(F.col("k") == 7, mode="dv")
+    df, fr, ft = t.skip_read(eq={"k": 7})
+    assert ft == 4 and fr < ft          # bloom admits only k=7's file(s)
+    assert df.count() == 0              # ... but the DV masks the row
+    df2, fr2, _ = t.skip_read(eq={"k": 93})
+    assert fr2 < ft
+    assert [r.k for r in df2.collect()] == [93]
+
+
+def test_losing_claims_reuse_segments_across_retries(
+    spark, tmp_path, _segmented
+):
+    """A contended commit re-plans per retry, but when the re-plan packs
+    the identical leftover (the append-race case), the segments written
+    by the LOSING attempt are referenced again instead of re-minted —
+    orphaned segments per contended commit are O(1), not O(retries)
+    (r10 verdict finding #3)."""
+    root = str(tmp_path / "t")
+    t = TxTable(spark, root)
+    t.append(_df(spark, 0, 40).repartition(4))
+    state = {"left": 3, "busy": False}
+
+    def racer():
+        if state["busy"] or state["left"] <= 0:
+            return
+        state["busy"] = True
+        state["left"] -= 1
+        try:
+            TxTable(spark, root).append(
+                _df(spark, 1000 + state["left"] * 40,
+                    1040 + state["left"] * 40).repartition(4)
+            )
+        finally:
+            state["busy"] = False
+
+    txlog._pre_claim_hook = racer
+    try:
+        t.append(_df(spark, 100, 140).repartition(4))
+    finally:
+        txlog._pre_claim_hook = None
+    assert state["left"] == 0          # the commit really lost 3 races
+    assert t.read().count() == 200     # everyone's rows landed
+    referenced = set()
+    for v in t._versions():
+        referenced |= set(_raw(t, v).get("segments", ()))
+    orphans = _disk_segs(t) - referenced
+    assert len(orphans) == 0           # reuse: no per-retry garbage

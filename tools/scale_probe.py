@@ -751,6 +751,86 @@ def _dv_probe(
     return out
 
 
+def _maintain_probe(spark, events, windows: int = 3) -> dict[str, float]:
+    """maintain() churn-proportionality (r10 verdict next-round #4): the
+    claim "cost ∝ churn, never the table" was argued from construction
+    (threshold-targeted DV rewrites + small-file-only bin-packing +
+    single listing RPC); this measures it.  The table's BASE is the
+    factor-scaled event log; each maintenance window then lands a
+    FIXED-SIZE churn (20 small appended files + 8 crafted DV sidecars on
+    each) and times ONE ``maintain()`` pass.  Flat per-window wall time
+    across factors (log-log slope ≈ 0 while the base grows 1000×) is the
+    evidence; the only table-proportional term left is compact_small's
+    single data-dir listing, which is one RPC over O(files), not a scan.
+
+    Churn is crafted the way _dv_probe crafts sidecar states — through
+    the manifest, never via delete_where table scans — so the timer sees
+    the MAINTENANCE path, not a writer's predicate scan."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from indra_db_spark.plans.txlog import TxTable
+
+    root = tempfile.mkdtemp(prefix="txlog_maint_probe_")
+    times: list[float] = []
+    try:
+        tx = TxTable(spark, root)
+        tx.append(events.select("event_id", "user_id", "event_type", "value"))
+        churn_base = (
+            events.select("event_id", "user_id", "event_type", "value")
+            .limit(20_000)
+            .localCheckpoint(eager=True)
+        )
+        for w in range(windows):
+            before = set(tx.snapshot()[1])
+            batch = churn_base.select(
+                (
+                    F.col("event_id") + F.lit(10_000_000_000 + w * 100_000_000)
+                ).alias("event_id"),
+                "user_id",
+                "event_type",
+                "value",
+            )
+            tx.append(batch.repartition(20))           # untimed: the churn
+            cur, cur_files, txns, sch, cons, dv = tx._snapshot_full()
+            fresh = sorted(set(cur_files) - before)
+            matched = (
+                tx._read_files(fresh, sch)
+                .select(
+                    F.col("_metadata.file_name").alias("file"),
+                    F.col("_metadata.row_index").alias("pos"),
+                )
+                .filter(F.col("pos") % 50 == 0)
+            )
+            dv_names = tx._stage(matched, n_files=8)   # 8 sidecars/file
+            dvmap = {**{f: list(lst) for f, lst in dv.items()},
+                     **{f: list(dv_names) for f in fresh}}
+            ok = tx._try_claim(
+                cur + 1, cur_files, "dv_delete", txns, sch, cons, dvmap
+            )
+            assert ok, "maintain probe claim lost (single writer)"
+            t0 = time.monotonic()
+            done = tx.maintain(
+                dv_sidecar_threshold=8, max_file_mb=16, small_min_files=16
+            )
+            times.append(time.monotonic() - t0)
+            assert "materialize_dv" in done and "compact_small" in done, (
+                f"window {w}: maintain ran {sorted(done)} — the crafted "
+                "churn must trigger BOTH policies or the probe times a no-op"
+            )
+            print(
+                f"probe txlog_maintain w={w}: {round(times[-1], 3)}",
+                file=sys.stderr,
+                flush=True,
+            )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    times.sort()
+    return {"txlog_maintain": round(times[len(times) // 2], 3)}
+
+
 def main() -> None:
     factors = [int(a) for a in sys.argv[1:]] or [1, 10, 100]
     # the 100x closure holds ~40M (child, anc) pairs in retained checkpoint
@@ -783,7 +863,7 @@ def main() -> None:
         "gapfill", "scd2", "pit_join", "rolling", "cooccur", "ab_daily",
         "feature_scale", "winsorized", "attribution_model", "skew_report",
     }
-    TX_OPS = {"txlog_dv"}
+    TX_OPS = {"txlog_dv", "txlog_maintain"}
 
     results: dict[str, dict[str, float]] = {}
     errors: dict[str, str] = {}
@@ -798,6 +878,7 @@ def main() -> None:
     # the DV read-amplification rows live outside _ops; keep them from
     # being treated as retired by the merge
     all_names.update(f"txlog_dv_s{s}" for s in DV_SIDECAR_COUNTS)
+    all_names.add("txlog_maintain")
     for factor in factors:
         docs = emb = events = edges = emb_prod = None
         index = centers = None
@@ -889,7 +970,7 @@ def main() -> None:
             )
         for frame in persisted:
             frame.unpersist()
-        if _needs(TX_OPS):
+        if _needs({"txlog_dv"}):
             # same one-op-must-not-void-the-run rule as the _ops loop
             try:
                 timings.update(_dv_probe(spark, events))
@@ -897,6 +978,15 @@ def main() -> None:
                 msg = str(e).splitlines()[0][:200] if str(e) else type(e).__name__
                 errors[f"txlog_dv@x{factor}"] = msg
                 print(f"ERROR txlog_dv@x{factor}: {msg}", file=sys.stderr)
+        if _needs({"txlog_maintain"}):
+            try:
+                timings.update(_maintain_probe(spark, events))
+            except Exception as e:  # noqa: BLE001
+                msg = str(e).splitlines()[0][:200] if str(e) else type(e).__name__
+                errors[f"txlog_maintain@x{factor}"] = msg
+                print(
+                    f"ERROR txlog_maintain@x{factor}: {msg}", file=sys.stderr
+                )
         results[str(factor)] = timings
 
     # partial runs (SPARK_GRAFT_PROBE_OPS) merge into the existing probe
