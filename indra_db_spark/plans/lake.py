@@ -109,16 +109,18 @@ class ReadonlyLake:
 
     #: the serving-tier skipping config :meth:`write_txlog` applies with
     #: ``stats=True``: range stats on the algebra's primary sort/filter
-    #: key (ev_count — HasEvidenceBound, ranked pagination) and bloom
-    #: words on the point-lookup key (mk_hash — HasHash), for every table
-    #: the algebra scans by hash.  This is the lake's replacement for the
-    #: reference's btree indexes on those columns
-    #: (readonly_schema.py:635-637 clustered mk_hash index).
+    #: key (ev_count — HasEvidenceBound, ranked pagination), bloom words
+    #: on source_meta's point-lookup key (mk_hash — HasHash), and bloom
+    #: words on the agent tables' lookup key (db_id — HasAgent's exact
+    #: id match, the single most common query the reference serves).
+    #: This is the lake's replacement for the reference's btree indexes
+    #: on those columns (readonly_schema.py:635-637 clustered mk_hash
+    #: index; mixins.py agent-id btrees).
     TXLOG_STATS = {
         "source_meta": {"cols": ("ev_count",), "bloom": ("mk_hash",)},
-        "name_meta": {"cols": ("ev_count",), "bloom": ("mk_hash",)},
-        "text_meta": {"cols": ("ev_count",), "bloom": ("mk_hash",)},
-        "other_meta": {"cols": ("ev_count",), "bloom": ("mk_hash",)},
+        "name_meta": {"cols": ("ev_count",), "bloom": ("db_id",)},
+        "text_meta": {"cols": ("ev_count",), "bloom": ("db_id",)},
+        "other_meta": {"cols": ("ev_count",), "bloom": ("db_id",)},
     }
 
     def write_txlog(

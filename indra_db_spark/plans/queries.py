@@ -443,11 +443,16 @@ class HasEvidenceBound(_IntrusiveQuery):
             [_BOUND_OPS[op](F.col("ev_count"), v) for op, v in self.evidence_bounds]
         )
 
+    #: bound operators an AND-interval can represent EXACTLY; '!=' (a
+    #: supported bound, _parse_bound above) punches a hole in the
+    #: interval, so any query containing one takes the plain path
+    _BOXABLE = frozenset({"==", ">", ">=", "<", "<="})
+
     def _box(self) -> tuple[int | None, int | None]:
         """The AND of integer bounds as ONE closed interval [lo, hi]
         (open bounds shift by 1 — ev_count is integral), so the interval
         residual is EXACTLY the original predicate and manifest range
-        stats can prune on it."""
+        stats can prune on it.  Callers must pre-check :data:`_BOXABLE`."""
         lo: int | None = None
         hi: int | None = None
         for op, v in self.evidence_bounds:
@@ -469,9 +474,13 @@ class HasEvidenceBound(_IntrusiveQuery):
         a txlog-served source_meta (round 11, r10 verdict next-round
         #7) — the ev_count per-file/per-segment ranges stand in for the
         reference's ev_count btree.  Inversion negates an interval into
-        a union of rays, which inclusion stats cannot prune — plain
-        path."""
-        if not self.inverted and self.evidence_bounds:
+        a union of rays, and a '!=' bound punches a hole in it — neither
+        is an interval, so both take the plain path."""
+        if (
+            not self.inverted
+            and self.evidence_bounds
+            and all(op in self._BOXABLE for op, _ in self.evidence_bounds)
+        ):
             pruned = lake.pruned(
                 "source_meta", predicates={"ev_count": self._box()}
             )
@@ -530,16 +539,29 @@ class HasAgent(Query):
                 ns, agent_id = grounded[0], grounded[1]
         if ns == "NAME" or ns == "AUTO":
             # ungrounded AUTO falls back to a NAME match
-            df = lake["name_meta"]
+            table, df = "name_meta", lake["name_meta"]
         elif ns == "TEXT":
-            df = lake["text_meta"]
+            table, df = "text_meta", lake["text_meta"]
         else:
-            df = lake["other_meta"].filter(F.col("db_name") == ns)
+            table, df = "other_meta", lake["other_meta"]
         rid = regularize_agent_id(agent_id, ns)
         if "%" in rid or "_" in rid:
             df = df.filter(F.col("db_id").like(rid))
         else:
-            df = df.filter(F.col("db_id") == rid)
+            # exact-id lookup — the single most common serving query:
+            # on a txlog-served lake, route through the manifest's db_id
+            # bloom words (round 11; the reference's agent-id btrees,
+            # mixins.py) so only the files that could hold the id are
+            # opened.  The pruned frame arrives with db_id == rid
+            # already applied; LIKE patterns cannot prune by inclusion.
+            pruned = lake.pruned(table, eq={"db_id": rid})
+            df = (
+                pruned
+                if pruned is not None
+                else df.filter(F.col("db_id") == rid)
+            )
+        if ns not in ("NAME", "AUTO", "TEXT"):
+            df = df.filter(F.col("db_name") == ns)
         if self.role is not None:
             df = df.filter(F.col("role_num") == ROLE_NUMS[self.role])
         if self.agent_num is not None:

@@ -188,6 +188,8 @@ def build_file_index(
     path: str | list[str],
     *cols: str,
     bloom_cols: tuple[str, ...] = (),
+    bloom_m: int | None = None,
+    bloom_k: int | None = None,
 ) -> DataFrame:
     """File-level statistics manifest: (file, n_rows, <c>_min, <c>_max per
     column, plus a packed per-file Bloom bitmap per ``bloom_cols`` entry)
@@ -210,6 +212,11 @@ def build_file_index(
         _bloom_pos_sql,
     )
 
+    # bloom budget defaults to the module constants; index_tx_table's
+    # rescan fallback passes the TABLE's recorded m/k instead, so a
+    # caller probing with tx.bloom_spec() is right on EVERY path
+    bloom_m = BLOOM_M if bloom_m is None else bloom_m
+    bloom_k = BLOOM_K if bloom_k is None else bloom_k
     data = spark.read.parquet(*path) if isinstance(path, list) else (
         spark.read.parquet(path)
     )
@@ -222,9 +229,9 @@ def build_file_index(
             F.array(
                 *[
                     F.expr(
-                        _bloom_pos_sql(i, BLOOM_M, f"CAST({c} AS STRING)")
+                        _bloom_pos_sql(i, bloom_m, f"CAST({c} AS STRING)")
                     )
-                    for i in range(BLOOM_K)
+                    for i in range(bloom_k)
                 ]
             )
         ).alias("p")
@@ -256,6 +263,8 @@ def extend_file_index(
     new_files: list[str],
     *cols: str,
     bloom_cols: tuple[str, ...] = (),
+    bloom_m: int | None = None,
+    bloom_k: int | None = None,
 ) -> DataFrame:
     """Incremental index maintenance: stats for ``new_files`` only,
     unioned onto the existing index — per-file rows are independent, so
@@ -267,7 +276,10 @@ def extend_file_index(
     if not new_files:
         return index
     return index.unionByName(
-        build_file_index(spark, new_files, *cols, bloom_cols=bloom_cols)
+        build_file_index(
+            spark, new_files, *cols, bloom_cols=bloom_cols,
+            bloom_m=bloom_m, bloom_k=bloom_k,
+        )
     )
 
 
@@ -323,22 +335,25 @@ def index_tx_table(
         f in stats and all(c in stats[f].get("c", {}) for c in cols)
         for f in files
     )
-    bloom_meta: dict[str, tuple[int, int]] = {}
+    spec = tx.bloom_spec() if bloom_cols else None
     if covered and bloom_cols:
-        for c in bloom_cols:
-            mks = set()
-            for f in files:
-                b = stats[f].get("b", {}).get(c)
-                if b is None:
-                    mks = None
+        # the caller's probe contract is "hash with tx.bloom_spec()'s
+        # m/k", so the fast path must hand back words packed under
+        # EXACTLY that — a file predating the config, or words packed
+        # under an older budget (set_stats_columns re-run with a new
+        # bloom_m), routes to the rescan, which re-packs under the spec
+        if spec is None:
+            covered = False
+        else:
+            want = (spec[1], spec[2])
+            for c in bloom_cols:
+                if not all(
+                    (b := stats[f].get("b", {}).get(c)) is not None
+                    and (b[0], b[1]) == want
+                    for f in files
+                ):
+                    covered = False
                     break
-                mks.add((b[0], b[1]))
-            if mks is None or len(mks) != 1:
-                # not packed, or packed under shifting m/k: words from
-                # different configs cannot be probed soundly — rescan
-                covered = False
-                break
-            bloom_meta[c] = next(iter(mks))
 
     def _col_typed(c: str) -> bool:
         # the fast path builds the frame with createDataFrame, which
@@ -395,7 +410,11 @@ def index_tx_table(
             return version, tx.spark.createDataFrame(rows, names)
     paths = [f"{tx.root}/data/{n}" for n in files]
     return version, build_file_index(
-        tx.spark, paths, *cols, bloom_cols=bloom_cols
+        tx.spark, paths, *cols, bloom_cols=bloom_cols,
+        # keep the probe contract uniform: with a recorded spec, even the
+        # rescan packs under the table's m/k (else the module constants)
+        bloom_m=spec[1] if spec else None,
+        bloom_k=spec[2] if spec else None,
     )
 
 

@@ -388,6 +388,16 @@ def _json_safe(v):
     return v if isinstance(v, (int, float, str, bool)) or v is None else str(v)
 
 
+def _cache_put(cache: dict, key, value, cap: int = 4096) -> None:
+    """Bounded cache insert: full clear at ``cap`` — crude but correct,
+    since every cached source here is immutable (uuid-named segments,
+    data-file sizes) and re-reads transparently after a clear.  One
+    place to change if the eviction policy ever needs to be smarter."""
+    if len(cache) >= cap:
+        cache.clear()
+    cache[key] = value
+
+
 def _jpath(jvm, *parts):
     p = jvm.org.apache.hadoop.fs.Path(parts[0])
     for more in parts[1:]:
@@ -508,11 +518,8 @@ class TxTable:
             entry = (tuple(raw["files"]), raw.get("stats") or {})
         else:
             entry = (tuple(raw), {})
-        if len(self._seg_cache) >= 4096:
-            # crude bound (~4096 × target-files × ~50 B names ≈ 200 MB
-            # worst case); segments re-read transparently after a clear
-            self._seg_cache.clear()
-        self._seg_cache[name] = entry
+        # bound ~4096 × target-files × ~50 B names ≈ 200 MB worst case
+        _cache_put(self._seg_cache, name, entry)
         return entry
 
     def _read_segment(self, name: str) -> tuple[str, ...]:
@@ -664,9 +671,7 @@ class TxTable:
                 if m is None:
                     members, seg_stats = self._read_segment_full(s)
                     m = self._segment_meta(members, seg_stats)
-                    if len(self._seg_meta_cache) >= 4096:
-                        self._seg_meta_cache.clear()
-                    self._seg_meta_cache[s] = m
+                    _cache_put(self._seg_meta_cache, s, m)
                 seg_meta[s] = m
             body["seg_meta"] = seg_meta
         if txns:
@@ -769,15 +774,14 @@ class TxTable:
             out.write(bytearray(json.dumps(payload).encode("utf-8")))
         finally:
             out.close()
-        if len(self._seg_cache) >= 4096:
-            # same bound as _read_segment_full: a per-trigger streaming
-            # writer mints one segment per commit for weeks — the write
-            # path must not grow the cache past what the read path allows
-            self._seg_cache.clear()
-        self._seg_cache[name] = (tuple(members), seg_stats)
-        if len(self._seg_meta_cache) >= 4096:
-            self._seg_meta_cache.clear()
-        self._seg_meta_cache[name] = self._segment_meta(members, seg_stats)
+        # same bound as _read_segment_full: a per-trigger streaming
+        # writer mints one segment per commit for weeks — the write path
+        # must not grow the caches past what the read path allows
+        _cache_put(self._seg_cache, name, (tuple(members), seg_stats))
+        _cache_put(
+            self._seg_meta_cache, name,
+            self._segment_meta(members, seg_stats),
+        )
         return name
 
     def _plan_segments(
@@ -1032,9 +1036,7 @@ class TxTable:
             hit = self._fs.getFileStatus(
                 _jpath(self._jvm, self.root, DATA_DIR, name)
             ).getLen()
-            if len(self._size_cache) >= 65536:
-                self._size_cache.clear()
-            self._size_cache[name] = hit
+            _cache_put(self._size_cache, name, hit, cap=65536)
         return hit
 
     def _read_files_dv(
@@ -1797,6 +1799,36 @@ class TxTable:
                 files = list(members)
                 stats.update(seg_stats)
 
+        import hashlib
+
+        # bloom probe positions depend only on (value, m, k) — NEVER the
+        # file — so they are memoized across the file loop: the flagship
+        # path (a 1000-hash IN list over a 100k-file table) costs
+        # O(values × k) md5 digests, not O(files × values × k).  The
+        # preimage/position math mirrors _bloom_pos_sql /
+        # skipindex._py_bloom_hit bit for bit; word keys stay the JSON
+        # strings the manifest stores (no per-file dict rebuild).
+        pos_memo: dict[tuple, list] = {}
+
+        def _positions(m: int, k: int, v) -> list:
+            key = (m, k, v)
+            hit = pos_memo.get(key)
+            if hit is None:
+                hit = []
+                for i in range(k):
+                    p = (
+                        int(
+                            hashlib.md5(
+                                f"b{i}:{v}".encode()
+                            ).hexdigest()[:15],
+                            16,
+                        )
+                        % m
+                    )
+                    hit.append((str(p // 64), 1 << (p % 64)))
+                pos_memo[key] = hit
+            return hit
+
         def _maybe(f: str) -> bool:
             st = stats.get(f)
             if not st:
@@ -1807,12 +1839,14 @@ class TxTable:
                 b = st.get("b", {}).get(c)
                 if b is None:
                     continue  # no filter recorded → unpruned, never wrong
-                from indra_db_spark.plans.skipindex import _py_bloom_hit
-
                 m, k, words = b[0], b[1], b[2]
-                bm = {int(w): mask for w, mask in words.items()}
                 if not any(
-                    v is None or _py_bloom_hit(bm, v, m, k) for v in vals
+                    v is None
+                    or all(
+                        words.get(w, 0) & bit
+                        for w, bit in _positions(m, k, v)
+                    )
+                    for v in vals
                 ):
                     return False  # bloom misses are PROOF of absence
             return True

@@ -611,6 +611,11 @@ def test_algebra_leaf_scans_prune_through_manifest_stats(spark, tmp_path):
     tables["source_meta"] = tables["source_meta"].repartitionByRange(
         6, "ev_count"
     )
+    # cluster the agent table by its lookup key (at scale: the bucketed /
+    # z-ordered maintenance layout) so a given id lives in few files —
+    # blooms prune by INCLUSION, so a key smeared across every file is
+    # correctly unprunable
+    tables["name_meta"] = tables["name_meta"].repartition(4, "db_id")
     root = str(tmp_path / "txskip")
     ReadonlyLake(tables).write_txlog(spark, root, stats=True)
     lake = ReadonlyLake.from_txlog(spark, root)
@@ -648,3 +653,28 @@ def test_algebra_leaf_scans_prune_through_manifest_stats(spark, tmp_path):
     want_i = {r.mk_hash for r in get_hashes(qinv, mem_lake).collect()}
     got_i = {r.mk_hash for r in get_hashes(qinv, lake).collect()}
     assert got_i == want_i and lake.last_prune is None
+
+    # '!=' is a supported bound that punches a HOLE in the interval —
+    # it must take the plain path (same answer), never reach _box()
+    # (round-11 review: the op-dispatch there would KeyError)
+    qne = HasEvidenceBound([">= 1", "!= 2"])
+    lake.last_prune = None
+    want_ne = {r.mk_hash for r in get_hashes(qne, mem_lake).collect()}
+    got_ne = {r.mk_hash for r in get_hashes(qne, lake).collect()}
+    assert got_ne == want_ne and lake.last_prune is None
+
+    # HasAgent's exact-id lookup routes through name_meta's db_id bloom
+    # words (the reference's agent-id btree shape)
+    qa = HasAgent("MEK")
+    want_a = {r.mk_hash for r in get_hashes(qa, mem_lake).collect()}
+    lake.last_prune = None
+    got_a = {r.mk_hash for r in get_hashes(qa, lake).collect()}
+    assert got_a == want_a and got_a
+    fr, ft = lake.last_prune
+    assert fr < ft, (fr, ft)
+    # LIKE patterns cannot prune by inclusion — plain path, same answer
+    qlike = HasAgent("ME%")
+    lake.last_prune = None
+    want_l = {r.mk_hash for r in get_hashes(qlike, mem_lake).collect()}
+    got_l = {r.mk_hash for r in get_hashes(qlike, lake).collect()}
+    assert got_l == want_l and lake.last_prune is None

@@ -476,7 +476,12 @@ def test_index_tx_table_shifting_bloom_mk_falls_back(
     doctored[first]["b"]["k"][0] = 4096  # legacy budget on one file
     t._stats_of = lambda body: doctored
     _, idx = si.index_tx_table(t, "k", bloom_cols=("k",))
-    # the fallback is the scan-built index (module BLOOM_M/K words)
-    out, n_read, n_total = si.skip_scan(spark, idx, eq={"k": 3})
+    # the fallback re-packs by rescan UNDER THE TABLE'S RECORDED m/k, so
+    # the probe contract ("hash with tx.bloom_spec()") holds on every
+    # path — including this one
+    _, m, k = t.bloom_spec()
+    out, n_read, n_total = si.skip_scan(
+        spark, idx, eq={"k": 3}, bloom_m=m, bloom_k=k
+    )
     assert n_total == 2 and n_read == 1
     assert {r.k for r in out.collect()} == {3}
