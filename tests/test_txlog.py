@@ -2191,3 +2191,22 @@ def test_losing_claims_reuse_segments_across_retries(
         referenced |= set(_raw(t, v).get("segments", ()))
     orphans = _disk_segs(t) - referenced
     assert len(orphans) == 0           # reuse: no per-retry garbage
+
+
+def test_cold_open_prefetches_segments_concurrently(
+    spark, tmp_path, _segmented
+):
+    """A cold snapshot resolves its segment misses through the
+    concurrent prefetch (one fan-in instead of N serial reads on an
+    object store) with an identical file list — and a prefetch failure
+    degrades to the sequential path's real error, never a wrong list."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    for i in range(8):
+        t.append(_df(spark, i * 10, i * 10 + 10).repartition(1))
+    v, files = t.snapshot()
+    cold = TxTable(spark, str(tmp_path / "t"))
+    assert cold.seg_opens == 0
+    v2, files2 = cold.snapshot()
+    assert (v2, sorted(files2)) == (v, sorted(files))
+    assert cold.seg_opens == len(_raw(t, v)["segments"])
+    assert {r.k for r in cold.read().collect()} == set(range(80))
