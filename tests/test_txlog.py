@@ -2151,6 +2151,15 @@ def test_manifest_bloom_int_probe_through_dvs(spark, tmp_path):
     df2, fr2, _ = t.skip_read(eq={"k": 93})
     assert fr2 < ft
     assert [r.k for r in df2.collect()] == [93]
+    # a rewrite (compact) recollects blooms for its output files as a
+    # side effect — the bloom path keeps answering afterward
+    t.compact()
+    stats = t._stats_of(t._read_version(t.snapshot()[0]))
+    assert stats and all("k" in st.get("b", {}) for st in stats.values())
+    df3, _, _ = t.skip_read(eq={"k": 93})
+    assert [r.k for r in df3.collect()] == [93]
+    df4, _, _ = t.skip_read(eq={"k": 7})
+    assert df4.count() == 0  # the DV-deleted row stays deleted
 
 
 def test_losing_claims_reuse_segments_across_retries(
