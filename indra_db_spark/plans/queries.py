@@ -560,7 +560,7 @@ class HasAgent(Query):
                 if pruned is not None
                 else df.filter(F.col("db_id") == rid)
             )
-        if ns not in ("NAME", "AUTO", "TEXT"):
+        if table == "other_meta":
             df = df.filter(F.col("db_name") == ns)
         if self.role is not None:
             df = df.filter(F.col("role_num") == ROLE_NUMS[self.role])

@@ -205,6 +205,12 @@ def build_file_index(
     index is then tiny (one row per file) and lives broadcast-side
     forever.  Rebuild per compaction/txlog commit, or incrementally for
     appended files only.
+
+    Each bloom column rides with SELF-DESCRIBING budget columns
+    (``<c>_bloom_m``/``<c>_bloom_k``): :func:`skip_scan` probes every
+    row under the m/k its words were actually packed with, so indexes
+    built under different budgets (an :func:`extend_file_index` union, a
+    re-configured table) compose without any caller threading m/k.
     """
     from indra_db_spark.operators.sampling import (
         BLOOM_K,
@@ -237,6 +243,10 @@ def build_file_index(
         ).alias("p")
         bloom = (
             data.select(F.input_file_name().alias("file"), pos)
+            # NULL column values hash to NULL positions — drop them (a
+            # NULL never matches an eq probe) rather than crash
+            # map_from_entries on a null key
+            .where(F.col("p").isNotNull())
             .select(
                 "file",
                 F.expr("CAST(p div 64 AS INT)").alias("w"),
@@ -253,7 +263,17 @@ def build_file_index(
                 ).alias(f"{c}_bloom")
             )
         )
-        idx = idx.join(bloom, "file")
+        # LEFT join: a file whose bloom column is entirely NULL has no
+        # words, but it still holds rows — an inner join would drop it
+        # from the index and silently lose it for RANGE queries on the
+        # other columns (its null map reads as always-miss for eq, which
+        # is exactly right)
+        idx = idx.join(bloom, "file", "left").withColumns(
+            {
+                f"{c}_bloom_m": F.lit(bloom_m),
+                f"{c}_bloom_k": F.lit(bloom_k),
+            }
+        )
     return idx
 
 
@@ -302,13 +322,13 @@ def index_tx_table(
     O(delta) at stage time), the index frame is assembled driver-side
     from the manifest with ZERO table scan — including ``bloom_cols``
     when the manifest packs bloom words for them
-    (``set_stats_columns(..., bloom=...)``, r10 verdict next-round #2;
-    probe the returned ``<c>_bloom`` maps with the m/k from
-    ``tx.bloom_spec()``, not the module constants).  The rescan below is
-    the fallback for pre-stats tables, for bloom columns the manifest
-    does not pack (or packs under inconsistent m/k), and for a column
-    whose recorded stats are all-NULL or type-mixed (no sound frame to
-    build)."""
+    (``set_stats_columns(..., bloom=...)``, r10 verdict next-round #2).
+    Either way the bloom columns ride with their ``<c>_bloom_m``/``_k``
+    budget columns, so :func:`skip_scan` self-configures per row.  The
+    rescan below is the fallback for pre-stats tables, for bloom columns
+    the manifest does not pack (or packs under inconsistent m/k), and
+    for a column whose recorded stats are all-NULL or type-mixed (no
+    sound frame to build)."""
     vs = tx._versions()
     if not vs:
         raise ValueError(f"{tx.root} has no committed data")
@@ -335,13 +355,21 @@ def index_tx_table(
         f in stats and all(c in stats[f].get("c", {}) for c in cols)
         for f in files
     )
-    spec = tx.bloom_spec() if bloom_cols else None
+    # the bloom config of the snapshot being indexed comes off the SAME
+    # manifest body (not tx.bloom_spec(), which re-reads the latest
+    # manifest — two extra RPCs and a race against a concurrent
+    # re-configuration commit)
+    spec = (
+        (tuple(body["bloom_cols"]), body["bloom_m"], body["bloom_k"])
+        if bloom_cols and body.get("bloom_cols")
+        else None
+    )
     if covered and bloom_cols:
-        # the caller's probe contract is "hash with tx.bloom_spec()'s
-        # m/k", so the fast path must hand back words packed under
-        # EXACTLY that — a file predating the config, or words packed
-        # under an older budget (set_stats_columns re-run with a new
-        # bloom_m), routes to the rescan, which re-packs under the spec
+        # the fast path hands back words packed under EXACTLY the
+        # snapshot's recorded m/k — a file predating the config, or
+        # words packed under an older budget (set_stats_columns re-run
+        # with a new bloom_m), routes to the rescan, which re-packs
+        # under the spec
         if spec is None:
             covered = False
         else:
@@ -383,7 +411,11 @@ def index_tx_table(
         names = (
             ["file", "n_rows"]
             + [f"{c}_{mm}" for c in cols for mm in ("min", "max")]
-            + [f"{c}_bloom" for c in bloom_cols]
+            + [
+                n
+                for c in bloom_cols
+                for n in (f"{c}_bloom", f"{c}_bloom_m", f"{c}_bloom_k")
+            ]
         )
         rows = []
         any_words = {c: False for c in bloom_cols}
@@ -395,7 +427,7 @@ def index_tx_table(
                     int(w): mask for w, mask in st["b"][c][2].items()
                 }
                 any_words[c] = any_words[c] or bool(words)
-                blooms.append(words)
+                blooms += [words, spec[1], spec[2]]
             rows.append(
                 tuple(
                     [_qualified(f), st["n"]]
@@ -418,18 +450,34 @@ def index_tx_table(
     )
 
 
-def _py_bloom_hit(bm: dict, value, m: int, k: int) -> bool:
-    """Driver-side membership test against a per-file bloom map —
-    hashlib md5 over the same ``b{i}:<string>`` preimage the SQL builder
-    uses, so bits line up engine-to-engine.  Python's infinite
-    two's-complement ``&`` handles Spark's signed-long masks with the
-    sign bit set."""
+def bloom_positions(value, m: int, k: int) -> list[tuple[int, int]]:
+    """The (word index, bit mask) positions of ``value`` in an m-bit
+    k-hash bloom — THE single Python-side implementation of
+    :func:`operators.sampling._bloom_pos_sql`'s hash mapping (md5 over
+    the ``b{i}:<string>`` preimage, first 15 hex digits, mod m).  Every
+    driver-side probe (:func:`_py_bloom_hit` here,
+    ``TxTable.skip_read``'s memoized probe) builds on this one function
+    so the bit math cannot silently fork."""
     import hashlib
 
+    out = []
     for i in range(k):
-        pre = f"b{i}:{value}".encode()
-        p = int(hashlib.md5(pre).hexdigest()[:15], 16) % m
-        if not (bm or {}).get(p // 64, 0) & (1 << (p % 64)):
+        p = int(
+            hashlib.md5(f"b{i}:{value}".encode()).hexdigest()[:15], 16
+        ) % m
+        out.append((p // 64, 1 << (p % 64)))
+    return out
+
+
+def _py_bloom_hit(bm: dict, value, m: int, k: int) -> bool:
+    """Driver-side membership test against a per-file bloom map — same
+    preimage as the SQL builder, so bits line up engine-to-engine.
+    Python's infinite two's-complement ``&`` handles Spark's signed-long
+    masks with the sign bit set; word keys may be ints (Spark maps) or
+    strings (JSON-round-tripped manifests)."""
+    bm = bm or {}
+    for w, bit in bloom_positions(value, m, k):
+        if not (bm.get(w, bm.get(str(w), 0))) & bit:
             return False
     return True
 
@@ -455,10 +503,12 @@ def skip_scan(
     evidence, bloom misses are proof of absence; bloom hits are merely
     unpruned).
 
-    ``bloom_m``/``bloom_k`` default to the scan-built index's constants
-    (:data:`operators.sampling.BLOOM_M`/``BLOOM_K``); a manifest-built
-    index packs its words under the table's recorded budget — pass
-    ``TxTable.bloom_spec()``'s m/k or every probe hashes wrong.
+    Bloom budgets are PER ROW when the index carries its
+    ``<c>_bloom_m``/``_k`` columns (every index this module builds
+    does), so mixed-budget unions probe correctly with no caller
+    configuration; the ``bloom_m``/``bloom_k`` parameters only cover
+    legacy frames without those columns (defaulting to the scan
+    constants :data:`operators.sampling.BLOOM_M`/``BLOOM_K``).
     """
     from indra_db_spark.operators.sampling import BLOOM_K, BLOOM_M
 
@@ -466,6 +516,7 @@ def skip_scan(
     bloom_k = BLOOM_K if bloom_k is None else bloom_k
     predicates = predicates or {}
     eq = eq or {}
+    idx_cols = set(index.columns)
     rows = index.collect()
     files = [r["file"] for r in rows]
 
@@ -484,7 +535,12 @@ def skip_scan(
             _rng_ok(r[f"{c}_min"], r[f"{c}_max"], lo, hi)
             for c, (lo, hi) in predicates.items()
         ) and all(
-            _py_bloom_hit(r[f"{c}_bloom"], v, bloom_m, bloom_k)
+            _py_bloom_hit(
+                r[f"{c}_bloom"],
+                v,
+                r[f"{c}_bloom_m"] if f"{c}_bloom_m" in idx_cols else bloom_m,
+                r[f"{c}_bloom_k"] if f"{c}_bloom_k" in idx_cols else bloom_k,
+            )
             for c, v in eq.items()
         )
         if ok:

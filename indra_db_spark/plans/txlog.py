@@ -556,14 +556,24 @@ class TxTable:
     def _stats_of(self, body: dict) -> dict[str, dict]:
         """Per-file skipping stats a manifest resolves: inline
         ``"stats"`` plus every referenced segment's.  Files with no entry
-        are simply never pruned."""
+        are simply never pruned.  Cold misses resolve concurrently."""
         out = dict(body.get("stats") or {})
-        for s in body.get("segments", ()):
+        segs = body.get("segments", ())
+        misses = [s for s in segs if s not in self._seg_cache]
+        if len(misses) > 3:
+            self._prefetch_segments(misses)
+        for s in segs:
             out.update(self._read_segment_full(s)[1])
         return out
 
+    def _read_version_raw(self, v: int) -> dict:
+        """The manifest body AS WRITTEN — no segment expansion (the one
+        place the version-file name is derived from a version number).
+        For timestamp/config walks that only need body-level keys."""
+        return self._read_log_json(f"v{v:012d}.json")
+
     def _read_version(self, v: int) -> dict:
-        body = self._read_log_json(f"v{v:012d}.json")
+        body = self._read_version_raw(v)
         if "files" not in body:
             # segmented manifest: expand the segment references so every
             # consumer keeps seeing the flat list; "segments" stays on the
@@ -1678,7 +1688,7 @@ class TxTable:
         vs = self._versions()
         if not vs:
             return None
-        body = self._read_log_json(f"v{vs[-1]:012d}.json")
+        body = self._read_version_raw(vs[-1])
         if not body.get("bloom_cols"):
             return None
         return (
@@ -1742,8 +1752,8 @@ class TxTable:
         # the RAW manifest, segments unresolved: segment-level pruning
         # must run BEFORE any segment is opened or the cold read path
         # stays O(all segments) driver RPCs no matter what it prunes
-        body = self._read_log_json(
-            f"v{(version if version is not None else vs[-1]):012d}.json"
+        body = self._read_version_raw(
+            version if version is not None else vs[-1]
         )
 
         def _excludes(rng_edge, bound, flip: bool) -> bool:
@@ -1811,12 +1821,22 @@ class TxTable:
             # prune, one level above r10's per-file stats)
             seg_meta = body.get("seg_meta") or {}
             files_total = body["n_files"]
-            files = []
-            stats = {}
+            admitted = []
             for s in body["segments"]:
                 m = seg_meta.get(s)
                 if m and not _ranges_admit(m.get("c", {})):
                     continue
+                admitted.append(s)
+            # the survivors resolve CONCURRENTLY like a cold snapshot()
+            # — without this the flagship pruned read (lake.pruned →
+            # HasHash/HasAgent) would pay one serial round trip per
+            # surviving segment on an object store
+            misses = [s for s in admitted if s not in self._seg_cache]
+            if len(misses) > 3:
+                self._prefetch_segments(misses)
+            files = []
+            stats = {}
+            for s in admitted:
                 members, seg_stats = self._read_segment_full(s)
                 files.extend(members)
                 stats.update(seg_stats)
@@ -1829,33 +1849,22 @@ class TxTable:
                 files = list(members)
                 stats.update(seg_stats)
 
-        import hashlib
+        from indra_db_spark.plans.skipindex import bloom_positions
 
         # bloom probe positions depend only on (value, m, k) — NEVER the
         # file — so they are memoized across the file loop: the flagship
         # path (a 1000-hash IN list over a 100k-file table) costs
-        # O(values × k) md5 digests, not O(files × values × k).  The
-        # preimage/position math mirrors _bloom_pos_sql /
-        # skipindex._py_bloom_hit bit for bit; word keys stay the JSON
-        # strings the manifest stores (no per-file dict rebuild).
+        # O(values × k) md5 digests, not O(files × values × k).  The bit
+        # math lives in ONE place (skipindex.bloom_positions, the SQL
+        # builder's Python twin); word keys are probed as the JSON
+        # strings the manifest stores, tolerating int-keyed maps too.
         pos_memo: dict[tuple, list] = {}
 
         def _positions(m: int, k: int, v) -> list:
             key = (m, k, v)
             hit = pos_memo.get(key)
             if hit is None:
-                hit = []
-                for i in range(k):
-                    p = (
-                        int(
-                            hashlib.md5(
-                                f"b{i}:{v}".encode()
-                            ).hexdigest()[:15],
-                            16,
-                        )
-                        % m
-                    )
-                    hit.append((str(p // 64), 1 << (p % 64)))
+                hit = bloom_positions(v, m, k)
                 pos_memo[key] = hit
             return hit
 
@@ -1873,7 +1882,7 @@ class TxTable:
                 if not any(
                     v is None
                     or all(
-                        words.get(w, 0) & bit
+                        words.get(str(w), words.get(w, 0)) & bit
                         for w, bit in _positions(m, k, v)
                     )
                     for v in vals
@@ -2310,7 +2319,7 @@ class TxTable:
             # raw manifest read: resolving a timestamp must not expand
             # every version's SEGMENTS (O(versions × segments) driver
             # reads on a cold open) — ts_ms lives on the body itself
-            if self._read_log_json(f"v{v:012d}.json").get("ts_ms", 0) <= ts_ms:
+            if self._read_version_raw(v).get("ts_ms", 0) <= ts_ms:
                 best = v if best is None else max(best, v)
         if best is None:
             raise ValueError(
@@ -2584,8 +2593,7 @@ class TxTable:
                 for v in vs
                 # raw read — time retention needs only the commit stamp,
                 # never the expanded file list
-                if self._read_log_json(f"v{v:012d}.json").get("ts_ms", 0)
-                >= keep_since_ms
+                if self._read_version_raw(v).get("ts_ms", 0) >= keep_since_ms
             }
         keep = sorted(keep)
         live: set[str] = set()

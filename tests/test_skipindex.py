@@ -485,3 +485,47 @@ def test_index_tx_table_shifting_bloom_mk_falls_back(
     )
     assert n_total == 2 and n_read == 1
     assert {r.k for r in out.collect()} == {3}
+
+
+def test_bloom_index_all_null_file_kept_and_mixed_budgets(
+    spark, tmp_path_factory
+):
+    """(a) A file whose BLOOM column is entirely NULL keeps its index
+    row (left join): range queries on other columns must still see it —
+    the old inner join silently dropped the file from the index, losing
+    its rows for every skip_scan; eq probes prune it via the null map.
+    (b) Bloom budgets ride per row (<c>_bloom_m/_k), so an
+    extend_file_index under a DIFFERENT m/k still probes every row
+    under the budget its words were packed with."""
+    from indra_db_spark.plans.skipindex import extend_file_index
+
+    root = tmp_path_factory.mktemp("bloomnull")
+    spark.createDataFrame(
+        [(1, "a"), (2, "a")], "k int, g string"
+    ).coalesce(1).write.parquet(str(root / "f1"))
+    spark.createDataFrame(
+        [(3, None), (4, None)], "k int, g string"
+    ).coalesce(1).write.parquet(str(root / "f2"))
+    idx = build_file_index(
+        spark, [str(root / "f1"), str(root / "f2")], "k",
+        bloom_cols=("g",),
+    )
+    assert idx.count() == 2                       # all-NULL file kept
+    out, n_read, n_total = skip_scan(spark, idx, predicates={"k": (3, 4)})
+    assert n_total == 2 and n_read == 1
+    assert {r.k for r in out.collect()} == {3, 4}  # its rows still served
+    out2, n2, _ = skip_scan(spark, idx, eq={"g": "a"})
+    assert n2 == 1 and {r.k for r in out2.collect()} == {1, 2}
+    spark.createDataFrame(
+        [(5, "z"), (6, "z")], "k int, g string"
+    ).coalesce(1).write.parquet(str(root / "f3"))
+    idx2 = extend_file_index(
+        spark, idx, [str(root / "f3")], "k",
+        bloom_cols=("g",), bloom_m=4096, bloom_k=2,
+    )
+    out3, n3, t3 = skip_scan(spark, idx2, eq={"g": "z"})
+    assert t3 == 3 and n3 == 1
+    assert {r.k for r in out3.collect()} == {5, 6}
+    # proof of absence survives the mixed-budget union
+    _, n4, _ = skip_scan(spark, idx2, eq={"g": "absent"})
+    assert n4 == 0
