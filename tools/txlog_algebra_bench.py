@@ -85,6 +85,44 @@ def main() -> None:
         f"skip={t2:.3f}s full={tf2:.3f}s speedup={tf2 / t2:.2f}x"
     )
 
+    # round-11 probe: the exact-id point lookup (HasAgent's shape)
+    # answered straight off MANIFEST-CARRIED db_id blooms — zero index
+    # build, zero table scan — over the key-clustered layout the agent
+    # tables would be maintained in (repartition by db_id; at scale the
+    # bucketed/OPTIMIZE maintenance output).  This is the end-to-end
+    # btree replacement the algebra routes through (lake.pruned →
+    # TxTable.skip_read).
+    from pyspark.sql import functions as F
+
+    # the fixture has a handful of agent names; real name_meta ids are
+    # high-cardinality — derive one id per (name, hash bucket) so the
+    # probe models the production shape (~2000 distinct ids here)
+    nm_id = nm.withColumn(
+        "db_id",
+        F.concat(
+            F.col("db_id"), F.lit("#"),
+            (F.col("mk_hash") % 500).cast("string"),
+        ),
+    )
+    root2 = tempfile.mkdtemp(prefix="txalg_") + "/name_meta_by_id"
+    t2x = TxTable(spark, root2)
+    t2x.set_stats_columns("ev_count", bloom=("db_id",))
+    t2x.append(nm_id.repartition(n_files, "db_id"))
+    target = nm_id.groupBy("db_id").count().orderBy("count").first()[0]
+    df3, fr3, ft3 = t2x.skip_read(eq={"db_id": target})
+    n3, t3 = timed(df3)
+    full2 = t2x.read()
+    nf3, tf3 = timed(full2.filter(full2.db_id == target))
+    assert n3 == nf3, (n3, nf3)
+    print(
+        f"  db_id bloom probe: files {fr3}/{ft3} rows={n3} "
+        f"skip={t3:.3f}s full={tf3:.3f}s speedup={tf3 / t3:.2f}x"
+    )
+    # proof of absence: an id in no file reads the one schema carrier
+    df4, fr4, ft4 = t2x.skip_read(eq={"db_id": "NOSUCHAGENT:xyz"})
+    assert df4.count() == 0
+    print(f"  absent-id probe:  files {fr4}/{ft4} rows=0")
+
 
 if __name__ == "__main__":
     main()
