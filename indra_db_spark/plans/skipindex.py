@@ -164,15 +164,41 @@ def zorder_arrange(
     n_files: int = 16,
     bits: int = Z_BITS,
 ) -> tuple[DataFrame, dict[str, tuple[int, int]]]:
-    """The layout transform itself — (z-value, range repartition,
-    within-partition sort) — shared by the directory writer above and
-    the transaction log's OPTIMIZE (plans/txlog.py), so the clustering
-    semantics cannot silently diverge between the two write paths.
-    Returns (arranged frame, bounds used)."""
-    b = column_bounds(df, x_col, y_col)
-    z = zvalue_expr(
-        x_col, y_col, b[x_col][0], b[x_col][1], b[y_col][0], b[y_col][1],
-        bits,
+    """The 2-D layout transform — kept as the named two-column form the
+    existing call sites use; :func:`zorder_arrange_n` is the general
+    builder both delegate to."""
+    return zorder_arrange_n(df, (x_col, y_col), n_files, bits)
+
+
+def zorder_arrange_n(
+    df: DataFrame,
+    cols: tuple[str, ...] | list[str],
+    n_files: int = 16,
+    bits: int | None = None,
+) -> tuple[DataFrame, dict[str, tuple[int, int]]]:
+    """The layout transform itself, for ANY number of interleaved
+    dimensions (Delta ``OPTIMIZE ... ZORDER BY c1, …, cN``) — (z-value,
+    range repartition, within-partition sort) — shared by the directory
+    writer above and the transaction log's OPTIMIZE (plans/txlog.py), so
+    the clustering semantics cannot silently diverge between the two
+    write paths.  Returns (arranged frame, bounds used).
+
+    ``bits`` defaults to the largest per-dimension resolution the 63-bit
+    interleave budget allows (16 for ≤3 dims, 63//n beyond) — pruning
+    only needs enough resolution to separate files, so trading bits for
+    dimensions is the right default.  One range shuffle regardless of
+    n."""
+    cols = tuple(cols)
+    if len(cols) < 2:
+        raise ValueError("z-order needs at least two columns")
+    if bits is None:
+        bits = min(Z_BITS, 63 // len(cols))
+    b = column_bounds(df, *cols)
+    norms = [
+        norm_sql(c, str(b[c][0]), str(b[c][1]), bits) for c in cols
+    ]
+    z = _int_div_fix(
+        zvalue_sql(*[f"({n})" for n in norms], bits=bits), duckdb=False
     )
     arranged = (
         df.withColumn("_z", F.expr(z))

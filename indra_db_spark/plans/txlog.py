@@ -1540,17 +1540,22 @@ class TxTable:
         self,
         x_col: str,
         y_col: str,
+        *more_cols: str,
         n_files: int = 16,
         max_retries: int = 20,
     ) -> int | None:
         """Z-ordered compaction (Delta ``OPTIMIZE ... ZORDER BY`` /
         Iceberg sort-order rewrite): rewrite the current snapshot
-        clustered by the Morton interleave of (x_col, y_col) — one
+        clustered by the Morton interleave of (x_col, y_col,
+        *more_cols) — any number of dimensions, one
         ``repartitionByRange`` shuffle on the z-value + within-partition
         sort, so every output file covers a tight axis-aligned box and a
         later :func:`plans.skipindex.index_tx_table` +
-        :func:`plans.skipindex.skip_scan` prunes almost every file for a
-        box predicate.  Transactionally it IS a compaction: same
+        :func:`plans.skipindex.skip_scan` (or the manifest's own
+        :meth:`skip_read`) prunes almost every file for a box predicate.
+        Per-dimension resolution defaults to the 63-bit interleave
+        budget split across the dimensions
+        (:func:`plans.skipindex.zorder_arrange_n`).  Transactionally it IS a compaction: same
         rebase-over-concurrent-appends / conflict-on-removed-file rules,
         committed as action "compact" so the change feed stays silent
         (layout changes no rows).  At 100 TB this runs per maintenance
@@ -1567,14 +1572,16 @@ class TxTable:
         One rewrite of the hot files repays itself by the second
         subsequent snapshot read.
         """
-        from indra_db_spark.plans.skipindex import zorder_arrange
+        from indra_db_spark.plans.skipindex import zorder_arrange_n
 
         base, files, _, schema, _, dv0 = self._snapshot_full()
         if not files:
             return None
         df = self._read_files_dv(files, schema, dv0)
         rows = df.count()
-        arranged, _ = zorder_arrange(df, x_col, y_col, n_files)
+        arranged, _ = zorder_arrange_n(
+            df, (x_col, y_col, *more_cols), n_files
+        )
         # no n_files to _stage: its repartition would destroy the
         # clustering being bought here
         staged = self._stage(arranged)

@@ -2219,3 +2219,43 @@ def test_cold_open_prefetches_segments_concurrently(
     assert (v2, sorted(files2)) == (v, sorted(files))
     assert cold.seg_opens == len(_raw(t, v)["segments"])
     assert {r.k for r in cold.read().collect()} == set(range(80))
+
+
+def test_optimize_n_dim_zorder_prunes_every_dim(spark, tmp_path):
+    """OPTIMIZE accepts any number of Z-order dimensions (Delta
+    ZORDER BY c1..cN): after a 3-dim rewrite, a box on EACH single
+    dimension prunes files through the manifest stats, and results stay
+    exact."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.set_stats_columns("a", "b", "c")
+    df = spark.range(0, 20_000).select(
+        (F.col("id") % 97).alias("a"),
+        ((F.col("id") * 31) % 89).alias("b"),
+        ((F.col("id") * 57) % 83).alias("c"),
+    )
+    t.append(df.repartition(16))        # random layout: nothing prunes
+    v = t.optimize("a", "b", "c", n_files=16)
+    assert v is not None
+    _, files = t.snapshot()
+    assert len(files) == 16
+    for dim, mod in (("a", 97), ("b", 89), ("c", 83)):
+        got, files_read, files_total = t.skip_read(
+            predicates={dim: (0, 9)}
+        )
+        assert files_total == 16 and files_read < files_total, (
+            dim, files_read,
+        )
+        got_ids = {
+            (r.a, r.b, r.c) for r in got.collect()
+        }
+        assert len(got_ids) > 0
+        # exactness: every surviving row satisfies the box
+        assert all(
+            dict(zip(("a", "b", "c"), k))[dim] <= 9 for k in got_ids
+        )
+        # completeness vs the direct filter
+        direct = {
+            (r.a, r.b, r.c)
+            for r in df.filter(F.col(dim) <= 9).distinct().collect()
+        }
+        assert got_ids == direct
