@@ -183,7 +183,8 @@ class ReadonlyLake:
             if not fsutil.is_dir(spark, fsutil.join(path, LOG_DIR)):
                 continue
             tx = TxTable(spark, path)
-            if tx.snapshot()[0] == 0:
+            head, head_files = tx.snapshot()  # ONE resolution per table
+            if head == 0:
                 # a writer created the table dirs and crashed before its
                 # first commit: nothing is committed, so the table does
                 # not exist yet — skip it rather than brick the whole
@@ -196,10 +197,16 @@ class ReadonlyLake:
             else:
                 v = version
             if v is None:
-                # resolve "latest" ONCE: the lake's frame and any later
-                # pruned() scan must read the same snapshot even when a
-                # writer commits in between
-                v = tx.snapshot()[0]
+                # the lake's frame and any later pruned() scan must read
+                # the same snapshot even when a writer commits in between
+                v = head
+            if not (head_files if v == head else tx._read_version(v)["files"]):
+                # a CONFIG-ONLY version (set_stats_columns /
+                # add_check_constraint committed before the first append,
+                # or a data-less restore target): the table holds no
+                # data yet — same not-yet-existing contract as head == 0,
+                # never a ValueError that bricks the whole lake open
+                continue
             tables[name] = tx.read(v)
             handles[name] = (tx, v)
         lake = cls(tables)
@@ -313,10 +320,13 @@ class ReadonlyLake:
                 from indra_db_spark.plans.txlog import TxTable
 
                 tx = TxTable(spark, tx_path)
-                v = tx.snapshot()[0]
-                if v > 0:
+                v, v_files = tx.snapshot()
+                if v > 0 and v_files:
                     # pin the resolved version so the frame and any later
-                    # pruned() scan share one snapshot
+                    # pruned() scan share one snapshot.  A config-only
+                    # head (stats/constraint commit before the first
+                    # append) holds no data — fall through to the other
+                    # layouts like the zero-commit case
                     tables[name] = tx.read(v)
                     handles[name] = (tx, v)
                     continue

@@ -101,6 +101,15 @@ DV_BROADCAST_MAX_ROWS = 4_000_000
 #: the 2-4 B/row these sidecars compress to)
 DV_BROADCAST_MAX_BYTES = 16 * 1024 * 1024
 
+#: driver-side bloom-probe budget for one skip_read call: probing is
+#: O(files × IN-list values) dict lookups in the worst case (the range
+#: stats cannot pre-cut a bloom-only column's candidate files), so past
+#: this many value-probes the REMAINING files are admitted unprobed —
+#: pruning is an optimization, admitting is always correct, and the
+#: driver stall stays bounded (~seconds) instead of scaling with
+#: |files| × |values|
+SKIP_READ_PROBE_BUDGET = 20_000_000
+
 #: data files younger than this survive vacuum() even when unreferenced:
 #: an in-flight commit's staged files and freshly written manifest
 #: segments are unreferenced until its claim wins, so ungated GC racing
@@ -996,41 +1005,51 @@ class TxTable:
                     c: [_json_safe(d[f"_lo_{c}"]), _json_safe(d[f"_hi_{c}"])]
                     for c in cols
                 }
-        for c in bloom_cols or ():
+        if bloom_cols:
             from indra_db_spark.operators.sampling import _bloom_pos_sql
 
             # an EMPTY word map is a valid filter proving total absence
             # (e.g. an all-NULL file), distinct from "never collected"
             for st in out.values():
-                st.setdefault("b", {})[c] = [bloom_m, bloom_k, {}]
-            pos = F.explode(
-                F.array(
-                    *[
-                        F.expr(
-                            _bloom_pos_sql(
-                                i, bloom_m, f"CAST({c} AS STRING)"
-                            )
-                        )
-                        for i in range(bloom_k)
-                    ]
+                st["b"] = {
+                    c: [bloom_m, bloom_k, {}] for c in bloom_cols
+                }
+            # ONE job for every bloom column: the k·|cols| positions
+            # explode as (column tag, position) structs, so N columns
+            # cost one scan of the staged delta, not N
+            entries = [
+                F.struct(
+                    F.lit(ci).alias("t"),
+                    F.expr(
+                        _bloom_pos_sql(i, bloom_m, f"CAST({c} AS STRING)")
+                    ).alias("p"),
                 )
-            ).alias("p")
+                for ci, c in enumerate(bloom_cols)
+                for i in range(bloom_k)
+            ]
             words = (
-                data.select(fname.alias("_file"), pos)
+                data.select(
+                    fname.alias("_file"),
+                    F.explode(F.array(*entries)).alias("e"),
+                )
+                .select("_file", F.col("e.t").alias("t"), F.col("e.p").alias("p"))
                 .where(F.col("p").isNotNull())
                 .select(
                     "_file",
+                    "t",
                     F.expr("CAST(p div 64 AS INT)").alias("w"),
                     F.expr(
                         "shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))"
                     ).alias("bit"),
                 )
-                .groupBy("_file", "w")
+                .groupBy("_file", "t", "w")
                 .agg(F.expr("bit_or(bit)").alias("mask"))
                 .collect()
             )
             for r in words:
-                out[r["_file"]]["b"][c][2][str(r["w"])] = r["mask"]
+                out[r["_file"]]["b"][bloom_cols[r["t"]]][2][
+                    str(r["w"])
+                ] = r["mask"]
         return out
 
     def _read_files(self, names: list[str], schema_json: dict | None):
@@ -1049,8 +1068,12 @@ class TxTable:
         """The broadcast-gate decision for a sidecar set: True while the
         decoded anti-join build side is provably small.  Manifest row
         counts decide where known (overlapping deletes over-count — only
-        ever conservative); sidecars without a count fall back to cached
-        on-disk sizes under the deliberately low byte ceiling."""
+        ever conservative); sidecars without a count estimate rows from
+        cached on-disk sizes at the COMPRESSED end of the observed 2-4
+        B/row band (over-estimating rows is the conservative direction).
+        Counted and estimated rows share ONE ceiling — two independent
+        budgets would let the build side reach their SUM, multiples of
+        the documented bound."""
         counted = sum(dv_rows[n] for n in rel if n in dv_rows)
         if counted > DV_BROADCAST_MAX_ROWS:
             return False
@@ -1060,12 +1083,12 @@ class TxTable:
         if len(uncounted) > 4096:
             return False
         try:
-            return (
-                sum(self._file_size(n) for n in uncounted)
-                < DV_BROADCAST_MAX_BYTES
-            )
+            est_bytes = sum(self._file_size(n) for n in uncounted)
         except Exception:  # noqa: BLE001 — sizing is advisory only
             return False
+        if est_bytes >= DV_BROADCAST_MAX_BYTES:
+            return False
+        return counted + est_bytes // 2 <= DV_BROADCAST_MAX_ROWS
 
     def _file_size(self, name: str) -> int:
         """On-disk bytes of one immutable data file, cached per process —
@@ -1574,6 +1597,15 @@ class TxTable:
         """
         from indra_db_spark.plans.skipindex import zorder_arrange_n
 
+        bad = [c for c in (x_col, y_col, *more_cols) if not isinstance(c, str)]
+        if bad:
+            # the pre-r11 signature took n_files as the third POSITIONAL
+            # arg; catch that migration mistake with a clear message
+            # instead of a deep AnalysisException from F.min(8)
+            raise TypeError(
+                f"optimize() takes Z-order column NAMES, got {bad!r}; "
+                "pass n_files / max_retries as keywords"
+            )
         base, files, _, schema, _, dv0 = self._snapshot_full()
         if not files:
             return None
@@ -1866,6 +1898,8 @@ class TxTable:
         # builder's Python twin); word keys are probed as the JSON
         # strings the manifest stores, tolerating int-keyed maps too.
         pos_memo: dict[tuple, list] = {}
+        # mutable cell: the budget drains across the whole file loop
+        probe_budget = [SKIP_READ_PROBE_BUDGET]
 
         def _positions(m: int, k: int, v) -> list:
             key = (m, k, v)
@@ -1885,6 +1919,11 @@ class TxTable:
                 b = st.get("b", {}).get(c)
                 if b is None:
                     continue  # no filter recorded → unpruned, never wrong
+                if probe_budget[0] <= 0:
+                    continue  # budget spent → admit unprobed (exact
+                    # residual still filters; only I/O is left on the
+                    # table — see SKIP_READ_PROBE_BUDGET)
+                probe_budget[0] -= len(vals)
                 m, k, words = b[0], b[1], b[2]
                 if not any(
                     v is None

@@ -678,3 +678,30 @@ def test_algebra_leaf_scans_prune_through_manifest_stats(spark, tmp_path):
     want_l = {r.mk_hash for r in get_hashes(qlike, mem_lake).collect()}
     got_l = {r.mk_hash for r in get_hashes(qlike, lake).collect()}
     assert got_l == want_l and lake.last_prune is None
+
+
+def test_lake_open_tolerates_config_only_txlog_version(spark, tmp_path):
+    """A table whose HEAD is a config-only commit (set_stats_columns
+    before the first append — exactly write_txlog(stats=True)'s crash
+    window) must read as not-yet-existing: from_txlog skips it and
+    open() falls through to the plain layout, instead of bricking the
+    whole lake open with ValueError."""
+    from indra_db_spark.plans.txlog import TxTable
+
+    mem_lake, _, _ = fixture_lake(spark)
+    root = str(tmp_path / "txcfg")
+    plain = str(tmp_path / "plain")
+    mem_lake.write_parquet(plain)
+    # source_meta: config committed, append NOT yet landed
+    TxTable(spark, f"{root}/source_meta").set_stats_columns(
+        "ev_count", bloom=("mk_hash",)
+    )
+    lake = ReadonlyLake.from_txlog(
+        spark, root, extra=mem_lake.tables()
+    )
+    assert lake["source_meta"].count() == mem_lake["source_meta"].count()
+    opened = ReadonlyLake.open(spark, root=plain, tx_root=root)
+    assert (
+        opened["source_meta"].count() == mem_lake["source_meta"].count()
+    )
+    assert "source_meta" not in opened._tx  # served from plain parquet

@@ -2259,3 +2259,65 @@ def test_optimize_n_dim_zorder_prunes_every_dim(spark, tmp_path):
             for r in df.filter(F.col(dim) <= 9).distinct().collect()
         }
         assert got_ids == direct
+
+
+def test_multi_bloom_columns_one_collection_pass(spark, tmp_path):
+    """Several bloom columns collect in ONE job per stage and all probe
+    correctly (the per-column loop paid N scans of the delta per
+    commit)."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.set_stats_columns(bloom=("k", "src"))
+    for i, tag in enumerate(("a", "b")):
+        t.append(_df(spark, i * 10, i * 10 + 10, tag=tag).coalesce(1))
+    stats = t._stats_of(t._read_version(t.snapshot()[0]))
+    for st in stats.values():
+        assert set(st["b"]) == {"k", "src"}
+        assert all(words for _, _, words in st["b"].values())
+    df, fr, ft = t.skip_read(eq={"src": "b"})
+    assert ft == 2 and fr == 1
+    assert {r.k for r in df.collect()} == set(range(10, 20))
+    df2, fr2, _ = t.skip_read(eq={"k": 3, "src": "a"})
+    assert fr2 == 1 and [r.k for r in df2.collect()] == [3]
+    # conjunction with a miss on either column proves absence
+    df3, fr3, _ = t.skip_read(eq={"k": 3, "src": "b"})
+    assert df3.count() == 0
+
+
+def test_optimize_rejects_positional_n_files(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, 0, 10))
+    with pytest.raises(TypeError, match="column NAMES"):
+        t.optimize("k", "k", 8)
+
+
+def test_dv_broadcast_budgets_share_one_ceiling(spark, tmp_path):
+    """Counted rows and size-estimated rows of uncounted sidecars share
+    the row ceiling — two independent budgets would admit their SUM."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, 0, 100))
+    t.delete_where(F.col("k") < 5, mode="dv")
+    t.delete_where(F.col("k") >= 95, mode="dv")
+    body = t._read_version(t.snapshot()[0])
+    rel = sorted({n for lst in body["dv"].values() for n in lst})
+    assert len(rel) == 2
+    # one sidecar counted close to the cap, the other UNCOUNTED: its
+    # size-estimated rows (bytes // 2) must push the JOINT total past
+    # the shared ceiling — two independent budgets would admit the sum
+    near_cap = {rel[0]: txlog.DV_BROADCAST_MAX_ROWS - 10}
+    assert t._dv_broadcast_ok(rel, near_cap) is False
+    # the real (small) counts and the pure-size path both stay under
+    assert t._dv_broadcast_ok(rel, body["dv_rows"]) is True
+    assert t._dv_broadcast_ok(rel, {}) is True
+
+
+def test_skip_read_probe_budget_admits_not_wrong(spark, tmp_path, monkeypatch):
+    """Past the probe budget, files are ADMITTED unprobed — results stay
+    exact, only pruning degrades."""
+    monkeypatch.setattr(txlog, "SKIP_READ_PROBE_BUDGET", 1)
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.set_stats_columns(bloom=("src",))
+    for i, tag in enumerate(("a", "b", "c")):
+        t.append(_df(spark, i * 10, i * 10 + 10, tag=tag).coalesce(1))
+    df, fr, ft = t.skip_read(eq={"src": "b"})
+    assert ft == 3 and fr >= 2  # at most one file was probed out
+    assert {r.k for r in df.collect()} == set(range(10, 20))
