@@ -231,9 +231,14 @@ class ReadonlyLake:
         range stats + bloom words decide per FILE, driver-side, before
         any scan task launches, honoring the lake's pinned version.
         ``self.last_prune`` records (files_read, files_total) of the
-        most recent pruned scan so callers/tests can assert engagement.
-        Correctness never depends on the stats (unknown files are always
-        read; the residual filter is exact)."""
+        most recent pruned scan so callers/tests can assert engagement —
+        and is RESET to None first, so a query that takes the plain path
+        can never leave a previous scan's stale tuple behind (r11 ADVICE
+        #4).  Correctness never depends on the stats (unknown files are
+        always read; the residual filter is exact)."""
+        from indra_db_spark.plans.txlog import NoCommittedData
+
+        self.last_prune = None
         handle = self._tx.get(name)
         if handle is None:
             return None
@@ -242,8 +247,12 @@ class ReadonlyLake:
             df, files_read, files_total = tx.skip_read(
                 predicates=predicates, eq=eq, version=pinned
             )
-        except ValueError:
-            return None  # empty table / no boxes — plain path decides
+        except NoCommittedData:
+            # ONLY the empty-table case falls back to the plain path;
+            # misuse errors (empty eq-list, no boxes at all) propagate —
+            # swallowing them would silently degrade to a full scan
+            # (r11 ADVICE #1)
+            return None
         self.last_prune = (files_read, files_total)
         return df
 

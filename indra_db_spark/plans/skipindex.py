@@ -355,14 +355,16 @@ def index_tx_table(
     the manifest does not pack (or packs under inconsistent m/k), and
     for a column whose recorded stats are all-NULL or type-mixed (no
     sound frame to build)."""
+    from indra_db_spark.plans.txlog import NoCommittedData
+
     vs = tx._versions()
     if not vs:
-        raise ValueError(f"{tx.root} has no committed data")
+        raise NoCommittedData(f"{tx.root} has no committed data")
     version = vs[-1]
     body = tx._read_version(version)  # ONE manifest read for body+files
     files = body["files"]
     if not files:
-        raise ValueError(f"{tx.root} has no committed data")
+        raise NoCommittedData(f"{tx.root} has no committed data")
     stats = tx._stats_of(body)
 
     def _qualified(name: str) -> str:
@@ -434,38 +436,77 @@ def index_tx_table(
 
     typed = covered and all(_col_typed(c) for c in cols)
     if covered and typed:
-        names = (
-            ["file", "n_rows"]
-            + [f"{c}_{mm}" for c in cols for mm in ("min", "max")]
-            + [
-                n
-                for c in bloom_cols
-                for n in (f"{c}_bloom", f"{c}_bloom_m", f"{c}_bloom_k")
-            ]
+        from pyspark.sql.types import (
+            DoubleType,
+            IntegerType,
+            LongType,
+            MapType,
+            StringType,
+            StructField,
+            StructType,
         )
+
+        def _col_type(c: str):
+            # _col_typed already proved homogeneity: str XOR numeric
+            # family; within the numeric family, any float widens the
+            # column to double (what inference would merge to), else
+            # exact longs (bools ride as 0/1, matching SQL casts)
+            vals = [v for f in files for v in stats[f]["c"][c]
+                    if v is not None]
+            if any(isinstance(v, str) for v in vals):
+                return StringType(), str
+            if any(isinstance(v, float) for v in vals):
+                return DoubleType(), float
+            return LongType(), int
+
+        casts = {c: _col_type(c) for c in cols}
+        fields = [
+            StructField("file", StringType(), False),
+            StructField("n_rows", LongType(), False),
+        ]
+        for c in cols:
+            for mm in ("min", "max"):
+                fields.append(
+                    StructField(f"{c}_{mm}", casts[c][0], True)
+                )
+        for c in bloom_cols:
+            fields += [
+                StructField(
+                    f"{c}_bloom",
+                    MapType(IntegerType(), LongType()),
+                    True,
+                ),
+                StructField(f"{c}_bloom_m", IntegerType(), False),
+                StructField(f"{c}_bloom_k", IntegerType(), False),
+            ]
         rows = []
-        any_words = {c: False for c in bloom_cols}
         for f in files:
             st = stats[f]
             blooms = []
             for c in bloom_cols:
+                # an EMPTY word map is a valid always-miss filter (an
+                # all-NULL file/table); the explicit MapType schema
+                # keeps it on the fast path instead of forcing a full
+                # rescan just because inference has no type to infer
+                # (r11 ADVICE #2)
                 words = {
                     int(w): mask for w, mask in st["b"][c][2].items()
                 }
-                any_words[c] = any_words[c] or bool(words)
                 blooms += [words, spec[1], spec[2]]
             rows.append(
                 tuple(
                     [_qualified(f), st["n"]]
-                    + [v for c in cols for v in st["c"][c]]
+                    + [
+                        None if v is None else casts[c][1](v)
+                        for c in cols
+                        for v in st["c"][c]
+                    ]
                     + blooms
                 )
             )
-        if all(any_words.values()):
-            # (a column whose every file packs an EMPTY map — an all-NULL
-            # table — leaves createDataFrame no map type to infer; the
-            # rescan fallback below handles that degenerate case)
-            return version, tx.spark.createDataFrame(rows, names)
+        return version, tx.spark.createDataFrame(
+            rows, StructType(fields)
+        )
     paths = [f"{tx.root}/data/{n}" for n in files]
     return version, build_file_index(
         tx.spark, paths, *cols, bloom_cols=bloom_cols,

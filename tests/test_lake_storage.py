@@ -622,9 +622,11 @@ def test_algebra_leaf_scans_prune_through_manifest_stats(spark, tmp_path):
     assert "source_meta" in lake._tx
 
     hi = mem_lake["source_meta"].agg(F.max("ev_count")).first()[0]
+    # no manual last_prune resets needed anywhere below: pruned() clears
+    # it on entry, so plain-path queries can never read a stale tuple
+    # (r11 ADVICE #4)
     qr = HasEvidenceBound([f">= {hi}"])
     want_r = {r.mk_hash for r in get_hashes(qr, mem_lake).collect()}
-    lake.last_prune = None
     got_r = {r.mk_hash for r in get_hashes(qr, lake).collect()}
     assert got_r == want_r and got_r
     fr, ft = lake.last_prune
@@ -632,7 +634,6 @@ def test_algebra_leaf_scans_prune_through_manifest_stats(spark, tmp_path):
 
     target = mem_lake["source_meta"].select("mk_hash").first()[0]
     qh = HasHash([target])
-    lake.last_prune = None
     got_h = {r.mk_hash for r in get_hashes(qh, lake).collect()}
     assert got_h == {target}
     fr, ft = lake.last_prune
@@ -640,14 +641,16 @@ def test_algebra_leaf_scans_prune_through_manifest_stats(spark, tmp_path):
 
     # IN-list form prunes too, and misses prove absence
     qmiss = HasHash([target, 999_999_999_999])
-    lake.last_prune = None
     assert {
         r.mk_hash for r in get_hashes(qmiss, lake).collect()
     } == {target}
     assert lake.last_prune[0] < lake.last_prune[1]
 
     # inversion: NOT IN cannot prune by inclusion stats — plain path,
-    # same answer as the in-memory lake
+    # same answer as the in-memory lake.  (The three negative checks
+    # below reset the observable first: these query shapes never even
+    # ATTEMPT a prune, so nothing clears the previous scan's tuple —
+    # pruned()'s entry reset covers attempted-but-fell-back paths.)
     qinv = ~HasHash([target])
     lake.last_prune = None
     want_i = {r.mk_hash for r in get_hashes(qinv, mem_lake).collect()}
@@ -667,7 +670,6 @@ def test_algebra_leaf_scans_prune_through_manifest_stats(spark, tmp_path):
     # words (the reference's agent-id btree shape)
     qa = HasAgent("MEK")
     want_a = {r.mk_hash for r in get_hashes(qa, mem_lake).collect()}
-    lake.last_prune = None
     got_a = {r.mk_hash for r in get_hashes(qa, lake).collect()}
     assert got_a == want_a and got_a
     fr, ft = lake.last_prune

@@ -529,3 +529,44 @@ def test_bloom_index_all_null_file_kept_and_mixed_budgets(
     # proof of absence survives the mixed-budget union
     _, n4, _ = skip_scan(spark, idx2, eq={"g": "absent"})
     assert n4 == 0
+
+
+def test_index_tx_table_all_null_bloom_stays_zero_scan(
+    spark, tmp_path_factory, monkeypatch
+):
+    """A bloom column with ZERO words in every file (all-NULL column) is
+    a valid always-miss filter; with min/max manifest-carried the index
+    must still assemble driver-side under the explicit schema — the old
+    inference-based path had no map type to infer and fell back to a
+    FULL table rescan (r11 ADVICE #2)."""
+    import indra_db_spark.plans.skipindex as si
+    from indra_db_spark.plans.txlog import TxTable
+
+    root = str(tmp_path_factory.mktemp("txnullbloom") / "t")
+    t = TxTable(spark, root)
+    t.set_stats_columns("k", bloom=("g",))
+    for lo in (0, 100):
+        t.append(
+            spark.range(lo, lo + 100)
+            .select(
+                F.col("id").alias("k"),
+                F.lit(None).cast("string").alias("g"),
+            )
+            .coalesce(1)
+        )
+    monkeypatch.setattr(
+        si,
+        "build_file_index",
+        lambda *a, **kw: pytest.fail(
+            "all-NULL bloom column forced a table rescan"
+        ),
+    )
+    _, idx = si.index_tx_table(t, "k", bloom_cols=("g",))
+    assert idx.count() == 2
+    # the empty maps prove absence for every eq probe...
+    _, n0, t0 = si.skip_scan(spark, idx, eq={"g": "anything"})
+    assert (n0, t0) == (0, 2)
+    # ...while range pruning on the carried min/max still works
+    out, n1, _ = si.skip_scan(spark, idx, predicates={"k": (120, 150)})
+    assert n1 == 1
+    assert {r.k for r in out.collect()} == set(range(120, 151))

@@ -2008,17 +2008,18 @@ def test_dv_rows_ride_manifest_and_gate_broadcast(spark, tmp_path):
     assert (
         t._dv_broadcast_ok(rel, {n: 10_000_000 for n in rel}) is False
     )
-    # unknown counts fall back to CACHED sizes under the low byte ceiling
+    # unknown counts fall back to CACHED sizes, estimated as rows under
+    # the SAME row ceiling (r11 ADVICE #3: one gate, no dead byte budget)
     assert t._dv_broadcast_ok(rel, {}) is True       # tiny sidecars
     assert set(t._size_cache) == sidecars            # sizes now cached
     import indra_db_spark.plans.txlog as txmod
 
-    orig = txmod.DV_BROADCAST_MAX_BYTES
+    orig = txmod.DV_BROADCAST_MAX_ROWS
     try:
-        txmod.DV_BROADCAST_MAX_BYTES = 0
-        assert t._dv_broadcast_ok(rel, {}) is False
+        txmod.DV_BROADCAST_MAX_ROWS = 0
+        assert t._dv_broadcast_ok(rel, {}) is False  # estimate binds
     finally:
-        txmod.DV_BROADCAST_MAX_BYTES = orig
+        txmod.DV_BROADCAST_MAX_ROWS = orig
     # the read itself still answers correctly and plan-pins the broadcast
     assert {r.k for r in t.read().collect()} == set(range(10, 95))
     plan = t.read()._jdf.queryExecution().executedPlan().toString()
