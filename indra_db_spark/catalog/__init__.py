@@ -106,15 +106,20 @@ WINDOW_ORDER = [
     "closure_ancestors",
     "belief_ancestor_agg",
     "kb_union_merge",
-    "curation_anonymize",
     # §2.7 scalar functions (scalar_strings rotated past-window r8;
-    # json_extract rotated past-window r10 — curation_anonymize keeps the
-    # scalar family checked and json_extract stays in the 3-SF sweep)
+    # json_extract rotated past-window r10; curation_anonymize rotated
+    # past-window r12 for the algebra-over-txlog entry — the scalar
+    # family stays checked through source_pivot's crosstab + the
+    # md5/anonymize path in the 3-SF sweep)
     # r10 rotation (r8 verdict #5 / r9 top-next): the txlog SERVING path
     # under the hard gate — two appends, a DV merge-on-read delete, a
     # second delete rolled back by RESTORE, and the snapshot read whose
     # survivors must hash-match plain SQL with only the first delete
     "txlog_dv_read",
+    # r12 rotation (r11 verdict next-round #2): the btree-replacement
+    # path END TO END under the hard gate — algebra leaf → pinned txlog
+    # handle → manifest bloom prune (engagement asserted) → hash match
+    "algebra_txlog_hash_lookup",
     # r11 rotation (r10 verdict next-round #6): the streaming exactly-once
     # protocol under the hard gate — a real foreachBatch stream appending
     # into a fact TxTable and maintaining an IVM rollup view, then fully

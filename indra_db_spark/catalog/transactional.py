@@ -180,6 +180,63 @@ def algebra_txlog_hash_lookup(spark, sf):
 
 
 @register(
+    "algebra_txlog_mesh_lookup",
+    """
+    SELECT DISTINCT o_orderkey AS mk_hash,
+           CAST(o_custkey AS INT) AS ev_count,
+           o_totalprice AS belief
+    FROM orders WHERE o_orderkey % 211 IN (5, 17)
+    """,
+)
+def algebra_txlog_mesh_lookup(spark, sf):
+    """FromMeshIds served through the transaction log's manifest blooms
+    (round 12, r11 verdict next-round #3): ``orders`` is committed as a
+    txlog-backed ``mesh_term_meta`` with mesh_num bloom words
+    (``TXLOG_STATS``'s mesh config), and the algebra leaf routes its
+    mesh IN-list through :meth:`TxTable.skip_read` — the entry asserts
+    the prune ENGAGED (files_read < files_total) before the oracle
+    hash-match.  The reference answers the same query via its clustered
+    mesh_num index (readonly_schema.py:635-637 family)."""
+    from indra_db_spark.operators.sampling import _barrier_dir
+    from indra_db_spark.plans.lake import CORE_TABLES, ReadonlyLake
+    from indra_db_spark.plans.queries import FromMeshIds
+    from indra_db_spark.plans.txlog import TxTable
+
+    mesh = T(spark, sf, "orders").select(
+        F.col("o_orderkey").alias("mk_hash"),
+        (F.col("o_orderkey") % 211).cast("int").alias("mesh_num"),
+        F.col("o_custkey").cast("int").alias("ev_count"),
+        F.col("o_totalprice").alias("belief"),
+    )
+    root = _barrier_dir(spark, "algebra_mesh_", what="algebra_txlog_mesh")
+    tx = TxTable(spark, f"{root}/mesh_term_meta")
+    # the table's lookup key is hash-clustered (the maintenance layout:
+    # a given mesh_num lives in ONE file), so a 2-id probe admits ~2 of
+    # the 8 files via their bloom words
+    tx.set_stats_columns("ev_count", bloom=("mesh_num",))
+    tx.append(mesh.repartition(8, "mesh_num"))
+    lake = ReadonlyLake.from_txlog(
+        spark,
+        root,
+        extra={
+            t: mesh.drop("mesh_num").limit(0)
+            for t in CORE_TABLES
+            if t != "mesh_term_meta"
+        },
+    )
+    out = FromMeshIds(["D5", "D17"]).hashes(lake)
+    if lake.last_prune is None:
+        raise AssertionError("FromMeshIds did not route through skip_read")
+    files_read, files_total = lake.last_prune
+    if not files_read < files_total:
+        raise AssertionError(
+            f"manifest bloom prune did not engage: read {files_read} of "
+            f"{files_total} files for a 2-mesh-id lookup"
+        )
+    return out.select("mk_hash", "ev_count", "belief")
+
+
+@register(
     "stream_matview_rollup",
     """
     SELECT event_type,
@@ -207,7 +264,15 @@ def stream_matview_rollup(spark, sf):
     monolithic GROUP BY.  Fails if the watermark protocol duplicates a
     batch, if the IVM fold diverges from the rebuild, or if the replayed
     stream commits anything.  Values fold in integer micros so both
-    engines agree bit-for-bit."""
+    engines agree bit-for-bit.
+
+    Round 12 (r11 verdict next-round #4): the sink also runs its
+    in-stream MAINTENANCE cadence (``maintain_every=2`` with thresholds
+    low enough to fire at this scale), so the replay-commits-nothing
+    assertion now also proves the exactly-once watermark SURVIVES
+    maintenance — layout-only commits interleaved with the batches, and
+    none at all on the replay (the cadence is gated on committed
+    batches)."""
     from indra_db_spark.operators.sampling import _barrier_dir
     from indra_db_spark.plans.txlog import TxTable
     from indra_db_spark.streaming.ingest import maintain_rollup_stream
@@ -243,6 +308,10 @@ def stream_matview_rollup(spark, sf):
             ["vm"],
             checkpoint_dir=ckpt,
             app_id="stream_mv_writer",
+            maintain_every=2,
+            maintain_kwargs=dict(
+                max_file_mb=16, target_file_mb=64, small_min_files=2
+            ),
         )
 
     _run(f"{root}/ckpt1")

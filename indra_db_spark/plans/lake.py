@@ -115,12 +115,27 @@ class ReadonlyLake:
     #: id match, the single most common query the reference serves).
     #: This is the lake's replacement for the reference's btree indexes
     #: on those columns (readonly_schema.py:635-637 clustered mk_hash
-    #: index; mixins.py agent-id btrees).
+    #: index; mixins.py agent-id btrees).  Round 12 (r11 verdict
+    #: next-round #3) extends the routing to the remaining IN-list
+    #: leaves: mesh_num blooms on the two mesh tables (the reference's
+    #: clustered mesh_num index, readonly_schema.py:635-637 family) and
+    #: paper-id blooms on reading_ref_link (the trid/pmid/pmcid btrees,
+    #: schemas/mixins.py:70-97) so FromMeshIds / FromPapers point
+    #: lookups prune files — and, two-level, segments — driver-side.
     TXLOG_STATS = {
         "source_meta": {"cols": ("ev_count",), "bloom": ("mk_hash",)},
         "name_meta": {"cols": ("ev_count",), "bloom": ("db_id",)},
         "text_meta": {"cols": ("ev_count",), "bloom": ("db_id",)},
         "other_meta": {"cols": ("ev_count",), "bloom": ("db_id",)},
+        "mesh_term_meta": {"cols": ("ev_count",), "bloom": ("mesh_num",)},
+        "mesh_concept_meta": {
+            "cols": ("ev_count",),
+            "bloom": ("mesh_num",),
+        },
+        "reading_ref_link": {
+            "cols": (),
+            "bloom": ("pmid_num", "pmcid_num", "trid"),
+        },
     }
 
     def write_txlog(

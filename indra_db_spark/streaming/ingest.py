@@ -258,12 +258,55 @@ def incremental_new_docs(
     )
 
 
+def _maybe_maintain(
+    tables,
+    batch_id: int,
+    committed: bool,
+    maintain_every: int | None,
+    maintain_kwargs: dict | None,
+) -> None:
+    """The streaming sinks' maintenance cadence (r11 verdict next-round
+    #4): every ``maintain_every``-th COMMITTED batch, run
+    :meth:`TxTable.maintain` on the sink's tables inside the foreachBatch
+    boundary — per-trigger commits otherwise mint one tiny file + one
+    tiny segment + DV churn forever, and nothing else owns the table.
+
+    Exactly-once interplay, by construction:
+
+    - maintenance commits are LAYOUT-only (compact_small /
+      materialize_dv change no live rows and stay silent in the change
+      feed), so they can never duplicate or drop a batch;
+    - the cadence is gated on ``committed`` — a batch the per-writer
+      watermark SKIPPED (a crash replay) triggers no maintenance, so a
+      full replay still commits nothing at all;
+    - a :class:`CommitConflict` (a co-running maintainer or a racing
+      delete won the claim) is tolerated and retried at the next cadence
+      point — maintenance is best-effort housekeeping, never load-
+      bearing for correctness.
+
+    Cost stays O(churn since the last pass), never O(table) — the
+    maintain() contract the SCALE_PROBE churn rows pin."""
+    if not maintain_every or not committed:
+        return
+    if batch_id % maintain_every != maintain_every - 1:
+        return
+    from indra_db_spark.plans.txlog import CommitConflict
+
+    for tx in tables:
+        try:
+            tx.maintain(**(maintain_kwargs or {}))
+        except CommitConflict:
+            pass  # raced a concurrent writer; the next cadence retries
+
+
 def write_stream_txlog(
     stream_df: DataFrame,
     table_root: str,
     checkpoint_dir: str,
     app_id: str | None = None,
     available_now: bool = True,
+    maintain_every: int | None = None,
+    maintain_kwargs: dict | None = None,
 ):
     """Exactly-once streaming sink into a :class:`plans.txlog.TxTable`.
 
@@ -282,14 +325,21 @@ def write_stream_txlog(
     ``app_id`` defaults to the checkpoint dir, which already names the
     logical writer across restarts.  Returns the finished (available-now)
     or running StreamingQuery.
+
+    ``maintain_every=N`` runs :meth:`TxTable.maintain` after every Nth
+    committed batch (see :func:`_maybe_maintain` for why this preserves
+    exactly-once), so live file and segment counts stay bounded while
+    the stream runs for weeks; ``maintain_kwargs`` tunes the thresholds.
     """
     from indra_db_spark.plans.txlog import TxTable
 
     writer_id = app_id or checkpoint_dir
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        TxTable(batch_df.sparkSession, table_root).append_batch(
-            batch_df, writer_id, batch_id
+        tx = TxTable(batch_df.sparkSession, table_root)
+        v = tx.append_batch(batch_df, writer_id, batch_id)
+        _maybe_maintain(
+            [tx], batch_id, v is not None, maintain_every, maintain_kwargs
         )
 
     writer = (
@@ -312,6 +362,8 @@ def upsert_stream_txlog(
     app_id: str | None = None,
     order_col: str | None = None,
     available_now: bool = True,
+    maintain_every: int | None = None,
+    maintain_kwargs: dict | None = None,
 ):
     """Exactly-once streaming UPSERT into a :class:`plans.txlog.TxTable`
     — the mutable-table twin of :func:`write_stream_txlog` (Delta's
@@ -355,8 +407,12 @@ def upsert_stream_txlog(
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
-        TxTable(batch_df.sparkSession, table_root).merge_batch(
-            reduced, key_cols, writer_id, batch_id
+        tx = TxTable(batch_df.sparkSession, table_root)
+        v = tx.merge_batch(reduced, key_cols, writer_id, batch_id)
+        # merge churn is heavier than append churn (copy-on-write file
+        # rewrites + DV sidecars per batch) — same cadence policy
+        _maybe_maintain(
+            [tx], batch_id, v is not None, maintain_every, maintain_kwargs
         )
 
     writer = (
@@ -380,6 +436,8 @@ def maintain_rollup_stream(
     checkpoint_dir: str,
     app_id: str | None = None,
     available_now: bool = True,
+    maintain_every: int | None = None,
+    maintain_kwargs: dict | None = None,
 ):
     """Streaming materialized view: each micro-batch lands EXACTLY-ONCE
     in the fact table AND folds into a keyed count/sum rollup with
@@ -415,7 +473,7 @@ def maintain_rollup_stream(
         spark = batch_df.sparkSession
         facts = TxTable(spark, fact_root)
         view = TxTable(spark, view_root)
-        facts.append_batch(batch_df, writer_id, batch_id)
+        v_fact = facts.append_batch(batch_df, writer_id, batch_id)
         keys = batch_df.select(*group_cols).distinct()
         try:
             base = view.read().join(F.broadcast(keys), group_cols, "semi")
@@ -434,6 +492,17 @@ def maintain_rollup_stream(
             base, batch_df, group_cols, sum_cols, change_type_col=None
         )
         view.merge_batch(updated, group_cols, writer_id, batch_id)
+        # BOTH tables churn per trigger (fact: one small segment per
+        # append; view: copy-on-write rewrites of touched-group files) —
+        # gate on the FACT commit: the two tables share one watermark,
+        # so a replayed batch skips both and triggers no maintenance
+        _maybe_maintain(
+            [facts, view],
+            batch_id,
+            v_fact is not None,
+            maintain_every,
+            maintain_kwargs,
+        )
 
     writer = (
         stream_df.writeStream.foreachBatch(_sink)
@@ -457,6 +526,8 @@ def scd2_stream_txlog(
     tiebreak_col: str | None = None,
     app_id: str | None = None,
     available_now: bool = True,
+    maintain_every: int | None = None,
+    maintain_kwargs: dict | None = None,
 ):
     """Streaming type-2 dimension maintenance: each micro-batch of change
     events extends the SCD2 history table exactly-once — the Delta
@@ -510,7 +581,11 @@ def scd2_stream_txlog(
                 .join(F.broadcast(keys), key_cols, "semi")
             )
         except ValueError:  # empty view: everything is new history
-            view.merge_batch(b, merge_keys, writer_id, batch_id)
+            v = view.merge_batch(b, merge_keys, writer_id, batch_id)
+            _maybe_maintain(
+                [view], batch_id, v is not None,
+                maintain_every, maintain_kwargs,
+            )
             return
         k = key_cols[0]
         first = (
@@ -564,7 +639,11 @@ def scd2_stream_txlog(
         # current row untouched (no row in fk → no close)
         updates = closed.unionByName(b_kept)
         if updates.limit(1).count():
-            view.merge_batch(updates, merge_keys, writer_id, batch_id)
+            v = view.merge_batch(updates, merge_keys, writer_id, batch_id)
+            _maybe_maintain(
+                [view], batch_id, v is not None,
+                maintain_every, maintain_kwargs,
+            )
 
     writer = (
         stream_df.writeStream.foreachBatch(_sink)

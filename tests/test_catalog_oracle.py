@@ -87,6 +87,12 @@ CRITICAL_IN_WINDOW = [
     # merge_batch IVM view, replay-skipped) displaces only_source (its
     # null-safe ≠ stays checked by the nullsafe_compare sweep entry)
     "stream_matview_rollup",
+    # round-12 rotation (r11 verdict next-round #2): the
+    # btree-replacement serving path end to end (algebra leaf → pinned
+    # txlog handle → manifest bloom prune with engagement asserted →
+    # oracle hash match) displaces curation_anonymize (the scalar family
+    # stays sweep-checked; source_pivot keeps §2.7's crosstab in-window)
+    "algebra_txlog_hash_lookup",
 ]
 
 

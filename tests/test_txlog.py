@@ -1568,6 +1568,86 @@ def test_commit_bytes_o_delta_at_10k_files(spark, tmp_path):
     assert body["n_files"] == 10_001 and len(body["files"]) == 10_001
 
 
+def test_manifest_bytes_bounded_as_segments_grow(spark, tmp_path):
+    """seg_meta rides EVERY manifest by design — O(segments) bytes per
+    commit, like the reference list itself.  Pin the budget so a future
+    regression (per-file stats leaking into seg_meta, or an unbounded
+    segment bloom) fails loudly: with 10k synthetic files carrying full
+    range + bloom stats, the manifest stays a small fraction of the
+    per-file stat bytes (those live in the SEGMENTS), each segment's
+    aggregate respects the word budget, and appending one file grows the
+    manifest by ~one segment's aggregate, not the table's (r11 verdict
+    next-round #7)."""
+    import json as _json
+
+    t = TxTable(spark, str(tmp_path / "t"))
+    names = [f"{i:05d}.parquet" for i in range(10_000)]
+    synth = {
+        n: {
+            "n": 1,
+            "c": {"k": [i, i]},
+            "b": {"k": [8192, 3, {str(i % 128): 1 << (i % 64)}]},
+        }
+        for i, n in enumerate(names)
+    }
+
+    def log_bytes():
+        return {
+            f.getPath().getName(): f.getLen()
+            for f in t._fs.listStatus(
+                txlog._jpath(t._jvm, t.root, txlog.LOG_DIR)
+            )
+        }
+
+    t._snapshot_full()
+    t._pending_stats = dict(synth)
+    assert t._try_claim(1, names, "append", bloom_spec={
+        "cols": ["k"], "m": 8192, "k": 3, "seg_m": 0,
+    })
+    sizes1 = log_bytes()
+    v1 = sizes1["v000000000001.json"]
+    seg_bytes = sum(
+        sz for n, sz in sizes1.items() if n.startswith("seg-")
+    )
+    raw = _raw(t, 1)
+    n_segs = len(raw["segments"])
+    assert n_segs >= 10
+    # the per-file stats (ranges + bloom words) live in the segments;
+    # the manifest carries only the per-segment AGGREGATES
+    assert v1 < seg_bytes / 5
+    # every carried aggregate respects the word budget (the leak check)
+    for m in raw["seg_meta"].values():
+        for mm, kk, words in m.get("b", {}).values():
+            assert len(words) <= txlog.SEG_BLOOM_MAX_WORDS
+        assert len(_json.dumps(m)) < txlog.SEG_BLOOM_MAX_WORDS * 30 + 4096
+    # appending one file adds ~one segment's aggregate to the manifest,
+    # never O(files) bytes
+    t._snapshot_full()
+    t._pending_stats = {
+        "zzz-new.parquet": {
+            "n": 1,
+            "c": {"k": [10_000, 10_000]},
+            "b": {"k": [8192, 3, {"1": 2}]},
+        }
+    }
+    assert t._try_claim(2, names + ["zzz-new.parquet"], "append")
+    v2 = log_bytes()["v000000000002.json"]
+    assert v2 - v1 < 2048
+    # and the segment blooms actually serve: the point lookup admits one
+    # segment's worth of candidates driver-side with zero file opens
+    body = t._read_version_raw(2)
+    hit = [
+        s for s, m in body["seg_meta"].items()
+        if all(
+            m["b"]["k"][2].get(str(w), 0) & bit
+            for w, bit in __import__(
+                "indra_db_spark.plans.skipindex", fromlist=["bloom_positions"]
+            ).bloom_positions(42, 8192, 3)
+        )
+    ]
+    assert len(hit) < n_segs
+
+
 def test_materialize_dv_targets_hot_files_only(spark, tmp_path):
     t = TxTable(spark, str(tmp_path / "t"))
     t.append(_df(spark, 0, 10).repartition(1))       # file A
@@ -1620,6 +1700,56 @@ def test_stream_sink_over_segmented_manifests(spark, tmp_path, _segmented):
     v = t.snapshot()[0]
     assert t.append_batch(_df(spark, 0, 60), ckpt, 0) is None
     assert t.snapshot()[0] == v and t.read().count() == 60
+
+
+def test_stream_sink_maintain_cadence_bounds_files_and_segments(
+    spark, tmp_path, _segmented
+):
+    """maintain() wired into the streaming sinks (r11 verdict next-round
+    #4): a long-running per-trigger stream otherwise mints one tiny file
+    + one tiny segment per commit forever.  With maintain_every=N the
+    sink compacts inside the foreachBatch boundary every Nth COMMITTED
+    batch, so live file and segment counts stay BOUNDED while versions
+    grow — and a full replay from a fresh checkpoint under the same
+    writer id still commits nothing (the cadence is gated on committed
+    batches, so skipped replays trigger no maintenance either)."""
+    from indra_db_spark.streaming.ingest import read_stream, write_stream_txlog
+
+    src = str(tmp_path / "src")
+    for i in range(24):
+        _df(spark, i * 10, i * 10 + 10).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    schema = spark.read.parquet(src).schema
+    table = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    mk = dict(max_file_mb=16, target_file_mb=64, small_min_files=2)
+    write_stream_txlog(
+        read_stream(spark, src, schema, max_files_per_trigger=1),
+        table,
+        ckpt,
+        maintain_every=6,
+        maintain_kwargs=mk,
+    )
+    t = TxTable(spark, table)
+    v, files = t.snapshot()
+    assert {r.k for r in t.read().collect()} == set(range(240))
+    assert v > 24                     # appends PLUS maintenance commits
+    assert len(files) <= 3            # ...while live files stay bounded
+    raw = _raw(t, v)
+    assert "segments" in raw and len(raw["segments"]) <= 2
+    # FULL REPLAY, fresh checkpoint, same writer id: every batch skips on
+    # the manifest watermark and no maintenance fires — zero commits
+    write_stream_txlog(
+        read_stream(spark, src, schema, max_files_per_trigger=1),
+        table,
+        str(tmp_path / "ckpt2"),
+        app_id=ckpt,
+        maintain_every=6,
+        maintain_kwargs=mk,
+    )
+    assert t.snapshot()[0] == v
+    assert t.read().count() == 240
 
 
 def test_materialize_dv_aborts_on_racing_dv(spark, tmp_path):
@@ -2161,6 +2291,164 @@ def test_manifest_bloom_int_probe_through_dvs(spark, tmp_path):
     assert [r.k for r in df3.collect()] == [93]
     df4, _, _ = t.skip_read(eq={"k": 7})
     assert df4.count() == 0  # the DV-deleted row stays deleted
+
+
+# ---- round 12: segment-level membership blooms (manifest-list tier) --------
+
+
+def test_segment_blooms_prune_point_lookups_on_unclustered_layout(
+    spark, tmp_path, _segmented
+):
+    """The r11 gap: an eq probe on a hash-distributed key admitted every
+    SEGMENT at the range level and had to open all of them to reach the
+    per-file bloom words.  With the segment-tier membership blooms
+    (seg_meta[s]["b"], the OR-union of the members' segment-sized word
+    maps) a cold point lookup opens segments ∝ what the filter ADMITS on
+    a 100+-segment repartition()ed (NOT z-ordered) table — the btree
+    interior-node story (r11 verdict next-round #1)."""
+    from indra_db_spark.plans.skipindex import bloom_positions
+
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.set_stats_columns(bloom=("k",))
+    # hash-distributed: every file holds an arbitrary slice of the key
+    # space, so RANGE aggregates cannot separate segments at all
+    t.append(
+        spark.range(0, 1200)
+        .select(F.col("id").alias("k"), F.lit("w").alias("src"))
+        .repartition(600, "k")
+    )
+    v = t.snapshot()[0]
+    raw = _raw(t, v)
+    assert len(raw["segments"]) >= 100
+    metas = raw["seg_meta"]
+    assert all("b" in metas[s] and "k" in metas[s]["b"] for s in metas)
+
+    def admits(s, val):
+        m, k, words = metas[s]["b"]["k"]
+        return all(
+            words.get(str(w), 0) & bit for w, bit in bloom_positions(val, m, k)
+        )
+
+    admitted = [s for s in raw["segments"] if admits(s, 123)]
+    # the true segment plus (near-zero) FPR slack — far under the count
+    assert 1 <= len(admitted) <= 5
+    r = TxTable(spark, str(tmp_path / "t"))  # COLD reader, empty caches
+    df, files_read, files_total = r.skip_read(eq={"k": 123})
+    assert files_total == raw["n_files"]
+    assert r.seg_opens == len(admitted)        # opens ∝ admitted segments
+    assert files_read <= 2 * len(admitted)     # per-file tier then prunes
+    assert [x.k for x in df.collect()] == [123]
+    # an ABSENT key: every segment's filter proves absence — one
+    # schema-carrier segment is opened, nothing else
+    r2 = TxTable(spark, str(tmp_path / "t"))
+    empty, _, _ = r2.skip_read(eq={"k": 10_000})
+    assert r2.seg_opens == 1 and empty.count() == 0
+    # carry-forward: an append reuses the base segments (their seg_meta
+    # blooms ride along, never recomputed) and the cold probe still
+    # scales with admission, now including the new segment's filter
+    t2 = TxTable(spark, str(tmp_path / "t"))
+    t2.append(
+        spark.range(1200, 1202)
+        .select(F.col("id").alias("k"), F.lit("w").alias("src"))
+        .coalesce(1)
+    )
+    raw2 = _raw(t2, t2.snapshot()[0])
+    assert set(raw["segments"]) <= set(raw2["segments"])
+    for s in raw["segments"]:
+        assert raw2["seg_meta"][s] == metas[s]
+    r3 = TxTable(spark, str(tmp_path / "t"))
+    df3, _, ft3 = r3.skip_read(eq={"k": 123})
+    assert ft3 == raw["n_files"] + 1
+    assert r3.seg_opens <= len(admitted) + 1
+    assert [x.k for x in df3.collect()] == [123]
+
+
+def test_segment_bloom_budget_gates_drop_not_mis_prune(
+    spark, tmp_path, _segmented, monkeypatch
+):
+    """Past the word budget (manifest bytes) or the occupancy gate
+    (saturation) a segment simply carries NO membership bloom — eq
+    probes then open it for its per-file words; answers never change."""
+    monkeypatch.setattr(txlog, "SEG_BLOOM_MAX_WORDS", 2)
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.set_stats_columns(bloom=("k",))
+    t.append(_df(spark, 0, 32).repartition(8, "k"))
+    raw = _raw(t, t.snapshot()[0])
+    assert all("b" not in m for m in raw["seg_meta"].values())
+    r = TxTable(spark, str(tmp_path / "t"))
+    df, fr, ft = r.skip_read(eq={"k": 7})
+    assert ft == 8 and fr < ft                # per-file tier still prunes
+    assert [x.k for x in df.collect()] == [7]
+    assert r.seg_opens == len(raw["segments"])  # no segment-level help
+    # occupancy gate: a filter allowed to saturate is dead weight
+    monkeypatch.setattr(txlog, "SEG_BLOOM_MAX_WORDS", 4096)
+    monkeypatch.setattr(txlog, "SEG_BLOOM_MAX_LOAD", 0.0)
+    t.append(_df(spark, 32, 36).coalesce(1))
+    raw2 = _raw(t, t.snapshot()[0])
+    fresh = [s for s in raw2["segments"] if s not in raw["seg_meta"]]
+    assert fresh and all(
+        "b" not in raw2["seg_meta"][s] for s in fresh
+    )
+
+
+def test_segment_blooms_from_file_tier_when_seg_tier_disabled(
+    spark, tmp_path, _segmented
+):
+    """bloom_seg_m=0 skips the second per-file word set; _segment_meta
+    then unions the FILE-tier words (same m/k across members) — legacy
+    tables predating the segment tier get segment pruning for free while
+    their per-file budget stays unsaturated."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.set_stats_columns(bloom=("k",), bloom_seg_m=0)
+    t.append(_df(spark, 0, 64).repartition(16, "k"))
+    body = t._read_version(t.snapshot()[0])
+    stats = t._stats_of(body)
+    assert all("sb" not in st for st in stats.values())
+    raw = _raw(t, t.snapshot()[0])
+    ms = {m["b"]["k"][0] for m in raw["seg_meta"].values()}
+    assert ms == {8192}  # file-tier budget, not a segment-sized m
+    r = TxTable(spark, str(tmp_path / "t"))
+    df, fr, ft = r.skip_read(eq={"k": 11})
+    assert ft == 16 and fr < ft
+    assert r.seg_opens < len(raw["segments"])
+    assert [x.k for x in df.collect()] == [11]
+
+
+def test_segment_meta_bloom_union_rules():
+    """Pure unit on _segment_meta's union: the segment tier (sb) is
+    preferred over the file tier (b); members under MIXED (m, k) drop
+    the column; the union ORs word maps exactly."""
+    from indra_db_spark.plans.skipindex import bloom_positions
+
+    def entry(m, vals, tier):
+        words = {}
+        for v in vals:
+            for w, bit in bloom_positions(v, m, 3):
+                words[str(w)] = words.get(str(w), 0) | bit
+        return {tier: {"x": [m, 3, words]}}
+
+    a = {"n": 1, **entry(8192, [1], "b"), **entry(65536, [1], "sb")}
+    b = {"n": 1, **entry(8192, [2], "b"), **entry(65536, [2], "sb")}
+    meta = TxTable._segment_meta(["fa", "fb"], {"fa": a, "fb": b})
+    m, k, words = meta["b"]["x"]
+    assert m == 65536  # sb preferred
+    for v in (1, 2):
+        assert all(
+            words.get(str(w), 0) & bit
+            for w, bit in bloom_positions(v, 65536, 3)
+        )
+    assert not all(
+        words.get(str(w), 0) & bit
+        for w, bit in bloom_positions(999, 65536, 3)
+    )
+    # mixed sb budgets: sb dropped, but the consistent b tier still unions
+    c = {"n": 1, **entry(8192, [3], "b"), **entry(32768, [3], "sb")}
+    meta2 = TxTable._segment_meta(["fa", "fc"], {"fa": a, "fc": c})
+    assert meta2["b"]["x"][0] == 8192
+    # mixed everywhere: no bloom at all
+    d = {"n": 1, **entry(4096, [4], "b"), **entry(32768, [4], "sb")}
+    meta3 = TxTable._segment_meta(["fa", "fd"], {"fa": a, "fd": d})
+    assert "b" not in meta3
 
 
 def test_losing_claims_reuse_segments_across_retries(
