@@ -120,7 +120,30 @@ def compare(old: dict, new: dict, threshold: float = 1.2) -> dict:
     }
 
 
+def _merge_serving(doc: dict) -> dict:
+    """Fold the txlog ``serving`` group (bench.py round 12) into the
+    per-query maps so the SAME ratio/σ machinery diffs it — the serve_*
+    names are disjoint from headline names, and the shared-set totals
+    ignore entries the other side lacks, so old artifacts without the
+    group compare unchanged."""
+    for dst, src in (
+        ("queries", "serving"),
+        ("queries_mean", "serving_mean"),
+        ("queries_sigma", "serving_sigma"),
+    ):
+        extra = doc.get(src)
+        if extra and isinstance(doc.get(dst), dict):
+            doc[dst] = {**doc[dst], **extra}
+        elif extra and dst not in doc:
+            doc[dst] = dict(extra)
+    return doc
+
+
 def load_bench(path: str) -> dict:
+    return _merge_serving(_load_bench_raw(path))
+
+
+def _load_bench_raw(path: str) -> dict:
     """Accept bench.py's raw JSON line or the driver's BENCH_r{N} wrapper:
     prefer the wrapper's ``parsed`` metrics when present, then a complete
     metrics line inside ``tail`` — including the compact

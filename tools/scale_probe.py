@@ -831,6 +831,65 @@ def _maintain_probe(spark, events, windows: int = 3) -> dict[str, float]:
     return {"txlog_maintain": round(times[len(times) // 2], 3)}
 
 
+def _cold_point_probe(spark, factor: int) -> dict[str, float]:
+    """Cold metadata cost vs SEGMENT count (r11 verdict next-round #6):
+    the churn probe covers maintenance; this measures what a serving
+    tier pays for a COLD point lookup — fresh TxTable handle (empty
+    caches), raw-manifest read, segment-level pruning, then the admitted
+    segments' resolution and the pruned scan.  Factor f probes 10·f
+    segments (10/100/1000 at the default factors), each of 4
+    hash-distributed files, with segment-tier membership blooms
+    configured — so the expected shape is FLAT-ish wall time
+    (O(admitted + one manifest parse), never O(segments) round trips),
+    which the assertions pin structurally (seg_opens stays ~1 while the
+    segment count grows 100×).  The table builds once per factor and is
+    cached like the amplified inputs."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    import indra_db_spark.plans.txlog as txmod
+
+    n_segments = 10 * factor
+    root = os.path.join(CACHE, f"txlog_cold_s{n_segments}", "t")
+    done = os.path.join(os.path.dirname(root), "_PROBE_DONE")
+    n_files = n_segments * 4
+    if not os.path.exists(done):
+        shutil.rmtree(os.path.dirname(root), ignore_errors=True)
+        saved = (txmod.INLINE_MANIFEST_FILES, txmod.SEGMENT_TARGET_FILES)
+        txmod.INLINE_MANIFEST_FILES = 0
+        txmod.SEGMENT_TARGET_FILES = 4
+        try:
+            t = txmod.TxTable(spark, root)
+            t.set_stats_columns(bloom=("k",))
+            t.append(
+                spark.range(0, n_files * 2)
+                .select(F.col("id").alias("k"))
+                .repartition(n_files, "k")
+            )
+        finally:
+            txmod.INLINE_MANIFEST_FILES, txmod.SEGMENT_TARGET_FILES = saved
+        open(done, "w").close()
+    times: list[float] = []
+    for _ in range(3):
+        t0 = time.monotonic()
+        cold = txmod.TxTable(spark, root)
+        df, fr, ft = cold.skip_read(eq={"k": 37})
+        n = df.count()
+        times.append(time.monotonic() - t0)
+        assert n == 1 and fr <= 4, (n, fr)
+        # the structural pin: opens ∝ admitted segments, not the table
+        assert cold.seg_opens <= 4, cold.seg_opens
+    times.sort()
+    print(
+        f"probe txlog_cold_point segs={n_segments}: "
+        f"{[round(x, 3) for x in times]}",
+        file=sys.stderr,
+        flush=True,
+    )
+    return {"txlog_cold_point": round(times[len(times) // 2], 3)}
+
+
 def main() -> None:
     factors = [int(a) for a in sys.argv[1:]] or [1, 10, 100]
     # the 100x closure holds ~40M (child, anc) pairs in retained checkpoint
@@ -864,6 +923,8 @@ def main() -> None:
         "feature_scale", "winsorized", "attribution_model", "skew_report",
     }
     TX_OPS = {"txlog_dv", "txlog_maintain"}
+    # cold-open probe builds its own tiny txlog table — no corpus input
+    COLD_OPS = {"txlog_cold_point"}
 
     results: dict[str, dict[str, float]] = {}
     errors: dict[str, str] = {}
@@ -879,6 +940,7 @@ def main() -> None:
     # being treated as retired by the merge
     all_names.update(f"txlog_dv_s{s}" for s in DV_SIDECAR_COUNTS)
     all_names.add("txlog_maintain")
+    all_names.add("txlog_cold_point")
     for factor in factors:
         docs = emb = events = edges = emb_prod = None
         index = centers = None
@@ -887,7 +949,7 @@ def main() -> None:
         # docs feed every op not in another family; build unless the
         # selection is entirely emb/edges/events/product
         if not only or (only - EMB_OPS - PROD_OPS - EDGE_OPS - EVENT_OPS
-                        - TX_OPS):
+                        - TX_OPS - COLD_OPS):
             docs = _amplified(spark, "documents", factor, _docs_x)
             docs.count()
         if _needs(EMB_OPS):
@@ -986,6 +1048,16 @@ def main() -> None:
                 errors[f"txlog_maintain@x{factor}"] = msg
                 print(
                     f"ERROR txlog_maintain@x{factor}: {msg}", file=sys.stderr
+                )
+        if _needs({"txlog_cold_point"}):
+            try:
+                timings.update(_cold_point_probe(spark, factor))
+            except Exception as e:  # noqa: BLE001
+                msg = str(e).splitlines()[0][:200] if str(e) else type(e).__name__
+                errors[f"txlog_cold_point@x{factor}"] = msg
+                print(
+                    f"ERROR txlog_cold_point@x{factor}: {msg}",
+                    file=sys.stderr,
                 )
         results[str(factor)] = timings
 
