@@ -128,13 +128,18 @@ def _serving_ops(spark, sf_dir):
     bloom would blow the word budget and be dropped anyway — per the
     documented boundary, unique keys are served by per-file blooms (the
     budget rationale lives on plans/txlog.SEG_BLOOM_MAX_WORDS)."""
+    import atexit
+    import shutil
     import tempfile
 
     from pyspark.sql import functions as F
 
     from indra_db_spark.plans.txlog import TxTable
 
-    root = tempfile.mkdtemp(prefix="bench_serve_") + "/orders"
+    scratch = tempfile.mkdtemp(prefix="bench_serve_")
+    # repeated bench runs must not accumulate orphaned table copies
+    atexit.register(shutil.rmtree, scratch, ignore_errors=True)
+    root = scratch + "/orders"
     sm = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).select(
         "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
     )
@@ -143,9 +148,13 @@ def _serving_ops(spark, sf_dir):
         "o_totalprice", bloom=("o_orderkey",), bloom_m=1 << 14,
         bloom_seg_m=0,
     )
-    # 96 files pushes the manifest past the inline threshold, so the
-    # timed reads exercise the SEGMENTED resolution path
-    tx.append(sm.repartitionByRange(96, "o_totalprice"))
+    # file count scales with the input so the per-file bloom load stays
+    # ~0.27 (≈2% FPR) at EVERY SF the bench honors — a fixed count would
+    # saturate the 2^14-bit filters around sf1 and fail the engagement
+    # assert; the 96 floor keeps the manifest past the inline threshold,
+    # so the timed reads exercise the SEGMENTED resolution path
+    n_files = max(96, sm.count() // 1500)
+    tx.append(sm.repartitionByRange(n_files, "o_totalprice"))
     tx.delete_where(F.col("o_orderkey") % 1009 == 0, mode="dv")
     keys = [
         r[0]

@@ -279,10 +279,11 @@ def _maybe_maintain(
     - the cadence is gated on ``committed`` — a batch the per-writer
       watermark SKIPPED (a crash replay) triggers no maintenance, so a
       full replay still commits nothing at all;
-    - a :class:`CommitConflict` (a co-running maintainer or a racing
-      delete won the claim) is tolerated and retried at the next cadence
-      point — maintenance is best-effort housekeeping, never load-
-      bearing for correctness.
+    - maintenance failures NEVER fail the micro-batch: the batch's data
+      already committed, so a CommitConflict (a co-running maintainer or
+      racing delete won the claim) or any transient FS/IO error is
+      logged and retried at the next cadence point — best-effort
+      housekeeping must not take down the load-bearing stream.
 
     Cost stays O(churn since the last pass), never O(table) — the
     maintain() contract the SCALE_PROBE churn rows pin."""
@@ -290,13 +291,18 @@ def _maybe_maintain(
         return
     if batch_id % maintain_every != maintain_every - 1:
         return
-    from indra_db_spark.plans.txlog import CommitConflict
+    import sys
 
     for tx in tables:
         try:
             tx.maintain(**(maintain_kwargs or {}))
-        except CommitConflict:
-            pass  # raced a concurrent writer; the next cadence retries
+        except Exception as e:  # noqa: BLE001 — housekeeping only
+            print(
+                f"stream maintenance skipped on {tx.root} at batch "
+                f"{batch_id}: {type(e).__name__}: "
+                f"{str(e).splitlines()[0][:200] if str(e) else ''}",
+                file=sys.stderr,
+            )
 
 
 def write_stream_txlog(
@@ -570,6 +576,18 @@ def scd2_stream_txlog(
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         view = TxTable(spark, view_root)
+        # maintenance gating: unlike the other sinks, an SCD2 batch whose
+        # computed updates are EMPTY is common (cross-batch heartbeat
+        # suppression) and commits nothing — gating the cadence on this
+        # batch's own commit would let a sparse stream defer compaction
+        # forever.  Gate on "not a KNOWN replay" via the manifest's
+        # writer watermark instead: replays of update-carrying batches
+        # are recorded there and skip; an empty-update batch never
+        # advances the watermark, so its (equally empty) replay may run
+        # one redundant maintenance pass — layout-only and harmless.
+        known_replay = (
+            view._snapshot_full()[2].get(writer_id, -1) >= batch_id
+        )
         b = scd2_build(
             batch_df, key_cols[0], ts_col, attr_cols, tiebreak_col
         )
@@ -581,9 +599,9 @@ def scd2_stream_txlog(
                 .join(F.broadcast(keys), key_cols, "semi")
             )
         except ValueError:  # empty view: everything is new history
-            v = view.merge_batch(b, merge_keys, writer_id, batch_id)
+            view.merge_batch(b, merge_keys, writer_id, batch_id)
             _maybe_maintain(
-                [view], batch_id, v is not None,
+                [view], batch_id, not known_replay,
                 maintain_every, maintain_kwargs,
             )
             return
@@ -639,11 +657,13 @@ def scd2_stream_txlog(
         # current row untouched (no row in fk → no close)
         updates = closed.unionByName(b_kept)
         if updates.limit(1).count():
-            v = view.merge_batch(updates, merge_keys, writer_id, batch_id)
-            _maybe_maintain(
-                [view], batch_id, v is not None,
-                maintain_every, maintain_kwargs,
-            )
+            view.merge_batch(updates, merge_keys, writer_id, batch_id)
+        # cadence runs even when this batch's updates were all suppressed
+        # (see known_replay above) — earlier batches' churn still ages
+        _maybe_maintain(
+            [view], batch_id, not known_replay,
+            maintain_every, maintain_kwargs,
+        )
 
     writer = (
         stream_df.writeStream.foreachBatch(_sink)
