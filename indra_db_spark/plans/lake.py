@@ -124,9 +124,13 @@ class ReadonlyLake:
     #: lookups prune files — and, two-level, segments — driver-side.
     TXLOG_STATS = {
         "source_meta": {"cols": ("ev_count",), "bloom": ("mk_hash",)},
-        "name_meta": {"cols": ("ev_count",), "bloom": ("db_id",)},
-        "text_meta": {"cols": ("ev_count",), "bloom": ("db_id",)},
-        "other_meta": {"cols": ("ev_count",), "bloom": ("db_id",)},
+        # db_id carries RANGE stats too (not just blooms): prefix-LIKE
+        # agent lookups prune through string min/max (round 12, the
+        # text_pattern_ops btree analog) — selective under a db_id
+        # range/sort layout, harmlessly unselective under hash layouts
+        "name_meta": {"cols": ("ev_count", "db_id"), "bloom": ("db_id",)},
+        "text_meta": {"cols": ("ev_count", "db_id"), "bloom": ("db_id",)},
+        "other_meta": {"cols": ("ev_count", "db_id"), "bloom": ("db_id",)},
         "mesh_term_meta": {"cols": ("ev_count",), "bloom": ("mesh_num",)},
         "mesh_concept_meta": {
             "cols": ("ev_count",),

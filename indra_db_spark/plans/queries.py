@@ -489,6 +489,29 @@ class HasEvidenceBound(_IntrusiveQuery):
         return super()._hashes(lake, intrusives)
 
 
+def _like_prefix_box(pattern: str) -> tuple[str, str] | None:
+    """The inclusive [lo, hi] range containing EVERY string a LIKE
+    ``pattern`` can match, derived from its literal prefix (the text
+    before the first ``%``/``_`` wildcard), or None when there is no
+    usable prefix.  Soundness (the prune may only ever see a SUPERSET):
+    any match starts with the prefix, so it sorts ≥ prefix and strictly
+    below the prefix with its last code point incremented — both Python
+    and Spark (UTF8_BINARY) compare strings by code point, so the box is
+    valid on the driver-side stats AND in the residual filter.  A prefix
+    whose every code point is already the maximum cannot be incremented
+    and returns None (plain path — never a wrong box)."""
+    import re
+
+    prefix = re.split(r"[%_]", pattern, maxsplit=1)[0]
+    if not prefix:
+        return None
+    for i in range(len(prefix) - 1, -1, -1):
+        cp = ord(prefix[i])
+        if cp < 0x10FFFF:
+            return prefix, prefix[:i] + chr(cp + 1)
+    return None
+
+
 class HasAgent(Query):
     """Statements with an agent matching (id, namespace[, role, agent_num]).
 
@@ -546,7 +569,24 @@ class HasAgent(Query):
             table, df = "other_meta", lake["other_meta"]
         rid = regularize_agent_id(agent_id, ns)
         if "%" in rid or "_" in rid:
-            df = df.filter(F.col("db_id").like(rid))
+            # LIKE pattern: inclusion blooms cannot prune, but a pattern
+            # with a LITERAL PREFIX before its first wildcard is also a
+            # RANGE — every match sorts in [prefix, increment(prefix)] —
+            # so on a txlog-served lake it routes through the manifest's
+            # db_id range stats (round 12): the parquet analog of the
+            # reference btrees' text_pattern_ops prefix scans
+            # (schemas/mixins.py:70-97).  The pruned frame carries only
+            # the superset box; the exact LIKE still applies on top.
+            # Leading-wildcard patterns have no prefix and stay plain.
+            box = _like_prefix_box(rid)
+            pruned = (
+                lake.pruned(table, predicates={"db_id": box})
+                if box is not None
+                else None
+            )
+            df = (df if pruned is None else pruned).filter(
+                F.col("db_id").like(rid)
+            )
         else:
             # exact-id lookup — the single most common serving query:
             # on a txlog-served lake, route through the manifest's db_id

@@ -620,7 +620,9 @@ def test_algebra_leaf_scans_prune_through_manifest_stats(spark, tmp_path):
     # z-ordered maintenance layout) so a given id lives in few files —
     # blooms prune by INCLUSION, so a key smeared across every file is
     # correctly unprunable
-    tables["name_meta"] = tables["name_meta"].repartition(4, "db_id")
+    tables["name_meta"] = tables["name_meta"].repartitionByRange(
+        4, "db_id"
+    )
     # same for the round-12 routed leaves: mesh tables by mesh_num,
     # reading refs by trid (a given paper id then lives in ~one file)
     tables["mesh_term_meta"] = tables["mesh_term_meta"].repartition(
@@ -687,12 +689,21 @@ def test_algebra_leaf_scans_prune_through_manifest_stats(spark, tmp_path):
     assert got_a == want_a and got_a
     fr, ft = lake.last_prune
     assert fr < ft, (fr, ft)
-    # LIKE patterns cannot prune by inclusion — plain path, same answer
+    # a prefix-LIKE is ALSO a range: [prefix, increment(prefix)] routes
+    # through the db_id range stats (round 12, the text_pattern_ops
+    # btree analog) — selective here because name_meta is range-laid-out
     qlike = HasAgent("ME%")
-    lake.last_prune = None
     want_l = {r.mk_hash for r in get_hashes(qlike, mem_lake).collect()}
     got_l = {r.mk_hash for r in get_hashes(qlike, lake).collect()}
-    assert got_l == want_l and lake.last_prune is None
+    assert got_l == want_l and got_l
+    fr, ft = lake.last_prune
+    assert fr < ft, (fr, ft)
+    # a LEADING-wildcard pattern has no literal prefix — plain path
+    qlead = HasAgent("%EK")
+    lake.last_prune = None
+    want_le = {r.mk_hash for r in get_hashes(qlead, mem_lake).collect()}
+    got_le = {r.mk_hash for r in get_hashes(qlead, lake).collect()}
+    assert got_le == want_le and lake.last_prune is None
 
     # FromMeshIds routes its mesh_num IN-list through the mesh table's
     # bloom words (round 12, r11 verdict next-round #3)

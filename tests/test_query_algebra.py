@@ -279,3 +279,25 @@ def test_fuzz_random_trees(fx):
         q, expected = build(3)
         got = run(q, lake)
         assert got == expected, f"trial {trial}: {q}"
+
+
+def test_like_prefix_box_superset_property():
+    """Soundness of the prefix-LIKE range (round 12): the box must
+    contain EVERY string the pattern can match — the prune may only ever
+    see a superset (the exact LIKE re-applies on top)."""
+    from indra_db_spark.plans.queries import _like_prefix_box
+
+    assert _like_prefix_box("%EK") is None          # no literal prefix
+    assert _like_prefix_box("_EK") is None
+    assert _like_prefix_box("ME%") == ("ME", "MF")
+    assert _like_prefix_box("ME_K%") == ("ME", "MF")
+    assert _like_prefix_box("Z%") == ("Z", "[")
+    assert _like_prefix_box(chr(0x10FFFF) * 2 + "%") is None
+    # carry past a maxed trailing code point: increment an earlier one
+    lo, hi = _like_prefix_box("A" + chr(0x10FFFF) + "%")
+    assert lo == "A" + chr(0x10FFFF) and hi == "B"
+    # sampled matches always fall inside the box
+    for suffix in ("", "K", "K1", "zzz", chr(0x10FFFF)):
+        v = "ME" + suffix
+        lo, hi = _like_prefix_box("ME%")
+        assert lo <= v <= hi
