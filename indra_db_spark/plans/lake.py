@@ -192,15 +192,26 @@ class ReadonlyLake:
         ``version`` pins every table (int) or individual tables
         ({name: version}); ``timestamp_ms`` resolves a per-table
         ``AS OF <timestamp>`` via the commit stamps.  Omit both for the
-        latest snapshot of each table."""
+        latest snapshot of each table.
+
+        The per-table METADATA resolution (log-dir existence, manifest
+        read, segment prefetch, version pinning) runs 8-way concurrent —
+        the same py4j per-thread-connection pattern as the txlog's
+        segment prefetch (round 12): a cold lake open over ~17 tables on
+        an object store is otherwise that many serial manifest
+        round-trip chains.  DataFrame construction stays on the calling
+        thread."""
+        from concurrent.futures import ThreadPoolExecutor
+
         from indra_db_spark.plans.txlog import LOG_DIR, TxTable
 
         tables: dict[str, DataFrame] = dict(extra or {})
         handles: dict[str, tuple] = {}
-        for name in READONLY_SCHEMAS:
+
+        def _resolve(name: str):
             path = fsutil.join(root, name)
             if not fsutil.is_dir(spark, fsutil.join(path, LOG_DIR)):
-                continue
+                return None
             tx = TxTable(spark, path)
             head, head_files = tx.snapshot()  # ONE resolution per table
             if head == 0:
@@ -208,7 +219,7 @@ class ReadonlyLake:
                 # first commit: nothing is committed, so the table does
                 # not exist yet — skip it rather than brick the whole
                 # lake open on one empty log
-                continue
+                return None
             if timestamp_ms is not None:
                 v = tx.version_at(timestamp_ms)
             elif isinstance(version, dict):
@@ -219,13 +230,22 @@ class ReadonlyLake:
                 # the lake's frame and any later pruned() scan must read
                 # the same snapshot even when a writer commits in between
                 v = head
-            if not (head_files if v == head else tx._read_version(v)["files"]):
+            if not (
+                head_files if v == head else tx._read_version(v)["files"]
+            ):
                 # a CONFIG-ONLY version (set_stats_columns /
                 # add_check_constraint committed before the first append,
                 # or a data-less restore target): the table holds no
                 # data yet — same not-yet-existing contract as head == 0,
                 # never a ValueError that bricks the whole lake open
-                continue
+                return None
+            return name, tx, v
+
+        with ThreadPoolExecutor(max_workers=8) as ex:
+            resolved = [
+                r for r in ex.map(_resolve, READONLY_SCHEMAS) if r
+            ]
+        for name, tx, v in resolved:  # ex.map preserves schema order
             tables[name] = tx.read(v)
             handles[name] = (tx, v)
         lake = cls(tables)
@@ -338,13 +358,24 @@ class ReadonlyLake:
                 }
             except AnalysisException:  # database absent → no bucketed tier
                 bucketed_names = set()
-        for name in READONLY_SCHEMAS:
+
+        # the per-table layout DECISION (existence probes, snapshot
+        # resolution, byte listing) runs 8-way concurrent like
+        # from_txlog's resolver — these are the round-trip-bound steps;
+        # DataFrame construction stays on the calling thread
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _decide(name: str):
             if name in tables:
-                continue
+                return None
             tx_path = tx_root and fsutil.join(tx_root, name)
             plain_path = root and fsutil.join(root, name)
-            has_plain = bool(plain_path) and fsutil.exists(spark, plain_path)
-            if tx_path and fsutil.is_dir(spark, fsutil.join(tx_path, LOG_DIR)):
+            has_plain = bool(plain_path) and fsutil.exists(
+                spark, plain_path
+            )
+            if tx_path and fsutil.is_dir(
+                spark, fsutil.join(tx_path, LOG_DIR)
+            ):
                 from indra_db_spark.plans.txlog import TxTable
 
                 tx = TxTable(spark, tx_path)
@@ -355,9 +386,7 @@ class ReadonlyLake:
                     # head (stats/constraint commit before the first
                     # append) holds no data — fall through to the other
                     # layouts like the zero-commit case
-                    tables[name] = tx.read(v)
-                    handles[name] = (tx, v)
-                    continue
+                    return name, "txlog", (tx, v)
                 # zero commits = the table doesn't exist in the log yet
                 # (crashed pre-first-commit writer) — fall through to the
                 # other layouts instead of bricking the open
@@ -367,9 +396,24 @@ class ReadonlyLake:
             ):
                 # the catalog copy serves when it's the ONLY copy, or
                 # when the table's bytes clear the measured crossover
+                return name, "bucketed", None
+            if has_plain:
+                return name, "plain", plain_path
+            return None
+
+        with ThreadPoolExecutor(max_workers=8) as ex:
+            decisions = [
+                d for d in ex.map(_decide, READONLY_SCHEMAS) if d
+            ]
+        for name, kind, payload in decisions:
+            if kind == "txlog":
+                tx, v = payload
+                tables[name] = tx.read(v)
+                handles[name] = (tx, v)
+            elif kind == "bucketed":
                 tables[name] = spark.table(f"{database}.{name}")
-            elif has_plain:
-                tables[name] = spark.read.parquet(plain_path)
+            else:
+                tables[name] = spark.read.parquet(payload)
         lake = cls(tables)
         lake._tx = handles
         return lake
