@@ -123,6 +123,30 @@ def main() -> None:
     assert df4.count() == 0
     print(f"  absent-id probe:  files {fr4}/{ft4} rows=0")
 
+    # round-12 probe: the prefix-LIKE shape (HasAgent("XYZ%")) served
+    # as a RANGE over db_id min/max stats — the text_pattern_ops btree
+    # analog — over a db_id RANGE layout (the maintenance layout a
+    # prefix-heavy workload would choose; the hash layout above serves
+    # the exact-id shape instead).
+    from indra_db_spark.plans.queries import _like_prefix_box
+
+    root3 = tempfile.mkdtemp(prefix="txalg_") + "/name_meta_by_id_range"
+    t3x = TxTable(spark, root3)
+    t3x.set_stats_columns("ev_count", "db_id", bloom=("db_id",))
+    t3x.append(nm_id.repartitionByRange(n_files, "db_id"))
+    prefix = target.split("#")[0] + "#1"   # matches #1, #1x, #1xx ids
+    box = _like_prefix_box(prefix + "%")
+    df5, fr5, ft5 = t3x.skip_read(predicates={"db_id": box})
+    like5 = df5.filter(df5.db_id.like(prefix + "%"))
+    n5, t5 = timed(like5)
+    full3 = t3x.read()
+    nf5, tf5 = timed(full3.filter(full3.db_id.like(prefix + "%")))
+    assert n5 == nf5, (n5, nf5)
+    print(
+        f"  prefix-LIKE probe: files {fr5}/{ft5} rows={n5} "
+        f"skip={t5:.3f}s full={tf5:.3f}s speedup={tf5 / t5:.2f}x"
+    )
+
 
 if __name__ == "__main__":
     main()
