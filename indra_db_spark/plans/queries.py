@@ -389,6 +389,22 @@ class HasNumEvidence(_IntrusiveQuery):
     def _positive_predicate(self) -> Column:
         return F.col("ev_count").isin(self.evidence_nums)
 
+    def _hashes(self, lake, intrusives) -> DataFrame:
+        """ev_count IN-lists route through the manifest range stats on a
+        txlog-served source_meta (round 12): a file/segment is admitted
+        only when SOME listed value falls inside its [min, max], so
+        under the ranked ev_count layout a sparse count list opens few
+        files — the same stats that serve HasEvidenceBound's intervals
+        (the reference's ev_count btree) serve this leaf's point set.
+        Inversion cannot prune by inclusion and takes the plain path."""
+        if not self.inverted and self.evidence_nums:
+            pruned = lake.pruned(
+                "source_meta", eq={"ev_count": self.evidence_nums}
+            )
+            if pruned is not None:
+                return _apply_preds(pruned, intrusives).select(*HASH_COLS)
+        return super()._hashes(lake, intrusives)
+
 
 _BOUND_OPS = {
     "<": lambda c, v: c < v,

@@ -705,6 +705,19 @@ def test_algebra_leaf_scans_prune_through_manifest_stats(spark, tmp_path):
     got_le = {r.mk_hash for r in get_hashes(qlead, lake).collect()}
     assert got_le == want_le and lake.last_prune is None
 
+    # HasNumEvidence's ev_count IN-list rides the same range stats that
+    # serve HasEvidenceBound (round 12) — sparse counts open few files
+    # under the ranked layout
+    from indra_db_spark.plans.queries import HasNumEvidence
+
+    lo_ev = mem_lake["source_meta"].agg(F.min("ev_count")).first()[0]
+    qn = HasNumEvidence([lo_ev, hi])
+    want_n = {r.mk_hash for r in get_hashes(qn, mem_lake).collect()}
+    got_n = {r.mk_hash for r in get_hashes(qn, lake).collect()}
+    assert got_n == want_n and got_n
+    fr, ft = lake.last_prune
+    assert fr < ft, (fr, ft)
+
     # FromMeshIds routes its mesh_num IN-list through the mesh table's
     # bloom words (round 12, r11 verdict next-round #3)
     mesh_num = mem_lake["mesh_term_meta"].select("mesh_num").first()[0]
