@@ -893,6 +893,41 @@ class Intersection(_MergeQuery):
     def invert(self) -> "Query":
         return build_union([q.invert() for q in self.queries])
 
+    def _prune_hints(self) -> tuple[dict, dict]:
+        """(eq hints, box hints) the conjunction's NON-inverted leaves
+        imply for the collapsed source_meta scan (round 12): without
+        this, ``HasHash(...) & HasSources(...)`` lost the manifest
+        pruning HasHash gets standing alone, because the single-scan
+        collapse below reads the PLAIN table.  Hints only ever narrow
+        (the conjunction's own predicates are re-applied exactly on
+        top, and a hinted leaf's residual is implied by them), so a
+        pruned base scan is a strict subset-of-files win.  Boxes from
+        multiple bound leaves intersect; a contradictory (lo > hi) box
+        stays — skip_read's residual then yields the correct empty."""
+        eq_hints: dict = {}
+        box_hints: dict = {}
+        for q in self.queries:
+            if q.inverted:
+                continue  # negations cannot prune by inclusion
+            if isinstance(q, HasHash) and q.stmt_hashes:
+                eq_hints.setdefault("mk_hash", q.stmt_hashes)
+            elif isinstance(q, HasNumEvidence) and q.evidence_nums:
+                eq_hints.setdefault("ev_count", q.evidence_nums)
+            elif (
+                isinstance(q, HasEvidenceBound)
+                and q.evidence_bounds
+                and all(op in q._BOXABLE for op, _ in q.evidence_bounds)
+            ):
+                lo, hi = q._box()
+                if "ev_count" in box_hints:
+                    plo, phi = box_hints["ev_count"]
+                    if lo is None or (plo is not None and plo > lo):
+                        lo = plo
+                    if hi is None or (phi is not None and phi < hi):
+                        hi = phi
+                box_hints["ev_count"] = (lo, hi)
+        return eq_hints, box_hints
+
     def _hashes(self, lake, intrusives) -> DataFrame:
         intrusives = list(intrusives)
         preds: list[Column] = []
@@ -910,9 +945,21 @@ class Intersection(_MergeQuery):
                 pos_branches.append(q)
 
         branches: list[DataFrame] = []
-        # single-scan conjunction of all predicate + intrusive leaves
+        # single-scan conjunction of all predicate + intrusive leaves —
+        # routed through the manifest prune when any leaf supplies a
+        # point/range hint (round 12; see _prune_hints)
         if preds or not pos_branches:
-            base = lake["source_meta"].filter(_and_all(preds))
+            eq_hints, box_hints = self._prune_hints()
+            base = None
+            if eq_hints or box_hints:
+                base = lake.pruned(
+                    "source_meta",
+                    predicates=box_hints or None,
+                    eq=eq_hints or None,
+                )
+            if base is None:
+                base = lake["source_meta"]
+            base = base.filter(_and_all(preds))
             base = _apply_preds(base, child_intrusives).select(*HASH_COLS)
             branches.append(base)
         branches.extend(q.hashes(lake, child_intrusives) for q in pos_branches)

@@ -718,6 +718,23 @@ def test_algebra_leaf_scans_prune_through_manifest_stats(spark, tmp_path):
     fr, ft = lake.last_prune
     assert fr < ft, (fr, ft)
 
+    # a CONJUNCTION with a prunable leaf routes its collapsed
+    # source_meta scan through the same prune (round 12): without the
+    # hint extraction, HasHash & HasSources read the plain table
+    from indra_db_spark.plans.queries import HasSources, build_intersection
+
+    some_src = (
+        mem_lake["source_meta"]
+        .select(F.explode(F.map_keys("src_json")).alias("s"))
+        .first()[0]
+    )
+    qconj = build_intersection([HasHash([target]), HasSources([some_src])])
+    want_c = {r.mk_hash for r in get_hashes(qconj, mem_lake).collect()}
+    got_c = {r.mk_hash for r in get_hashes(qconj, lake).collect()}
+    assert got_c == want_c
+    fr, ft = lake.last_prune
+    assert fr < ft, (fr, ft)
+
     # FromMeshIds routes its mesh_num IN-list through the mesh table's
     # bloom words (round 12, r11 verdict next-round #3)
     mesh_num = mem_lake["mesh_term_meta"].select("mesh_num").first()[0]
