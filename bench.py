@@ -168,16 +168,21 @@ def _serving_ops(spark, sf_dir):
     ).first()
     box = (lo, lo + (hi - lo) / 64)
 
+    # engagement gates raise explicitly (not bare assert) so they
+    # survive ``python -O`` — a stats-less table must FAIL the bench,
+    # never silently record a full-scan time (r12 ADVICE)
     def point(s):
         df, fr, ft = TxTable(s, root).skip_read(eq={"o_orderkey": keys})
-        assert fr < ft, "bloom point lookup did not prune"
+        if not fr < ft:
+            raise AssertionError("bloom point lookup did not prune")
         return df
 
     def rng(s):
         df, fr, ft = TxTable(s, root).skip_read(
             predicates={"o_totalprice": box}
         )
-        assert fr < ft, "range-stats slice did not prune"
+        if not fr < ft:
+            raise AssertionError("range-stats slice did not prune")
         return df
 
     def dv_read(s):

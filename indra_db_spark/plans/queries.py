@@ -506,7 +506,7 @@ class HasEvidenceBound(_IntrusiveQuery):
 
 
 def _like_prefix_box(pattern: str) -> tuple[str, str] | None:
-    """The inclusive [lo, hi] range containing EVERY string a LIKE
+    r"""The inclusive [lo, hi] range containing EVERY string a LIKE
     ``pattern`` can match, derived from its literal prefix (the text
     before the first ``%``/``_`` wildcard), or None when there is no
     usable prefix.  Soundness (the prune may only ever see a SUPERSET):
@@ -515,16 +515,35 @@ def _like_prefix_box(pattern: str) -> tuple[str, str] | None:
     and Spark (UTF8_BINARY) compare strings by code point, so the box is
     valid on the driver-side stats AND in the residual filter.  A prefix
     whose every code point is already the maximum cannot be incremented
-    and returns None (plain path — never a wrong box)."""
+    and returns None (plain path — never a wrong box).
+
+    Two soundness guards (round 13, ADVICE):
+
+    * A pattern containing a backslash takes the plain path.  LIKE
+      treats ``\%``/``\_`` as LITERAL characters, so splitting on raw
+      wildcards would derive a prefix ending in ``\`` that EXCLUDES
+      every real match (e.g. ``AMPK\_alpha%`` matches ``AMPK_alpha…``,
+      which does not start with ``AMPK\``) — a wrong prune, not just a
+      loose one.  Returning None is conservative and exact.
+    * Incrementing the last code point never lands in the surrogate
+      block U+D800–U+DFFF (a prefix ending in U+D7FF would otherwise
+      yield a lone surrogate that py4j cannot UTF-8-encode, crashing the
+      residual filter).  U+E000 is the next scalar value and no valid
+      UTF-8 string sorts between them, so the box stays a superset."""
     import re
 
+    if "\\" in pattern:
+        return None
     prefix = re.split(r"[%_]", pattern, maxsplit=1)[0]
     if not prefix:
         return None
     for i in range(len(prefix) - 1, -1, -1):
         cp = ord(prefix[i])
         if cp < 0x10FFFF:
-            return prefix, prefix[:i] + chr(cp + 1)
+            nxt = cp + 1
+            if 0xD800 <= nxt <= 0xDFFF:
+                nxt = 0xE000
+            return prefix, prefix[:i] + chr(nxt)
     return None
 
 
@@ -903,16 +922,28 @@ class Intersection(_MergeQuery):
         top, and a hinted leaf's residual is implied by them), so a
         pruned base scan is a strict subset-of-files win.  Boxes from
         multiple bound leaves intersect; a contradictory (lo > hi) box
-        stays — skip_read's residual then yields the correct empty."""
+        stays — skip_read's residual then yields the correct empty.
+        Point lists from multiple leaves on the SAME column intersect
+        too (round 13, ADVICE: setdefault kept only the FIRST leaf's
+        list — sound, but the intersection is strictly tighter); an
+        empty intersection proves the conjunction empty, and _hashes
+        skips the scan entirely."""
         eq_hints: dict = {}
         box_hints: dict = {}
+
+        def _narrow(col: str, values) -> None:
+            if col in eq_hints:
+                eq_hints[col] = sorted(set(eq_hints[col]) & set(values))
+            else:
+                eq_hints[col] = list(values)
+
         for q in self.queries:
             if q.inverted:
                 continue  # negations cannot prune by inclusion
             if isinstance(q, HasHash) and q.stmt_hashes:
-                eq_hints.setdefault("mk_hash", q.stmt_hashes)
+                _narrow("mk_hash", q.stmt_hashes)
             elif isinstance(q, HasNumEvidence) and q.evidence_nums:
-                eq_hints.setdefault("ev_count", q.evidence_nums)
+                _narrow("ev_count", q.evidence_nums)
             elif (
                 isinstance(q, HasEvidenceBound)
                 and q.evidence_bounds
@@ -951,7 +982,14 @@ class Intersection(_MergeQuery):
         if preds or not pos_branches:
             eq_hints, box_hints = self._prune_hints()
             base = None
-            if eq_hints or box_hints:
+            if any(not v for v in eq_hints.values()):
+                # two leaves' point lists on the same column intersect
+                # to NOTHING: the conjunction's own predicates (both
+                # IN-lists are in `preds`) prove this branch empty, so
+                # no scan runs at all — Catalyst folds the always-false
+                # filter to an empty LocalRelation
+                base = lake["source_meta"].filter(F.lit(False))
+            elif eq_hints or box_hints:
                 base = lake.pruned(
                     "source_meta",
                     predicates=box_hints or None,

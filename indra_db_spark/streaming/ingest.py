@@ -585,7 +585,10 @@ def scd2_stream_txlog(
         # are recorded there and skip; an empty-update batch never
         # advances the watermark, so its (equally empty) replay may run
         # one redundant maintenance pass — layout-only and harmless.
-        known_replay = (
+        # Only probed when a cadence is configured at all (r12 ADVICE:
+        # the extra manifest read has no business on the hot path of a
+        # stream that never maintains).
+        known_replay = bool(maintain_every) and (
             view._snapshot_full()[2].get(writer_id, -1) >= batch_id
         )
         b = scd2_build(

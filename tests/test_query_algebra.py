@@ -301,3 +301,66 @@ def test_like_prefix_box_superset_property():
         v = "ME" + suffix
         lo, hi = _like_prefix_box("ME%")
         assert lo <= v <= hi
+
+
+def test_intersection_prune_hints_intersect_same_column_lists():
+    """r12 ADVICE: two non-inverted point-list leaves on the SAME column
+    inside one conjunction must drive pruning with the INTERSECTION of
+    their lists (setdefault kept only the first — sound but loose).  An
+    empty intersection is a proof of emptiness the scan path honors."""
+    from indra_db_spark.plans.queries import (
+        HasHash,
+        HasNumEvidence,
+        Intersection,
+    )
+
+    # construct directly: build_intersection folds same-class leaves,
+    # but JSON round-trips / hand-built plans can carry both
+    conj = Intersection([HasNumEvidence([1, 2, 3]), HasNumEvidence([2, 3, 9])])
+    eq_hints, _ = conj._prune_hints()
+    assert eq_hints["ev_count"] == [2, 3]
+
+    conj2 = Intersection([HasHash([10, 11]), HasHash([12])])
+    eq_hints2, _ = conj2._prune_hints()
+    assert eq_hints2["mk_hash"] == []  # provably empty — no scan needed
+
+
+def test_intersection_empty_hint_yields_empty_without_scan(spark):
+    """The empty-intersection case must produce the correct EMPTY result
+    (never reach skip_read, whose empty-eq-list guard raises)."""
+    from indra_db_spark.plans.fixtures import fixture_lake
+    from indra_db_spark.plans.queries import HasHash, Intersection
+    from indra_db_spark.plans.shaping import get_hashes
+
+    lake, _, _ = fixture_lake(spark)
+    conj = Intersection([HasHash([1]), HasHash([2])])
+    assert get_hashes(conj, lake).count() == 0
+
+
+def test_like_prefix_box_escaped_wildcards_take_plain_path():
+    """r12 ADVICE (high): LIKE treats ``\\%``/``\\_`` as LITERALS, so
+    r'AMPK\\_alpha%' matches 'AMPK_alpha…' — which does NOT start with
+    'AMPK\\'.  Deriving a box from the raw split would EXCLUDE every
+    real match (a wrong prune, not a loose one); any backslash-carrying
+    pattern must return None."""
+    from indra_db_spark.plans.queries import _like_prefix_box
+
+    assert _like_prefix_box(r"AMPK\_alpha%") is None
+    assert _like_prefix_box(r"100\%_pure%") is None
+    assert _like_prefix_box("A\\B%") is None  # even a plain literal \\
+
+
+def test_like_prefix_box_never_emits_lone_surrogate():
+    """r12 ADVICE (low): incrementing a prefix ending in U+D7FF must not
+    yield chr(0xD800) — a lone surrogate py4j cannot UTF-8-encode (the
+    residual box filter would raise at query time).  The bound skips the
+    surrogate block to U+E000; no valid UTF-8 string sorts in between,
+    so the box stays a superset."""
+    from indra_db_spark.plans.queries import _like_prefix_box
+
+    lo, hi = _like_prefix_box("X" + chr(0xD7FF) + "%")
+    assert lo == "X" + chr(0xD7FF) and hi == "X" + chr(0xE000)
+    hi.encode("utf-8")  # must be encodable — the actual failure mode
+    # superset property holds across the skipped block
+    for suffix in ("", "a", chr(0x10FFFF)):
+        assert lo <= lo + suffix < hi
