@@ -76,11 +76,13 @@ WINDOW_ORDER = [
     # entry: its null-safe ≠ comparison stays checked by the
     # nullsafe_compare sweep entry and the §2.2 source-column family
     # stays in-window through sources_and)
+    # (source_pivot rotated past-window r13 for the mesh-routing entry:
+    # §2.7's crosstab stays sweep-checked at 3 SFs and the source-column
+    # family stays in-window through sources_and)
     "scan_filter_project",
     "type_in",
     "evidence_bound",
     "sources_and",
-    "source_pivot",
     "papers_semijoin",
     "invert_anti",
     # §2.3 set operations (set_except rotated past-window r8 — the
@@ -90,8 +92,11 @@ WINDOW_ORDER = [
     "set_union",
     "conjunction_collapse",
     # §2.4 joins (broadcast_dim_join ⊂ join3_topk, which broadcasts both dims)
+    # (left_outer_agg rotated past-window r13 for the statement-page
+    # serving entry, whose reading_ref_link metadata join keeps the
+    # left-outer shape in-window; the agg-over-left-outer variant stays
+    # sweep-checked at 3 SFs)
     "join3_topk",
-    "left_outer_agg",
     # §2.5 aggregations (group_count ⊂ agg_rollup, distinct_dedup ⊂
     # doc_exact_dedup — both rotated past-window r8)
     "count_distinct",
@@ -120,6 +125,13 @@ WINDOW_ORDER = [
     # path END TO END under the hard gate — algebra leaf → pinned txlog
     # handle → manifest bloom prune (engagement asserted) → hash match
     "algebra_txlog_hash_lookup",
+    # r13 rotations (r12 verdict next-round #1/#3): the mesh/paper
+    # IN-list routing flagship, and the get_statements evidence path —
+    # a bounded hash page served through the evidence table's mk_hash
+    # blooms + per-statement ev_limit + text-ref metadata join, both
+    # with prune engagement asserted
+    "algebra_txlog_mesh_lookup",
+    "serving_statement_page",
     # r11 rotation (r10 verdict next-round #6): the streaming exactly-once
     # protocol under the hard gate — a real foreachBatch stream appending
     # into a fact TxTable and maintaining an IVM rollup view, then fully

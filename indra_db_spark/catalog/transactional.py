@@ -237,6 +237,95 @@ def algebra_txlog_mesh_lookup(spark, sf):
 
 
 @register(
+    "serving_statement_page",
+    """
+    WITH ev AS (
+        SELECT l_orderkey AS mk_hash,
+               l_orderkey * 10 + l_linenumber AS id,
+               l_suppkey AS reading_id,
+               l_returnflag AS src
+        FROM lineitem
+        WHERE l_orderkey IN (1, 7, 77, 777, 1337)
+    ), top AS (
+        SELECT ev.*,
+               ROW_NUMBER() OVER (PARTITION BY mk_hash ORDER BY id) AS rn
+        FROM ev
+    )
+    SELECT t.mk_hash, t.id, t.src,
+           s.s_name AS pmid,
+           CAST(s.s_suppkey AS INT) AS trid
+    FROM top t LEFT JOIN supplier s ON t.reading_id = s.s_suppkey
+    WHERE t.rn <= 3
+    """,
+)
+def serving_statement_page(spark, sf):
+    """The get_statements EVIDENCE hot path served through the
+    transaction log (round 13, r12 verdict next-round #1): ``lineitem``
+    stands in for ``fast_raw_pa_link`` (one row per evidence, many per
+    statement hash), committed txlog-backed with mk_hash bloom words,
+    and :func:`plans.shaping.get_evidence_page` routes a bounded page of
+    hashes through :meth:`TxTable.skip_read` — then bounds evidence per
+    statement (the reference's lateral-join ev_limit, query.py:489-506)
+    and left-joins the text-ref metadata (``supplier`` standing in for
+    ``reading_ref_link``).  The entry asserts the prune ENGAGED
+    (files_read < files_total): before round 13 this path full-scanned
+    the plain evidence frame on every statement page.  The reference
+    lands the same fetch on the fast_raw_pa_link mk_hash index
+    (readonly_schema.py:320-357)."""
+    from indra_db_spark.operators.sampling import _barrier_dir
+    from indra_db_spark.plans.lake import CORE_TABLES, ReadonlyLake
+    from indra_db_spark.plans.shaping import get_evidence_page
+    from indra_db_spark.plans.txlog import TxTable
+
+    frpl = T(spark, sf, "lineitem").select(
+        F.col("l_orderkey").alias("mk_hash"),
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("id"),
+        F.col("l_suppkey").cast("long").alias("reading_id"),
+        F.col("l_returnflag").alias("src"),
+        F.lit(None).cast("binary").alias("raw_json"),
+    )
+    rrl = T(spark, sf, "supplier").select(
+        F.col("s_suppkey").cast("long").alias("rid"),
+        F.col("s_name").alias("pmid"),
+        F.lit(None).cast("string").alias("pmcid"),
+        F.lit(None).cast("string").alias("doi"),
+        F.col("s_suppkey").cast("int").alias("trid"),
+        F.lit(None).cast("string").alias("source"),
+        F.lit(None).cast("string").alias("reader"),
+    )
+    root = _barrier_dir(spark, "serving_page_", what="serving_statement_page")
+    tx = TxTable(spark, f"{root}/fast_raw_pa_link")
+    # same budget rationale as algebra_txlog_hash_lookup: sized so the
+    # per-file bloom load stays useful at the largest sweep SF; the page
+    # key is hash-clustered (the maintenance layout), so a 5-hash page
+    # admits ~5 of the 8 files
+    tx.set_stats_columns(bloom=("mk_hash",), bloom_m=1 << 17)
+    tx.append(frpl.repartition(8, "mk_hash"))
+    empty = frpl.select("mk_hash", "id").limit(0)
+    lake = ReadonlyLake.from_txlog(
+        spark,
+        root,
+        extra={
+            "reading_ref_link": rrl,
+            **{t: empty for t in CORE_TABLES},
+        },
+    )
+    page = [1, 7, 77, 777, 1337]
+    out = get_evidence_page(lake, page, ev_limit=3)
+    if lake.last_prune is None:
+        raise AssertionError(
+            "statement-page evidence fetch did not route through skip_read"
+        )
+    files_read, files_total = lake.last_prune
+    if not files_read < files_total:
+        raise AssertionError(
+            f"manifest bloom prune did not engage: read {files_read} of "
+            f"{files_total} evidence files for a 5-hash page"
+        )
+    return out.select("mk_hash", "id", "src", "pmid", "trid")
+
+
+@register(
     "stream_matview_rollup",
     """
     SELECT event_type,

@@ -140,6 +140,12 @@ class ReadonlyLake:
             "cols": (),
             "bloom": ("pmid_num", "pmcid_num", "trid"),
         },
+        # the statement-page evidence scan (shaping.get_statements)
+        # fetches a bounded page of mk_hashes from the EVIDENCE table —
+        # the reference lands this on the fast_raw_pa_link mk_hash index
+        # (readonly_schema.py:320-357); here the page routes through the
+        # manifest's mk_hash bloom words (r12 verdict next-round #1)
+        "fast_raw_pa_link": {"cols": (), "bloom": ("mk_hash",)},
     }
 
     def write_txlog(

@@ -91,8 +91,15 @@ CRITICAL_IN_WINDOW = [
     # btree-replacement serving path end to end (algebra leaf → pinned
     # txlog handle → manifest bloom prune with engagement asserted →
     # oracle hash match) displaces curation_anonymize (the scalar family
-    # stays sweep-checked; source_pivot keeps §2.7's crosstab in-window)
+    # stays sweep-checked)
     "algebra_txlog_hash_lookup",
+    # round-13 rotations (r12 verdict next-round #1/#3): the mesh/paper
+    # IN-list routing displaces source_pivot (§2.7's crosstab stays
+    # sweep-checked at 3 SFs), and the statement-page evidence serving
+    # path displaces left_outer_agg (its left-outer join shape stays
+    # in-window through the page's reading_ref_link metadata join)
+    "algebra_txlog_mesh_lookup",
+    "serving_statement_page",
 ]
 
 
