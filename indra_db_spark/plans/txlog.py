@@ -737,7 +737,10 @@ class TxTable:
             # _txlog/, reclaimed by vacuum() exactly like staged data
             # files — a reader can only ever resolve a winner's.
             body["segments"] = self._plan_segments(
-                files_sorted, version, stats
+                files_sorted,
+                version,
+                stats,
+                sort_col=(eff_stats_cols or [None])[0],
             )
             body["n_files"] = len(files_sorted)
             # the manifest-LIST layer: per-segment pruning aggregates so
@@ -918,6 +921,7 @@ class TxTable:
         files_sorted: list[str],
         version: int,
         stats: dict[str, dict] | None = None,
+        sort_col: str | None = None,
     ) -> list[str]:
         """Segment references for a manifest holding ``files_sorted``.
 
@@ -931,6 +935,22 @@ class TxTable:
         under-half-full segments exceeds :data:`SEGMENT_MERGE_FANIN`
         (one tiny segment per append accumulates), they are re-packed —
         the standard LSM-ish amortization, O(delta·log) bytes per commit.
+
+        ``sort_col`` (the table's FIRST configured stats column — its
+        declared primary pruning key) orders the fresh packing by each
+        file's recorded min for that column instead of by uuid name
+        (round 13, r12 verdict next-round #2): file→segment grouping is
+        otherwise arbitrary, so even a perfectly key-clustered layout
+        (``optimize(key)``) produced segments whose aggregate ranges
+        spanned the whole domain and a unique-key point probe opened
+        every segment.  With min-ordered packing, contiguous key ranges
+        land in the SAME segment, ``seg_meta``'s range aggregate becomes
+        tight, and :meth:`skip_read`'s segment-level eq/box check prunes
+        segments with ZERO new metadata — the btree-interior-node story
+        for unique keys, where the budgeted segment blooms are documented
+        to saturate.  Grouping never affects correctness (seg aggregates
+        are computed from actual members), so mixed/missing stats just
+        fall back to name order.
 
         Falls back to packing everything fresh when the base is absent or
         not version-1 (first segmented commit, or a rebase that skipped
@@ -959,6 +979,26 @@ class TxTable:
                 covered -= set(members_of[s])
             reused = [s for s in reused if s not in demoted]
         leftover = sorted(fileset - covered)
+        if sort_col and stats:
+            num = (bool, int, float)
+            los = [
+                ((stats.get(f) or {}).get("c") or {}).get(sort_col)
+                for f in leftover
+            ]
+            los = [r[0] if r else None for r in los]
+            # only when EVERY file carries a uniformly-typed min: a
+            # missing or cross-type stat cannot be ordered soundly and
+            # keeps the (equally correct) name order
+            if los and (
+                all(isinstance(v, num) for v in los)
+                or all(isinstance(v, str) for v in los)
+            ):
+                leftover = [
+                    f
+                    for _, f in sorted(
+                        zip(los, leftover), key=lambda t: (t[0], t[1])
+                    )
+                ]
         # retry-reuse: a lost claim re-plans against the new head, but an
         # append race usually leaves THIS commit's leftover (its staged
         # adds) byte-identical — the segments written for the losing
@@ -1664,7 +1704,7 @@ class TxTable:
     def optimize(
         self,
         x_col: str,
-        y_col: str,
+        y_col: str | None = None,
         *more_cols: str,
         n_files: int = 16,
         max_retries: int = 20,
@@ -1686,6 +1726,16 @@ class TxTable:
         (layout changes no rows).  At 100 TB this runs per maintenance
         window; every read between windows inherits the clustering free.
 
+        ONE column is the degenerate (and common) serving case — a plain
+        key-ordered rewrite (Iceberg sort-order, Delta ``OPTIMIZE``
+        without interleave), no z-value needed: files then cover
+        disjoint key ranges, and because :meth:`_plan_segments` packs
+        fresh files in key-min order when the key is the table's first
+        stats column, ``seg_meta``'s per-segment ranges become disjoint
+        too — a UNIQUE-key point probe (mk_hash, where the budgeted
+        segment blooms saturate by design) then opens ~one segment and
+        ~one file cold (round 13, r12 verdict next-round #2).
+
         DV-materialization threshold (measured, SCALE_PROBE.json
         ``txlog_dv_s*`` / SCALING.md round 10): snapshot reads pay a
         ~2.7-2.8× tax once a file carries 8 accumulated DV sidecars and
@@ -1699,7 +1749,8 @@ class TxTable:
         """
         from indra_db_spark.plans.skipindex import zorder_arrange_n
 
-        bad = [c for c in (x_col, y_col, *more_cols) if not isinstance(c, str)]
+        cluster_cols = (x_col,) if y_col is None else (x_col, y_col, *more_cols)
+        bad = [c for c in cluster_cols if not isinstance(c, str)]
         if bad:
             # the pre-r11 signature took n_files as the third POSITIONAL
             # arg; catch that migration mistake with a clear message
@@ -1713,9 +1764,13 @@ class TxTable:
             return None
         df = self._read_files_dv(files, schema, dv0)
         rows = df.count()
-        arranged, _ = zorder_arrange_n(
-            df, (x_col, y_col, *more_cols), n_files
-        )
+        if len(cluster_cols) == 1:
+            # sort-order rewrite: one range shuffle on the key itself
+            arranged = df.repartitionByRange(
+                n_files, cluster_cols[0]
+            ).sortWithinPartitions(cluster_cols[0])
+        else:
+            arranged, _ = zorder_arrange_n(df, cluster_cols, n_files)
         # no n_files to _stage: its repartition would destroy the
         # clustering being bought here
         staged = self._stage(arranged)
