@@ -188,10 +188,92 @@ def _serving_ops(spark, sf_dir):
     def dv_read(s):
         return TxTable(s, root).read()
 
+    # round 13 (r12 verdict next-round #2): the key-ordered UNIQUE-key
+    # serving layout — o_orderkey is the first stats column, files are
+    # range-partitioned on it, so _plan_segments packs them in key-min
+    # order and point probes prune through disjoint RANGES (file-level
+    # here; segment-level once the table outgrows SEGMENT_TARGET_FILES —
+    # pinned at 100+ segments by tests + the cold-open probe).  No
+    # blooms: this measures the pure range path a unique key must rely
+    # on at scale.
+    root_k = scratch + "/orders_keyed"
+    txk = TxTable(spark, root_k)
+    txk.set_stats_columns("o_orderkey")
+    txk.append(sm.repartitionByRange(n_files, "o_orderkey"))
+    # a page of keys spread across the domain (realistic point page;
+    # percentile_approx returns observed values)
+    spread = [
+        int(v)
+        for v in sm.agg(
+            F.percentile_approx(
+                "o_orderkey", [0.05, 0.275, 0.5, 0.725, 0.95], 10000
+            )
+        ).first()[0]
+    ]
+
+    def point_seg(s):
+        df, fr, ft = TxTable(s, root_k).skip_read(
+            eq={"o_orderkey": spread}
+        )
+        if not (fr < ft and fr <= 2 * len(spread)):
+            raise AssertionError(
+                f"key-ordered range prune did not engage: {fr}/{ft}"
+            )
+        return df
+
+    # round 13 (r12 verdict next-round #6): ONE end-to-end REST latency
+    # number — the reference's benchmarker times whole routes
+    # (benchmarker/util.py:21-54), not storage primitives.  A real HTTP
+    # server over a txlog-served FIXTURE lake (stats on, tables
+    # clustered by their lookup keys); the timed op drives the
+    # /statements/from_agents route: param parse → algebra → manifest-
+    # pruned scans → bounded-evidence page assembly → JSON, asserting
+    # both a non-empty page and prune engagement on every run.
+    from indra_db_spark.plans.fixtures import fixture_lake
+    from indra_db_spark.plans.lake import ReadonlyLake
+    from indra_db_spark.service.rest import serve
+
+    mem_lake, _, _ = fixture_lake(spark)
+    ftables = mem_lake.tables()
+    for tname in ("fast_raw_pa_link", "source_meta"):
+        ftables[tname] = ftables[tname].repartition(6, "mk_hash")
+    ftables["name_meta"] = ftables["name_meta"].repartitionByRange(
+        4, "db_id"
+    )
+    fix_root = scratch + "/fixture_lake"
+    ReadonlyLake(ftables).write_txlog(spark, fix_root, stats=True)
+    lake_tx = ReadonlyLake.from_txlog(spark, fix_root)
+    server = serve(lake_tx)
+    atexit.register(server.shutdown)
+    # limit=5: a 5-hash page can touch at most 5 of the 6 clustered
+    # source_meta files, so the strict engagement gate (fr < ft) holds
+    # by construction at fixture scale (bloom FPR ~0.2% adds nothing)
+    rest_url = (
+        f"http://127.0.0.1:{server.server_address[1]}"
+        "/statements/from_agents?agent=MEK&limit=5&ev_limit=10"
+    )
+
+    def rest_page(s):
+        import urllib.request
+
+        lake_tx.last_prune = None
+        with urllib.request.urlopen(rest_url, timeout=120) as r:
+            out = json.loads(r.read())
+        if not out.get("statements"):
+            raise AssertionError("REST statement page came back empty")
+        fr_ft = lake_tx.last_prune
+        if fr_ft is None or not fr_ft[0] < fr_ft[1]:
+            raise AssertionError(
+                f"REST page did not engage the manifest prune: {fr_ft}"
+            )
+        return None  # the op materialized itself (HTTP round trip)
+
     return {
         "serve_point_bloom": point,
+        "serve_point_keyed": point_seg,
         "serve_range_stats": rng,
         "serve_dv_read": dv_read,
+        "serve_rest_page": rest_page,
     }
 
 
@@ -253,13 +335,20 @@ def main() -> None:
         # absorbs whole-stage-codegen compilation and JIT.  Reported
         # separately so round-over-round deltas separate plan improvements
         # from timing methodology (the steady-state number is the headline).
+        # An op may return None to signal it materialized itself (the REST
+        # round-trip op); DataFrames are drained through the noop sink.
+        def _drain():
+            out = run()
+            if out is not None:
+                out.write.mode("overwrite").format("noop").save()
+
         t0 = time.monotonic()
-        run().write.mode("overwrite").format("noop").save()
+        _drain()
         cold[name] = round(time.monotonic() - t0, 3)
         runs = []
         for _ in range(N_STEADY):
             t0 = time.monotonic()
-            run().write.mode("overwrite").format("noop").save()
+            _drain()
             runs.append(time.monotonic() - t0)
         mins[name] = round(min(runs), 3)
         mean = sum(runs) / len(runs)

@@ -2429,6 +2429,35 @@ def test_key_ordered_segments_prune_unique_key_point_lookups(
     assert {x.k for x in df3.collect()} == {0, 1200, 2399}
 
 
+def test_bloom_probe_abandons_saturating_lists_but_stays_exact(
+    spark, tmp_path, _segmented
+):
+    """r12 verdict next-round #4: a long IN list defeats bloom pruning
+    (per-value FPR × list length admits ~every file), so skip_read now
+    ABANDONS probing a level once ≥64 probed entries admitted ≥90% —
+    pure driver-time savings.  Admitting unprobed is always sound: the
+    result must stay exact, with the one present value found and the
+    absent ones filtered by the residual."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    # tiny m: per-file load ~0.4, so a 1900-value list saturates every
+    # file's filter exactly as a 2000-hash page does at production scale
+    t.set_stats_columns(bloom=("k",), bloom_m=64)
+    t.append(
+        spark.range(0, 400)
+        .select(F.col("id").alias("k"), F.lit("w").alias("src"))
+        .repartition(100, "k")
+    )
+    vals = [123] + list(range(10_000, 11_900))
+    df, fr, ft = t.skip_read(eq={"k": vals})
+    assert ft >= 95  # hash layout may leave a few empty partitions
+    assert [r.k for r in df.collect()] == [123]
+    # and a SHORT selective list on the same table still prunes hard —
+    # abandonment state is per-skip_read-call, never sticky
+    df2, fr2, ft2 = t.skip_read(eq={"k": 123})
+    assert fr2 < ft2
+    assert [r.k for r in df2.collect()] == [123]
+
+
 def test_segment_bloom_budget_gates_drop_not_mis_prune(
     spark, tmp_path, _segmented, monkeypatch
 ):

@@ -887,7 +887,177 @@ def _cold_point_probe(spark, factor: int) -> dict[str, float]:
         file=sys.stderr,
         flush=True,
     )
-    return {"txlog_cold_point": round(times[len(times) // 2], 3)}
+    out = {"txlog_cold_point": round(times[len(times) // 2], 3)}
+
+    # the round-13 unique-key path (r12 verdict next-round #2): a
+    # key-ordered layout with plain RANGE stats (no blooms at all — a
+    # unique key's segment union saturates at production budgets) must
+    # stay flat too, with the segment-level range check doing the work:
+    # _plan_segments packs the range-partitioned files in key-min order,
+    # so seg_meta ranges are disjoint and a cold probe opens ~one segment
+    root_o = os.path.join(CACHE, f"txlog_cold_ord_s{n_segments}", "t")
+    done_o = os.path.join(os.path.dirname(root_o), "_PROBE_DONE")
+    if not os.path.exists(done_o):
+        shutil.rmtree(os.path.dirname(root_o), ignore_errors=True)
+        saved = (txmod.INLINE_MANIFEST_FILES, txmod.SEGMENT_TARGET_FILES)
+        txmod.INLINE_MANIFEST_FILES = 0
+        txmod.SEGMENT_TARGET_FILES = 4
+        try:
+            t = txmod.TxTable(spark, root_o)
+            t.set_stats_columns("k")
+            t.append(
+                spark.range(0, n_files * 2)
+                .select(F.col("id").alias("k"))
+                .repartitionByRange(n_files, "k")
+            )
+        finally:
+            txmod.INLINE_MANIFEST_FILES, txmod.SEGMENT_TARGET_FILES = saved
+        open(done_o, "w").close()
+    times_o: list[float] = []
+    for _ in range(3):
+        t0 = time.monotonic()
+        cold = txmod.TxTable(spark, root_o)
+        df, fr, ft = cold.skip_read(eq={"k": 37})
+        n = df.count()
+        times_o.append(time.monotonic() - t0)
+        assert n == 1 and fr <= 2, (n, fr)
+        # disjoint seg ranges: opens ∝ range-admitted segments (~1)
+        assert cold.seg_opens <= 2, cold.seg_opens
+    times_o.sort()
+    print(
+        f"probe txlog_cold_point_ordered segs={n_segments}: "
+        f"{[round(x, 3) for x in times_o]}",
+        file=sys.stderr,
+        flush=True,
+    )
+    out["txlog_cold_point_ordered"] = round(times_o[len(times_o) // 2], 3)
+    return out
+
+
+def _prune_cost_probe(spark, factor: int) -> dict[str, float]:
+    """Driver-side prune COST envelope (r12 verdict next-round #4):
+    skip_read's bloom probing is pure-Python dict work, so a
+    MAX_LIST_LEN-ish 2000-value IN list against a 1000·factor-file
+    manifest costs O(files × values × k) lookups — this measures that
+    wall time and the admission ratio directly, against a manifest whose
+    per-file word maps carry PRODUCTION load (~0.31: m=8192, ~850
+    distinct keys per file, every word slot populated), the worst case
+    for the short-circuit miss path.
+
+    The table is 2 REAL files plus synthetic manifest entries (the fake
+    files are never read: the probe values are crafted absent, so every
+    file prunes and only the real schema carrier is opened — the probing
+    code path is byte-for-byte the production one, only the file COUNT is
+    synthetic).  Segment-tier blooms saturate exactly as a unique key
+    does at scale (the per-segment OR-union blows the occupancy gate and
+    is dropped), so the FILE tier takes the full probe load.  The probe
+    budget is lifted for the measurement — the point is the unbudgeted
+    cost curve the budget constant must be tuned against.  Reported per
+    factor: cold (manifest+segments parse + probe) and warm (probe only,
+    segments cached) wall seconds."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    import indra_db_spark.plans.txlog as txmod
+
+    n_fake = 1000 * factor
+    V = 2000
+    m_bits, k_hashes = 8192, 3
+    root = os.path.join(CACHE, f"prune_cost_f{n_fake}", "t")
+    done = os.path.join(os.path.dirname(root), "_PROBE_DONE")
+    if not os.path.exists(done):
+        shutil.rmtree(os.path.dirname(root), ignore_errors=True)
+        saved = (txmod.INLINE_MANIFEST_FILES, txmod.SEGMENT_TARGET_FILES)
+        txmod.INLINE_MANIFEST_FILES = 0
+        txmod.SEGMENT_TARGET_FILES = 1024  # production segment size
+        try:
+            t = txmod.TxTable(spark, root)
+            t.set_stats_columns(bloom=("k",), bloom_m=m_bits)
+            t.append(
+                spark.range(0, 4)
+                .select(F.col("id").alias("k"))
+                .repartition(2)
+            )
+            # synthetic per-file stats at production bloom load: every
+            # word slot populated, ~31% of bits set (deterministic masks)
+            import hashlib
+
+            def _mask(i: int, w: int) -> int:
+                h = hashlib.md5(f"{i}:{w}".encode()).digest()
+                a = int.from_bytes(h[:8], "big")
+                b = int.from_bytes(h[8:], "big")
+                return a & b  # E[popcount] = 16/64 = 0.25 per word
+            fakes = {
+                # 'zz-' names sort AFTER the real uuid files, so the
+                # schema-carrier fallback (first member of the first
+                # segment) stays a real readable file
+                f"zz-fake-{i:07d}.parquet": {
+                    "n": 850,
+                    "b": {
+                        "k": [
+                            m_bits,
+                            k_hashes,
+                            {
+                                str(w): _mask(i, w)
+                                for w in range(m_bits // 64)
+                            },
+                        ]
+                    },
+                }
+                for i in range(n_fake)
+            }
+            cur, files, txns, schema, cons, dv = t._snapshot_full()
+            t._pending_stats.update(fakes)
+            ok = t._try_claim(
+                cur + 1, files + sorted(fakes), "append", txns, schema,
+                cons, dv,
+            )
+            assert ok, "prune-cost probe claim lost (single writer)"
+        finally:
+            txmod.INLINE_MANIFEST_FILES, txmod.SEGMENT_TARGET_FILES = saved
+        open(done, "w").close()
+    # absent probe values — but at production load a 2000-value list has
+    # a ~1.6% per-value FPR, so nearly EVERY file is admitted by some
+    # false positive (the admission ratio reported below IS the finding:
+    # bloom IN-list pruning decays with list length; big pages need the
+    # key-ordered range layout).  The admitted fakes must not be READ,
+    # so the scan constructor is stubbed for the measurement — the
+    # probing path up to the survivors list is byte-for-byte production.
+    vals = list(range(10_000_000, 10_000_000 + V))
+    saved_budget = txmod.SKIP_READ_PROBE_BUDGET
+    saved_read = txmod.TxTable._read_files_dv
+    txmod.SKIP_READ_PROBE_BUDGET = 1 << 62
+    txmod.TxTable._read_files_dv = (
+        lambda self, names, schema, dv, dv_rows=None: spark.range(0).select(
+            F.col("id").alias("k")
+        )
+    )
+    try:
+        t = txmod.TxTable(spark, root)
+        t0 = time.monotonic()
+        _, fr, ft = t.skip_read(eq={"k": vals})
+        cold = time.monotonic() - t0
+        warms = []
+        for _ in range(2):
+            t0 = time.monotonic()
+            _, fr, ft = t.skip_read(eq={"k": vals})
+            warms.append(time.monotonic() - t0)
+    finally:
+        txmod.SKIP_READ_PROBE_BUDGET = saved_budget
+        txmod.TxTable._read_files_dv = saved_read
+    warm = min(warms)
+    print(
+        f"probe prune_cost files={ft} vals={V}: cold={round(cold, 3)} "
+        f"warm={round(warm, 3)} admitted={fr}/{ft}",
+        file=sys.stderr,
+        flush=True,
+    )
+    return {
+        "prune_cost_cold": round(cold, 3),
+        "prune_cost_warm": round(warm, 3),
+        "prune_admit_ratio": round(fr / ft, 5),
+    }
 
 
 def main() -> None:
@@ -925,6 +1095,8 @@ def main() -> None:
     TX_OPS = {"txlog_dv", "txlog_maintain"}
     # cold-open probe builds its own tiny txlog table — no corpus input
     COLD_OPS = {"txlog_cold_point"}
+    # driver-side prune cost probe crafts its own synthetic manifest
+    PRUNE_OPS = {"prune_cost"}
 
     results: dict[str, dict[str, float]] = {}
     errors: dict[str, str] = {}
@@ -941,6 +1113,10 @@ def main() -> None:
     all_names.update(f"txlog_dv_s{s}" for s in DV_SIDECAR_COUNTS)
     all_names.add("txlog_maintain")
     all_names.add("txlog_cold_point")
+    all_names.add("txlog_cold_point_ordered")
+    all_names.update(
+        {"prune_cost_cold", "prune_cost_warm", "prune_admit_ratio"}
+    )
     for factor in factors:
         docs = emb = events = edges = emb_prod = None
         index = centers = None
@@ -949,7 +1125,7 @@ def main() -> None:
         # docs feed every op not in another family; build unless the
         # selection is entirely emb/edges/events/product
         if not only or (only - EMB_OPS - PROD_OPS - EDGE_OPS - EVENT_OPS
-                        - TX_OPS - COLD_OPS):
+                        - TX_OPS - COLD_OPS - PRUNE_OPS):
             docs = _amplified(spark, "documents", factor, _docs_x)
             docs.count()
         if _needs(EMB_OPS):
@@ -1059,6 +1235,13 @@ def main() -> None:
                     f"ERROR txlog_cold_point@x{factor}: {msg}",
                     file=sys.stderr,
                 )
+        if _needs({"prune_cost"}):
+            try:
+                timings.update(_prune_cost_probe(spark, factor))
+            except Exception as e:  # noqa: BLE001
+                msg = str(e).splitlines()[0][:200] if str(e) else type(e).__name__
+                print(f"ERROR prune_cost@x{factor}: {msg}", file=sys.stderr)
+                errors[f"prune_cost@x{factor}"] = msg
         results[str(factor)] = timings
 
     # partial runs (SPARK_GRAFT_PROBE_OPS) merge into the existing probe
