@@ -136,9 +136,13 @@ class ReadonlyLake:
             "cols": ("ev_count",),
             "bloom": ("mesh_num",),
         },
+        # rid carries range stats AND blooms: get_statements fetches the
+        # page's bounded reading_id set as a point lookup (r13) — blooms
+        # serve small pages, rid ranges serve big ones on a rid-ordered
+        # layout (long lists saturate blooms and abandon cheaply)
         "reading_ref_link": {
-            "cols": (),
-            "bloom": ("pmid_num", "pmcid_num", "trid"),
+            "cols": ("rid",),
+            "bloom": ("pmid_num", "pmcid_num", "trid", "rid"),
         },
         # the statement-page evidence scan (shaping.get_statements)
         # fetches a bounded page of mk_hashes from the EVIDENCE table —

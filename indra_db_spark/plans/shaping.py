@@ -149,14 +149,7 @@ def get_statements(
     elif ev_limit == 0:
         ev = ev.filter(F.lit(False))
 
-    ev = ev.join(
-        lake["reading_ref_link"].withColumnRenamed("rid", "reading_id"),
-        "reading_id",
-        "left",
-    ).select(
-        "mk_hash", "id", "raw_json", "src",
-        "pmid", "pmcid", "doi", "trid", "source", "reader",
-    )
+    ev = ev.select("mk_hash", "id", "raw_json", "src", "reading_id")
 
     meta = page_local.join(
         sm_page.select("mk_hash", "src_json", "type_num"),
@@ -172,6 +165,26 @@ def get_statements(
     # ---- driver-side assembly (bounded by the page size)
     meta_rows = meta.collect()
     ev_rows = ev.collect()
+    # text-ref fetch: the collected evidence's reading_ids are a BOUNDED
+    # point set (≤ page × ev_limit), so the reading_ref_link rows come
+    # through the manifest prune too (rid ranges/blooms) instead of the
+    # old left join that scanned or shuffled the WHOLE text-ref table per
+    # page — the reference lands this on the readings PK index
+    # (query.py:493-517).  The join itself is a driver-side dict on the
+    # already-collected page, exactly like the JSON assembly below.
+    rids = sorted({r.reading_id for r in ev_rows if r.reading_id is not None})
+    ref_by_rid: dict[int, object] = {}
+    if rids:
+        rrl = lake.pruned("reading_ref_link", eq={"rid": rids})
+        if rrl is None:
+            rid_df = spark.createDataFrame(
+                [(int(x),) for x in rids], "rid bigint"
+            )
+            rrl = lake["reading_ref_link"].join(
+                F.broadcast(rid_df), "rid", "left_semi"
+            )
+        ref_by_rid = {r.rid: r for r in rrl.collect()}
+
     ev_by_hash: dict[int, list] = {}
     for r in ev_rows:
         ev_by_hash.setdefault(r.mk_hash, []).append(r)
@@ -185,15 +198,20 @@ def get_statements(
         for e in sorted(ev_by_hash.get(r.mk_hash, []), key=lambda x: x.id):
             ev_json = json.loads(bytes(e.raw_json).decode()) if e.raw_json else {}
             ev_json.setdefault("annotations", {})["source_api"] = e.src
+            ref = (
+                ref_by_rid.get(e.reading_id)
+                if e.reading_id is not None
+                else None
+            )
             ev_json["text_refs"] = {
                 k: v
                 for k, v in (
-                    ("PMID", e.pmid),
-                    ("PMCID", e.pmcid),
-                    ("DOI", e.doi),
-                    ("TRID", e.trid),
-                    ("SOURCE", e.source),
-                    ("READER", e.reader),
+                    ("PMID", ref and ref.pmid),
+                    ("PMCID", ref and ref.pmcid),
+                    ("DOI", ref and ref.doi),
+                    ("TRID", ref and ref.trid),
+                    ("SOURCE", ref and ref.source),
+                    ("READER", ref and ref.reader),
                 )
                 if v is not None
             }

@@ -802,6 +802,12 @@ def test_statement_page_prunes_evidence_scan_on_txlog_lake(spark, tmp_path):
     got = get_statements(q, lake, limit=3, ev_limit=4)
     assert got.statements == want.statements and got.statements
     assert got.source_counts == want.source_counts
+    # the LAST prune inside get_statements is the bounded text-ref fetch
+    # (reading_ref_link by the page's rids, r13) — it must have ROUTED
+    # through skip_read (pruning ratio is layout-dependent at fixture
+    # scale, so only routing is asserted here; the evidence-scan ratio
+    # is asserted below via get_evidence_page)
+    assert lake.last_prune is not None
 
     # engagement, isolated per table: the evidence page opens fewer
     # files than the table holds, driven purely by the bloom words
