@@ -1035,7 +1035,24 @@ class TxTable:
         until a commit claims them."""
         tag = uuid.uuid4().hex
         tmp = f"{self.root}/data/.stage-{tag}"
-        out = df.repartition(n_files) if n_files else df
+        out = df
+        if n_files:
+            # sized rewrites (compact / compact_small) cluster their
+            # output by the table's FIRST stats column when one is
+            # configured (round 13): a plain repartition() would destroy
+            # the key ordering the serving layout depends on every
+            # maintenance pass — same single shuffle either way, and
+            # freshly-packed files get tight, disjoint ranges that the
+            # manifest stats can actually prune on.  Layout-only: row
+            # content and commit semantics are identical.
+            key = ((self._rebase_base or {}).get("stats_cols") or [None])[0]
+            orderable = ("int", "bigint", "smallint", "tinyint",
+                         "float", "double", "string", "boolean")
+            dt = dict(df.dtypes)
+            if key and dt.get(key, "").startswith(orderable):
+                out = df.repartitionByRange(n_files, key)
+            else:
+                out = df.repartition(n_files)
         out.write.mode("overwrite").parquet(tmp)
         staged = []
         for f in self._fs.listStatus(_jpath(self._jvm, tmp)):

@@ -2429,6 +2429,24 @@ def test_key_ordered_segments_prune_unique_key_point_lookups(
     assert {x.k for x in df3.collect()} == {0, 1200, 2399}
 
 
+def test_sized_rewrites_cluster_by_first_stats_column(spark, tmp_path):
+    """r13: compact/compact_small stage their outputs range-partitioned
+    on the table's first stats column (plain repartition() destroyed the
+    serving layout's key clustering every maintenance pass) — staged
+    files must carry tight, pairwise-disjoint key ranges."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.set_stats_columns("k")
+    t.append(_df(spark, 0, 100).coalesce(1))
+    t._snapshot_full()  # pin the rebase base carrying the stats config
+    staged = t._stage(_df(spark, 0, 400), n_files=4)
+    assert len(staged) == 4
+    rngs = sorted(
+        tuple(t._pending_stats[f]["c"]["k"]) for f in staged
+    )
+    for (_, hi), (lo2, _) in zip(rngs, rngs[1:]):
+        assert hi < lo2, rngs  # disjoint — range-clustered output
+
+
 def test_bloom_probe_abandons_saturating_lists_but_stays_exact(
     spark, tmp_path, _segmented
 ):
