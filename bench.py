@@ -256,15 +256,24 @@ def _serving_ops(spark, sf_dir):
     def rest_page(s):
         import urllib.request
 
-        lake_tx.last_prune = None
+        lake_tx.prune_log.clear()
         with urllib.request.urlopen(rest_url, timeout=120) as r:
             out = json.loads(r.read())
         if not out.get("statements"):
             raise AssertionError("REST statement page came back empty")
-        fr_ft = lake_tx.last_prune
-        if fr_ft is None or not fr_ft[0] < fr_ft[1]:
+        # gate on the EVIDENCE table's prune specifically (get_statements
+        # prunes several tables per request; last_prune would show the
+        # final one — the rid fetch — whose single-file fixture layout
+        # can legitimately read 1/1)
+        hits = [
+            (fr, ft)
+            for name, fr, ft in lake_tx.prune_log
+            if name == "fast_raw_pa_link"
+        ]
+        if not hits or not all(fr < ft for fr, ft in hits):
             raise AssertionError(
-                f"REST page did not engage the manifest prune: {fr_ft}"
+                f"REST page evidence scan did not engage the manifest "
+                f"prune: {list(lake_tx.prune_log)}"
             )
         return None  # the op materialized itself (HTTP round trip)
 

@@ -49,6 +49,14 @@ class ReadonlyLake:
         # (files_read, files_total) of the last pruned scan, for tests
         # and entries asserting the prune ENGAGED
         self.last_prune: tuple[int, int] | None = None
+        # rolling (table, files_read, files_total) log of recent pruned
+        # scans (r13): multi-scan call paths like get_statements prune
+        # several tables per request, and a gate that can only see the
+        # LAST one asserts the wrong table.  Bounded so a long-lived
+        # serving process never grows it.
+        from collections import deque
+
+        self.prune_log: "deque[tuple[str, int, int]]" = deque(maxlen=32)
 
     def __getitem__(self, name: str) -> DataFrame:
         return self._tables[name]
@@ -303,6 +311,7 @@ class ReadonlyLake:
             # (r11 ADVICE #1)
             return None
         self.last_prune = (files_read, files_total)
+        self.prune_log.append((name, files_read, files_total))
         return df
 
     # ---- layout chooser (r7 verdict #7) ----------------------------------

@@ -42,6 +42,32 @@ DEFAULT_EV_LIMIT = 10
 PAGE_PRUNE_MAX = 2 * MAX_STMTS
 
 
+#: cap on the rid point set the text-ref fetch routes through the
+#: manifest (r13 review): the residual ``isin`` costs ~1.5 s of py4j
+#: marshalling per 2000 literals — a bounded constant that beats any
+#: full-table scan for every real page (service max: MAX_STMTS ×
+#: DEFAULT_EV_LIMIT rids) — while a truly unbounded set (ev_limit=None
+#: on a huge page) falls back to the broadcast semi-join.
+RID_PRUNE_MAX = 2 * MAX_STMTS * DEFAULT_EV_LIMIT
+
+
+def _bound_evidence(lake, ev, ev_limit, evidence_filter):
+    """The shared evidence-bounding block of get_statements /
+    get_evidence_page: optional filter, then per-statement top-N by id
+    (the reference's lateral-join ev_limit, query.py:489-506)."""
+    if ev_limit is not None and ev_limit < 0:
+        raise ValueError(f"ev_limit must be >= 0 or None, got {ev_limit}")
+    if evidence_filter is not None:
+        ev = evidence_filter.apply(lake, ev)
+    if ev_limit is not None and ev_limit > 0:
+        ev = grouped_topn(
+            ev, "mk_hash", [F.asc("id")], ev_limit, keep_rank=False
+        )
+    elif ev_limit == 0:
+        ev = ev.filter(F.lit(False))
+    return ev
+
+
 def _page_restricted(lake: ReadonlyLake, table: str, hashes, keys_df):
     """``table`` restricted to the page's ``hashes`` — through the txlog
     manifest's mk_hash bloom words when the lake serves the table from a
@@ -139,16 +165,7 @@ def get_statements(
     ev_base = _page_restricted(lake, "fast_raw_pa_link", hashes, page_local)
     sm_page = _page_restricted(lake, "source_meta", hashes, page_local)
 
-    ev = ev_base
-    if evidence_filter is not None:
-        ev = evidence_filter.apply(lake, ev)
-    if ev_limit is not None and ev_limit > 0:
-        ev = grouped_topn(
-            ev, "mk_hash", [F.asc("id")], ev_limit, keep_rank=False
-        )
-    elif ev_limit == 0:
-        ev = ev.filter(F.lit(False))
-
+    ev = _bound_evidence(lake, ev_base, ev_limit, evidence_filter)
     ev = ev.select("mk_hash", "id", "raw_json", "src", "reading_id")
 
     meta = page_local.join(
@@ -175,7 +192,11 @@ def get_statements(
     rids = sorted({r.reading_id for r in ev_rows if r.reading_id is not None})
     ref_by_rid: dict[int, object] = {}
     if rids:
-        rrl = lake.pruned("reading_ref_link", eq={"rid": rids})
+        rrl = (
+            lake.pruned("reading_ref_link", eq={"rid": rids})
+            if len(rids) <= RID_PRUNE_MAX
+            else None
+        )
         if rrl is None:
             rid_df = spark.createDataFrame(
                 [(int(x),) for x in rids], "rid bigint"
@@ -243,19 +264,17 @@ def get_evidence_page(
     matches get_statements' internal evidence frame exactly."""
     if not hashes:
         raise ValueError("get_evidence_page needs a non-empty hash page")
+    # normalize to int BEFORE the pruned path too: bloom preimages hash
+    # CAST(col AS STRING), so a float-typed 77.0 would probe 'b0:77.0'
+    # against words built from '77' and wrongly prove absence (r13
+    # review) — the residual/bloom value types must match the column's
+    hashes = [int(h) for h in hashes]
     spark = lake["fast_raw_pa_link"].sparkSession
     keys_df = spark.createDataFrame(
-        [(int(h),) for h in hashes], "mk_hash bigint"
+        [(h,) for h in hashes], "mk_hash bigint"
     )
-    ev = _page_restricted(lake, "fast_raw_pa_link", list(hashes), keys_df)
-    if evidence_filter is not None:
-        ev = evidence_filter.apply(lake, ev)
-    if ev_limit is not None and ev_limit > 0:
-        ev = grouped_topn(
-            ev, "mk_hash", [F.asc("id")], ev_limit, keep_rank=False
-        )
-    elif ev_limit == 0:
-        ev = ev.filter(F.lit(False))
+    ev = _page_restricted(lake, "fast_raw_pa_link", hashes, keys_df)
+    ev = _bound_evidence(lake, ev, ev_limit, evidence_filter)
     return ev.join(
         lake["reading_ref_link"].withColumnRenamed("rid", "reading_id"),
         "reading_id",

@@ -1046,10 +1046,14 @@ class TxTable:
             # manifest stats can actually prune on.  Layout-only: row
             # content and commit semantics are identical.
             key = ((self._rebase_base or {}).get("stats_cols") or [None])[0]
-            orderable = ("int", "bigint", "smallint", "tinyint",
-                         "float", "double", "string", "boolean")
+            # exact type match, not startswith: 'interval day to second'
+            # startswith 'int' but is no clustering key; the set mirrors
+            # the types whose range stats are collected at stage time —
+            # clustering a column the manifest can't prune on buys nothing
+            orderable = {"int", "bigint", "smallint", "tinyint",
+                         "float", "double", "string", "boolean"}
             dt = dict(df.dtypes)
-            if key and dt.get(key, "").startswith(orderable):
+            if key and dt.get(key) in orderable:
                 out = df.repartitionByRange(n_files, key)
             else:
                 out = df.repartition(n_files)
@@ -1767,6 +1771,13 @@ class TxTable:
         """
         from indra_db_spark.plans.skipindex import zorder_arrange_n
 
+        if y_col is None and more_cols:
+            # a programmatically-built column list with a None second
+            # dimension must not silently drop the rest
+            raise TypeError(
+                "optimize() got extra columns after y_col=None: "
+                f"{more_cols!r}"
+            )
         cluster_cols = (x_col,) if y_col is None else (x_col, y_col, *more_cols)
         bad = [c for c in cluster_cols if not isinstance(c, str)]
         if bad:
