@@ -2102,18 +2102,25 @@ class TxTable:
         # mutable cell: ONE budget drains across segment- and file-level
         # probing alike (see SKIP_READ_PROBE_BUDGET)
         probe_budget = [SKIP_READ_PROBE_BUDGET]
-        # adaptive abandonment (r12 verdict next-round #4, measured in
-        # SCALE_PROBE's prune_cost rows): a long IN list defeats blooms
-        # wholesale — at production load (~0.27, k=3) each value has a
-        # ~1-2% per-file FPR, so past a few hundred values essentially
-        # EVERY entry is admitted by some false positive and the probing
-        # is pure wasted driver time (~90 µs/file × 100k files ≈ 9 s to
-        # prune nothing).  Track admissions per level; once ≥64 entries
-        # were probed and ≥90% admitted, stop probing that level —
-        # admitting unprobed is always sound, and the estimate is solid
-        # because admission under a saturating list is ~independent per
-        # entry (a genuinely selective probe admits far below 90%).
-        _abandon: dict[str, list] = {"seg": [0, 0], "file": [0, 0]}
+        # adaptive probe duty-cycle (r12 verdict next-round #4, measured
+        # in SCALE_PROBE's prune_cost rows): a long IN list defeats
+        # blooms wholesale — at production load (~0.27, k=3) each value
+        # has a ~1-2% per-file FPR, so past a few hundred values
+        # essentially EVERY entry is admitted by some false positive and
+        # the probing is pure wasted driver time (~90 µs/file × 100k
+        # files ≈ 9 s to prune nothing).  Track admissions per level;
+        # once ≥64 entries were probed and ≥90% admitted, drop to
+        # probing every 64th entry (admitting the rest unprobed — always
+        # sound).  The residual 1/64 sampling guards against INGEST-
+        # ORDER CORRELATION: if the probed keys cluster in early files
+        # (time-correlated ingest, recent-key pages), the first-64
+        # estimate would wrongly write off a tail that prunes — any
+        # sampled prune therefore RE-ARMS full probing with fresh
+        # counters, bounding the correlated worst case at ~64 extra
+        # admitted files per boundary while keeping the saturating case
+        # at ~1/64 of the probe cost.  State per level:
+        # [probed, admitted, skipped_since_last_sample].
+        _abandon: dict[str, list] = {"seg": [0, 0, 0], "file": [0, 0, 0]}
 
         def _positions(m: int, k: int, v) -> list:
             key = (m, k, v)
@@ -2131,9 +2138,12 @@ class TxTable:
             [m, k, words] shape."""
             if not bmap:
                 return True
-            probed, admitted = _abandon[lvl]
-            if probed >= 64 and admitted * 10 >= probed * 9:
-                return True  # saturating list: probing prunes ~nothing
+            state = _abandon[lvl]
+            probed, admitted, skipped = state
+            saturated = probed >= 64 and admitted * 10 >= probed * 9
+            if saturated and skipped < 63:
+                state[2] = skipped + 1
+                return True  # duty-cycle skip: admit unprobed
             hit_all = False
             for c, vals in eqs.items():
                 b = bmap.get(c)
@@ -2154,10 +2164,17 @@ class TxTable:
                     )
                     for v in vals
                 ):
-                    _abandon[lvl][0] = probed + 1
+                    if saturated:
+                        # a sampled prune after saturation: the estimate
+                        # was correlation, not a truly saturating list —
+                        # re-arm full probing with fresh counters
+                        _abandon[lvl] = [0, 0, 0]
+                    else:
+                        state[0] = probed + 1
+                        state[2] = 0
                     return False  # bloom misses are PROOF of absence
             if hit_all:
-                _abandon[lvl] = [probed + 1, admitted + 1]
+                _abandon[lvl] = [probed + 1, admitted + 1, 0]
             return True
 
         if "files" in body:

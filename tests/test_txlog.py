@@ -2429,6 +2429,45 @@ def test_key_ordered_segments_prune_unique_key_point_lookups(
     assert {x.k for x in df3.collect()} == {0, 1200, 2399}
 
 
+def test_bloom_probe_duty_cycle_rearms_on_correlated_tail(
+    spark, tmp_path, _segmented
+):
+    """r13: pure abandonment is fooled by INGEST-ORDER CORRELATION —
+    when the probed keys cluster in the first-iterated segments, a
+    first-64 estimate of 'saturating list' would write off a tail that
+    prunes perfectly.  The duty cycle keeps sampling every 64th entry
+    and RE-ARMS full probing when a sample prunes, so the correlated
+    case loses at most ~one skip window, not the whole tail.
+
+    Layout: 256 segments packed in ord-min order (deterministic
+    iteration), bloom column k == segment index block; the 288-value
+    probe list hits exactly the first 72 segments.  Expected: segments
+    0-63 probed+admitted (saturation), ~63 skipped-admitted, then a
+    sampled PRUNE re-arms and the remaining ~128 segments are pruned —
+    far below the 256 a pure abandonment would open."""
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.set_stats_columns("ord", bloom=("k",))
+    t.append(
+        spark.range(0, 4096)
+        .select(
+            F.col("id").alias("ord"),
+            (F.col("id") / 4).cast("long").alias("k"),
+        )
+        .repartitionByRange(1024, "ord")
+    )
+    raw = _raw(t, t.snapshot()[0])
+    assert len(raw["segments"]) >= 250
+    vals = list(range(288))  # k of the first 72 segments (4 ks/segment)
+    r = TxTable(spark, str(tmp_path / "t"))
+    df, fr, ft = r.skip_read(eq={"k": vals})
+    # every true-hit row comes back exactly once (4 rows per k value)
+    assert df.count() == 288 * 4
+    # the tail was NOT written off: far fewer segment opens than the
+    # table holds (72 true + one skip window + sampling slack)
+    assert r.seg_opens <= 150, r.seg_opens
+    assert fr < ft
+
+
 def test_sized_rewrites_cluster_by_first_stats_column(spark, tmp_path):
     """r13: compact/compact_small stage their outputs range-partitioned
     on the table's first stats column (plain repartition() destroyed the
