@@ -82,8 +82,27 @@ def quantize_subvectors(
     )
 
 
-def _sqdist(q, cent):
-    """Integer squared distance between two equal-length long arrays."""
+#: unroll _sqdist only for short subvectors: small flat chains beat the
+#: interpreted fold, but LONG left-nested Add chains blow up Catalyst
+#: planning and janino compilation (measured: a 64-term unrolled chain
+#: was ~4× slower end to end than the fold it replaced)
+_SQDIST_UNROLL_MAX = 16
+
+
+def _sqdist(q, cent, dsub: int | None = None):
+    """Integer squared distance between two equal-length long arrays.
+
+    ``dsub`` (when the subvector length is known at plan time AND short)
+    unrolls the higher-order fold into a flat chain — integer adds, so
+    the value is identical in any order, and the chain keeps the fold's
+    order anyway.  Long subvectors keep the fold: giant literal chains
+    cost more in planning/compilation than they save in eval."""
+    if dsub is not None and dsub <= _SQDIST_UNROLL_MAX:
+        acc = F.lit(0).cast("long")
+        for i in range(dsub):
+            d = q[i] - cent[i]
+            acc = acc + d * d
+        return acc
     return F.aggregate(
         F.zip_with(q, cent, lambda a, b: (a - b) * (a - b)),
         F.lit(0).cast("long"),
@@ -91,20 +110,29 @@ def _sqdist(q, cent):
     )
 
 
-def _assign(sub: DataFrame, codebook: DataFrame) -> DataFrame:
+def _assign(
+    sub: DataFrame, codebook: DataFrame, dsub: int | None = None
+) -> DataFrame:
     """Nearest centroid per (id, s): k-way join + deterministic argmin
     (distance, then centroid index — integer distances, so the tie-break
-    is exact cross-engine).  The codebook is m·k rows — broadcast."""
-    from pyspark.sql import Window
+    is exact cross-engine).  The codebook is m·k rows — broadcast.
 
+    The argmin is a ``min(struct(_d, c, q))`` partial aggregation, not a
+    row_number window: lexicographic struct-min over the UNIQUE (_d, c)
+    prefix picks exactly the window's (distance, centroid-index) winner,
+    but aggregates map-side — the k-way join's fan-out collapses back to
+    one row per (id, s) before the exchange, and the per-partition sort
+    the window needed disappears (guide §2.3 'aggregate before you
+    shuffle')."""
     d = sub.join(F.broadcast(codebook), "s").withColumn(
-        "_d", _sqdist(F.col("q"), F.col("cent"))
+        "_d", _sqdist(F.col("q"), F.col("cent"), dsub)
     )
-    w = Window.partitionBy("id", "s").orderBy("_d", "c")
     return (
-        d.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select("id", "s", F.col("c").alias("code"), "q")
+        d.groupBy("id", "s")
+        .agg(F.min(F.struct("_d", "c", "q")).alias("_m"))
+        .select(
+            "id", "s", F.col("_m.c").alias("code"), F.col("_m.q").alias("q")
+        )
     )
 
 
@@ -117,6 +145,7 @@ def pq_train(
     vec_col: str = "embedding",
     scale: int = SCALE,
     offset: int = OFFSET,
+    dim: int | None = None,
 ) -> DataFrame:
     """Train per-subspace codebooks → (s, c, cent: array<bigint>).
 
@@ -124,17 +153,19 @@ def pq_train(
     exactness of downstream search never depends on seed quality, only
     quantization error does), then ``rounds`` Lloyd iterations: integer
     argmin assignment, per-dim floored-mean update, empty clusters keep
-    their previous centroid.  Each round is one broadcast join + two
-    partial-agg shuffles over (s, c, dim) — never a shuffle of the
+    their previous centroid.  Each round is one broadcast join + ONE
+    partial-agg shuffle over (s, c) — never a shuffle of the
     corpus text/vector payload, and the trajectory is integer so it is
     partition-independent and oracle-replayable.
     """
-    sub = quantize_subvectors(emb, m, id_col, vec_col, scale, offset)
-    return train_codebook_from_sub(sub, k, rounds)
+    if dim is None:
+        dim = len(emb.select(vec_col).first()[0])
+    sub = quantize_subvectors(emb, m, id_col, vec_col, scale, offset, dim)
+    return train_codebook_from_sub(sub, k, rounds, dsub=dim // m)
 
 
 def train_codebook_from_sub(
-    sub: DataFrame, k: int, rounds: int
+    sub: DataFrame, k: int, rounds: int, dsub: int | None = None
 ) -> DataFrame:
     """The Lloyd loop of :func:`pq_train` over an arbitrary (id, s, q)
     subvector frame — shared by plain PQ (quantized subvectors) and
@@ -154,27 +185,55 @@ def train_codebook_from_sub(
         .select("s", (F.col("_rk") - 1).alias("c"), F.col("q").alias("cent"))
     ).localCheckpoint(eager=False)
     for _ in range(rounds):
-        asg = _assign(sub, codebook)
+        asg = _assign(sub, codebook, dsub)
         # renamed join keys: upd derives FROM codebook, so joining on
         # same-named columns would be a self-join ambiguity (Spark warns
         # 'trivially true predicate' and the resolution is undefined)
-        upd = (
-            asg.select("s", "code", F.posexplode("q").alias("dim", "v"))
-            .groupBy("s", "code", "dim")
-            .agg(F.expr("CAST(sum(v) div count(1) AS BIGINT)").alias("mv"))
-            .groupBy("s", "code")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("dim", "mv"))),
-                    lambda x: x["mv"],
-                ).alias("newcent")
+        if dsub is not None:
+            # per-dim floored means in ONE partial-agg shuffle: with the
+            # subvector length known at plan time the posexplode →
+            # groupBy(s, code, dim) → re-collect two-shuffle chain
+            # collapses to dsub sum columns over (s, code) — the sums are
+            # integer (order-independent) and ``div count`` is the same
+            # expression, so the centroid trajectory is bit-identical
+            upd = (
+                asg.groupBy("s", "code")
+                .agg(
+                    F.count(F.lit(1)).alias("_n"),
+                    *[
+                        F.sum(F.col("q")[i]).alias(f"_s{i}")
+                        for i in range(dsub)
+                    ],
+                )
+                .select(
+                    F.col("s").alias("us"),
+                    F.col("code").alias("uc"),
+                    F.array(
+                        *[
+                            F.expr(f"CAST(_s{i} div _n AS BIGINT)")
+                            for i in range(dsub)
+                        ]
+                    ).alias("newcent"),
+                )
             )
-            .select(
-                F.col("s").alias("us"),
-                F.col("code").alias("uc"),
-                "newcent",
+        else:
+            upd = (
+                asg.select("s", "code", F.posexplode("q").alias("dim", "v"))
+                .groupBy("s", "code", "dim")
+                .agg(F.expr("CAST(sum(v) div count(1) AS BIGINT)").alias("mv"))
+                .groupBy("s", "code")
+                .agg(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("dim", "mv"))),
+                        lambda x: x["mv"],
+                    ).alias("newcent")
+                )
+                .select(
+                    F.col("s").alias("us"),
+                    F.col("code").alias("uc"),
+                    "newcent",
+                )
             )
-        )
         codebook = (
             codebook.join(
                 upd,
@@ -199,12 +258,15 @@ def pq_encode(
     vec_col: str = "embedding",
     scale: int = SCALE,
     offset: int = OFFSET,
+    dim: int | None = None,
 ) -> DataFrame:
     """(id, s, code) — the compressed corpus representation (m small ints
     per vector; the wide array form is one pivot away but the exploded
     form is what ADC consumes)."""
-    sub = quantize_subvectors(emb, m, id_col, vec_col, scale, offset)
-    return _assign(sub, codebook).select("id", "s", "code")
+    if dim is None:
+        dim = len(emb.select(vec_col).first()[0])
+    sub = quantize_subvectors(emb, m, id_col, vec_col, scale, offset, dim)
+    return _assign(sub, codebook, dim // m).select("id", "s", "code")
 
 
 def pq_adc_topk(
@@ -217,6 +279,7 @@ def pq_adc_topk(
     vec_col: str = "embedding",
     scale: int = SCALE,
     offset: int = OFFSET,
+    dim: int | None = None,
 ) -> DataFrame:
     """Asymmetric-distance top-k over PQ codes → (query_id, neighbor_id,
     adist, rank).
@@ -229,7 +292,9 @@ def pq_adc_topk(
     at 100 TB."""
     from pyspark.sql import Window
 
-    qsub = quantize_subvectors(queries, m, id_col, vec_col, scale, offset)
+    if dim is None:
+        dim = len(queries.select(vec_col).first()[0])
+    qsub = quantize_subvectors(queries, m, id_col, vec_col, scale, offset, dim)
     lut = (
         qsub.withColumnRenamed("id", "query_id")
         .join(codebook, "s")
@@ -237,7 +302,7 @@ def pq_adc_topk(
             "query_id",
             "s",
             F.col("c").alias("code"),
-            _sqdist(F.col("q"), F.col("cent")).alias("ld"),
+            _sqdist(F.col("q"), F.col("cent"), dim // m).alias("ld"),
         )
     )
     scores = (
@@ -261,35 +326,95 @@ def coarse_cells_from_seeds(
     vec_col: str = "embedding",
     scale: int = SCALE,
     offset: int = OFFSET,
+    dim: int | None = None,
 ) -> DataFrame:
     """(cell, cvec) — deterministic coarse quantizer: the ``ncell``
     smallest ids' FULL integer-quantized vectors (the same pinned-seed
     rule as the IVF/near-dup entries: recall depends on seed quality,
     exactness of the pipeline never does; production swaps in k-means
-    centers)."""
+    centers).
+
+    The seed pick is ``orderBy(id).limit(ncell)`` — a TakeOrdered over
+    the corpus (per-partition top-ncell, merged on the driver) — instead
+    of a single-partition global-sort window; the trailing rank window
+    then runs over only ncell rows to number the cells."""
     from pyspark.sql import Window
 
-    full = quantize_subvectors(emb, 1, id_col, vec_col, scale, offset)
+    full = quantize_subvectors(emb, 1, id_col, vec_col, scale, offset, dim)
     w = Window.partitionBy("s").orderBy("id")
     return (
-        full.withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") <= ncell)
+        full.orderBy("id")
+        .limit(ncell)
+        .withColumn("_rk", F.row_number().over(w))
         .select((F.col("_rk") - 1).alias("cell"), F.col("q").alias("cvec"))
     )
 
 
-def _cell_rank(emb_or_q, cells, id_col, vec_col, scale, offset):
+def _cell_rank(
+    emb_or_q, cells, id_col, vec_col, scale, offset, dim: int | None = None
+):
     """(id, cell, crn) — rank of every coarse cell per vector by integer
-    L2, deterministic (distance, cell) tie-break."""
+    L2, deterministic (distance, cell) tie-break.  The rank is a
+    size-bounded ``array_sort`` over the per-id collected (distance,
+    cell) pairs when the caller guarantees nothing — kept as the generic
+    window form here; hot paths with a driver-resident coarse table use
+    :func:`_ranked_cells_lit` instead (no join, no window)."""
     from pyspark.sql import Window
 
-    full = quantize_subvectors(emb_or_q, 1, id_col, vec_col, scale, offset)
+    full = quantize_subvectors(emb_or_q, 1, id_col, vec_col, scale, offset, dim)
     w = Window.partitionBy("id").orderBy("_d", "cell")
     return (
         full.join(F.broadcast(cells), F.lit(True))
-        .withColumn("_d", _sqdist(F.col("q"), F.col("cvec")))
+        .withColumn("_d", _sqdist(F.col("q"), F.col("cvec"), dim))
         .withColumn("crn", F.row_number().over(w))
         .select("id", "cell", "crn")
+    )
+
+
+#: max coarse-table rows inlined as literal centers into the assignment
+#: expression: past this the plan itself (ncell·dim literals) outgrows
+#: codegen budgets and the join/Arrow paths win — at the production
+#: sizing ncell ≈ √N the served path uses :func:`cell_assign_arrow`.
+_COARSE_LIT_MAX = 1024
+
+
+def _ranked_cells_lit(qcol, cents, cell_ids, n: int):
+    """Ids of the ``n`` nearest coarse cells to integer-quantized ``qcol``
+    by squared L2 against LITERAL centers with (distance, cell)
+    tie-break — the integer analog of similarity._ranked_cells: a pure
+    column expression (one fold per center), so corpus assignment is a
+    narrow map with NO ncell-way join and NO per-id window (``cents``
+    must be sorted by ``cell_ids`` ascending so the positional tie-break
+    equals the cell-id tie-break)."""
+
+    def _d(c):
+        return F.aggregate(
+            F.zip_with(
+                qcol,
+                F.array(*[F.lit(int(x)).cast("long") for x in c]),
+                lambda a, b: (a - b) * (a - b),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    dists = F.array(*[_d(c) for c in cents])
+    idx = F.sequence(F.lit(0), F.lit(len(cents) - 1))
+    ranked = F.array_sort(
+        F.zip_with(dists, idx, lambda d, i: F.struct(d.alias("d"), i.alias("i")))
+    )
+    pos = F.slice(F.transform(ranked, lambda s: s["i"]), 1, n)
+    ids = F.array(*[F.lit(int(cid)) for cid in cell_ids])
+    return F.transform(pos, lambda p: F.element_at(ids, p + 1))
+
+
+def _quant_full(vec_col: str, dim: int, scale: int, offset: int):
+    """Whole-vector integer quantization — the same per-element transform
+    as :func:`quantize_subvectors` with m=1 (floor(x·scale)+offset as
+    BIGINT), without the posexplode."""
+    return F.transform(
+        F.col(vec_col),
+        lambda x: (F.floor(x.cast("double") * scale) + offset).cast("long"),
     )
 
 
@@ -339,33 +464,74 @@ def ivfpq_topk(
     :func:`ivfpq_write_index` / :func:`ivfpq_query_index`."""
     from pyspark.sql import Window
 
+    # ONE dimension sniff for the whole lifecycle — train, encode,
+    # assignment and LUT all reuse it (each quantize_subvectors call
+    # otherwise runs its own first() job against the lake)
+    dim = len(emb.select(vec_col).first()[0])
     if coarse is None:
         coarse = coarse_cells_from_seeds(
-            emb, ncell, id_col, vec_col, scale, offset
+            emb, ncell, id_col, vec_col, scale, offset, dim
         )
     if codebook is None:
-        codebook = pq_train(emb, m, k, rounds, id_col, vec_col, scale, offset)
-    if codes is None:
-        codes = pq_encode(emb, codebook, m, id_col, vec_col, scale, offset)
-
-    if assign is None:
-        assign = (
-            _cell_rank(emb, coarse, id_col, vec_col, scale, offset)
-            .filter(F.col("crn") == 1)
-            .select(F.col("id").alias("neighbor_id"), "cell")
+        codebook = pq_train(
+            emb, m, k, rounds, id_col, vec_col, scale, offset, dim
         )
-    probes = (
-        _cell_rank(queries, coarse, id_col, vec_col, scale, offset)
-        .filter(F.col("crn") <= nprobe)
-        .select(F.col("id").alias("query_id"), "cell")
-    )
+    if codes is None:
+        codes = pq_encode(
+            emb, codebook, m, id_col, vec_col, scale, offset, dim
+        )
+
+    # coarse assignment: when the coarse table is driver-small (it is an
+    # index artifact — ncell rows), inline it as literal centers so BOTH
+    # the corpus assignment and the query probes become narrow maps (no
+    # ncell-way broadcast join, no per-id window shuffle); identical
+    # integers, identical (distance, cell) tie-break.  A caller-passed
+    # big coarse table keeps the generic join path.
+    crows = coarse.orderBy("cell").limit(_COARSE_LIT_MAX + 1).collect()
+    lit_ok = 0 < len(crows) <= _COARSE_LIT_MAX
+    if lit_ok:
+        cents = [list(r["cvec"]) for r in crows]
+        cell_ids = [int(r["cell"]) for r in crows]
+        # quantize into a COLUMN first so the per-center folds read it
+        # instead of re-evaluating the quantization ncell times per row
+        if assign is None:
+            assign = emb.select(
+                F.col(id_col).alias("neighbor_id"),
+                _quant_full(vec_col, dim, scale, offset).alias("_qf"),
+            ).select(
+                "neighbor_id",
+                F.element_at(
+                    _ranked_cells_lit(F.col("_qf"), cents, cell_ids, 1), 1
+                ).alias("cell"),
+            )
+        probes = queries.select(
+            F.col(id_col).alias("query_id"),
+            _quant_full(vec_col, dim, scale, offset).alias("_qf"),
+        ).select(
+            "query_id",
+            F.explode(
+                _ranked_cells_lit(F.col("_qf"), cents, cell_ids, nprobe)
+            ).alias("cell"),
+        )
+    else:
+        if assign is None:
+            assign = (
+                _cell_rank(emb, coarse, id_col, vec_col, scale, offset, dim)
+                .filter(F.col("crn") == 1)
+                .select(F.col("id").alias("neighbor_id"), "cell")
+            )
+        probes = (
+            _cell_rank(queries, coarse, id_col, vec_col, scale, offset, dim)
+            .filter(F.col("crn") <= nprobe)
+            .select(F.col("id").alias("query_id"), "cell")
+        )
     cand = (
         probes.join(assign, "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id")
     )
 
-    qsub = quantize_subvectors(queries, m, id_col, vec_col, scale, offset)
+    qsub = quantize_subvectors(queries, m, id_col, vec_col, scale, offset, dim)
     lut = (
         qsub.withColumnRenamed("id", "query_id")
         .join(codebook, "s")
@@ -373,7 +539,7 @@ def ivfpq_topk(
             "query_id",
             "s",
             F.col("c").alias("code"),
-            _sqdist(F.col("q"), F.col("cent")).alias("ld"),
+            _sqdist(F.col("q"), F.col("cent"), dim // m).alias("ld"),
         )
     )
     scores = (
@@ -474,13 +640,16 @@ def ivfpq_write_index(
     One shuffle on cell sizes output files ≈ one per cell (the
     inverted-list file layout); everything else is the narrow encode
     lineage."""
+    dim = len(emb.select(vec_col).first()[0])
     if coarse is None:
         coarse = coarse_cells_from_seeds(
-            emb, ncell, id_col, vec_col, scale, offset
+            emb, ncell, id_col, vec_col, scale, offset, dim
         )
     if codebook is None:
-        codebook = pq_train(emb, m, k, rounds, id_col, vec_col, scale, offset)
-    codes = pq_encode(emb, codebook, m, id_col, vec_col, scale, offset)
+        codebook = pq_train(
+            emb, m, k, rounds, id_col, vec_col, scale, offset, dim
+        )
+    codes = pq_encode(emb, codebook, m, id_col, vec_col, scale, offset, dim)
     assign = cell_assign_arrow(emb, coarse, id_col, vec_col, scale, offset)
     coarse.write.mode("overwrite").parquet(f"{path}/coarse")
     codebook.write.mode("overwrite").parquet(f"{path}/codebook")
@@ -588,7 +757,7 @@ def pq_encode_streaming(
             emb, m, id_col, vec_col, scale, offset, dim=m * dsub
         )
         .join(F.broadcast(codebook), "s")
-        .withColumn("_d", _sqdist(F.col("q"), F.col("cent")))
+        .withColumn("_d", _sqdist(F.col("q"), F.col("cent"), dsub))
     )
     return (
         d.groupBy("id", "s")
@@ -684,30 +853,32 @@ def ivfpq_residual_topk(
     dsub = d // m
 
     cells = coarse_cells_from_seeds(emb, ncell, id_col, vec_col, scale,
-                                    offset)
-    full = quantize_subvectors(emb, 1, id_col, vec_col, scale, offset).select(
+                                    offset, d)
+    full = quantize_subvectors(
+        emb, 1, id_col, vec_col, scale, offset, d
+    ).select(
         "id", F.col("q").alias("qv")
     ).localCheckpoint(eager=False)
 
     assign = (
-        _cell_rank(emb, cells, id_col, vec_col, scale, offset)
+        _cell_rank(emb, cells, id_col, vec_col, scale, offset, d)
         .filter(F.col("crn") == 1)
         .select("id", "cell")
         .localCheckpoint(eager=False)
     )
     rsub = _residual_sub(full, cells, assign, m, dsub, roff)
     codebook = train_codebook_from_sub(
-        rsub.select("id", "s", "q"), k, rounds
+        rsub.select("id", "s", "q"), k, rounds, dsub=dsub
     )
-    codes = _assign(rsub.select("id", "s", "q"), codebook).select(
+    codes = _assign(rsub.select("id", "s", "q"), codebook, dsub).select(
         "id", "s", "code"
     )
 
     qfull = quantize_subvectors(
-        queries, 1, id_col, vec_col, scale, offset
+        queries, 1, id_col, vec_col, scale, offset, d
     ).select("id", F.col("q").alias("qv"))
     probes = (
-        _cell_rank(queries, cells, id_col, vec_col, scale, offset)
+        _cell_rank(queries, cells, id_col, vec_col, scale, offset, d)
         .filter(F.col("crn") <= nprobe)
         .select("id", "cell")
     )
@@ -720,7 +891,7 @@ def ivfpq_residual_topk(
             "cell",
             "s",
             F.col("c").alias("code"),
-            _sqdist(F.col("q"), F.col("cent")).alias("ld"),
+            _sqdist(F.col("q"), F.col("cent"), dsub).alias("ld"),
         )
     )
 

@@ -107,6 +107,91 @@ def brute_force_topk(
 # srp_neardup_pairs (approximate, bucketed).
 
 
+def _arrow_pair_prefilter(
+    pairs: DataFrame,
+    threshold: float,
+    sim_decimals: int | None,
+    dim: int,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    va: str = "va",
+    vb: str = "vb",
+) -> DataFrame:
+    """Vectorized RAW-cosine candidate prefilter → the (id_a, id_b) pairs
+    that could possibly pass ``round(sim, sim_decimals) >= threshold``.
+
+    The exact pair verify is interpreted JVM expression work (~30 µs per
+    64-dim pair: zip_with+aggregate is a CodegenFallback), and on
+    structure-less data the cell prune admits nearly all pairs, so the
+    verify stage dominates the near-dup operators (measured 150-500
+    core-seconds per bench run).  This stage computes the SAME
+    dot/(na·nb) formula per candidate batch in numpy float64 (one fused
+    matrix pass per Arrow batch — guide §4.2) and keeps only pairs with
+    ``raw_sim >= threshold - margin``; the few survivors (output-bound)
+    then re-enter the UNCHANGED JVM expression, whose rounded value and
+    filter decide membership and produce the output sim.
+
+    Soundness (no false negatives, which is all that correctness needs —
+    false positives are re-filtered exactly): for unit-scaled operands
+    |numpy_sim − jvm_sim| ≤ 2·d·ulp ≤ 3e-14 at d=64, because by
+    Cauchy-Schwarz Σ|aᵢbᵢ| ≤ ‖a‖‖b‖ bounds the absolute summation error
+    of ANY accumulation order at d·ulp regardless of cancellation; the
+    rounding step can promote a sim at most 0.5·10^-decimals below the
+    threshold.  margin = 0.5·10^-decimals + 1e-6 dwarfs both.  NaN sims
+    (zero-norm vectors) fail ``>=`` in BOTH engines and drop on both
+    paths."""
+    margin = (0.5 * 10.0 ** (-sim_decimals) if sim_decimals else 0.0) + 1e-6
+    gate = threshold - margin
+    fields = {f.name: f.dataType.simpleString() for f in pairs.schema.fields}
+    out_schema = f"{id_a} {fields[id_a]}, {id_b} {fields[id_b]}"
+
+    def _flt(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for rb in batches:
+            n = rb.num_rows
+            if n == 0:
+                continue
+            ia = rb.schema.get_field_index(va)
+            ib = rb.schema.get_field_index(vb)
+            A = (
+                rb.column(ia)
+                .flatten()
+                .to_numpy(zero_copy_only=False)
+                .astype(np.float64, copy=False)
+                .reshape(n, dim)
+            )
+            B = (
+                rb.column(ib)
+                .flatten()
+                .to_numpy(zero_copy_only=False)
+                .astype(np.float64, copy=False)
+                .reshape(n, dim)
+            )
+            with np.errstate(divide="ignore", invalid="ignore"):
+                s = (A * B).sum(axis=1) / (
+                    np.sqrt((A * A).sum(axis=1))
+                    * np.sqrt((B * B).sum(axis=1))
+                )
+            keep = s >= gate  # NaN compares False, like the JVM filter
+            if not keep.any():
+                continue
+            yield pa.RecordBatch.from_arrays(
+                [
+                    rb.column(rb.schema.get_field_index(id_a)).filter(
+                        pa.array(keep)
+                    ),
+                    rb.column(rb.schema.get_field_index(id_b)).filter(
+                        pa.array(keep)
+                    ),
+                ],
+                names=[id_a, id_b],
+            )
+
+    return pairs.select(id_a, id_b, va, vb).mapInArrow(_flt, out_schema)
+
+
 def cosine_neardup_cells(
     emb: DataFrame,
     threshold: float = 0.9,
@@ -144,58 +229,75 @@ def cosine_neardup_cells(
     similarity join.  nlist grows with the corpus (â la IVF) to keep
     per-cell volume constant.
     """
+    import math
+
+    import numpy as np
+
     spark = emb.sparkSession
-    nrm = norm(F.col(vec_col))
-    unit = F.transform(
-        F.col(vec_col),
-        lambda x: F.when(nrm != 0, x.cast("double") / nrm).otherwise(
-            F.lit(0.0)
-        ),
-    )
-    base = emb.select(
-        F.col(id_col).alias("_id"),
-        F.col(vec_col).alias("_v"),
-        nrm.alias("_n"),
-        unit.alias("_u"),
-    )
     if centers is None:
+        nrm_g = norm(F.col(vec_col))
+        unit_g = F.transform(
+            F.col(vec_col),
+            lambda x: F.when(nrm_g != 0, x.cast("double") / nrm_g).otherwise(
+                F.lit(0.0)
+            ),
+        )
         centers = ivf_train_centroids(
-            base.select(F.col("_u").alias(vec_col)),
+            emb.select(unit_g.alias(vec_col)),
             nlist=nlist,
             vec_col=vec_col,
         )
+    # assignment is an Arrow-batched numpy pass (the IMI shape), not a
+    # literal-center expression tree: nlist·dim literals cost seconds of
+    # py4j driver round-trips + Catalyst analysis PER CALL, and the
+    # output pair set never depends on assignment quality — ANY
+    # assignment yields a valid triangle bound because the radii are
+    # measured from the assignment actually used.  ``_dist`` uses the
+    # direct-difference form (no expansion cancellation), so each radius
+    # upper-bounds its members' true center distance to within one ulp —
+    # absorbed by the bound's 1e-9 slack and the sim-margin inflation.
+    C = np.array(centers, dtype=np.float64)
+    id_type = emb.schema[id_col].dataType.simpleString()
+    vec_type = emb.schema[vec_col].dataType.simpleString()
+    out_schema = f"_id {id_type}, _v {vec_type}, _cell int, _dist double"
+
+    def _assign_np(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            V = _np.array(list(pdf[vec_col]), dtype=_np.float64)
+            if V.size == 0:
+                continue
+            nr = _np.linalg.norm(V, axis=1, keepdims=True)
+            nr[nr == 0] = 1.0
+            U = V / nr
+            d2 = (
+                (U * U).sum(axis=1, keepdims=True)
+                - 2.0 * U @ C.T
+                + (C * C).sum(axis=1)[None, :]
+            )
+            cell = d2.argmin(axis=1)
+            diff = U - C[cell]
+            dist = _np.sqrt((diff * diff).sum(axis=1))
+            yield _pd.DataFrame(
+                {
+                    "_id": pdf[id_col],
+                    "_v": pdf[vec_col],
+                    "_cell": cell.astype("int32"),
+                    "_dist": dist,
+                }
+            )
+
     from indra_db_spark.operators.dedup import _materialize
 
     assigned = _materialize(
-        base.withColumn(
-            "_cell",
-            F.element_at(
-                _ranked_cells(F.col("_u"), centers, 1, dist_decimals), 1
-            ),
-        ).withColumn(
-            "_dist",
-            F.sqrt(
-                F.aggregate(
-                    F.zip_with(
-                        F.col("_u"),
-                        F.element_at(
-                            F.array(
-                                *[
-                                    F.array(*[F.lit(x) for x in c])
-                                    for c in centers
-                                ]
-                            ),
-                            F.col("_cell") + 1,
-                        ),
-                        lambda a, b: (a - b) * (a - b),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-            ),
-        )
+        emb.select(id_col, vec_col)
+        .mapInPandas(_assign_np, out_schema)
+        # norm Spark-side with the SAME element-order accumulation as the
+        # brute force, so the re-verified sims are bit-identical
+        .withColumn("_n", norm(F.col("_v")))
     )
-    import math
 
     cell_stats = assigned.groupBy("_cell").agg(
         F.max("_dist").alias("r"), F.count(F.lit(1)).alias("n")
@@ -215,32 +317,124 @@ def cosine_neardup_cells(
             )
             if d <= eps + radii[i] + radii[j] + 1e-9:
                 cand.append((i, j))
-    pairs = spark.createDataFrame(cand, "cell_a INT, cell_b INT")
-    a = assigned.select(
+    # candidate generation → vectorized raw prefilter → exact JVM
+    # re-verify.  The prefilter only DROPS pairs provably below the
+    # rounded threshold (see _arrow_pair_prefilter's soundness note);
+    # survivors are output-bound and re-enter the UNCHANGED JVM sim
+    # expression, which decides membership and produces the emitted sim.
+    small_max = 200_000
+    dim = len(centers[0])
+    gate = threshold - (
+        (0.5 * 10.0 ** (-sim_decimals) if sim_decimals else 0.0) + 1e-6
+    )
+    if n_rows <= small_max:
+        # small-corpus shape: the b side fits the broadcast budget, so
+        # ship it ONCE per task as a Python broadcast of per-cell numpy
+        # blocks and verify each a-batch with one matmul per admitted
+        # cell pair — no N²-pair join, no per-pair bytes over Arrow
+        # (the candidate volume only ever exists as matmul output).
+        adm: dict[int, list[int]] = {}
+        for i, j in cand:
+            adm.setdefault(i, []).append(j)
+        pdf_all = assigned.select("_id", "_v", "_cell").toPandas()
+        blocks = {}
+        cells_np = pdf_all["_cell"].to_numpy()
+        ids_np = pdf_all["_id"].to_numpy()
+        V_all = np.array(list(pdf_all["_v"]), dtype=np.float64)
+        for c in np.unique(cells_np):
+            sel = np.nonzero(cells_np == c)[0]
+            B = V_all[sel]
+            bn = np.linalg.norm(B, axis=1)
+            blocks[int(c)] = (ids_np[sel], B, bn)
+        bc = spark.sparkContext.broadcast(blocks)
+
+        def _verify_np(batches):
+            import numpy as _np
+            import pandas as _pd
+
+            data = bc.value
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                cl = pdf["_cell"].to_numpy()
+                ids = pdf["_id"].to_numpy()
+                V = _np.array(list(pdf["_v"]), dtype=_np.float64)
+                out_a, out_b = [], []
+                with _np.errstate(divide="ignore", invalid="ignore"):
+                    for c in _np.unique(cl):
+                        ai = _np.nonzero(cl == c)[0]
+                        A = V[ai]
+                        aids = ids[ai]
+                        an = _np.linalg.norm(A, axis=1)
+                        for j in adm.get(int(c), ()):
+                            if j not in data:
+                                continue
+                            bids, B, bn = data[j]
+                            S = (A @ B.T) / (an[:, None] * bn[None, :])
+                            mask = S >= gate  # NaN → False, like the JVM
+                            if j == int(c):
+                                mask &= aids[:, None] < bids[None, :]
+                            ia, ib = _np.nonzero(mask)
+                            if len(ia):
+                                out_a.append(aids[ia])
+                                out_b.append(bids[ib])
+                if out_a:
+                    yield _pd.DataFrame(
+                        {
+                            "id_a": _np.concatenate(out_a),
+                            "id_b": _np.concatenate(out_b),
+                        }
+                    )
+
+        surv = F.broadcast(
+            assigned.select("_id", "_v", "_cell")
+            .repartition(spark.sparkContext.defaultParallelism)
+            .mapInPandas(_verify_np, f"id_a {id_type}, id_b {id_type}")
+        )
+    else:
+        # at-scale shape: cell-keyed equi-join generates the candidates
+        # (volume tracks output density plus pruning slack), the Arrow
+        # prefilter collapses them to survivors before any pair pays the
+        # interpreted JVM sim
+        pairs_df = spark.createDataFrame(cand, "cell_a INT, cell_b INT")
+        a = assigned.select(
+            F.col("_id").alias("id_a"),
+            F.col("_v").alias("va"),
+            F.col("_cell").alias("cell_a"),
+        )
+        b = assigned.select(
+            F.col("_id").alias("id_b"),
+            F.col("_v").alias("vb"),
+            F.col("_cell").alias("cell_b"),
+        )
+        cand_pairs = (
+            a.join(F.broadcast(pairs_df), "cell_a")
+            .join(b, "cell_b")
+            .filter(
+                (F.col("cell_a") != F.col("cell_b"))
+                | (F.col("id_a") < F.col("id_b"))
+            )
+            .select("id_a", "va", "id_b", "vb")
+        )
+        surv = F.broadcast(
+            _arrow_pair_prefilter(cand_pairs, threshold, sim_decimals, dim)
+        )
+    a2 = assigned.select(
         F.col("_id").alias("id_a"),
         F.col("_v").alias("va"),
         F.col("_n").alias("na"),
-        F.col("_cell").alias("cell_a"),
     )
-    b = assigned.select(
+    b2 = assigned.select(
         F.col("_id").alias("id_b"),
         F.col("_v").alias("vb"),
         F.col("_n").alias("nb"),
-        F.col("_cell").alias("cell_b"),
     )
-    # small-corpus parallelism spreader, same gate as semantic_dedup —
-    # sized from the radii aggregate's row counts, no extra probe job
-    small_max = 200_000
-    if n_rows <= small_max:
-        a = a.repartition(spark.sparkContext.defaultParallelism)
-        b = F.broadcast(b)
     sim = _pair_sim(
         F.col("va"), F.col("vb"), F.col("na"), F.col("nb"), sim_decimals
     )
     return (
-        a.join(F.broadcast(pairs), "cell_a")
-        .join(b, "cell_b")
-        .filter((F.col("cell_a") != F.col("cell_b")) | (F.col("id_a") < F.col("id_b")))
+        F.broadcast(surv.join(a2, "id_a"))
+        .join(b2, "id_b")
         .withColumn("sim", sim)
         .filter(F.col("sim") >= threshold)
         .select(
