@@ -192,6 +192,119 @@ def _arrow_pair_prefilter(
     return pairs.select(id_a, id_b, va, vb).mapInArrow(_flt, out_schema)
 
 
+#: corpus-row ceiling for the driver-collected block-verify shape (the
+#: whole corpus is toPandas'd + broadcast, so this bounds driver/executor
+#: memory at ~rows × dim × 8 B ≈ 100 MB at 200k × 64); past it the
+#: distributed cell-key join runs.  Module-level so tests can force the
+#: at-scale path and production can re-tune without a code change.
+_DRIVER_VERIFY_MAX_ROWS = 200_000
+
+#: nonempty-cell ceiling for the driver-side IMI cell-pair bound matrix
+#: (m² doubles; 4096² = 128 MB transient) — past it the distributed
+#: half-pair prune runs.
+_DRIVER_VERIFY_MAX_CELLS = 4096
+
+
+def _np_block_verify(
+    assigned: DataFrame,
+    gate: float,
+    adm: dict[int, list[int]] | None = None,
+) -> DataFrame:
+    """Candidate-pair generation + raw-cosine gate as ONE vectorized pass
+    (guide §4.2) → broadcast-hinted (id_a, id_b) survivors.
+
+    ``assigned`` must carry ``_id``, ``_v`` (the ORIGINAL vectors the
+    exact verify uses) and an int ``_cell``; it must be small enough to
+    collect (callers size-gate).  The corpus is shipped across the Python
+    boundary ONCE per side — the b side as a Python broadcast of per-cell
+    numpy blocks, the a side as Arrow batches — and each admitted cell
+    pair is one matmul; the candidate volume only ever exists as matmul
+    output, never as per-pair rows (the per-pair Arrow shape measured
+    3-4× SLOWER: ~1 KB of vector payload per candidate pair).
+
+    ``adm`` maps an a-cell to its admitted b-cells under the caller's
+    cell-pair prune, with the a-cell ordered <= the b-cell so each
+    unordered pair is generated once; ``None`` means same-cell pairs
+    only.  Same-cell blocks additionally mask ``id_a < id_b``.
+
+    Soundness: the numpy float64 cosine differs from the JVM fold by
+    <= 2·d·ulp (Cauchy-Schwarz bounds any accumulation order's absolute
+    error), so with ``gate = threshold − (½·10^-decimals + 1e-6)`` no
+    pair the exact rounded filter would keep is dropped; false positives
+    are re-filtered exactly by the caller.  NaN sims (zero-norm vectors)
+    fail ``>=`` in both engines."""
+    import numpy as np
+
+    spark = assigned.sparkSession
+    id_type = assigned.schema["_id"].dataType.simpleString()
+    pdf_all = assigned.select("_id", "_v", "_cell").toPandas()
+    blocks = {}
+    cells_np = pdf_all["_cell"].to_numpy()
+    ids_np = pdf_all["_id"].to_numpy()
+    V_all = np.array(list(pdf_all["_v"]), dtype=np.float64)
+    for c in np.unique(cells_np):
+        sel = np.nonzero(cells_np == c)[0]
+        B = V_all[sel]
+        bn = np.linalg.norm(B, axis=1)
+        blocks[int(c)] = (ids_np[sel], B, bn)
+    if adm is None:
+        adm = {c: [c] for c in blocks}
+    bc = spark.sparkContext.broadcast(blocks)
+
+    def _verify_np(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        data = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cl = pdf["_cell"].to_numpy()
+            ids = pdf["_id"].to_numpy()
+            V = _np.array(list(pdf["_v"]), dtype=_np.float64)
+            out_a, out_b = [], []
+            with _np.errstate(divide="ignore", invalid="ignore"):
+                for c in _np.unique(cl):
+                    ai = _np.nonzero(cl == c)[0]
+                    A = V[ai]
+                    aids = ids[ai]
+                    an = _np.linalg.norm(A, axis=1)
+                    for j in adm.get(int(c), ()):
+                        if j not in data:
+                            continue
+                        bids, B, bn = data[j]
+                        S = (A @ B.T) / (an[:, None] * bn[None, :])
+                        mask = S >= gate  # NaN → False, like the JVM
+                        if j == int(c):
+                            mask &= aids[:, None] < bids[None, :]
+                        ia, ib = _np.nonzero(mask)
+                        if len(ia):
+                            out_a.append(aids[ia])
+                            out_b.append(bids[ib])
+            if out_a:
+                yield _pd.DataFrame(
+                    {
+                        "id_a": _np.concatenate(out_a),
+                        "id_b": _np.concatenate(out_b),
+                    }
+                )
+
+    return F.broadcast(
+        assigned.select("_id", "_v", "_cell")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(_verify_np, f"id_a {id_type}, id_b {id_type}")
+    )
+
+
+def _sim_gate(threshold: float, sim_decimals: int | None) -> float:
+    """The raw-cosine admission gate matching ``round(sim, d) >=
+    threshold``: ½ulp of the rounding plus 1e-6 float slack below the
+    threshold (see :func:`_np_block_verify`'s soundness note)."""
+    return threshold - (
+        (0.5 * 10.0 ** (-sim_decimals) if sim_decimals else 0.0) + 1e-6
+    )
+
+
 def cosine_neardup_cells(
     emb: DataFrame,
     threshold: float = 0.9,
@@ -322,75 +435,16 @@ def cosine_neardup_cells(
     # rounded threshold (see _arrow_pair_prefilter's soundness note);
     # survivors are output-bound and re-enter the UNCHANGED JVM sim
     # expression, which decides membership and produces the emitted sim.
-    small_max = 200_000
     dim = len(centers[0])
-    gate = threshold - (
-        (0.5 * 10.0 ** (-sim_decimals) if sim_decimals else 0.0) + 1e-6
-    )
-    if n_rows <= small_max:
-        # small-corpus shape: the b side fits the broadcast budget, so
-        # ship it ONCE per task as a Python broadcast of per-cell numpy
-        # blocks and verify each a-batch with one matmul per admitted
-        # cell pair — no N²-pair join, no per-pair bytes over Arrow
-        # (the candidate volume only ever exists as matmul output).
+    gate = _sim_gate(threshold, sim_decimals)
+    if n_rows <= _DRIVER_VERIFY_MAX_ROWS:
+        # small-corpus shape: the b side fits the broadcast budget —
+        # per-cell numpy blocks, one matmul per admitted cell pair
+        # (see _np_block_verify)
         adm: dict[int, list[int]] = {}
         for i, j in cand:
             adm.setdefault(i, []).append(j)
-        pdf_all = assigned.select("_id", "_v", "_cell").toPandas()
-        blocks = {}
-        cells_np = pdf_all["_cell"].to_numpy()
-        ids_np = pdf_all["_id"].to_numpy()
-        V_all = np.array(list(pdf_all["_v"]), dtype=np.float64)
-        for c in np.unique(cells_np):
-            sel = np.nonzero(cells_np == c)[0]
-            B = V_all[sel]
-            bn = np.linalg.norm(B, axis=1)
-            blocks[int(c)] = (ids_np[sel], B, bn)
-        bc = spark.sparkContext.broadcast(blocks)
-
-        def _verify_np(batches):
-            import numpy as _np
-            import pandas as _pd
-
-            data = bc.value
-            for pdf in batches:
-                if not len(pdf):
-                    continue
-                cl = pdf["_cell"].to_numpy()
-                ids = pdf["_id"].to_numpy()
-                V = _np.array(list(pdf["_v"]), dtype=_np.float64)
-                out_a, out_b = [], []
-                with _np.errstate(divide="ignore", invalid="ignore"):
-                    for c in _np.unique(cl):
-                        ai = _np.nonzero(cl == c)[0]
-                        A = V[ai]
-                        aids = ids[ai]
-                        an = _np.linalg.norm(A, axis=1)
-                        for j in adm.get(int(c), ()):
-                            if j not in data:
-                                continue
-                            bids, B, bn = data[j]
-                            S = (A @ B.T) / (an[:, None] * bn[None, :])
-                            mask = S >= gate  # NaN → False, like the JVM
-                            if j == int(c):
-                                mask &= aids[:, None] < bids[None, :]
-                            ia, ib = _np.nonzero(mask)
-                            if len(ia):
-                                out_a.append(aids[ia])
-                                out_b.append(bids[ib])
-                if out_a:
-                    yield _pd.DataFrame(
-                        {
-                            "id_a": _np.concatenate(out_a),
-                            "id_b": _np.concatenate(out_b),
-                        }
-                    )
-
-        surv = F.broadcast(
-            assigned.select("_id", "_v", "_cell")
-            .repartition(spark.sparkContext.defaultParallelism)
-            .mapInPandas(_verify_np, f"id_a {id_type}, id_b {id_type}")
-        )
+        surv = _np_block_verify(assigned, gate, adm)
     else:
         # at-scale shape: cell-keyed equi-join generates the candidates
         # (volume tracks output density plus pruning slack), the Arrow
@@ -630,6 +684,73 @@ def cosine_neardup_imi(
     eps = math.sqrt(max(0.0, 2.0 - 2.0 * (threshold - margin)))
     slack = 1e-9
 
+    # small-corpus shape: the nonempty-cell list fits the driver, so the
+    # cell-pair prune is ONE numpy bound matrix (identical arithmetic to
+    # the distributed bound: same per-half squared-distance matrices,
+    # same eps/radii/slack, same lexicographic dedup) and the pair
+    # verify is the block-matmul pass of _np_block_verify — the
+    # interpreted JVM cosine then runs ONLY on gate survivors, which the
+    # unchanged expression re-filters exactly (bit-identical output).
+    # Measured: the JVM pair verify was 121 exec-core-seconds per bench
+    # run on the sf0.1 fixture (~1-2M candidate pairs × ~100 µs).
+    crows = cells.collect() if n_rows <= _DRIVER_VERIFY_MAX_ROWS else None
+    if crows is not None and len(crows) <= _DRIVER_VERIFY_MAX_CELLS:
+        c1v = np.array([r["_c1"] for r in crows], dtype=np.int64)
+        c2v = np.array([r["_c2"] for r in crows], dtype=np.int64)
+        rv = np.array([r["r"] for r in crows], dtype=np.float64)
+
+        def _sqmat(C):
+            s = (C * C).sum(axis=1)
+            return np.clip(
+                s[:, None] - 2.0 * C @ C.T + s[None, :], 0.0, None
+            )
+
+        sq1, sq2 = _sqmat(C1), _sqmat(C2)
+        dmat = np.sqrt(sq1[np.ix_(c1v, c1v)] + sq2[np.ix_(c2v, c2v)])
+        keep = dmat <= eps + rv[:, None] + rv[None, :] + slack
+        keep &= (c1v[:, None] < c1v[None, :]) | (
+            (c1v[:, None] == c1v[None, :])
+            & (c2v[:, None] <= c2v[None, :])
+        )
+        cidx = c1v * k_half + c2v
+        adm: dict[int, list[int]] = {}
+        for i, j in zip(*np.nonzero(keep)):
+            adm.setdefault(int(cidx[i]), []).append(int(cidx[j]))
+        surv_ids = _np_block_verify(
+            assigned.select(
+                "_id",
+                "_v",
+                (F.col("_c1") * k_half + F.col("_c2"))
+                .cast("int")
+                .alias("_cell"),
+            ),
+            _sim_gate(threshold, sim_decimals),
+            adm,
+        )
+        a2 = assigned.select(
+            F.col("_id").alias("id_a"), F.col("_v").alias("va"),
+            F.col("_n").alias("na"),
+        )
+        b2 = assigned.select(
+            F.col("_id").alias("id_b"), F.col("_v").alias("vb"),
+            F.col("_n").alias("nb"),
+        )
+        sim = _pair_sim(
+            F.col("va"), F.col("vb"), F.col("na"), F.col("nb"),
+            sim_decimals,
+        )
+        return (
+            F.broadcast(surv_ids.join(a2, "id_a"))
+            .join(b2, "id_b")
+            .withColumn("sim", sim)
+            .filter(F.col("sim") >= threshold)
+            .select(
+                F.least("id_a", "id_b").alias("id_a"),
+                F.greatest("id_a", "id_b").alias("id_b"),
+                "sim",
+            )
+        )
+
     # per-half coarse prunes: both halves share the same driver-side shape
     # (a k×k codebook distance matrix pruned by per-group max radii), so
     # the cell-pair bound never touches an array expression — the middle
@@ -723,7 +844,7 @@ def cosine_neardup_imi(
     # ~1 task while its OUTPUT is the pair volume — spread side a and
     # broadcast side b so every core verifies a slice (measured 3× on
     # the sf0.1 bench fixture)
-    if n_rows <= 200_000:
+    if n_rows <= 200_000:  # parallelism spreader, not the path gate
         a = a.repartition(spark.sparkContext.defaultParallelism)
         b = F.broadcast(b)
     sim = _pair_sim(
@@ -1028,27 +1149,47 @@ def semantic_dedup(
         F.col("_nrm").alias("nb"),
         "cell",
     )
-    # parallelism spreader, size-gated like operators/graph.py: a small
-    # index (few cells << cores) would otherwise run the whole pair stage
-    # in one or eight tasks — broadcast the b side and round-robin the a
-    # side across the cluster.  A big index skips this (broadcast would
-    # not fit; nlist grows with the corpus, so the per-cell shuffle join
-    # parallelizes naturally and AQE splits any skewed cell).
-    small_max = 200_000
-    if index.limit(small_max + 1).count() <= small_max:
-        a = a.repartition(emb.sparkSession.sparkContext.defaultParallelism)
-        b = F.broadcast(b)
     sim = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     if sim_decimals is not None:
         sim = F.round(sim, sim_decimals)
-    dups = (
-        a.join(b, "cell")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("sim", sim)
-        .filter(F.col("sim") >= threshold)
-        .select(F.col("id_b").alias(id_col))
-        .distinct()
-    )
+    # small-index shape: same-cell pairs through the block-matmul gate
+    # (_np_block_verify, adm=None → same-cell only with id_a < id_b);
+    # survivors re-enter the UNCHANGED rounded-cosine expression, which
+    # alone decides who is a duplicate — output identical, but the
+    # interpreted JVM cosine runs on gate survivors instead of every
+    # same-cell pair (measured 108 exec-core-seconds per bench run on
+    # the sf0.1 fixture).  The CELL ASSIGNMENT stays the JVM
+    # literal-center expression: cell is part of the OUTPUT, so it must
+    # be bit-identical to the oracle's — only the pair stage vectorizes.
+    # A big index keeps the per-cell shuffle join (nlist grows with the
+    # corpus; AQE splits any skewed cell).
+    small_max = _DRIVER_VERIFY_MAX_ROWS
+    if index.limit(small_max + 1).count() <= small_max:
+        surv_ids = _np_block_verify(
+            index.select(
+                F.col("neighbor_id").alias("_id"),
+                F.col("cvec").alias("_v"),
+                F.col("cell").cast("int").alias("_cell"),
+            ),
+            _sim_gate(threshold, sim_decimals),
+        )
+        dups = (
+            F.broadcast(surv_ids.join(a.drop("cell"), "id_a"))
+            .join(b.drop("cell"), "id_b")
+            .withColumn("sim", sim)
+            .filter(F.col("sim") >= threshold)
+            .select(F.col("id_b").alias(id_col))
+            .distinct()
+        )
+    else:
+        dups = (
+            a.join(b, "cell")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .withColumn("sim", sim)
+            .filter(F.col("sim") >= threshold)
+            .select(F.col("id_b").alias(id_col))
+            .distinct()
+        )
     return index.select(
         F.col("neighbor_id").alias(id_col), "cell"
     ).join(dups, id_col, "left_anti")

@@ -1742,6 +1742,57 @@ def test_cosine_neardup_imi_borderline_pairs(spark):
     assert got5 == want5
 
 
+def test_neardup_driver_and_distributed_paths_agree(spark, sf_dir, monkeypatch):
+    """The r13 driver-collected block-verify shape (numpy matmul per
+    admitted cell pair + exact JVM re-verify) and the at-scale
+    distributed shape must emit IDENTICAL results — forced via the
+    module path gates, on the same fixture corpus, for all three
+    vectorized operators (cells, IMI, SemDeDup)."""
+    import math
+
+    from indra_db_spark.operators import similarity as S
+    from indra_db_spark.sources.lake import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    seed_rows = emb.filter(F.col("vec_id") < 16).orderBy("vec_id").collect()
+    centers = []
+    for r in seed_rows:
+        n = math.sqrt(sum(float(x) * float(x) for x in r.embedding)) or 1.0
+        centers.append([float(x) / n for x in r.embedding])
+    raw_centers = [[float(x) for x in r.embedding] for r in seed_rows[:4]]
+
+    def _run():
+        cells = {
+            (r.id_a, r.id_b, r.sim)
+            for r in S.cosine_neardup_cells(
+                emb, threshold=0.35, centers=centers
+            ).collect()
+        }
+        imi = {
+            (r.id_a, r.id_b, r.sim)
+            for r in S.cosine_neardup_imi(
+                emb, threshold=0.35, k_half=8
+            ).collect()
+        }
+        sem = {
+            (r.vec_id, r.cell)
+            for r in S.semantic_dedup(
+                emb, raw_centers, threshold=0.35
+            ).collect()
+        }
+        return cells, imi, sem
+
+    driver_path = _run()
+    monkeypatch.setattr(S, "_DRIVER_VERIFY_MAX_ROWS", 0)
+    monkeypatch.setattr(S, "_DRIVER_VERIFY_MAX_CELLS", 0)
+    distributed_path = _run()
+    for got, want, name in zip(
+        distributed_path, driver_path, ("cells", "imi", "semantic")
+    ):
+        assert got == want, (name, len(got), len(want))
+        assert got, name  # non-vacuous
+
+
 def test_dup_cluster_representatives_semantics(spark):
     """Keep-the-longest per component with id tie-break; unclustered docs
     keep themselves as singleton components labeled by their own id."""
