@@ -110,6 +110,72 @@ def _sqdist(q, cent, dsub: int | None = None):
     )
 
 
+#: codebook-row ceiling for the literal-assignment path (m·k rows — an
+#: index HYPERPARAMETER product, so it is driver-small at any corpus
+#: scale; the gate only guards pathological caller-supplied codebooks)
+_CODEBOOK_LIT_MAX = 4096
+
+
+def _lit_bigint_arrays(arrays) -> "F.Column":
+    """``array(array(<bigint>…)…)`` as ONE parsed SQL expression.
+
+    Per-element ``F.lit`` costs one py4j round-trip each (~1 ms — a
+    16×16×4 codebook would spend ~1 s of DRIVER time per call just
+    building the tree); one ``F.expr`` string is a single round-trip and
+    Catalyst folds it to a single Literal."""
+    inner = ",".join(
+        "array(" + ",".join(f"{int(v)}L" for v in a) + ")" for a in arrays
+    )
+    return F.expr(f"array({inner})")
+
+
+def _assign_code_lit(qcol, scol, cents, dsub: int | None = None):
+    """Nearest-centroid code for (q, s) against DRIVER-RESIDENT centers
+    ``cents[s][c]`` — a pure column expression: no codebook join, no
+    per-(id, s) exchange, the whole assignment is a narrow map fused
+    into the scan (guide §2.4).  Identical integers and the identical
+    (distance, centroid-index) tie-break as :func:`_assign`'s
+    ``min(struct(_d, c))``: ``array_min`` over (d, c) structs is the
+    same lexicographic minimum."""
+    k = len(cents[0])
+    lit = F.array(*[_lit_bigint_arrays(cs) for cs in cents])
+    row_cents = F.element_at(lit, scol + F.lit(1))
+    idx = F.sequence(F.lit(0), F.lit(k - 1))
+    ds = F.transform(row_cents, lambda cent: _sqdist(qcol, cent, dsub))
+    best = F.array_min(
+        F.zip_with(ds, idx, lambda d, i: F.struct(d.alias("d"), i.alias("c")))
+    )
+    return best["c"]
+
+
+def _collect_codebook(codebook: DataFrame):
+    """(s, c, cent) rows → dense ``cents[s][c]`` lists, or None when the
+    codebook is over the literal budget / not contiguously indexed (then
+    the join path runs).  A codebook freshly trained in this session
+    carries its centers as ``_pq_cents`` — no job at all."""
+    cached = getattr(codebook, "_pq_cents", None)
+    if cached is not None:
+        return cached
+    rows = codebook.limit(_CODEBOOK_LIT_MAX + 1).collect()
+    if not rows or len(rows) > _CODEBOOK_LIT_MAX:
+        return None
+    by_s: dict[int, dict[int, list[int]]] = {}
+    for r in rows:
+        by_s.setdefault(int(r["s"]), {})[int(r["c"])] = [
+            int(x) for x in r["cent"]
+        ]
+    s_vals = sorted(by_s)
+    if s_vals != list(range(len(s_vals))):
+        return None
+    k = len(by_s[0])
+    cents = []
+    for s in s_vals:
+        if sorted(by_s[s]) != list(range(k)):
+            return None
+        cents.append([by_s[s][c] for c in range(k)])
+    return cents
+
+
 def _assign(
     sub: DataFrame, codebook: DataFrame, dsub: int | None = None
 ) -> DataFrame:
@@ -172,82 +238,78 @@ def train_codebook_from_sub(
     residual PQ (shifted residual subvectors).  ``q`` entries must be
     non-negative: the per-dim update is a floored mean, and Spark's
     truncating ``div`` only agrees with DuckDB's ``//`` on non-negative
-    operands."""
-    from pyspark.sql import Window
+    operands.
 
-    seed_w = Window.partitionBy("s").orderBy("id")
+    The codebook (m·k rows — a HYPERPARAMETER product, driver-small at
+    any corpus scale, exactly as in FAISS) lives on the DRIVER: each
+    round is one narrow literal-center assignment fused with one
+    (s, code) partial-agg collect — no codebook broadcast join, no
+    per-(id, s) exchange of the corpus, no per-round checkpoint (the
+    former loop planned ~2 exchanges + 1 checkpoint per round).  The
+    trajectory is bit-identical to the distributed loop it replaces:
+    same integer argmin with the same (distance, index) tie-break, same
+    integer sums (order-independent), and Python ``//`` on the
+    non-negative sums equals Spark's ``div``.  Per round at 100 TB this
+    removes a corpus-sized shuffle, leaving the unavoidable scan."""
+    spark = sub.sparkSession
+    empty_schema = "s INT, c INT, cent ARRAY<BIGINT>"
     # cache the quantized frame: it feeds every round + the caller's
     # encode; recomputing it per round would rescan the lake each time
     sub = sub.localCheckpoint(eager=False)
-    codebook = (
-        sub.withColumn("_rk", F.row_number().over(seed_w))
-        .filter(F.col("_rk") <= k)
-        .select("s", (F.col("_rk") - 1).alias("c"), F.col("q").alias("cent"))
-    ).localCheckpoint(eager=False)
+    if dsub is None:
+        r0 = sub.select("q").first()
+        if r0 is None:
+            return spark.createDataFrame([], empty_schema)
+        dsub = len(r0["q"])
+    # seeding: the k smallest ids' subvectors per s (every id carries
+    # every s, so the global k smallest ids ARE the per-s k smallest —
+    # one TakeOrdered instead of a corpus row_number window), centroid
+    # index = ascending-id rank, as before
+    ids = [
+        r["id"]
+        for r in sub.filter(F.col("s") == 0)
+        .select("id")
+        .orderBy("id")
+        .limit(k)
+        .collect()
+    ]
+    if not ids:
+        return spark.createDataFrame([], empty_schema)
+    rank = {v: i for i, v in enumerate(ids)}
+    cb = {
+        (int(r["s"]), rank[r["id"]]): [int(x) for x in r["q"]]
+        for r in sub.filter(F.col("id").isin(ids))
+        .select("s", "id", "q")
+        .collect()
+    }
+    s_vals = sorted({s for s, _ in cb})
+    k_eff = len(ids)
+    if s_vals != list(range(len(s_vals))):
+        raise ValueError(f"pq: non-contiguous subspace ids {s_vals[:8]}")
     for _ in range(rounds):
-        asg = _assign(sub, codebook, dsub)
-        # renamed join keys: upd derives FROM codebook, so joining on
-        # same-named columns would be a self-join ambiguity (Spark warns
-        # 'trivially true predicate' and the resolution is undefined)
-        if dsub is not None:
-            # per-dim floored means in ONE partial-agg shuffle: with the
-            # subvector length known at plan time the posexplode →
-            # groupBy(s, code, dim) → re-collect two-shuffle chain
-            # collapses to dsub sum columns over (s, code) — the sums are
-            # integer (order-independent) and ``div count`` is the same
-            # expression, so the centroid trajectory is bit-identical
-            upd = (
-                asg.groupBy("s", "code")
-                .agg(
-                    F.count(F.lit(1)).alias("_n"),
-                    *[
-                        F.sum(F.col("q")[i]).alias(f"_s{i}")
-                        for i in range(dsub)
-                    ],
-                )
-                .select(
-                    F.col("s").alias("us"),
-                    F.col("code").alias("uc"),
-                    F.array(
-                        *[
-                            F.expr(f"CAST(_s{i} div _n AS BIGINT)")
-                            for i in range(dsub)
-                        ]
-                    ).alias("newcent"),
-                )
+        cents = [[cb[(s, c)] for c in range(k_eff)] for s in s_vals]
+        code = _assign_code_lit(F.col("q"), F.col("s"), cents, dsub)
+        # empty clusters keep their previous centroid (absent from upd)
+        for r in (
+            sub.groupBy("s", code.alias("code"))
+            .agg(
+                F.count(F.lit(1)).alias("_n"),
+                *[F.sum(F.col("q")[i]).alias(f"_s{i}") for i in range(dsub)],
             )
-        else:
-            upd = (
-                asg.select("s", "code", F.posexplode("q").alias("dim", "v"))
-                .groupBy("s", "code", "dim")
-                .agg(F.expr("CAST(sum(v) div count(1) AS BIGINT)").alias("mv"))
-                .groupBy("s", "code")
-                .agg(
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("dim", "mv"))),
-                        lambda x: x["mv"],
-                    ).alias("newcent")
-                )
-                .select(
-                    F.col("s").alias("us"),
-                    F.col("code").alias("uc"),
-                    "newcent",
-                )
-            )
-        codebook = (
-            codebook.join(
-                upd,
-                (F.col("s") == F.col("us")) & (F.col("c") == F.col("uc")),
-                "left",
-            )
-            .select(
-                "s",
-                "c",
-                F.coalesce("newcent", "cent").alias("cent"),
-            )
-            .localCheckpoint(eager=False)
-        )
-    return codebook
+            .collect()
+        ):
+            n = int(r["_n"])
+            cb[(int(r["s"]), int(r["code"]))] = [
+                int(r[f"_s{i}"]) // n for i in range(dsub)
+            ]
+    out = spark.createDataFrame(
+        [(s, c, cb[(s, c)]) for s in s_vals for c in range(k_eff)],
+        empty_schema,
+    )
+    # stash the driver-resident centers on the wrapper so same-session
+    # consumers (_collect_codebook) skip the re-collect job entirely
+    out._pq_cents = [[cb[(s, c)] for c in range(k_eff)] for s in s_vals]
+    return out
 
 
 def pq_encode(
@@ -262,10 +324,24 @@ def pq_encode(
 ) -> DataFrame:
     """(id, s, code) — the compressed corpus representation (m small ints
     per vector; the wide array form is one pivot away but the exploded
-    form is what ADC consumes)."""
+    form is what ADC consumes).
+
+    With a driver-small codebook (always, for real index parameters) the
+    assignment is a literal-center narrow map fused into the scan — no
+    broadcast join and no (id, s) exchange of the corpus; an oversized
+    caller-supplied codebook falls back to the join path."""
     if dim is None:
         dim = len(emb.select(vec_col).first()[0])
     sub = quantize_subvectors(emb, m, id_col, vec_col, scale, offset, dim)
+    cents = _collect_codebook(codebook)
+    if cents is not None:
+        return sub.select(
+            "id",
+            "s",
+            _assign_code_lit(F.col("q"), F.col("s"), cents, dim // m).alias(
+                "code"
+            ),
+        )
     return _assign(sub, codebook, dim // m).select("id", "s", "code")
 
 
@@ -387,24 +463,27 @@ def _ranked_cells_lit(qcol, cents, cell_ids, n: int):
     must be sorted by ``cell_ids`` ascending so the positional tie-break
     equals the cell-id tie-break)."""
 
-    def _d(c):
-        return F.aggregate(
-            F.zip_with(
-                qcol,
-                F.array(*[F.lit(int(x)).cast("long") for x in c]),
-                lambda a, b: (a - b) * (a - b),
-            ),
+    # one parsed literal + one shared fold instead of a per-center
+    # expression tree: ncell·dim F.lit round-trips cost ~1 ms each of
+    # DRIVER time per call (measured seconds per query construction at
+    # ncell=8, dim=64 × two call sites); same longs, same fold order
+    lit_cents = _lit_bigint_arrays(cents)
+    dists = F.transform(
+        lit_cents,
+        lambda cent: F.aggregate(
+            F.zip_with(qcol, cent, lambda a, b: (a - b) * (a - b)),
             F.lit(0).cast("long"),
             lambda acc, x: acc + x,
-        )
-
-    dists = F.array(*[_d(c) for c in cents])
+        ),
+    )
     idx = F.sequence(F.lit(0), F.lit(len(cents) - 1))
     ranked = F.array_sort(
         F.zip_with(dists, idx, lambda d, i: F.struct(d.alias("d"), i.alias("i")))
     )
     pos = F.slice(F.transform(ranked, lambda s: s["i"]), 1, n)
-    ids = F.array(*[F.lit(int(cid)) for cid in cell_ids])
+    ids = F.expr(
+        "array(" + ",".join(str(int(cid)) for cid in cell_ids) + ")"
+    )
     return F.transform(pos, lambda p: F.element_at(ids, p + 1))
 
 
@@ -870,9 +949,19 @@ def ivfpq_residual_topk(
     codebook = train_codebook_from_sub(
         rsub.select("id", "s", "q"), k, rounds, dsub=dsub
     )
-    codes = _assign(rsub.select("id", "s", "q"), codebook, dsub).select(
-        "id", "s", "code"
-    )
+    cb_cents = _collect_codebook(codebook)
+    if cb_cents is not None:  # literal narrow-map encode, no join
+        codes = rsub.select(
+            "id",
+            "s",
+            _assign_code_lit(
+                F.col("q"), F.col("s"), cb_cents, dsub
+            ).alias("code"),
+        )
+    else:
+        codes = _assign(rsub.select("id", "s", "q"), codebook, dsub).select(
+            "id", "s", "code"
+        )
 
     qfull = quantize_subvectors(
         queries, 1, id_col, vec_col, scale, offset, d
