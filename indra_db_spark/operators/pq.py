@@ -497,6 +497,75 @@ def _quant_full(vec_col: str, dim: int, scale: int, offset: int):
     )
 
 
+def _fused_assign_encode_arrow(
+    emb: DataFrame,
+    cents,
+    cell_ids,
+    cb_cents,
+    m: int,
+    id_col: str,
+    vec_col: str,
+    scale: int,
+    offset: int,
+) -> DataFrame:
+    """(neighbor_id, cell, _codes) — coarse cell AND the m PQ codes from
+    ONE pass over the corpus, vectorized (guide §4.2): each Arrow batch
+    pays one quantization plus one (batch × dim) @ (dim × ncell) matmul
+    for the cell and m (batch × dsub) @ (dsub × k) matmuls for the
+    codes; only (id, cell, m codes) come back across the boundary.
+
+    Replaces two JVM passes (assignment + encoding, re-joined on id)
+    whose per-center ``zip_with``/``aggregate`` folds are interpreted —
+    higher-order functions have no codegen — at ~1 ms/row (measured:
+    the fold-form fused projection was 1.5–8× slower than even the
+    two-pass shape; this pass removes both).
+
+    Exactness (same argument as :func:`cell_assign_arrow`, whose parity
+    is test-pinned): quantized components are integers and every
+    intermediate stays far below 2⁵³, so the float64 matmuls are EXACT
+    integer arithmetic; ``argmin`` returns the FIRST minimum over
+    centers pre-sorted by cell id / code, which IS the (distance, cell)
+    / (distance, code) lexicographic tie-break of the JVM folds."""
+    id_type = dict(emb.dtypes)[id_col]
+
+    def _batches(batches):
+        import numpy as np
+        import pandas as pd
+
+        C = np.array(cents, dtype=np.float64)
+        cell_arr = np.array(cell_ids, dtype=np.int64)
+        c_sq = (C * C).sum(axis=1)
+        B = np.array(cb_cents, dtype=np.float64)  # m × k × dsub
+        dsub = B.shape[2]
+        b_sq = (B * B).sum(axis=2)  # m × k
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.floor(
+                np.array(list(pdf[vec_col]), dtype=np.float64) * scale
+            ) + offset
+            d = (V * V).sum(axis=1, keepdims=True) - 2.0 * (V @ C.T) + c_sq
+            cell = cell_arr[d.argmin(axis=1)]
+            codes = np.empty((len(V), m), dtype=np.int32)
+            for s in range(m):
+                Vs = V[:, s * dsub:(s + 1) * dsub]
+                ds = (
+                    (Vs * Vs).sum(axis=1, keepdims=True)
+                    - 2.0 * (Vs @ B[s].T)
+                    + b_sq[s]
+                )
+                codes[:, s] = ds.argmin(axis=1)
+            yield pd.DataFrame({
+                "neighbor_id": pdf[id_col],
+                "cell": cell,
+                "_codes": list(codes),
+            })
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        _batches, f"neighbor_id {id_type}, cell int, _codes array<int>"
+    )
+
+
 def ivfpq_topk(
     emb: DataFrame,
     queries: DataFrame,
@@ -555,11 +624,6 @@ def ivfpq_topk(
         codebook = pq_train(
             emb, m, k, rounds, id_col, vec_col, scale, offset, dim
         )
-    if codes is None:
-        codes = pq_encode(
-            emb, codebook, m, id_col, vec_col, scale, offset, dim
-        )
-
     # coarse assignment: when the coarse table is driver-small (it is an
     # index artifact — ncell rows), inline it as literal centers so BOTH
     # the corpus assignment and the query probes become narrow maps (no
@@ -568,12 +632,36 @@ def ivfpq_topk(
     # big coarse table keeps the generic join path.
     crows = coarse.orderBy("cell").limit(_COARSE_LIT_MAX + 1).collect()
     lit_ok = 0 < len(crows) <= _COARSE_LIT_MAX
+    cb_cents = _collect_codebook(codebook) if lit_ok else None
+    # FUSED corpus pass (round 13, guide §1.2/§2.3): when nothing is
+    # caller-amortized and both quantizers are driver-small, derive the
+    # coarse cell AND the m PQ codes from ONE quantized column in ONE
+    # scan of the corpus (previously: one scan+quantize for the
+    # assignment, a second for the encoding, joined back on neighbor_id
+    # — at scale that is two full corpus passes and a corpus-wide join
+    # exchange).  Codes stay packed in an array and explode only AFTER
+    # the probe prune, so the heavy middle carries candidate rows, not
+    # N·m code rows.  Identical integers: slice-then-quantize equals
+    # quantize-then-slice elementwise, and _assign_code_lit folds the
+    # same (distance, code) lexicographic minimum per subspace.
+    fused = lit_ok and assign is None and codes is None and (
+        cb_cents is not None
+    )
+    if codes is None and not fused:
+        codes = pq_encode(
+            emb, codebook, m, id_col, vec_col, scale, offset, dim
+        )
     if lit_ok:
         cents = [list(r["cvec"]) for r in crows]
         cell_ids = [int(r["cell"]) for r in crows]
         # quantize into a COLUMN first so the per-center folds read it
         # instead of re-evaluating the quantization ncell times per row
-        if assign is None:
+        if fused:
+            base = _fused_assign_encode_arrow(
+                emb, cents, cell_ids, cb_cents, m, id_col, vec_col,
+                scale, offset,
+            )
+        elif assign is None:
             assign = emb.select(
                 F.col(id_col).alias("neighbor_id"),
                 _quant_full(vec_col, dim, scale, offset).alias("_qf"),
@@ -604,11 +692,30 @@ def ivfpq_topk(
             .filter(F.col("crn") <= nprobe)
             .select(F.col("id").alias("query_id"), "cell")
         )
-    cand = (
-        probes.join(assign, "cell")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id")
-    )
+    if fused:
+        # probes are query-batch-bounded (nq·nprobe rows) — broadcast
+        # them explicitly so the corpus side never shuffles (guide §3.1;
+        # the same boundedness assumption the broadcast LUT already
+        # carries)
+        cand_codes = (
+            F.broadcast(probes)
+            .join(base, "cell")
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .select(
+                "query_id",
+                "neighbor_id",
+                F.posexplode("_codes").alias("s", "code"),
+            )
+        )
+    else:
+        cand = (
+            probes.join(assign, "cell")
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .select("query_id", "neighbor_id")
+        )
+        cand_codes = cand.join(
+            codes.withColumnRenamed("id", "neighbor_id"), "neighbor_id"
+        )
 
     qsub = quantize_subvectors(queries, m, id_col, vec_col, scale, offset, dim)
     lut = (
@@ -622,10 +729,7 @@ def ivfpq_topk(
         )
     )
     scores = (
-        cand.join(
-            codes.withColumnRenamed("id", "neighbor_id"), "neighbor_id"
-        )
-        .join(F.broadcast(lut), ["query_id", "s", "code"])
+        cand_codes.join(F.broadcast(lut), ["query_id", "s", "code"])
         .groupBy("query_id", "neighbor_id")
         .agg(F.sum("ld").cast("long").alias("adist"))
     )

@@ -2035,6 +2035,51 @@ def test_ivfpq_prunes_consistently_with_adc(spark, sf_dir):
         assert have == want, q
 
 
+def test_ivfpq_fused_arrow_pass_matches_generic_path(spark, sf_dir):
+    """Round-13 optimization pin: the FUSED single-scan Arrow corpus
+    pass (cell assignment + PQ encoding in one mapInPandas, engaged when
+    no index artifact is caller-supplied) returns bit-identical
+    (query_id, neighbor_id, adist, rank) to the generic JVM join path
+    (forced by pre-building codes/assign) — the exact-integer-matmul and
+    first-minimum-tie-break argument of _fused_assign_encode_arrow."""
+    from indra_db_spark.operators.pq import (
+        _cell_rank,
+        coarse_cells_from_seeds,
+        ivfpq_topk,
+        pq_encode,
+        pq_train,
+    )
+    from indra_db_spark.sources.lake import load_table
+
+    m, k, ncell, nprobe = 8, 16, 8, 3
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+
+    fused = ivfpq_topk(
+        emb, queries, ncell=ncell, nprobe=nprobe, m=m, k=k
+    ).collect()
+
+    # identical index artifacts, pre-built → generic join path
+    coarse = coarse_cells_from_seeds(emb, ncell)
+    cb = pq_train(emb, m=m, k=k, rounds=2)
+    codes = pq_encode(emb, cb, m=m)
+    assign = (
+        _cell_rank(emb, coarse, "vec_id", "embedding", 1000, 4096)
+        .filter(F.col("crn") == 1)
+        .select(F.col("id").alias("neighbor_id"), "cell")
+    )
+    generic = ivfpq_topk(
+        emb, queries, ncell=ncell, nprobe=nprobe, m=m, k=k,
+        coarse=coarse, codebook=cb, codes=codes, assign=assign,
+    ).collect()
+
+    key = lambda rows: sorted(
+        (r.query_id, r.neighbor_id, r.adist, r.rank) for r in rows
+    )
+    assert fused, "fused path returned no rows"
+    assert key(fused) == key(generic)
+
+
 def test_ivfpq_residual_shift_invariance_and_semantics(spark, sf_dir):
     """by_residual=True pins: (a) the R_OFFSET shift is semantically
     free — the whole coarse→residual→train→encode→search lineage returns
