@@ -475,7 +475,14 @@ def positional_grams(
     at 1-based word position ``pos``.  Same split convention as
     ``word_shingles`` (single-space) so positions index the split array in
     any SQL engine.  Pure built-ins; the split is materialized once per doc
-    before the explode."""
+    before the explode.
+
+    ``g`` is the BINARY md5 (16 bytes), not the 32-char hex string: the
+    gram frame is the dominant shuffle of every span-dedup path (Θ(corpus
+    words) rows whose key is most of the row), and the hex→binary
+    bijection shrinks it ~40% with identical grouping/join semantics
+    (guide §2.3 — shuffle fewer bytes, narrower types).  ``g`` never
+    reaches any operator output, so results are byte-identical."""
     words = df.select(
         F.col(id_col).alias("id"), F.split(F.col(text_col), " ").alias("_ws")
     )
@@ -485,7 +492,9 @@ def positional_grams(
     return words.select("id", F.explode(idx).alias("pos"), "_ws").select(
         "id",
         "pos",
-        F.md5(F.concat_ws(" ", F.slice("_ws", F.col("pos"), k))).alias("g"),
+        F.unhex(
+            F.md5(F.concat_ws(" ", F.slice("_ws", F.col("pos"), k)))
+        ).alias("g"),
     )
 
 
