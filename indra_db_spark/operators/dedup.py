@@ -213,9 +213,18 @@ def minhash_lsh_pairs(
     assert num_hashes % bands == 0
     rows = num_hashes // bands
     sigs = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    # binary band keys: bkey is a pure bucket join key (never output),
+    # so the 16-byte unhex form shuffles ~40% smaller rows than the hex
+    # string with identical bucketing (guide §2.3)
     band_keys = F.array(
         *[
-            F.md5(F.concat_ws("|", *[F.col(f"h{b * rows + r}") for r in range(rows)]))
+            F.unhex(
+                F.md5(
+                    F.concat_ws(
+                        "|", *[F.col(f"h{b * rows + r}") for r in range(rows)]
+                    )
+                )
+            )
             for b in range(bands)
         ]
     )
@@ -307,11 +316,15 @@ def minhash_incremental_pairs(
     def _bands(df: DataFrame) -> DataFrame:
         rows = num_hashes // bands
         sigs = minhash_signatures(df, id_col, text_col, n, num_hashes)
+        # binary band keys — same bijection note as minhash_pairs
         keys = F.array(
             *[
-                F.md5(
-                    F.concat_ws(
-                        "|", *[F.col(f"h{b * rows + r}") for r in range(rows)]
+                F.unhex(
+                    F.md5(
+                        F.concat_ws(
+                            "|",
+                            *[F.col(f"h{b * rows + r}") for r in range(rows)],
+                        )
                     )
                 )
                 for b in range(bands)

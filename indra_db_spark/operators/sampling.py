@@ -592,10 +592,10 @@ def corpus_diff(
     carries document bodies.
     """
     o = old.select(
-        F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("_fo")
+        F.col(id_col).alias("id"), F.unhex(F.md5(F.col(text_col))).alias("_fo")
     )
     n = new.select(
-        F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("_fn")
+        F.col(id_col).alias("id"), F.unhex(F.md5(F.col(text_col))).alias("_fn")
     )
     j = o.join(n, "id", "full_outer")
     status = (

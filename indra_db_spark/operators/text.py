@@ -466,7 +466,7 @@ def line_dedup(
     lines = df.select(
         F.col(id_col).alias("id"),
         F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
-    ).withColumn("line_fp", F.md5("line"))
+    ).withColumn("line_fp", F.unhex(F.md5("line")))
     freq = (
         lines.filter(F.length("line") >= min_line_chars)
         .groupBy("line_fp")
