@@ -297,10 +297,12 @@ def test_neardup_cells_prunes_and_stays_jvm_side(spark, sf_dir):
 def test_neardup_imi_plan_and_prune(spark, sf_dir):
     """The IMI exact near-dup's plan contract: (a) NO CartesianProduct —
     candidates flow through equi-joins on the product-cell keys; (b) the
-    ONLY Python in the plan is the Arrow-batched assignment
-    (MapInPandas — two numpy matmuls per batch, the sanctioned
-    vectorized path), never row-at-a-time BatchEvalPython; the
-    pair-verify stage is a JVM column expression.  Prune effectiveness
+    ONLY Python in the plan is Arrow-batched MapInPandas (the
+    sanctioned vectorized paths: the cell assignment behind the
+    materialization barrier, and — since the round-13 optimization —
+    the _verify_np block-matmul pair verify, whose survivors are
+    re-verified by an exact JVM residual), never row-at-a-time
+    BatchEvalPython.  Prune effectiveness
     uses the same orthogonal-cluster geometry as the flat-cell test:
     4 tight clusters on axes — half-1 carries the cluster identity, so
     the per-half bound certifies every cross-cluster cell pair empty,
@@ -318,7 +320,16 @@ def test_neardup_imi_plan_and_prune(spark, sf_dir):
     # plan scans the checkpointed assignment (Scan ExistingRDD) and must
     # contain no Python evaluation of any kind
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
-    assert "MapInPandas" not in plan and "ExistingRDD" in plan
+    # the assignment is materialized (the final plan scans the
+    # checkpointed rows), and the only Python node is the vectorized
+    # _verify_np block verify — no other MapInPandas may appear
+    assert "ExistingRDD" in plan
+    import re
+
+    assert all(
+        "_verify_np" in m
+        for m in re.findall(r"MapInPandas [^\n]*", plan)
+    ), plan
 
     rows = []
     vid = 0
