@@ -204,6 +204,17 @@ _DRIVER_VERIFY_MAX_ROWS = 200_000
 #: half-pair prune runs.
 _DRIVER_VERIFY_MAX_CELLS = 4096
 
+#: a-side rows per block-verify task.  Every mapInPandas task pays a
+#: fixed Python-boundary setup cost (Arrow stream, broadcast fetch +
+#: unpickle) that dwarfs the task's matmul share on a gated corpus, so
+#: the verify stage's partition count derives from the row count the
+#: caller already collected — ceil(rows / this) tasks, capped at
+#: defaultParallelism.  Scale-adaptive by construction: a gated 200k-row
+#: corpus still fans out to every core, a 2k-row corpus stops paying 32
+#: task setups to matmul ~60 rows each (measured 19–28 exec-s of wait
+#: against 0.5 exec-s of CPU for that stage at sf0.1).
+_VERIFY_ROWS_PER_TASK = 512
+
 
 def _np_block_verify(
     assigned: DataFrame,
@@ -289,9 +300,16 @@ def _np_block_verify(
                     }
                 )
 
+    n_parts = max(
+        1,
+        min(
+            spark.sparkContext.defaultParallelism,
+            -(-len(pdf_all) // _VERIFY_ROWS_PER_TASK),
+        ),
+    )
     return F.broadcast(
         assigned.select("_id", "_v", "_cell")
-        .repartition(spark.sparkContext.defaultParallelism)
+        .repartition(n_parts)
         .mapInPandas(_verify_np, f"id_a {id_type}, id_b {id_type}")
     )
 

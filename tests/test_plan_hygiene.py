@@ -294,6 +294,48 @@ def test_neardup_cells_prunes_and_stays_jvm_side(spark, sf_dir):
         assert d > eps + 2 * radius  # pruned by construction
 
 
+def test_block_verify_partitions_scale_with_rows(spark):
+    """The block-verify stage's task count derives from the corpus row
+    count (ceil(rows / _VERIFY_ROWS_PER_TASK), capped at
+    defaultParallelism), not a flat defaultParallelism: each mapInPandas
+    task pays a fixed Python-boundary setup cost, so a small gated
+    corpus must not fan out to one near-empty task per core (round-13
+    optimization — the 32-task verify of a 2k-row corpus measured ~40×
+    more executor wait than CPU).  Scale-adaptivity is the pin: 1 task
+    for a tiny frame, more tasks as rows grow, never past the core
+    count."""
+    from indra_db_spark.operators.similarity import (
+        _VERIFY_ROWS_PER_TASK,
+        _np_block_verify,
+    )
+
+    par = spark.sparkContext.defaultParallelism
+
+    def mk(n):
+        rows = [(i, [float(i % 7) + 1.0, 1.0], i % 3) for i in range(n)]
+        return spark.createDataFrame(
+            rows, "_id INT, _v ARRAY<DOUBLE>, _cell INT"
+        )
+
+    cases = [
+        (16, 1),
+        (3 * _VERIFY_ROWS_PER_TASK + 1, min(4, par)),
+    ]
+    for n, want in cases:
+        df = _np_block_verify(mk(n), gate=-2.0)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # repartition(1) prints as SinglePartition, >1 as RoundRobin(n)
+        mark = (
+            "Exchange SinglePartition"
+            if want == 1
+            else f"RoundRobinPartitioning({want})"
+        )
+        assert mark in plan, (n, want, plan)
+    # gate=-2 admits every same-cell pair: the tiny frame must actually
+    # produce survivors through the 1-task stage
+    assert _np_block_verify(mk(16), gate=-2.0).count() > 0
+
+
 def test_neardup_imi_plan_and_prune(spark, sf_dir):
     """The IMI exact near-dup's plan contract: (a) NO CartesianProduct —
     candidates flow through equi-joins on the product-cell keys; (b) the
