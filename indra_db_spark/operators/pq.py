@@ -48,6 +48,35 @@ from pyspark.sql import DataFrame, functions as F
 SCALE = 1_000
 OFFSET = 4_096
 
+#: rows per slice for driver-built artifact frames (trained codebooks,
+#: probe lists, admitted cell-pair tables).  A bare
+#: ``createDataFrame(local_rows)`` parallelizes into defaultParallelism
+#: pickled slices, so ANY scan of the frame — e.g. the broadcast-
+#: exchange build of the LUT — launches one Python-runner task per core
+#: to deserialize a handful of rows each (measured: 8–9 executor-
+#: seconds of wait against 0.1 s of CPU for the 128-row codebook under
+#: the broadcast LUT at sf0.1).  Artifact frames are hyperparameter-
+#: sized (m·k, nq·nprobe, admitted cell pairs), so a few thousand rows
+#: per slice keeps them at 1–2 tasks at every real sizing; corpus-sized
+#: frames never take this constructor.
+_LOCAL_DF_ROWS_PER_SLICE = 4096
+
+
+def local_artifact_df(spark, rows, schema) -> DataFrame:
+    """A driver-built row list as a DataFrame whose slice count scales
+    with the row count (ceil(rows / _LOCAL_DF_ROWS_PER_SLICE), capped at
+    defaultParallelism) instead of always fanning out one pickled slice
+    per core."""
+    sc = spark.sparkContext
+    n = max(
+        1,
+        min(
+            sc.defaultParallelism,
+            -(-len(rows) // _LOCAL_DF_ROWS_PER_SLICE),
+        ),
+    )
+    return spark.createDataFrame(sc.parallelize(rows, n), schema)
+
 
 def quantize_subvectors(
     emb: DataFrame,
@@ -302,7 +331,8 @@ def train_codebook_from_sub(
             cb[(int(r["s"]), int(r["code"]))] = [
                 int(r[f"_s{i}"]) // n for i in range(dsub)
             ]
-    out = spark.createDataFrame(
+    out = local_artifact_df(
+        spark,
         [(s, c, cb[(s, c)]) for s in s_vals for c in range(k_eff)],
         empty_schema,
     )
@@ -881,7 +911,7 @@ def ivfpq_query_index(
     )
     probe_rows = probes.collect()  # bounded: ≤ nq·nprobe rows
     cells = sorted({r["cell"] for r in probe_rows})
-    probe_df = spark.createDataFrame(probe_rows, probes.schema)
+    probe_df = local_artifact_df(spark, probe_rows, probes.schema)
 
     qsub = quantize_subvectors(queries, m, id_col, vec_col, scale, offset)
     lut = (

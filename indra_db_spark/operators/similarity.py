@@ -468,7 +468,9 @@ def cosine_neardup_cells(
         # (volume tracks output density plus pruning slack), the Arrow
         # prefilter collapses them to survivors before any pair pays the
         # interpreted JVM sim
-        pairs_df = spark.createDataFrame(cand, "cell_a INT, cell_b INT")
+        from indra_db_spark.operators.pq import local_artifact_df
+
+        pairs_df = local_artifact_df(spark, cand, "cell_a INT, cell_b INT")
         a = assigned.select(
             F.col("_id").alias("id_a"),
             F.col("_v").alias("va"),

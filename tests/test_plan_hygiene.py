@@ -336,6 +336,33 @@ def test_block_verify_partitions_scale_with_rows(spark):
     assert _np_block_verify(mk(16), gate=-2.0).count() > 0
 
 
+def test_local_artifact_df_bounds_slice_count(spark):
+    """Driver-built artifact frames (trained codebooks, probe lists)
+    must not parallelize into one pickled slice per core: any scan of
+    such a frame — e.g. the broadcast LUT build over the 128-row PQ
+    codebook — would launch one Python-runner task per slice (round-13
+    measurement: 8–9 executor-seconds of wait for 0.1 s of CPU).  The
+    constructor derives the slice count from the row count, capped at
+    defaultParallelism."""
+    from indra_db_spark.operators.pq import (
+        _LOCAL_DF_ROWS_PER_SLICE,
+        local_artifact_df,
+    )
+
+    small = local_artifact_df(
+        spark, [(i, i * 2) for i in range(128)], "a INT, b INT"
+    )
+    assert small.rdd.getNumPartitions() == 1
+    assert small.count() == 128
+    par = spark.sparkContext.defaultParallelism
+    big = local_artifact_df(
+        spark,
+        [(i, i) for i in range(2 * _LOCAL_DF_ROWS_PER_SLICE + 1)],
+        "a INT, b INT",
+    )
+    assert big.rdd.getNumPartitions() == min(3, par)
+
+
 def test_neardup_imi_plan_and_prune(spark, sf_dir):
     """The IMI exact near-dup's plan contract: (a) NO CartesianProduct —
     candidates flow through equi-joins on the product-cell keys; (b) the

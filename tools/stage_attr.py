@@ -66,7 +66,8 @@ def main() -> None:
                         "in_mb": round(st.get("inputBytes", 0) / 1e6, 2),
                         "sh_r_mb": round(st.get("shuffleReadBytes", 0) / 1e6, 2),
                         "sh_w_mb": round(st.get("shuffleWriteBytes", 0) / 1e6, 2),
-                        "desc": (st.get("description") or st.get("name") or "")[:90],
+                        "name": (st.get("name") or "")[:70],
+                        "desc": (st.get("description") or "")[:50],
                     })
         rows.sort(key=lambda r: -(r["run_ms"] or 0))
         print(f"=== run {run}: wall {wall:.2f}s, {len(mine)} jobs, "
