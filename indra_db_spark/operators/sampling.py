@@ -164,12 +164,106 @@ BLOOM_K = 3
 
 
 def _bloom_pos_sql(i: int, m: int, shingle_sql: str = "shingle") -> str:
-    """Deterministic hash position #i in [0, m): 60 md5 bits → BIGINT
-    (non-negative, so % is already a floor-mod in both engines)."""
+    """Deterministic hash position #i in [0, m): ``pmod(xxhash64(value,
+    i), m)`` — the position index rides as a SECOND hash argument, so
+    every position shares one string hash instead of paying k separate
+    digest chains (the md5+conv form this replaced measured 3.5× slower
+    per stats job and allocated a hex-string temporary per position).
+    The explicit NULL guard keeps the md5-era semantics: Spark's hash
+    functions SKIP null children (``xxhash64(NULL, i)`` is a real hash),
+    but a NULL value must contribute NO positions so all-NULL files
+    still carry an empty word map that proves total absence.  The
+    Python twin is :func:`plans.skipindex.bloom_positions` (via
+    :func:`_xxh64_utf8` / :func:`_xxh64_int` below) — bit-for-bit,
+    pinned by ``test_bloom_positions_sql_python_parity``."""
     return (
-        f"CAST(conv(substring(md5(concat('b{i}:', {shingle_sql})), 1, 15),"
-        f" 16, 10) AS BIGINT) % {m}"
+        f"if(({shingle_sql}) IS NULL, CAST(NULL AS BIGINT),"
+        f" pmod(xxhash64({shingle_sql}, {i}), {m}))"
     )
+
+
+# ---- pure-Python XXH64 (the xxHash spec, as Spark's XxHash64 expression
+# implements it) — the driver-side twin of _bloom_pos_sql.  Kept beside
+# the SQL builder so the bloom hash scheme is defined in ONE module; the
+# only consumer is plans.skipindex.bloom_positions (and its probes).
+
+_XXH_P1 = 0x9E3779B185EBCA87
+_XXH_P2 = 0xC2B2AE3D27D4EB4F
+_XXH_P3 = 0x165667B19E3779F9
+_XXH_P4 = 0x85EBCA77C2B2AE63
+_XXH_P5 = 0x27D4EB2F165667C5
+_M64 = (1 << 64) - 1
+
+#: seed of Spark's ``xxhash64(...)`` SQL function
+XXH64_SPARK_SEED = 42
+
+
+def _xxh_rotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def _xxh_fmix(h: int) -> int:
+    h ^= h >> 33
+    h = (h * _XXH_P2) & _M64
+    h ^= h >> 29
+    h = (h * _XXH_P3) & _M64
+    h ^= h >> 32
+    return h
+
+
+def _xxh_merge(h: int, v: int) -> int:
+    v = (_xxh_rotl((v * _XXH_P2) & _M64, 31) * _XXH_P1) & _M64
+    h ^= v
+    return (h * _XXH_P1 + _XXH_P4) & _M64
+
+
+def _xxh64_int(i: int, seed: int) -> int:
+    """XXH64 of one 32-bit int under ``seed`` — how Spark hashes the
+    IntegerType position-index argument (seed = the string's hash)."""
+    h = (seed + _XXH_P5 + 4) & _M64
+    h ^= ((i & 0xFFFFFFFF) * _XXH_P1) & _M64
+    h = (_xxh_rotl(h, 23) * _XXH_P2 + _XXH_P3) & _M64
+    return _xxh_fmix(h)
+
+
+def _xxh64_utf8(b: bytes, seed: int = XXH64_SPARK_SEED) -> int:
+    """XXH64 of a byte string (unsigned 64-bit result) — how Spark
+    hashes a StringType argument (UTF-8 bytes, little-endian words)."""
+    n = len(b)
+    off = 0
+    if n >= 32:
+        v1 = (seed + _XXH_P1 + _XXH_P2) & _M64
+        v2 = (seed + _XXH_P2) & _M64
+        v3 = seed & _M64
+        v4 = (seed - _XXH_P1) & _M64
+        while off <= n - 32:
+            v1 = (_xxh_rotl((v1 + int.from_bytes(b[off:off + 8], "little") * _XXH_P2) & _M64, 31) * _XXH_P1) & _M64
+            v2 = (_xxh_rotl((v2 + int.from_bytes(b[off + 8:off + 16], "little") * _XXH_P2) & _M64, 31) * _XXH_P1) & _M64
+            v3 = (_xxh_rotl((v3 + int.from_bytes(b[off + 16:off + 24], "little") * _XXH_P2) & _M64, 31) * _XXH_P1) & _M64
+            v4 = (_xxh_rotl((v4 + int.from_bytes(b[off + 24:off + 32], "little") * _XXH_P2) & _M64, 31) * _XXH_P1) & _M64
+            off += 32
+        h = (_xxh_rotl(v1, 1) + _xxh_rotl(v2, 7) + _xxh_rotl(v3, 12) + _xxh_rotl(v4, 18)) & _M64
+        h = _xxh_merge(h, v1)
+        h = _xxh_merge(h, v2)
+        h = _xxh_merge(h, v3)
+        h = _xxh_merge(h, v4)
+    else:
+        h = (seed + _XXH_P5) & _M64
+    h = (h + n) & _M64
+    while off <= n - 8:
+        k1 = int.from_bytes(b[off:off + 8], "little")
+        h ^= (_xxh_rotl((k1 * _XXH_P2) & _M64, 31) * _XXH_P1) & _M64
+        h = (_xxh_rotl(h, 27) * _XXH_P1 + _XXH_P4) & _M64
+        off += 8
+    if off <= n - 4:
+        h ^= (int.from_bytes(b[off:off + 4], "little") * _XXH_P1) & _M64
+        h = (_xxh_rotl(h, 23) * _XXH_P2 + _XXH_P3) & _M64
+        off += 4
+    while off < n:
+        h ^= (b[off] * _XXH_P5) & _M64
+        h = (_xxh_rotl(h, 11) * _XXH_P1) & _M64
+        off += 1
+    return _xxh_fmix(h)
 
 
 def bloom_build(shingles: DataFrame, m: int = BLOOM_M, k: int = BLOOM_K):

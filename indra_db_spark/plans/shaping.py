@@ -265,9 +265,10 @@ def get_evidence_page(
     if not hashes:
         raise ValueError("get_evidence_page needs a non-empty hash page")
     # normalize to int BEFORE the pruned path too: bloom preimages hash
-    # CAST(col AS STRING), so a float-typed 77.0 would probe 'b0:77.0'
-    # against words built from '77' and wrongly prove absence (r13
-    # review) — the residual/bloom value types must match the column's
+    # CAST(col AS STRING), so a float-typed 77.0 would probe the string
+    # '77.0' against words built from '77' and wrongly prove absence
+    # (r13 review) — the residual/bloom value types must match the
+    # column's
     hashes = [int(h) for h in hashes]
     spark = lake["fast_raw_pa_link"].sparkSession
     keys_df = spark.createDataFrame(

@@ -520,18 +520,25 @@ def index_tx_table(
 def bloom_positions(value, m: int, k: int) -> list[tuple[int, int]]:
     """The (word index, bit mask) positions of ``value`` in an m-bit
     k-hash bloom — THE single Python-side implementation of
-    :func:`operators.sampling._bloom_pos_sql`'s hash mapping (md5 over
-    the ``b{i}:<string>`` preimage, first 15 hex digits, mod m).  Every
-    driver-side probe (:func:`_py_bloom_hit` here,
+    :func:`operators.sampling._bloom_pos_sql`'s hash mapping
+    (``pmod(xxhash64(CAST(value AS STRING), i), m)``: ONE xxhash64 over
+    the value string, shared across all k positions, then the position
+    index folded in as Spark folds a second IntegerType hash argument).
+    Every driver-side probe (:func:`_py_bloom_hit` here,
     ``TxTable.skip_read``'s memoized probe) builds on this one function
-    so the bit math cannot silently fork."""
-    import hashlib
+    so the bit math cannot silently fork; SQL↔Python bit-parity is
+    pinned by ``test_bloom_positions_sql_python_parity``."""
+    from indra_db_spark.operators.sampling import _xxh64_int, _xxh64_utf8
 
+    hs = _xxh64_utf8(str(value).encode("utf-8"))
     out = []
     for i in range(k):
-        p = int(
-            hashlib.md5(f"b{i}:{value}".encode()).hexdigest()[:15], 16
-        ) % m
+        h = _xxh64_int(i, hs)
+        # Spark's xxhash64 returns SIGNED 64-bit; pmod == Python's %
+        # for a positive modulus once the sign is restored
+        if h >= 1 << 63:
+            h -= 1 << 64
+        p = h % m
         out.append((p // 64, 1 << (p % 64)))
     return out
 

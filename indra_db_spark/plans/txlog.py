@@ -1125,8 +1125,9 @@ class TxTable:
 
         Bloom entries are self-describing ``[m, k, {word: mask}]`` (the
         config could change over the table's life; a probe must use the
-        m/k the words were hashed under) and use the same md5 preimage as
-        :func:`operators.sampling._bloom_pos_sql`, so driver-side probes
+        m/k the words were hashed under) and use the same xxhash64
+        mapping as :func:`operators.sampling._bloom_pos_sql`, so
+        driver-side probes
         (:meth:`skip_read`, :func:`plans.skipindex._py_bloom_hit`) line
         up bit-for-bit with SQL-built filters.  Size per file per column
         is capped by construction at min(k·distinct, m/64) words.
@@ -2093,8 +2094,8 @@ class TxTable:
         # bloom probe positions depend only on (value, m, k) — NEVER the
         # file or segment — so they are memoized across both pruning
         # levels: the flagship path (a 1000-hash IN list over a
-        # 100k-file table) costs O(values × k × distinct budgets) md5
-        # digests, not O(files × values × k).  The bit math lives in ONE
+        # 100k-file table) costs O(values × distinct budgets) string
+        # hashes, not O(files × values × k).  The bit math lives in ONE
         # place (skipindex.bloom_positions, the SQL builder's Python
         # twin); word keys are probed as the JSON strings the manifest
         # stores, tolerating int-keyed maps too.

@@ -570,3 +570,50 @@ def test_index_tx_table_all_null_bloom_stays_zero_scan(
     out, n1, _ = si.skip_scan(spark, idx, predicates={"k": (120, 150)})
     assert n1 == 1
     assert {r.k for r in out.collect()} == set(range(120, 151))
+
+
+def test_bloom_positions_sql_python_parity(spark):
+    """The bloom hash scheme is defined twice — once as SQL
+    (``operators.sampling._bloom_pos_sql``, what stats jobs execute) and
+    once in Python (``bloom_positions``, what driver-side probes
+    execute) — and pruning is only SOUND if they agree bit-for-bit: a
+    divergent position would let a probe "prove" a present value absent.
+    Battery covers every XXH64 tail path (0/1/4/8/31/32/33/100-byte
+    strings), unicode, int-valued strings (the CAST(col AS STRING) form
+    every stats collector uses), negative numbers, and NULL (the SQL
+    builder must yield NULL — no positions — so all-NULL files keep
+    their empty absence-proving word maps)."""
+    from indra_db_spark.operators.sampling import _bloom_pos_sql
+    from indra_db_spark.plans.skipindex import bloom_positions
+
+    m, k = 1 << 17, 3
+    vals = [
+        "", "a", "abcd", "abcdefgh", "x" * 31, "y" * 32, "z" * 33,
+        "w" * 100, "1337", "-77", "3.5", "héllo wörld", "日本語テキスト",
+        "MEK", "D000818",
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    got = df.select(
+        "s",
+        *[F.expr(_bloom_pos_sql(i, m, "s")).alias(f"p{i}") for i in range(k)],
+    ).collect()
+    for r in got:
+        expect = bloom_positions(r.s, m, k)
+        sql_pos = [(r[f"p{i}"] // 64, 1 << (r[f"p{i}"] % 64)) for i in range(k)]
+        assert sql_pos == expect, f"scheme fork for {r.s!r}"
+
+    # NULL contributes no positions on the SQL side (probe side never
+    # sees NULL eq values — SQL `col = NULL` matches nothing anyway)
+    null_row = (
+        spark.createDataFrame([(None,)], "s string")
+        .select(*[F.expr(_bloom_pos_sql(i, m, "s")).alias(f"p{i}") for i in range(k)])
+        .first()
+    )
+    assert all(null_row[f"p{i}"] is None for i in range(k))
+
+    # int-typed column through the stats collectors' CAST form
+    idf = spark.createDataFrame([(77,), (1337,)], "v bigint").select(
+        "v", F.expr(_bloom_pos_sql(0, m, "CAST(v AS STRING)")).alias("p0")
+    )
+    for r in idf.collect():
+        assert (r.p0 // 64, 1 << (r.p0 % 64)) == bloom_positions(r.v, m, 1)[0]
