@@ -155,7 +155,11 @@ def get_statements(
         )
     hashes = [r.mk_hash for r in page_rows]
     spark = lake["source_meta"].sparkSession
-    page_local = spark.createDataFrame(page_rows, page.schema)
+    # page-sized (≤ MAX_STMTS) driver-built frame: bound the slice count
+    # so its scans cost 1 Python-runner task, not one per core
+    from indra_db_spark.operators.pq import local_artifact_df
+
+    page_local = local_artifact_df(spark, page_rows, page.schema)
 
     # evidence + metadata scans restricted to the page — manifest-bloom
     # pruned on a txlog-served lake, broadcast-semi-joined otherwise.
@@ -198,8 +202,10 @@ def get_statements(
             else None
         )
         if rrl is None:
-            rid_df = spark.createDataFrame(
-                [(int(x),) for x in rids], "rid bigint"
+            from indra_db_spark.operators.pq import local_artifact_df
+
+            rid_df = local_artifact_df(
+                spark, [(int(x),) for x in rids], "rid bigint"
             )
             rrl = lake["reading_ref_link"].join(
                 F.broadcast(rid_df), "rid", "left_semi"
@@ -271,8 +277,10 @@ def get_evidence_page(
     # column's
     hashes = [int(h) for h in hashes]
     spark = lake["fast_raw_pa_link"].sparkSession
-    keys_df = spark.createDataFrame(
-        [(h,) for h in hashes], "mk_hash bigint"
+    from indra_db_spark.operators.pq import local_artifact_df
+
+    keys_df = local_artifact_df(
+        spark, [(h,) for h in hashes], "mk_hash bigint"
     )
     ev = _page_restricted(lake, "fast_raw_pa_link", hashes, keys_df)
     ev = _bound_evidence(lake, ev, ev_limit, evidence_filter)
