@@ -78,6 +78,12 @@ def local_artifact_df(spark, rows, schema) -> DataFrame:
     return spark.createDataFrame(sc.parallelize(rows, n), schema)
 
 
+def _quant_lambda_sql(scale: int, offset: int) -> str:
+    """The per-element quantization lambda as SQL text — the same
+    ``floor(x·scale)+offset`` BIGINT map the Column form built."""
+    return f"x -> CAST(FLOOR(CAST(x AS DOUBLE) * {scale}) + {offset} AS BIGINT)"
+
+
 def quantize_subvectors(
     emb: DataFrame,
     m: int,
@@ -91,23 +97,24 @@ def quantize_subvectors(
     quantized subvector (array<bigint> of d/m dims).  A narrow map +
     posexplode: no shuffle, fused into the scan.  ``dim`` skips the
     dimension-sniffing ``first()`` (required for streaming frames, where
-    an eager action is illegal)."""
+    an eager action is illegal).
+
+    The whole projection is ONE parsed selectExpr: the previous m
+    ``F.transform(..., lambda)`` columns cost ~30 py4j round-trips each
+    of DRIVER time per call (~0.2 s per call at m=8, ×3 calls per PQ
+    lifecycle — measured via cProfile, guide §7.3), while a SQL string
+    is a single round-trip parsing to the identical expression tree."""
     d = dim if dim is not None else len(emb.select(vec_col).first()[0])
     if d % m:
         raise ValueError(f"pq: dim {d} not divisible by m={m}")
     dsub = d // m
-    quant = [
-        F.transform(
-            F.slice(F.col(vec_col), s * dsub + 1, dsub),
-            lambda x: (F.floor(x.cast("double") * scale) + offset).cast(
-                "long"
-            ),
-        )
+    lam = _quant_lambda_sql(scale, offset)
+    arr = ",".join(
+        f"transform(slice(`{vec_col}`, {s * dsub + 1}, {dsub}), {lam})"
         for s in range(m)
-    ]
-    return emb.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(F.array(*quant)).alias("s", "q"),
+    )
+    return emb.selectExpr(
+        f"`{id_col}` AS id", f"posexplode(array({arr})) AS (s, q)"
     )
 
 
@@ -139,42 +146,70 @@ def _sqdist(q, cent, dsub: int | None = None):
     )
 
 
+def _sqdist_sql(q: str, cent: str, dsub: int | None = None) -> str:
+    """:func:`_sqdist` as SQL text over expression strings ``q``/``cent``
+    (same unroll gate, same fold, same left-assoc add order) — one parsed
+    expression instead of ~5 py4j round-trips per unrolled term."""
+    if dsub is not None and dsub <= _SQDIST_UNROLL_MAX:
+        terms = "+".join(
+            f"(({q}[{i}])-({cent}[{i}]))*(({q}[{i}])-({cent}[{i}]))"
+            for i in range(dsub)
+        )
+        return f"CAST(0 AS BIGINT)+{terms}"
+    return (
+        f"aggregate(zip_with({q}, {cent}, (a, b) -> (a - b) * (a - b)), "
+        f"CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
+
+
 #: codebook-row ceiling for the literal-assignment path (m·k rows — an
 #: index HYPERPARAMETER product, so it is driver-small at any corpus
 #: scale; the gate only guards pathological caller-supplied codebooks)
 _CODEBOOK_LIT_MAX = 4096
 
 
-def _lit_bigint_arrays(arrays) -> "F.Column":
-    """``array(array(<bigint>…)…)`` as ONE parsed SQL expression.
+def _lit_bigint_arrays_sql(arrays) -> str:
+    """``array(array(<bigint>…)…)`` as SQL text.
 
     Per-element ``F.lit`` costs one py4j round-trip each (~1 ms — a
     16×16×4 codebook would spend ~1 s of DRIVER time per call just
-    building the tree); one ``F.expr`` string is a single round-trip and
+    building the tree); one parsed string is a single round-trip and
     Catalyst folds it to a single Literal."""
     inner = ",".join(
         "array(" + ",".join(f"{int(v)}L" for v in a) + ")" for a in arrays
     )
-    return F.expr(f"array({inner})")
+    return f"array({inner})"
 
 
-def _assign_code_lit(qcol, scol, cents, dsub: int | None = None):
-    """Nearest-centroid code for (q, s) against DRIVER-RESIDENT centers
-    ``cents[s][c]`` — a pure column expression: no codebook join, no
-    per-(id, s) exchange, the whole assignment is a narrow map fused
-    into the scan (guide §2.4).  Identical integers and the identical
-    (distance, centroid-index) tie-break as :func:`_assign`'s
-    ``min(struct(_d, c))``: ``array_min`` over (d, c) structs is the
-    same lexicographic minimum."""
+def _lit_bigint_arrays(arrays) -> "F.Column":
+    """Column form of :func:`_lit_bigint_arrays_sql`."""
+    return F.expr(_lit_bigint_arrays_sql(arrays))
+
+
+def _assign_code_lit(q_name: str, s_name: str, cents, dsub: int | None = None):
+    """Nearest-centroid code for columns (``q_name``, ``s_name``) against
+    DRIVER-RESIDENT centers ``cents[s][c]`` — a pure column expression:
+    no codebook join, no per-(id, s) exchange, the whole assignment is a
+    narrow map fused into the scan (guide §2.4).  Identical integers and
+    the identical (distance, centroid-index) tie-break as
+    :func:`_assign`'s ``min(struct(_d, c))``: ``array_min`` over (d, c)
+    structs is the same lexicographic minimum.
+
+    Built as ONE parsed SQL expression: the Column form (transform +
+    zip_with lambdas + an unrolled per-term fold) cost ~100 py4j
+    round-trips of driver time per call (guide §7.3)."""
     k = len(cents[0])
-    lit = F.array(*[_lit_bigint_arrays(cs) for cs in cents])
-    row_cents = F.element_at(lit, scol + F.lit(1))
-    idx = F.sequence(F.lit(0), F.lit(k - 1))
-    ds = F.transform(row_cents, lambda cent: _sqdist(qcol, cent, dsub))
-    best = F.array_min(
-        F.zip_with(ds, idx, lambda d, i: F.struct(d.alias("d"), i.alias("c")))
+    lit = (
+        "array(" + ",".join(_lit_bigint_arrays_sql(cs) for cs in cents) + ")"
     )
-    return best["c"]
+    ds = (
+        f"transform(element_at({lit}, `{s_name}` + 1), "
+        f"cent -> {_sqdist_sql(f'`{q_name}`', 'cent', dsub)})"
+    )
+    return F.expr(
+        f"array_min(zip_with({ds}, sequence(0, {k - 1}), "
+        f"(d, i) -> named_struct('d', d, 'c', i))).c"
+    )
 
 
 def _collect_codebook(codebook: DataFrame):
@@ -220,7 +255,7 @@ def _assign(
     the window needed disappears (guide §2.3 'aggregate before you
     shuffle')."""
     d = sub.join(F.broadcast(codebook), "s").withColumn(
-        "_d", _sqdist(F.col("q"), F.col("cent"), dsub)
+        "_d", F.expr(_sqdist_sql("`q`", "`cent`", dsub))
     )
     return (
         d.groupBy("id", "s")
@@ -317,7 +352,7 @@ def train_codebook_from_sub(
         raise ValueError(f"pq: non-contiguous subspace ids {s_vals[:8]}")
     for _ in range(rounds):
         cents = [[cb[(s, c)] for c in range(k_eff)] for s in s_vals]
-        code = _assign_code_lit(F.col("q"), F.col("s"), cents, dsub)
+        code = _assign_code_lit("q", "s", cents, dsub)
         # empty clusters keep their previous centroid (absent from upd)
         for r in (
             sub.groupBy("s", code.alias("code"))
@@ -368,7 +403,7 @@ def pq_encode(
         return sub.select(
             "id",
             "s",
-            _assign_code_lit(F.col("q"), F.col("s"), cents, dim // m).alias(
+            _assign_code_lit("q", "s", cents, dim // m).alias(
                 "code"
             ),
         )
@@ -408,7 +443,7 @@ def pq_adc_topk(
             "query_id",
             "s",
             F.col("c").alias("code"),
-            _sqdist(F.col("q"), F.col("cent"), dim // m).alias("ld"),
+            F.expr(_sqdist_sql("`q`", "`cent`", dim // m)).alias("ld"),
         )
     )
     scores = (
@@ -471,7 +506,7 @@ def _cell_rank(
     w = Window.partitionBy("id").orderBy("_d", "cell")
     return (
         full.join(F.broadcast(cells), F.lit(True))
-        .withColumn("_d", _sqdist(F.col("q"), F.col("cvec"), dim))
+        .withColumn("_d", F.expr(_sqdist_sql("`q`", "`cvec`", dim)))
         .withColumn("crn", F.row_number().over(w))
         .select("id", "cell", "crn")
     )
@@ -484,46 +519,38 @@ def _cell_rank(
 _COARSE_LIT_MAX = 1024
 
 
-def _ranked_cells_lit(qcol, cents, cell_ids, n: int):
-    """Ids of the ``n`` nearest coarse cells to integer-quantized ``qcol``
-    by squared L2 against LITERAL centers with (distance, cell)
-    tie-break — the integer analog of similarity._ranked_cells: a pure
-    column expression (one fold per center), so corpus assignment is a
-    narrow map with NO ncell-way join and NO per-id window (``cents``
-    must be sorted by ``cell_ids`` ascending so the positional tie-break
-    equals the cell-id tie-break)."""
+def _ranked_cells_lit(q_name: str, cents, cell_ids, n: int):
+    """Ids of the ``n`` nearest coarse cells to the integer-quantized
+    column ``q_name`` by squared L2 against LITERAL centers with
+    (distance, cell) tie-break — the integer analog of
+    similarity._ranked_cells: a pure column expression (one fold per
+    center), so corpus assignment is a narrow map with NO ncell-way join
+    and NO per-id window (``cents`` must be sorted by ``cell_ids``
+    ascending so the positional tie-break equals the cell-id tie-break).
 
-    # one parsed literal + one shared fold instead of a per-center
-    # expression tree: ncell·dim F.lit round-trips cost ~1 ms each of
-    # DRIVER time per call (measured seconds per query construction at
-    # ncell=8, dim=64 × two call sites); same longs, same fold order
-    lit_cents = _lit_bigint_arrays(cents)
-    dists = F.transform(
-        lit_cents,
-        lambda cent: F.aggregate(
-            F.zip_with(qcol, cent, lambda a, b: (a - b) * (a - b)),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        ),
+    One parsed literal + one shared fold instead of a per-center
+    expression tree (ncell·dim F.lit round-trips cost ~1 ms each of
+    DRIVER time per call), and the WHOLE ranking is one parsed SQL
+    string instead of ~8 higher-order-function builders (~16 ms of py4j
+    each, guide §7.3); same longs, same fold order."""
+    lit_cents = _lit_bigint_arrays_sql(cents)
+    fold = _sqdist_sql(f"`{q_name}`", "cent", None)
+    ids = "array(" + ",".join(str(int(cid)) for cid in cell_ids) + ")"
+    return F.expr(
+        f"transform(slice(transform(array_sort(zip_with("
+        f"transform({lit_cents}, cent -> {fold}), "
+        f"sequence(0, {len(cents) - 1}), "
+        f"(d, i) -> named_struct('d', d, 'i', i))), s -> s.i), 1, {n}), "
+        f"p -> element_at({ids}, p + 1))"
     )
-    idx = F.sequence(F.lit(0), F.lit(len(cents) - 1))
-    ranked = F.array_sort(
-        F.zip_with(dists, idx, lambda d, i: F.struct(d.alias("d"), i.alias("i")))
-    )
-    pos = F.slice(F.transform(ranked, lambda s: s["i"]), 1, n)
-    ids = F.expr(
-        "array(" + ",".join(str(int(cid)) for cid in cell_ids) + ")"
-    )
-    return F.transform(pos, lambda p: F.element_at(ids, p + 1))
 
 
 def _quant_full(vec_col: str, dim: int, scale: int, offset: int):
     """Whole-vector integer quantization — the same per-element transform
     as :func:`quantize_subvectors` with m=1 (floor(x·scale)+offset as
-    BIGINT), without the posexplode."""
-    return F.transform(
-        F.col(vec_col),
-        lambda x: (F.floor(x.cast("double") * scale) + offset).cast("long"),
+    BIGINT), without the posexplode.  One parsed expression."""
+    return F.expr(
+        f"transform(`{vec_col}`, {_quant_lambda_sql(scale, offset)})"
     )
 
 
@@ -698,7 +725,7 @@ def ivfpq_topk(
             ).select(
                 "neighbor_id",
                 F.element_at(
-                    _ranked_cells_lit(F.col("_qf"), cents, cell_ids, 1), 1
+                    _ranked_cells_lit("_qf", cents, cell_ids, 1), 1
                 ).alias("cell"),
             )
         probes = queries.select(
@@ -707,7 +734,7 @@ def ivfpq_topk(
         ).select(
             "query_id",
             F.explode(
-                _ranked_cells_lit(F.col("_qf"), cents, cell_ids, nprobe)
+                _ranked_cells_lit("_qf", cents, cell_ids, nprobe)
             ).alias("cell"),
         )
     else:
@@ -755,7 +782,7 @@ def ivfpq_topk(
             "query_id",
             "s",
             F.col("c").alias("code"),
-            _sqdist(F.col("q"), F.col("cent"), dim // m).alias("ld"),
+            F.expr(_sqdist_sql("`q`", "`cent`", dim // m)).alias("ld"),
         )
     )
     scores = (
@@ -921,7 +948,7 @@ def ivfpq_query_index(
             "query_id",
             "s",
             F.col("c").alias("code"),
-            _sqdist(F.col("q"), F.col("cent")).alias("ld"),
+            F.expr(_sqdist_sql("`q`", "`cent`")).alias("ld"),
         )
     )
     scores = (
@@ -970,7 +997,7 @@ def pq_encode_streaming(
             emb, m, id_col, vec_col, scale, offset, dim=m * dsub
         )
         .join(F.broadcast(codebook), "s")
-        .withColumn("_d", _sqdist(F.col("q"), F.col("cent"), dsub))
+        .withColumn("_d", F.expr(_sqdist_sql("`q`", "`cent`", dsub)))
     )
     return (
         d.groupBy("id", "s")
@@ -989,12 +1016,14 @@ def pq_encode_streaming(
 R_OFFSET = 2 * OFFSET
 
 
-def _sliced(arr, m: int, dsub: int):
-    """posexplode an array<long> of length m·dsub into (s, q) subvector
-    rows — the residual-frame analog of :func:`quantize_subvectors`."""
-    return F.posexplode(
-        F.array(*[F.slice(arr, s * dsub + 1, dsub) for s in range(m)])
-    ).alias("s", "q")
+def _sliced(arr_name: str, m: int, dsub: int):
+    """posexplode an array<long> column of length m·dsub into (s, q)
+    subvector rows — the residual-frame analog of
+    :func:`quantize_subvectors`.  One parsed expression."""
+    arr = ",".join(
+        f"slice(`{arr_name}`, {s * dsub + 1}, {dsub})" for s in range(m)
+    )
+    return F.expr(f"posexplode(array({arr}))").alias("s", "q")
 
 
 def _residual_sub(
@@ -1015,12 +1044,12 @@ def _residual_sub(
         .select(
             "id",
             "cell",
-            F.zip_with(
-                "qv", "cvec", lambda a, b: a - b + F.lit(roff)
+            F.expr(
+                f"zip_with(qv, cvec, (a, b) -> a - b + {int(roff)})"
             ).alias("rv"),
         )
     )
-    return r.select("id", "cell", _sliced(F.col("rv"), m, dsub))
+    return r.select("id", "cell", _sliced("rv", m, dsub))
 
 
 def ivfpq_residual_topk(
@@ -1088,9 +1117,7 @@ def ivfpq_residual_topk(
         codes = rsub.select(
             "id",
             "s",
-            _assign_code_lit(
-                F.col("q"), F.col("s"), cb_cents, dsub
-            ).alias("code"),
+            _assign_code_lit("q", "s", cb_cents, dsub).alias("code"),
         )
     else:
         codes = _assign(rsub.select("id", "s", "q"), codebook, dsub).select(
@@ -1114,7 +1141,7 @@ def ivfpq_residual_topk(
             "cell",
             "s",
             F.col("c").alias("code"),
-            _sqdist(F.col("q"), F.col("cent"), dsub).alias("ld"),
+            F.expr(_sqdist_sql("`q`", "`cent`", dsub)).alias("ld"),
         )
     )
 

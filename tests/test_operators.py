@@ -2734,3 +2734,173 @@ def test_ivfpq_topk_prebuilt_assign_parity(spark, sf_dir):
     assert sorted(map(key, with_a.collect())) == sorted(
         map(key, without.collect())
     )
+
+
+def test_pq_sql_expr_forms_match_column_forms(spark):
+    """Round-13 driver-latency pin: the PQ expression builders emit ONE
+    parsed SQL string per expression (a single py4j round-trip) instead
+    of per-call higher-order-function trees (~30 round-trips per
+    ``F.transform`` lambda of pure driver time).  The SQL forms must
+    stay bit-identical to the Column forms they replaced — this builds
+    the old trees inline as the reference."""
+    import random
+
+    from indra_db_spark.operators.pq import (
+        OFFSET,
+        SCALE,
+        _assign_code_lit,
+        _quant_full,
+        _ranked_cells_lit,
+        _sqdist,
+        _sqdist_sql,
+        quantize_subvectors,
+    )
+
+    rnd = random.Random(713)
+    m, d = 8, 64
+    dsub = d // m
+    emb = spark.createDataFrame(
+        [(i, [rnd.uniform(-1, 1) for _ in range(d)]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+
+    # quantize_subvectors (selectExpr) vs the Column-form reference
+    ref_quant = emb.select(
+        F.col("vec_id").alias("id"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.transform(
+                        F.slice(F.col("embedding"), s * dsub + 1, dsub),
+                        lambda x: (
+                            F.floor(x.cast("double") * SCALE) + OFFSET
+                        ).cast("long"),
+                    )
+                    for s in range(m)
+                ]
+            )
+        ).alias("s", "q"),
+    )
+    sub = quantize_subvectors(emb, m)
+    assert sub.schema == ref_quant.schema
+    assert sub.exceptAll(ref_quant).count() == 0
+    assert ref_quant.exceptAll(sub).count() == 0
+
+    # _quant_full vs the Column-form reference
+    ref_full = F.transform(
+        F.col("embedding"),
+        lambda x: (F.floor(x.cast("double") * SCALE) + OFFSET).cast("long"),
+    )
+    got_full = _quant_full("embedding", d, SCALE, OFFSET)
+    assert (
+        emb.select(ref_full.alias("r"), got_full.alias("g"))
+        .filter("r <> g")
+        .count()
+        == 0
+    )
+
+    # _sqdist_sql (unrolled AND fold forms) vs the Column _sqdist
+    pairs = spark.createDataFrame(
+        [
+            (
+                [rnd.randint(3000, 5000) for _ in range(dsub)],
+                [rnd.randint(3000, 5000) for _ in range(dsub)],
+            )
+            for _ in range(30)
+        ],
+        "q array<bigint>, cent array<bigint>",
+    )
+    for ds in (dsub, None):  # dsub=8 unrolls; None keeps the fold
+        mismatch = (
+            pairs.select(
+                _sqdist(F.col("q"), F.col("cent"), ds).alias("r"),
+                F.expr(_sqdist_sql("`q`", "`cent`", ds)).alias("g"),
+            )
+            .filter("r <> g")
+            .count()
+        )
+        assert mismatch == 0, f"_sqdist_sql diverges at dsub={ds}"
+
+    # _assign_code_lit vs the Column-form reference (argmin over
+    # literal centers with the (distance, index) struct-min tie-break)
+    k = 16
+    cents = [
+        [[rnd.randint(3000, 5000) for _ in range(dsub)] for _ in range(k)]
+        for _ in range(m)
+    ]
+    lit = F.array(
+        *[
+            F.expr(
+                "array("
+                + ",".join(
+                    "array(" + ",".join(f"{v}L" for v in c) + ")" for c in cs
+                )
+                + ")"
+            )
+            for cs in cents
+        ]
+    )
+    row_cents = F.element_at(lit, F.col("s") + F.lit(1))
+    ds_ref = F.transform(
+        row_cents, lambda cent: _sqdist(F.col("q"), cent, dsub)
+    )
+    ref_code = F.array_min(
+        F.zip_with(
+            ds_ref,
+            F.sequence(F.lit(0), F.lit(k - 1)),
+            lambda dd, i: F.struct(dd.alias("d"), i.alias("c")),
+        )
+    )["c"]
+    got_code = _assign_code_lit("q", "s", cents, dsub)
+    assert (
+        sub.select(ref_code.alias("r"), got_code.alias("g"))
+        .filter("r <> g")
+        .count()
+        == 0
+    )
+
+    # _ranked_cells_lit vs the Column-form reference (fold distances,
+    # array_sort of (d, i) structs, positional id lookup)
+    ncell, nprobe = 8, 3
+    ccents = [
+        [rnd.randint(3000, 5000) for _ in range(d)] for _ in range(ncell)
+    ]
+    cell_ids = [10 * i for i in range(ncell)]
+    qf = emb.select(
+        F.col("vec_id").alias("id"),
+        _quant_full("embedding", d, SCALE, OFFSET).alias("_qf"),
+    )
+    lit_c = F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(f"{v}L" for v in c) + ")" for c in ccents
+        )
+        + ")"
+    )
+    dists = F.transform(
+        lit_c,
+        lambda cent: F.aggregate(
+            F.zip_with(F.col("_qf"), cent, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ),
+    )
+    ranked = F.array_sort(
+        F.zip_with(
+            dists,
+            F.sequence(F.lit(0), F.lit(ncell - 1)),
+            lambda dd, i: F.struct(dd.alias("d"), i.alias("i")),
+        )
+    )
+    ids_lit = F.expr("array(" + ",".join(map(str, cell_ids)) + ")")
+    ref_cells = F.transform(
+        F.slice(F.transform(ranked, lambda s: s["i"]), 1, nprobe),
+        lambda p: F.element_at(ids_lit, p + 1),
+    )
+    got_cells = _ranked_cells_lit("_qf", ccents, cell_ids, nprobe)
+    assert (
+        qf.select(ref_cells.alias("r"), got_cells.alias("g"))
+        .filter("r <> g")
+        .count()
+        == 0
+    )
