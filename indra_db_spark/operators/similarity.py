@@ -1010,33 +1010,53 @@ def srp_topk(
     return _rank_topk(scored, k)
 
 
-def _ranked_cells(vec, centers: list[list[float]], n: int,
+def _double_lit_sql(x: float) -> str:
+    """A Python float as SQL text with the exact same double bits as
+    ``F.lit(x)``: ``repr`` round-trips every finite double, and the cast
+    parses the non-finite spellings Java accepts."""
+    if x != x:
+        return "CAST('NaN' AS DOUBLE)"
+    if x == float("inf"):
+        return "CAST('Infinity' AS DOUBLE)"
+    if x == float("-inf"):
+        return "CAST('-Infinity' AS DOUBLE)"
+    return f"CAST('{x!r}' AS DOUBLE)"
+
+
+def _ranked_cells(vec_name: str, centers: list[list[float]], n: int,
                   dist_decimals: int | None = 6) -> Column:
-    """Ids of the ``n`` nearest centroids to ``vec`` (squared Euclidean,
-    rounded to ``dist_decimals`` before ranking, ties broken by cell id) —
-    a pure column expression over literal centers, so it runs JVM-side per
-    row with no UDF and is reproducible across engines."""
-    dists = F.array(
-        *[
-            F.aggregate(
-                F.zip_with(
-                    vec,
-                    F.array(*[F.lit(x) for x in c]),
-                    lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
+    """Ids of the ``n`` nearest centroids to the array column ``vec_name``
+    (squared Euclidean, rounded to ``dist_decimals`` before ranking, ties
+    broken by cell id) — a pure column expression over literal centers, so
+    it runs JVM-side per row with no UDF and is reproducible across
+    engines.
+
+    Built as ONE parsed SQL string: the previous Column form paid one
+    py4j round-trip per center coordinate (``F.lit`` × ncell·dim — ~0.5 s
+    of DRIVER time per call at ncell=8, dim=64, measured via cProfile on
+    emb_semantic_dedup) plus per-center lambda builders; identical
+    doubles, identical fold order, identical (distance, cell) tie-break."""
+    lit = (
+        "array("
+        + ",".join(
+            "array(" + ",".join(_double_lit_sql(x) for x in c) + ")"
             for c in centers
-        ]
+        )
+        + ")"
     )
+    fold = (
+        f"aggregate(zip_with(`{vec_name}`, cent, "
+        f"(a, b) -> (CAST(a AS DOUBLE) - b) * (CAST(a AS DOUBLE) - b)), "
+        f"CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+    dists = f"transform({lit}, cent -> {fold})"
     if dist_decimals is not None:
-        dists = F.transform(dists, lambda d: F.round(d, dist_decimals))
-    idx = F.sequence(F.lit(0), F.lit(len(centers) - 1))
-    ranked = F.array_sort(
-        F.zip_with(dists, idx, lambda d, i: F.struct(d.alias("d"), i.alias("i")))
+        dists = f"transform({dists}, d -> round(d, {int(dist_decimals)}))"
+    return F.expr(
+        f"slice(transform(array_sort(zip_with({dists}, "
+        f"sequence(0, {len(centers) - 1}), "
+        f"(d, i) -> named_struct('d', d, 'i', i))), s -> s.i), 1, {int(n)})"
     )
-    return F.slice(F.transform(ranked, lambda s: s["i"]), 1, n)
 
 
 def ivf_train_centroids(
@@ -1076,7 +1096,7 @@ def ivf_build_index(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),
         F.element_at(
-            _ranked_cells(F.col(vec_col), centers, 1, dist_decimals), 1
+            _ranked_cells(vec_col, centers, 1, dist_decimals), 1
         ).alias("cell"),
     )
 
@@ -1101,7 +1121,7 @@ def ivf_probe(
         F.col(vec_col).alias("qvec"),
         norm(F.col(vec_col)).alias("nq"),
         F.explode(
-            _ranked_cells(F.col(vec_col), centers, nprobe, dist_decimals)
+            _ranked_cells(vec_col, centers, nprobe, dist_decimals)
         ).alias("cell"),
     )
     c = corpus.withColumn("nc", F.col("_nrm") if "_nrm" in corpus.columns
