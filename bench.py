@@ -418,12 +418,19 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     load_end = _loadavg()
+    # "cpus" must report the EFFECTIVE core count the session actually ran
+    # on (local[$SPARK_GRAFT_CPUS]); r13's 8-core scaling artifact recorded
+    # os.cpu_count()=32 and the driver's scaling analysis came back empty
+    # (r13 verdict, "what's wrong" #2).
+    cpus_effective = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (
+        os.cpu_count()
+    )
     env = {
         "load_start": load_start,
         "load_end": load_end,
         "load_initial": load_initial,
         "load_waits": load_waits,
-        "cpus": os.cpu_count(),
+        "cpus": cpus_effective,
     }
     print(
         json.dumps(
@@ -447,13 +454,24 @@ def main() -> None:
             }
         )
     )
-    # The driver's BENCH_r{N} wrapper keeps only the LAST ~2 KB of stdout
-    # (front-truncation), and the full line above outgrew that in round 7 —
-    # the recorded artifact lost ``value`` and most of ``queries_mean`` (r7
-    # verdict, "what's wrong" #1).  Emit a SECOND, compact summary line
-    # carrying the most-comparable numbers (headline value, per-query
-    # steady-state means) as the final output so they always survive the
+    # The driver's BENCH_r{N} wrapper keeps only the LAST 2000 bytes of
+    # stdout (front-truncation), and the full line above outgrew that in
+    # round 7 — the recorded artifact lost ``value`` and most of the
+    # per-query map (r7 verdict, "what's wrong" #1).  Emit a SECOND,
+    # compact summary line as the final output so it always survives the
     # tail capture; tools/bench_compare.py accepts either line.
+    #
+    # Round 14 (r13 verdict, "what's wrong" #2 / next-round #1a): the
+    # driver parses the LAST JSON line and requires the ``queries`` map on
+    # it — r13's summary line carried only ``queries_mean`` and the
+    # driver's per-query PERF table came back empty.  The last line now
+    # carries ``queries`` (the per-query MIN timings whose sum is
+    # ``value`` — the headline estimator) plus the serving mins.  The
+    # means/σ/cold maps still ride the first line unchanged; both maps
+    # cannot fit on one line inside the 2000-byte tail window, and min is
+    # the documented headline, so the summary line carries min.  The
+    # loadavg arrays move to the first line only, for the same budget
+    # reason; ``load_waits`` (the contention flag) stays here.
     print(
         json.dumps(
             {
@@ -463,10 +481,11 @@ def main() -> None:
                 "unit": "sec",
                 "sf": sf,
                 "n_steady": N_STEADY,
-                "queries_mean": means,
-                "serving_mean": serving_means,
+                "queries": timings,
+                "serving": serving,
                 "serving_total": round(sum(serving.values()), 3),
-                **env,
+                "load_waits": load_waits,
+                "cpus": cpus_effective,
             }
         )
     )
