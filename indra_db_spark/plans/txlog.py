@@ -860,12 +860,23 @@ class TxTable:
                 tier_cols &= set(seg_stats[f].get(tier, {}))
             for c in sorted(tier_cols - set(blooms)):
                 specs = {
-                    (seg_stats[f][tier][c][0], seg_stats[f][tier][c][1])
+                    (
+                        seg_stats[f][tier][c][0],
+                        seg_stats[f][tier][c][1],
+                        # scheme tag (r14): entries predating the tag
+                        # (or hashed under a foreign scheme) must not
+                        # be unioned into a probeable segment bloom
+                        seg_stats[f][tier][c][3]
+                        if len(seg_stats[f][tier][c]) > 3
+                        else None,
+                    )
                     for f in members
                 }
                 if len(specs) != 1:
                     continue  # mixed budgets cannot be unioned soundly
-                m, k = specs.pop()
+                m, k, scheme = specs.pop()
+                if scheme is None:
+                    continue  # untagged words: scheme unknown, no bloom
                 words: dict[str, int] = {}
                 for f in members:
                     for w, mask in seg_stats[f][tier][c][2].items():
@@ -881,7 +892,7 @@ class TxTable:
                 )
                 if bits > SEG_BLOOM_MAX_LOAD * m:
                     continue  # saturated: admits ~everything, dead weight
-                blooms[c] = [m, k, words]
+                blooms[c] = [m, k, words, scheme]
         if blooms:
             meta["b"] = blooms
         return meta
@@ -1161,7 +1172,10 @@ class TxTable:
                     for c in cols
                 }
         if bloom_cols:
-            from indra_db_spark.operators.sampling import _bloom_pos_sql
+            from indra_db_spark.operators.sampling import (
+                BLOOM_SCHEME,
+                _bloom_pos_sql,
+            )
 
             # tier plan: tag t = tier_offset + column index; the file
             # tier is always collected, the segment tier only when a
@@ -1175,7 +1189,8 @@ class TxTable:
             for st in out.values():
                 for key, m, _off in tiers:
                     st[key] = {
-                        c: [m, bloom_k, {}] for c in bloom_cols
+                        c: [m, bloom_k, {}, BLOOM_SCHEME]
+                        for c in bloom_cols
                     }
             # ONE job for every bloom column AND tier: the k·|cols|·|tiers|
             # positions explode as (tag, position) structs, so N columns
@@ -2089,6 +2104,7 @@ class TxTable:
                     return False
             return True
 
+        from indra_db_spark.operators.sampling import BLOOM_SCHEME
         from indra_db_spark.plans.skipindex import bloom_positions
 
         # bloom probe positions depend only on (value, m, k) — NEVER the
@@ -2150,6 +2166,14 @@ class TxTable:
                 b = bmap.get(c)
                 if b is None:
                     continue  # no filter recorded → unpruned, never wrong
+                if len(b) < 4 or b[3] != BLOOM_SCHEME:
+                    # words hashed under an older/unknown position
+                    # scheme (pre-r14 manifests are untagged, and the
+                    # hash changed md5→xxhash64 in r13): probing them
+                    # with THIS scheme could "prove" absence of present
+                    # keys and mis-prune — admit unpruned instead (the
+                    # exact residual still filters; r13 verdict #1)
+                    continue
                 if probe_budget[0] <= 0:
                     continue  # budget spent → admit unprobed (exact
                     # residual still filters; only I/O is left on the

@@ -469,7 +469,8 @@ def test_index_tx_table_shifting_bloom_mk_falls_back(
     real = t._stats_of(t._read_version(t.snapshot()[0]))
     doctored = {
         f: {**st, "b": {"k": [st["b"]["k"][0], st["b"]["k"][1],
-                              dict(st["b"]["k"][2])]}}
+                              dict(st["b"]["k"][2]),
+                              *st["b"]["k"][3:]]}}
         for f, st in real.items()
     }
     first = sorted(doctored)[0]

@@ -1586,7 +1586,8 @@ def test_manifest_bytes_bounded_as_segments_grow(spark, tmp_path):
         n: {
             "n": 1,
             "c": {"k": [i, i]},
-            "b": {"k": [8192, 3, {str(i % 128): 1 << (i % 64)}]},
+            "b": {"k": [8192, 3, {str(i % 128): 1 << (i % 64)},
+                        "xxh64"]},
         }
         for i, n in enumerate(names)
     }
@@ -1617,7 +1618,7 @@ def test_manifest_bytes_bounded_as_segments_grow(spark, tmp_path):
     assert v1 < seg_bytes / 5
     # every carried aggregate respects the word budget (the leak check)
     for m in raw["seg_meta"].values():
-        for mm, kk, words in m.get("b", {}).values():
+        for mm, kk, words, _scheme in m.get("b", {}).values():
             assert len(words) <= txlog.SEG_BLOOM_MAX_WORDS
         assert len(_json.dumps(m)) < txlog.SEG_BLOOM_MAX_WORDS * 30 + 4096
     # appending one file adds ~one segment's aggregate to the manifest,
@@ -1627,7 +1628,7 @@ def test_manifest_bytes_bounded_as_segments_grow(spark, tmp_path):
         "zzz-new.parquet": {
             "n": 1,
             "c": {"k": [10_000, 10_000]},
-            "b": {"k": [8192, 3, {"1": 2}]},
+            "b": {"k": [8192, 3, {"1": 2}, "xxh64"]},
         }
     }
     assert t._try_claim(2, names + ["zzz-new.parquet"], "append")
@@ -2257,9 +2258,12 @@ def test_manifest_blooms_prove_absence(spark, tmp_path):
     assert body["bloom_cols"] == ["src"]
     stats = t._stats_of(body)
     assert len(stats) == 3
+    from indra_db_spark.operators.sampling import BLOOM_SCHEME
+
     for st in stats.values():
-        m, k, words = st["b"]["src"]
+        m, k, words, scheme = st["b"]["src"]
         assert m == 8192 and k == 3 and words
+        assert scheme == BLOOM_SCHEME  # persisted entries are tagged
     df, files_read, files_total = t.skip_read(eq={"src": "b"})
     assert files_total == 3 and files_read == 1
     assert {r.k for r in df.collect()} == set(range(10, 20))
@@ -2324,7 +2328,7 @@ def test_segment_blooms_prune_point_lookups_on_unclustered_layout(
     assert all("b" in metas[s] and "k" in metas[s]["b"] for s in metas)
 
     def admits(s, val):
-        m, k, words = metas[s]["b"]["k"]
+        m, k, words = metas[s]["b"]["k"][:3]
         return all(
             words.get(str(w), 0) & bit for w, bit in bloom_positions(val, m, k)
         )
@@ -2572,17 +2576,19 @@ def test_segment_meta_bloom_union_rules():
     the column; the union ORs word maps exactly."""
     from indra_db_spark.plans.skipindex import bloom_positions
 
+    from indra_db_spark.operators.sampling import BLOOM_SCHEME
+
     def entry(m, vals, tier):
         words = {}
         for v in vals:
             for w, bit in bloom_positions(v, m, 3):
                 words[str(w)] = words.get(str(w), 0) | bit
-        return {tier: {"x": [m, 3, words]}}
+        return {tier: {"x": [m, 3, words, BLOOM_SCHEME]}}
 
     a = {"n": 1, **entry(8192, [1], "b"), **entry(65536, [1], "sb")}
     b = {"n": 1, **entry(8192, [2], "b"), **entry(65536, [2], "sb")}
     meta = TxTable._segment_meta(["fa", "fb"], {"fa": a, "fb": b})
-    m, k, words = meta["b"]["x"]
+    m, k, words = meta["b"]["x"][:3]
     assert m == 65536  # sb preferred
     for v in (1, 2):
         assert all(
@@ -2713,7 +2719,7 @@ def test_multi_bloom_columns_one_collection_pass(spark, tmp_path):
     stats = t._stats_of(t._read_version(t.snapshot()[0]))
     for st in stats.values():
         assert set(st["b"]) == {"k", "src"}
-        assert all(words for _, _, words in st["b"].values())
+        assert all(words for _, _, words, _ in st["b"].values())
     df, fr, ft = t.skip_read(eq={"src": "b"})
     assert ft == 2 and fr == 1
     assert {r.k for r in df.collect()} == set(range(10, 20))
@@ -2762,3 +2768,114 @@ def test_skip_read_probe_budget_admits_not_wrong(spark, tmp_path, monkeypatch):
     df, fr, ft = t.skip_read(eq={"src": "b"})
     assert ft == 3 and fr >= 2  # at most one file was probed out
     assert {r.k for r in df.collect()} == set(range(10, 20))
+
+
+# ---- round 14: bloom position-hash scheme versioning -----------------------
+
+
+def test_untagged_bloom_words_never_misprune(spark, tmp_path):
+    """Persisted bloom entries carry the position-hash scheme tag; a
+    lake written by PRE-TAG code (the hash changed md5→xxhash64 in r13,
+    so untagged words may be hashed under either scheme) must never be
+    probed with the current scheme — probing foreign words can "prove"
+    absence of PRESENT keys and silently drop rows (r13 verdict,
+    "what's wrong" #1 / next-round #2).  Simulates the old lake by
+    stripping the tag AND corrupting the word positions the way a
+    scheme change does; the reader must admit every file unpruned and
+    return exact rows."""
+    import json
+
+    from indra_db_spark.operators.sampling import BLOOM_SCHEME
+
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.set_stats_columns("k", bloom=("src",))
+    for i, tag in enumerate(("a", "b", "c")):
+        t.append(_df(spark, i * 10, i * 10 + 10, tag=tag).coalesce(1))
+    v = t.snapshot()[0]
+    # tagged entries: the probe engages and prunes to the one true file
+    df, fr, ft = t.skip_read(eq={"src": "b"})
+    assert ft == 3 and fr == 1
+    assert {r.k for r in df.collect()} == set(range(10, 20))
+
+    # rewrite the manifest as an OLD writer would have: 3-element
+    # entries, word positions hashed under a different scheme (rotate
+    # the word keys — every current-scheme probe now misses)
+    body = _raw(t, v)
+    for st in body["stats"].values():
+        m, k, words, scheme = st["b"]["src"]
+        assert scheme == BLOOM_SCHEME
+        rotated = {
+            str((int(w) + 7) % max(1, m // 64)): mask
+            for w, mask in words.items()
+        }
+        st["b"]["src"] = [m, k, rotated]
+    (tmp_path / "t" / txlog.LOG_DIR / f"v{v:012d}.json").write_text(
+        json.dumps(body)
+    )
+
+    r = TxTable(spark, str(tmp_path / "t"))  # cold reader, fresh caches
+    df2, fr2, ft2 = r.skip_read(eq={"src": "b"})
+    # every file admitted (no bloom prune), rows exact — the corrupted
+    # words were NOT consulted; range stats on "k" don't apply to "src"
+    assert ft2 == 3 and fr2 == 3
+    assert {r_.k for r_ in df2.collect()} == set(range(10, 20))
+
+
+def test_segment_meta_drops_untagged_bloom_words(spark):
+    """_segment_meta refuses to union word maps whose scheme is unknown
+    (untagged = pre-r14 writer): the segment carries no membership
+    bloom — correct, just unhelped."""
+    from indra_db_spark.plans.skipindex import bloom_positions
+
+    def words_for(vals, m):
+        words = {}
+        for v in vals:
+            for w, bit in bloom_positions(v, m, 3):
+                words[str(w)] = words.get(str(w), 0) | bit
+        return words
+
+    untagged = {
+        f: {"n": 1, "b": {"x": [8192, 3, words_for([i], 8192)]}}
+        for i, f in enumerate(("fa", "fb"))
+    }
+    meta = TxTable._segment_meta(["fa", "fb"], untagged)
+    assert "b" not in meta
+    # and a MIX of tagged + untagged members is just as unprobeable
+    mixed = dict(untagged)
+    mixed["fb"] = {
+        "n": 1,
+        "b": {"x": [8192, 3, words_for([1], 8192), "xxh64"]},
+    }
+    meta2 = TxTable._segment_meta(["fa", "fb"], mixed)
+    assert "b" not in meta2
+
+
+def test_index_tx_table_rescans_untagged_blooms(spark, tmp_path):
+    """index_tx_table's zero-scan fast path must not hand untagged
+    manifest words to skip_scan's probes; it routes to the rescan,
+    which re-packs the words under the CURRENT scheme — pruning stays
+    both engaged and sound."""
+    from indra_db_spark.plans import skipindex as si
+
+    t = TxTable(spark, str(tmp_path / "t"))
+    t.set_stats_columns("k", bloom=("k",))
+    t.append(
+        spark.createDataFrame([(1,), (2,)], "k int").coalesce(1)
+    )
+    t.append(
+        spark.createDataFrame([(3,), (4,)], "k int").coalesce(1)
+    )
+    real = t._stats_of(t._read_version(t.snapshot()[0]))
+    legacy = {
+        f: {**st, "b": {"k": st["b"]["k"][:3]}}  # strip the tag
+        for f, st in real.items()
+    }
+    t._stats_of = lambda body: legacy
+    _, idx = si.index_tx_table(t, "k", bloom_cols=("k",))
+    _, m, k = t.bloom_spec()
+    out, n_read, n_total = si.skip_scan(
+        spark, idx, eq={"k": 3}, bloom_m=m, bloom_k=k
+    )
+    # the rescan rebuilt scheme-correct words: still prunes, never wrong
+    assert n_total == 2 and n_read == 1
+    assert [r.k for r in out.collect()] == [3]
