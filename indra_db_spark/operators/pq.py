@@ -110,12 +110,22 @@ def quantize_subvectors(
     dsub = d // m
     lam = _quant_lambda_sql(scale, offset)
     arr = ",".join(
-        f"transform(slice(`{vec_col}`, {s * dsub + 1}, {dsub}), {lam})"
+        f"transform(slice({_bq(vec_col)}, {s * dsub + 1}, {dsub}), {lam})"
         for s in range(m)
     )
     return emb.selectExpr(
-        f"`{id_col}` AS id", f"posexplode(array({arr})) AS (s, q)"
+        f"{_bq(id_col)} AS id", f"posexplode(array({arr})) AS (s, q)"
     )
+
+
+def _bq(name: str) -> str:
+    """Backtick-quote a caller-supplied column name for SQL-text
+    interpolation, escaping embedded backticks (r13 ADVICE #2).  Names
+    must be TOP-LEVEL identifiers: a dotted path like ``meta.vec`` is
+    quoted as one literal name here (the parsed-SQL fast paths do not
+    resolve nested fields — select the field to a top-level column
+    first, as every in-repo caller does)."""
+    return "`" + str(name).replace("`", "``") + "`"
 
 
 #: unroll _sqdist only for short subvectors: small flat chains beat the
@@ -203,8 +213,8 @@ def _assign_code_lit(q_name: str, s_name: str, cents, dsub: int | None = None):
         "array(" + ",".join(_lit_bigint_arrays_sql(cs) for cs in cents) + ")"
     )
     ds = (
-        f"transform(element_at({lit}, `{s_name}` + 1), "
-        f"cent -> {_sqdist_sql(f'`{q_name}`', 'cent', dsub)})"
+        f"transform(element_at({lit}, {_bq(s_name)} + 1), "
+        f"cent -> {_sqdist_sql(_bq(q_name), 'cent', dsub)})"
     )
     return F.expr(
         f"array_min(zip_with({ds}, sequence(0, {k - 1}), "
@@ -534,7 +544,7 @@ def _ranked_cells_lit(q_name: str, cents, cell_ids, n: int):
     string instead of ~8 higher-order-function builders (~16 ms of py4j
     each, guide §7.3); same longs, same fold order."""
     lit_cents = _lit_bigint_arrays_sql(cents)
-    fold = _sqdist_sql(f"`{q_name}`", "cent", None)
+    fold = _sqdist_sql(_bq(q_name), "cent", None)
     ids = "array(" + ",".join(str(int(cid)) for cid in cell_ids) + ")"
     return F.expr(
         f"transform(slice(transform(array_sort(zip_with("
@@ -550,7 +560,7 @@ def _quant_full(vec_col: str, dim: int, scale: int, offset: int):
     as :func:`quantize_subvectors` with m=1 (floor(x·scale)+offset as
     BIGINT), without the posexplode.  One parsed expression."""
     return F.expr(
-        f"transform(`{vec_col}`, {_quant_lambda_sql(scale, offset)})"
+        f"transform({_bq(vec_col)}, {_quant_lambda_sql(scale, offset)})"
     )
 
 
@@ -1021,7 +1031,7 @@ def _sliced(arr_name: str, m: int, dsub: int):
     subvector rows — the residual-frame analog of
     :func:`quantize_subvectors`.  One parsed expression."""
     arr = ",".join(
-        f"slice(`{arr_name}`, {s * dsub + 1}, {dsub})" for s in range(m)
+        f"slice({_bq(arr_name)}, {s * dsub + 1}, {dsub})" for s in range(m)
     )
     return F.expr(f"posexplode(array({arr}))").alias("s", "q")
 

@@ -1013,7 +1013,13 @@ def srp_topk(
 def _double_lit_sql(x: float) -> str:
     """A Python float as SQL text with the exact same double bits as
     ``F.lit(x)``: ``repr`` round-trips every finite double, and the cast
-    parses the non-finite spellings Java accepts."""
+    parses the non-finite spellings Java accepts.
+
+    Coerce first: numpy scalars repr as ``np.float64(0.1)`` under
+    numpy>=2.0, which the CAST would silently fold to NULL in non-ANSI
+    mode (every distance NULL → all cells tie); ``float()`` raises on
+    non-numerics instead of emitting garbage SQL (r13 ADVICE #1)."""
+    x = float(x)
     if x != x:
         return "CAST('NaN' AS DOUBLE)"
     if x == float("inf"):

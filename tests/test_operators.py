@@ -2794,7 +2794,7 @@ def test_pq_sql_expr_forms_match_column_forms(spark):
     got_full = _quant_full("embedding", d, SCALE, OFFSET)
     assert (
         emb.select(ref_full.alias("r"), got_full.alias("g"))
-        .filter("r <> g")
+        .filter("NOT (r <=> g)")
         .count()
         == 0
     )
@@ -2816,7 +2816,7 @@ def test_pq_sql_expr_forms_match_column_forms(spark):
                 _sqdist(F.col("q"), F.col("cent"), ds).alias("r"),
                 F.expr(_sqdist_sql("`q`", "`cent`", ds)).alias("g"),
             )
-            .filter("r <> g")
+            .filter("NOT (r <=> g)")
             .count()
         )
         assert mismatch == 0, f"_sqdist_sql diverges at dsub={ds}"
@@ -2854,7 +2854,7 @@ def test_pq_sql_expr_forms_match_column_forms(spark):
     got_code = _assign_code_lit("q", "s", cents, dsub)
     assert (
         sub.select(ref_code.alias("r"), got_code.alias("g"))
-        .filter("r <> g")
+        .filter("NOT (r <=> g)")
         .count()
         == 0
     )
@@ -2900,7 +2900,7 @@ def test_pq_sql_expr_forms_match_column_forms(spark):
     got_cells = _ranked_cells_lit("_qf", ccents, cell_ids, nprobe)
     assert (
         qf.select(ref_cells.alias("r"), got_cells.alias("g"))
-        .filter("r <> g")
+        .filter("NOT (r <=> g)")
         .count()
         == 0
     )
