@@ -591,14 +591,21 @@ def remove_duplicate_spans(
     Distributed shape: gram shuffle (as ``duplicate_spans``) → per-gram
     argmin (one partial-agg shuffle, no window over the corpus) → covered
     word indices exploded only for the DUPLICATED surface (≤ k rows per
-    hit, not per corpus word) → set-subtract removable indices from the
-    word list per doc → ordered reassembly with one groupBy(id).  Word
-    order is restored by sorting on position inside a collect_list — no
-    global sort.
-    """
+    hit, not per corpus word) → removable indices collected into ONE
+    small array per affected doc → each document rewritten IN PLACE with
+    an array expression (``array_except`` of the position sequence, then
+    an index ``transform`` — both O(words) per doc, set-membership via
+    ArrayExcept's hash build).  The corpus text is never exploded into
+    per-word rows: the old reassembly posexploded every document and
+    shuffled Θ(corpus words) (id, pos, word) rows back through a
+    groupBy(id) ``collect_list`` — the heavy payload crossed the wire
+    twice so that small integer indices could be subtracted (guide §8:
+    decide with small rows, move big rows never).  Now only the
+    removable-index surface (≤ k rows per duplicate hit) shuffles, and
+    the per-doc index arrays attach back with one doc-level join."""
     words = df.select(
         F.col(id_col).alias("id"), F.split(F.col(text_col), " ").alias("_ws")
-    )
+    ).filter(F.col("_ws").isNotNull())
     grams = _materialize(positional_grams(df, k, id_col, text_col))
     dup = (
         grams.groupBy("g")
@@ -628,31 +635,30 @@ def remove_duplicate_spans(
         .filter(F.col("_anyc") == 0)
         .select("id", "w")
     )
-    kept = (
-        words.select("id", F.posexplode("_ws").alias("p0", "word"))
-        .withColumn("w", F.col("p0") + 1)
-        .join(removable, ["id", "w"], "left_anti")
+    rm = removable.groupBy("id").agg(
+        F.sort_array(F.collect_list("w")).alias("_rm")
     )
-    total = words.select("id", F.size("_ws").alias("_n"))
+    # kept positions in order: array_except preserves the first array's
+    # order and builds a hash set over the second, so the per-doc cost
+    # is O(words + removed), not O(words × removed).  A doc whose every
+    # word is removable keeps no position and drops from the output —
+    # the same contract the kept-rows inner join enforced before.
+    kept_pos = F.expr(
+        "array_except(sequence(1, size(_ws)),"
+        " coalesce(_rm, CAST(array() AS array<int>)))"
+    )
     return (
-        kept.groupBy("id")
-        .agg(
-            F.concat_ws(
-                " ",
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct(F.col("w"), F.col("word")))
-                    ),
-                    lambda s: s["word"],
-                ),
-            ).alias("clean_text"),
-            F.count(F.lit(1)).alias("_kept"),
-        )
-        .join(total, "id")
+        words.join(rm, "id", "left")
+        .withColumn("_keep", kept_pos)
+        .filter(F.size("_keep") > 0)
         .select(
             F.col("id").alias(id_col),
-            "clean_text",
-            (F.col("_n") - F.col("_kept")).cast("int").alias("n_removed_words"),
+            F.concat_ws(
+                " ", F.expr("transform(_keep, p -> element_at(_ws, p))")
+            ).alias("clean_text"),
+            (F.size("_ws") - F.size("_keep"))
+            .cast("int")
+            .alias("n_removed_words"),
         )
     )
 

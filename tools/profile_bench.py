@@ -5,7 +5,7 @@ drains the query once cold, then once timed inside its own job group, and
 attributes the timed run to Spark jobs/stages via the live UI REST API:
 wall seconds, job count, stage count, task count, executor run time,
 shuffle read/write bytes, and the noop-sink action breakdown.  It also
-writes ``plans/r13/<name>_<tag>.txt`` with ``.explain('formatted')`` so
+writes ``plans/$SPARK_GRAFT_PLANS_ROUND/<name>_<tag>.txt`` (default r14) with ``.explain('formatted')`` so
 plan-shape claims are checkable without running Spark.
 
     PYTHONPATH=. python tools/profile_bench.py [--tag before] [--sf DIR] [name ...]
@@ -66,7 +66,7 @@ def main() -> None:
     plans_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r13",
+        os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r14"),
     )
     os.makedirs(plans_dir, exist_ok=True)
 
