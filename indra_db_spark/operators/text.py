@@ -517,12 +517,23 @@ def _bigram_model_frames(df, id_col, text_col):
     from indra_db_spark.operators.dedup import _materialize
 
     big = _materialize(_doc_bigrams(df, id_col, text_col))
-    vocab = big.select(F.col("a").alias("w")).union(
-        big.select(F.col("b").alias("w"))
+    # ca and v DERIVE from cab exactly — c(a·) = Σ_b c(a,b), and every
+    # word of the bigram vocabulary appears in cab's a or b column — so
+    # both aggregate the VOCABULARY²-bounded count frame instead of
+    # re-scanning the Θ(corpus words) bigram frame (guide §2.3:
+    # aggregate small proxies, not payloads; was 3 full passes over
+    # `big` + 2 corpus-wide shuffles, now 1 pass into cab and two tiny
+    # aggregations over it).  cab is materialized because three
+    # consumers (the scored join, ca, v) would otherwise each re-run
+    # the corpus-wide count.
+    cab = _materialize(
+        big.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
+    )
+    ca = cab.groupBy("a").agg(F.sum("c_ab").alias("c_a"))
+    vocab = cab.select(F.col("a").alias("w")).union(
+        cab.select(F.col("b").alias("w"))
     )
     v = vocab.agg(F.count_distinct("w").alias("v"))
-    cab = big.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
-    ca = big.groupBy("a").agg(F.count(F.lit(1)).alias("c_a"))
     return big, cab, ca, v
 
 
