@@ -471,7 +471,13 @@ def _kcore_oracle(k: int, rounds: int) -> str:
     """Unrolled peel: the same bounded-round definition the Spark
     operator computes, as chained CTEs (the PageRank-oracle pattern —
     iterative algorithms carry full value oracles when every step is
-    integer)."""
+    integer).
+
+    The per-round CTEs are MATERIALIZED: DuckDB inlines plain CTEs, and
+    each round references the previous one three times, so the unrolled
+    chain re-evaluated exponentially (~3^rounds — 135+ s at sf0.001 for
+    6 rounds, the whole oracle-test budget of this entry).  Materializing
+    makes it linear (0.07 s); results are identical by definition."""
     sql = """
     WITH base AS (SELECT p_partkey AS i FROM part),
     raw AS (
@@ -485,14 +491,14 @@ def _kcore_oracle(k: int, rounds: int) -> str:
     )"""
     for r in range(1, rounds + 1):
         sql += f""",
-    d{r} AS (
+    d{r} AS MATERIALIZED (
       SELECT id, count(*) AS d
       FROM (SELECT s AS id FROM e{r - 1}
             UNION ALL SELECT t AS id FROM e{r - 1})
       GROUP BY id
     ),
     v{r} AS (SELECT id FROM d{r} WHERE d >= {k}),
-    e{r} AS (
+    e{r} AS MATERIALIZED (
       SELECT e.s, e.t FROM e{r - 1} e
       JOIN v{r} a ON a.id = e.s
       JOIN v{r} b ON b.id = e.t
@@ -932,7 +938,7 @@ def _labelprop_oracle(rounds: int) -> str:
     l0 AS (SELECT DISTINCT s AS id, s AS lbl FROM de)"""
     for r in range(1, rounds + 1):
         sql += f""",
-    l{r} AS (
+    l{r} AS MATERIALIZED (
       SELECT n.id, least(n.lbl, coalesce(m.nm, n.lbl)) AS lbl
       FROM l{r - 1} n LEFT JOIN (
         SELECT de.t AS id, min(l.lbl) AS nm
