@@ -129,8 +129,10 @@ def run_assembly(
     pa_agents = _p(extract_agent_rows(pa_statements))
 
     if ontology_edges is None:
-        ontology_edges = spark.createDataFrame(
-            [], "child string, parent string"
+        from indra_db_spark.session import local_artifact_df
+
+        ontology_edges = local_artifact_df(
+            spark, [], "child string, parent string"
         )
     links = _p(refinement_pairs(pa_statements, pa_agents, ontology_edges))
 

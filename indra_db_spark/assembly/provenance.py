@@ -118,14 +118,18 @@ class ProvenanceLedger:
         """Append rows (plain dicts matching the table schema)."""
         if not rows:
             return
-        df = self.spark.createDataFrame(rows, PROVENANCE_SCHEMAS[table])
+        from indra_db_spark.session import local_artifact_df
+
+        df = local_artifact_df(self.spark, rows, PROVENANCE_SCHEMAS[table])
         df.coalesce(1).write.mode("append").parquet(self._path(table))
 
     def load(self, table: str) -> DataFrame:
         """The full table; empty with the right schema if never written."""
         path = self._path(table)
         if not _fs_exists(self.spark, path):
-            return self.spark.createDataFrame([], PROVENANCE_SCHEMAS[table])
+            from indra_db_spark.session import local_artifact_df
+
+            return local_artifact_df(self.spark, [], PROVENANCE_SCHEMAS[table])
         return self.spark.read.schema(PROVENANCE_SCHEMAS[table]).parquet(path)
 
     # -- content bookkeeping (cli/content.py) --------------------------------

@@ -48,34 +48,10 @@ from pyspark.sql import DataFrame, functions as F
 SCALE = 1_000
 OFFSET = 4_096
 
-#: rows per slice for driver-built artifact frames (trained codebooks,
-#: probe lists, admitted cell-pair tables).  A bare
-#: ``createDataFrame(local_rows)`` parallelizes into defaultParallelism
-#: pickled slices, so ANY scan of the frame — e.g. the broadcast-
-#: exchange build of the LUT — launches one Python-runner task per core
-#: to deserialize a handful of rows each (measured: 8–9 executor-
-#: seconds of wait against 0.1 s of CPU for the 128-row codebook under
-#: the broadcast LUT at sf0.1).  Artifact frames are hyperparameter-
-#: sized (m·k, nq·nprobe, admitted cell pairs), so a few thousand rows
-#: per slice keeps them at 1–2 tasks at every real sizing; corpus-sized
-#: frames never take this constructor.
-_LOCAL_DF_ROWS_PER_SLICE = 4096
-
-
-def local_artifact_df(spark, rows, schema) -> DataFrame:
-    """A driver-built row list as a DataFrame whose slice count scales
-    with the row count (ceil(rows / _LOCAL_DF_ROWS_PER_SLICE), capped at
-    defaultParallelism) instead of always fanning out one pickled slice
-    per core."""
-    sc = spark.sparkContext
-    n = max(
-        1,
-        min(
-            sc.defaultParallelism,
-            -(-len(rows) // _LOCAL_DF_ROWS_PER_SLICE),
-        ),
-    )
-    return spark.createDataFrame(sc.parallelize(rows, n), schema)
+# local_artifact_df moved to indra_db_spark.session (round 14: every
+# package that builds driver-side row-list frames now routes through it,
+# not just the PQ artifact frames); re-exported here for its r13 callers.
+from indra_db_spark.session import local_artifact_df  # noqa: F401
 
 
 def _quant_lambda_sql(scale: int, offset: int) -> str:
@@ -333,7 +309,7 @@ def train_codebook_from_sub(
     if dsub is None:
         r0 = sub.select("q").first()
         if r0 is None:
-            return spark.createDataFrame([], empty_schema)
+            return local_artifact_df(spark, [], empty_schema)
         dsub = len(r0["q"])
     # seeding: the k smallest ids' subvectors per s (every id carries
     # every s, so the global k smallest ids ARE the per-s k smallest —
@@ -348,7 +324,7 @@ def train_codebook_from_sub(
         .collect()
     ]
     if not ids:
-        return spark.createDataFrame([], empty_schema)
+        return local_artifact_df(spark, [], empty_schema)
     rank = {v: i for i, v in enumerate(ids)}
     cb = {
         (int(r["s"]), rank[r["id"]]): [int(x) for x in r["q"]]

@@ -618,7 +618,9 @@ def cosine_neardup_imi(
         f"id_a {id_type}, id_b {id_type}, sim double"
     )
     if first is None:
-        return spark.createDataFrame([], empty_schema)
+        from indra_db_spark.operators.pq import local_artifact_df
+
+        return local_artifact_df(spark, [], empty_schema)
     dim = int(first["d"])
     half = dim // 2
     n_rows = emb.count()

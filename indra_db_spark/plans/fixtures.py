@@ -596,8 +596,10 @@ def fixture_principal(spark, seed: int = 42):
 
     stmts, papers = generate_model(seed)
     tables = build_principal_tables(stmts, papers, seed)
+    from indra_db_spark.session import local_artifact_df
+
     dfs = {
-        name: spark.createDataFrame(rows, PRINCIPAL_SCHEMAS[name])
+        name: local_artifact_df(spark, rows, PRINCIPAL_SCHEMAS[name])
         for name, rows in tables.items()
     }
     return dfs, stmts, papers

@@ -513,7 +513,9 @@ class ReadonlyLake:
         tables = {}
         for name, rows in rows_by_table.items():
             schema = READONLY_SCHEMAS[name]
-            tables[name] = spark.createDataFrame(rows, schema)
+            from indra_db_spark.session import local_artifact_df
+
+            tables[name] = local_artifact_df(spark, rows, schema)
         return cls(tables)
 
 

@@ -205,9 +205,11 @@ class CurationStore:
             return
         from indra_db_spark.schemas import CURATION_SCHEMA
 
-        self.spark.createDataFrame(self._pending, CURATION_SCHEMA).coalesce(
-            1
-        ).write.mode("append").parquet(self.path)
+        from indra_db_spark.session import local_artifact_df
+
+        local_artifact_df(
+            self.spark, self._pending, CURATION_SCHEMA
+        ).coalesce(1).write.mode("append").parquet(self.path)
         self._pending.clear()
 
     def df(self) -> DataFrame:
@@ -216,7 +218,9 @@ class CurationStore:
 
         with self._lock:
             pending = list(self._pending)
-        tail = self.spark.createDataFrame(pending, CURATION_SCHEMA)
+        from indra_db_spark.session import local_artifact_df
+
+        tail = local_artifact_df(self.spark, pending, CURATION_SCHEMA)
         if self.path is None:
             return tail
         try:

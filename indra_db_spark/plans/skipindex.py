@@ -514,8 +514,10 @@ def index_tx_table(
                     + blooms
                 )
             )
-        return version, tx.spark.createDataFrame(
-            rows, StructType(fields)
+        from indra_db_spark.session import local_artifact_df
+
+        return version, local_artifact_df(
+            tx.spark, rows, StructType(fields)
         )
     paths = [f"{tx.root}/data/{n}" for n in files]
     return version, build_file_index(

@@ -56,3 +56,35 @@ def get_spark(
     for k, v in conf.items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+#: rows per slice for driver-built row-list frames (see
+#: :func:`local_artifact_df`)
+_LOCAL_DF_ROWS_PER_SLICE = 4096
+
+
+def local_artifact_df(spark: SparkSession, rows, schema):
+    """A driver-built row list as a DataFrame whose slice count scales
+    with the row count (ceil(rows / 4096), capped at defaultParallelism)
+    instead of one pickled slice per core.
+
+    A bare ``createDataFrame(local_rows)`` parallelizes into
+    ``defaultParallelism`` pickled slices, so ANY scan of the frame —
+    including a 1-row parquet append or a broadcast-exchange build —
+    pays one Python-runner round trip per core to deserialize a handful
+    of rows each (measured r13/r14: 8–9 executor-seconds for a 128-row
+    codebook scan; 4.2 s for a one-row curation-ledger append, 0.3 s
+    through this constructor).  Artifact frames are hyperparameter- or
+    event-sized, so they land at 1–2 slices at every real sizing;
+    corpus-sized frames never take this constructor.  Canonical home of
+    the r13 helper (``operators.pq`` re-exports it)."""
+    rows = rows if isinstance(rows, (list, tuple)) else list(rows)
+    sc = spark.sparkContext
+    n = max(
+        1,
+        min(
+            sc.defaultParallelism,
+            -(-len(rows) // _LOCAL_DF_ROWS_PER_SLICE),
+        ),
+    )
+    return spark.createDataFrame(sc.parallelize(rows, n), schema)

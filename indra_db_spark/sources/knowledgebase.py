@@ -316,7 +316,9 @@ def load_knowledgebases(
         batch = list(_statement_rows(mgr, info["id"], sid, batch_id))
         rows.extend(batch)
         sid += len(batch)
-    return spark.createDataFrame(rows, RAW_STATEMENTS_SCHEMA)
+    from indra_db_spark.session import local_artifact_df
+
+    return local_artifact_df(spark, rows, RAW_STATEMENTS_SCHEMA)
 
 
 def kb_update(
@@ -334,7 +336,10 @@ def kb_update(
 
     Returns only the NEW rows; union them onto raw_statements and re-run
     the (incremental) assembly."""
-    candidate = spark.createDataFrame(
+    from indra_db_spark.session import local_artifact_df
+
+    candidate = local_artifact_df(
+        spark,
         list(_statement_rows(manager, db_info_id, start_sid, batch_id)),
         RAW_STATEMENTS_SCHEMA,
     )

@@ -126,6 +126,10 @@ def parse_articles(xml_docs: DataFrame, xml_col: str = "xml") -> DataFrame:
 
 def xml_documents(spark: SparkSession, texts: list[str]) -> DataFrame:
     """Wrap already-downloaded XML strings as the 1-column input frame."""
-    return spark.createDataFrame(
-        [(t,) for t in texts], StructType([StructField("xml", StringType())])
+    from indra_db_spark.session import local_artifact_df
+
+    return local_artifact_df(
+        spark,
+        [(t,) for t in texts],
+        StructType([StructField("xml", StringType())]),
     )

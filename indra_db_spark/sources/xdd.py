@@ -47,6 +47,7 @@ from pyspark.sql.types import (
 )
 
 from indra_db_spark.assembly.provenance import ProvenanceLedger
+from indra_db_spark.session import local_artifact_df
 from indra_db_spark.schemas import (
     RAW_STATEMENTS_SCHEMA,
     READING_SCHEMA,
@@ -354,12 +355,14 @@ def process_xdd_groups(
 
     if not reads:
         empty = XddBatch(
-            text_refs_new=spark.createDataFrame(
-                [], "trid int, doi string"
+            text_refs_new=local_artifact_df(
+                spark, [], "trid int, doi string"
             ),
-            text_content_new=spark.createDataFrame([], TEXT_CONTENT_SCHEMA),
-            reading_new=spark.createDataFrame([], READING_SCHEMA),
-            raw_statements_new=spark.createDataFrame([], RAW_STATEMENTS_SCHEMA),
+            text_content_new=local_artifact_df(spark, [], TEXT_CONTENT_SCHEMA),
+            reading_new=local_artifact_df(spark, [], READING_SCHEMA),
+            raw_statements_new=local_artifact_df(
+                spark, [], RAW_STATEMENTS_SCHEMA
+            ),
             skipped_no_doi=0,
             days_complete=[d for d, ok in complete.items() if ok],
             days_partial=[d for d, ok in complete.items() if not ok],
@@ -392,8 +395,10 @@ def process_xdd_groups(
         (_canon(path), day, run_id, id_src or "", kind)
         for day, run_id, id_src, kind, path in reads
     ]
-    lookup = spark.createDataFrame(
-        path_rows, "path string, day_str string, run_id string, id_src string, kind string"
+    lookup = local_artifact_df(
+        spark,
+        path_rows,
+        "path string, day_str string, run_id string, id_src string, kind string",
     )
     # input_file_name() is the percent-encoded URI form; url_decode maps it
     # back to the listing's decoded form.  '+' must be protected first:
