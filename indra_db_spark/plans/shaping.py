@@ -184,8 +184,16 @@ def get_statements(
     )
 
     # ---- driver-side assembly (bounded by the page size)
-    meta_rows = meta.collect()
-    ev_rows = ev.collect()
+    # meta and ev are independent page-bounded plans; their collects are
+    # two of the route's four serial driver round trips — overlap them
+    # (guide §2.6: the scheduler happily runs both jobs at once, actions
+    # are only sequential because the driver calls them sequentially)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_meta = pool.submit(meta.collect)
+        ev_rows = ev.collect()
+        meta_rows = f_meta.result()
     # text-ref fetch: the collected evidence's reading_ids are a BOUNDED
     # point set (≤ page × ev_limit), so the reading_ref_link rows come
     # through the manifest prune too (rid ranges/blooms) instead of the
