@@ -541,12 +541,25 @@ def duplicate_spans(
     from pyspark.sql.window import Window
 
     grams = _materialize(positional_grams(df, k, id_col, text_col))
-    dup = (
-        grams.groupBy("g")
-        .agg(F.count_distinct("id").alias("_nd"))
-        .filter(F.col("_nd") >= min_docs)
-        .select("g")
-    )
+    # min_docs=2 (the production setting) needs no distinct count:
+    # "appears in ≥2 distinct docs" ⟺ min(id) ≠ max(id) — two cheap
+    # fixed-state partial aggs instead of a per-gram distinct hash set
+    # (the gram agg is the dominant reduce stage of every span-dedup
+    # path; guide §2.3 — aggregate before you shuffle, with the
+    # smallest state that answers the question)
+    gb = grams.groupBy("g")
+    if min_docs == 2:
+        dup = (
+            gb.agg(F.min("id").alias("_lo"), F.max("id").alias("_hi"))
+            .filter(F.col("_lo") != F.col("_hi"))
+            .select("g")
+        )
+    else:
+        dup = (
+            gb.agg(F.count_distinct("id").alias("_nd"))
+            .filter(F.col("_nd") >= min_docs)
+            .select("g")
+        )
     hits = grams.join(dup, "g").select("id", "pos")
     w = Window.partitionBy("id").orderBy("pos")
     brk = F.when(
@@ -607,15 +620,29 @@ def remove_duplicate_spans(
         F.col(id_col).alias("id"), F.split(F.col(text_col), " ").alias("_ws")
     ).filter(F.col("_ws").isNotNull())
     grams = _materialize(positional_grams(df, k, id_col, text_col))
-    dup = (
-        grams.groupBy("g")
-        .agg(
-            F.count_distinct("id").alias("_nd"),
-            F.min(F.struct("id", "pos")).alias("_canon"),
+    # min_docs=2 needs no distinct count: the canonical min(struct(id,
+    # pos)) already carries min(id), so "≥2 distinct docs" is just
+    # max(id) ≠ _canon.id — the per-gram distinct hash set (the
+    # dominant reduce-stage state) collapses to fixed-size min/max
+    gb = grams.groupBy("g")
+    if min_docs == 2:
+        dup = (
+            gb.agg(
+                F.min(F.struct("id", "pos")).alias("_canon"),
+                F.max("id").alias("_hi"),
+            )
+            .filter(F.col("_canon.id") != F.col("_hi"))
+            .select("g", "_canon")
         )
-        .filter(F.col("_nd") >= min_docs)
-        .select("g", "_canon")
-    )
+    else:
+        dup = (
+            gb.agg(
+                F.count_distinct("id").alias("_nd"),
+                F.min(F.struct("id", "pos")).alias("_canon"),
+            )
+            .filter(F.col("_nd") >= min_docs)
+            .select("g", "_canon")
+        )
     hits = grams.join(dup, "g").select(
         "id",
         "pos",
